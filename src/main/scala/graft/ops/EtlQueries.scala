@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Queries mirroring the reference's ETL transform operators (SURVEY §2.1
+  * T1–T8, L1, L7–L9) on the driver corpus. All are single-pass, pushdown-
+  * friendly projections/filters or one-shuffle aggregations.
+  */
+object EtlQueries {
+
+  /** T2 (`etl_process.py:10–11` digit-strip) as a built-in expression — the
+    * reference used a per-row Python `.apply`; this is codegen'd. */
+  def cleanRegexpDigits(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[^0-9]", "").as("digits"))
+      .orderBy("c_custkey")
+
+  /** T3 (`etl_process.py:14–15` phone clean) canonicalized: translate+trim,
+    * null stays null (quirk Q3 fixed at the engine level). */
+  def cleanTranslateTrim(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        trim(translate(col("c_name"), "#", " ")).as("cleaned"))
+      .orderBy("c_custkey")
+
+  /** T4 (`etl_process.py:207–208` to_date). Output formatted as string —
+    * DuckDB DATE arrives in pandas as midnight timestamps while Spark's
+    * DateType stays a date, so the compare needs a common representation. */
+  def castToDate(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(date_format(col("l_shipdate").cast(DateType), "yyyy-MM-dd")
+        .as("ship_date"))
+      .groupBy("ship_date").agg(count(lit(1)).as("n"))
+      .orderBy("ship_date")
+
+  /** T6/L8 (`etl_process.py:210–211` null-default fill). */
+  def nullDefaultCoalesce(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(coalesce(nullif(col("o_orderstatus"), lit("O")), lit("UNKNOWN"))
+        .as("status_c"))
+      .groupBy("status_c").agg(count(lit(1)).as("n"))
+      .orderBy("status_c")
+
+  /** T5/L7 (`etl_process.py:209,120` conditional cast / falsy default). */
+  def conditionalWhen(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("low").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** L9 (`etl_process.py:123` UF[:2] truncation). */
+  def substringTruncate(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .select(substring(col("n_name"), 1, 2).as("prefix"))
+      .distinct()
+      .orderBy("prefix")
+
+  /** T7 with quirk Q8 fixed: deterministic survivor via row_number over a
+    * total order — first order per customer. Partition-local window after
+    * one hash shuffle on the key; no global window (scales to 100 TB). */
+  def dedupDeterministic(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .orderBy("o_custkey")
+  }
+
+  /** L1 (`etl_process.py:34` unique plan pairs). */
+  def distinctProjection(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "clean_regexp_digits"   -> cleanRegexpDigits _,
+    "clean_translate_trim"  -> cleanTranslateTrim _,
+    "cast_to_date"          -> castToDate _,
+    "null_default_coalesce" -> nullDefaultCoalesce _,
+    "conditional_when"      -> conditionalWhen _,
+    "substring_truncate"    -> substringTruncate _,
+    "dedup_deterministic"   -> dedupDeterministic _,
+    "distinct_projection"   -> distinctProjection _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "clean_regexp_digits" ->
+      """SELECT c_custkey, regexp_replace(c_name, '[^0-9]', '', 'g') AS digits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "clean_translate_trim" ->
+      """SELECT c_custkey, trim(translate(c_name, '#', ' ')) AS cleaned
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "cast_to_date" ->
+      """SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY ship_date""".stripMargin,
+    "null_default_coalesce" ->
+      """SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'UNKNOWN') AS status_c,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY status_c""".stripMargin,
+    "conditional_when" ->
+      """SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
+        |            WHEN o_totalprice > 150000 THEN 'mid'
+        |            ELSE 'low' END AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "substring_truncate" ->
+      """SELECT DISTINCT substr(n_name, 1, 2) AS prefix
+        |FROM nation ORDER BY prefix""".stripMargin,
+    "dedup_deterministic" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey) = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "distinct_projection" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+  )
+}
