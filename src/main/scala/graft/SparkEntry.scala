@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{EtlQueries, RelationalQueries}
+import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ EtlQueries.queries
+    RelationalQueries.queries ++ EtlQueries.queries ++ JoinQueries.queries ++
+      AggWindowQueries.queries ++ SortSetQueries.queries ++ ScalarQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ EtlQueries.oracle
+    RelationalQueries.oracle ++ EtlQueries.oracle ++ JoinQueries.oracle ++
+      AggWindowQueries.oracle ++ SortSetQueries.oracle ++ ScalarQueries.oracle
 }

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation + window operator inventory (SURVEY §2.2).
+  *
+  * The reference's only aggregations are a distinct projection and counts
+  * (`/root/reference/etl_process.py:34,215`); grouping sets, distinct
+  * aggs, and all window functions are engine extensions the north star
+  * requires. Posture: aggregations are partial-then-final (one shuffle on
+  * the group keys); windows partition on a real key so state stays
+  * partition-local — no global windows anywhere (a `Window.orderBy`
+  * without partitioning collapses to one task and is banned at 100 TB).
+  */
+object AggWindowQueries {
+
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def moneyOut(c: Column): Column = c.cast(DoubleType)
+
+  /** Exact distinct agg. Spark plans this as a two-phase expand+agg;
+    * at scale prefer approx_count_distinct unless exactness is required. */
+  def aggCountDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Grouping sets via rollup(region, nation) with grouping_id; NULL group
+    * labels replaced post-agg so the oracle compare never orders nulls. */
+  def aggRollup(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), grouping_id().cast(IntegerType).as("gid"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("gid"), col("n_cust"))
+      .orderBy("gid", "region", "nation")
+  }
+
+  /** Ranking window: top-3 customers by acctbal per nation. rank() with a
+    * full tiebreak (custkey) so survivors are deterministic (Q8 lesson). */
+  def windowRankTopkGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select("c_nationkey", "rnk", "c_custkey", "c_acctbal")
+      .orderBy("c_nationkey", "rnk", "c_custkey")
+  }
+
+  /** Frame-spec window: running total per customer, rowsBetween
+    * (unboundedPreceding, currentRow). Decimal inside the frame sum. */
+  def windowRunningFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        moneyOut(sum(money(col("o_totalprice"))).over(w)).as("running"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Analytic window: lag/lead of order price per customer over time.
+    * First/last rows carry nulls in prev/next — ordering keys are
+    * non-null so Spark-vs-DuckDB null placement never matters. */
+  def windowLagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** UDAF surface: sum-of-squares via Aggregator[IN,BUF,OUT] (§2.3).
+    * Partial-aggregating like a built-in; exact decimal buffer. */
+  def customAggSumsq(s: SparkSession, d: String): DataFrame = {
+    val sumsq = udaf(Aggregators.SumSq)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(sumsq(col("l_quantity")).as("sumsq_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_count_distinct"     -> aggCountDistinct _,
+    "agg_rollup"             -> aggRollup _,
+    "window_rank_topk_group" -> windowRankTopkGroup _,
+    "window_running_frame"   -> windowRunningFrame _,
+    "window_lag_lead"        -> windowLagLead _,
+    "custom_agg_sumsq"       -> customAggSumsq _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region,
+        |  COALESCE(n_name, 'ALL') AS nation,
+        |  CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid,
+        |  COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY gid, region, nation""".stripMargin,
+    "window_rank_topk_group" ->
+      """SELECT c_nationkey,
+        |  rank() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+        |  c_custkey, c_acctbal
+        |FROM customer
+        |QUALIFY rnk <= 3
+        |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin,
+    "window_running_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "custom_agg_sumsq" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sumsq_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

@@ -1,0 +1,37 @@
+package graft.ops
+
+import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom typed aggregations (SURVEY §2.3 UDAF surface).
+  *
+  * The reference has no aggregate UDFs; this covers the engine-side
+  * `Aggregator[IN,BUF,OUT]` requirement with exact-decimal arithmetic so
+  * results hash-match a DuckDB decimal oracle (FP summation order would
+  * not). Registered untyped via `functions.udaf` so it participates in
+  * partial (map-side) aggregation like any built-in — the buffer is a
+  * single decimal, so a 100 TB groupBy ships one number per group per
+  * partition, not the rows.
+  */
+object Aggregators {
+
+  /** Sum of squares with inputs quantized to DECIMAL(18,2) before
+    * squaring — mirrors `CAST(x AS DECIMAL(18,2)) * CAST(x AS
+    * DECIMAL(18,2))` exactly (Spark's double→decimal cast rounds
+    * HALF_UP, same as java.math here). */
+  object SumSq extends Aggregator[Double, JBigDecimal, Double] {
+    private def quant(x: Double): JBigDecimal =
+      new JBigDecimal(x, MathContext.DECIMAL128).setScale(2, RoundingMode.HALF_UP)
+    def zero: JBigDecimal = JBigDecimal.ZERO
+    def reduce(b: JBigDecimal, x: Double): JBigDecimal = {
+      val q = quant(x)
+      b.add(q.multiply(q))
+    }
+    def merge(a: JBigDecimal, b: JBigDecimal): JBigDecimal = a.add(b)
+    def finish(b: JBigDecimal): Double = b.doubleValue()
+    def bufferEncoder: Encoder[JBigDecimal] = Encoders.DECIMAL
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+}

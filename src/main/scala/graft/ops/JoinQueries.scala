@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Join operator inventory (SURVEY §2.2, mirroring §2.1 L3–L6).
+  *
+  * The reference resolves foreign keys with a per-row `SELECT id FROM t
+  * WHERE col = v` loop (`/root/reference/etl_process.py:53–59`) — a
+  * client-side nested-loop join. Here every lookup is a set-oriented join
+  * with an explicit physical posture:
+  *
+  *  - dimensions (part, nation at TPC-H proportions) are `broadcast` —
+  *    no shuffle of the fact side, scales to 100 TB fact tables;
+  *  - fact-fact (lineitem⋈orders) shuffles on the join key; we hint
+  *    SHUFFLE_MERGE so the plan stays a sort-merge join even at small SF
+  *    (AQE may still convert to shuffled-hash at runtime if one side is
+  *    tiny — both are fine at scale, broadcast would not be);
+  *  - semi/anti joins express the reference's `ON CONFLICT DO NOTHING`
+  *    insert-if-absent semantics (L3/L4) without materializing payloads.
+  *
+  * Every query aggregates or orders with a full tiebreak so the DuckDB
+  * oracle compare is deterministic.
+  */
+object JoinQueries {
+
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def moneyOut(c: Column): Column = c.cast(DoubleType)
+
+  /** L5 as broadcast equi-join: lineitem ⋈ part, revenue per brand.
+    * `part` is bounded (brands/parts catalog) — broadcast keeps the
+    * 100 TB lineitem side shuffle-free. */
+  def joinInnerBroadcast(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p  = Tables.part(s, d)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        moneyOut(sum(money(col("l_extendedprice")))).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+  }
+
+  /** L5 at fact-fact scale: lineitem ⋈ orders on orderkey. Both sides are
+    * unbounded → must shuffle on the key; SHUFFLE_MERGE pins the strategy
+    * so the small-SF test exercises the same plan a cluster would run. */
+  def joinShuffleLarge(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d).hint("SHUFFLE_MERGE")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        moneyOut(sum(money(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** L6 validate-join as left outer: every customer with order count,
+    * including zero-order customers (the null-extended rows). */
+  def joinLeftOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** L3/L4 "already present" half: orders that have ≥1 lineitem. Semi join
+    * never materializes the probe payload — cheapest existence check.
+    * (orders↔lineitem is the corpus pair with real non-matches.) */
+  def joinLeftSemi(s: SparkSession, d: String): DataFrame = {
+    val o  = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** L3/L4 ON CONFLICT DO NOTHING half: rows with NO match (the insertable
+    * set) — orders with no lineitems. Mirrors `etl_process.py:37–41,72–78`. */
+  def joinLeftAnti(s: SparkSession, d: String): DataFrame = {
+    val o  = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Theta (non-equi) join: supplier × nation on key inequality. Planned
+    * as broadcast nested loop — correct here because one side (nation) is
+    * tiny and bounded; a fact-fact theta join would need a range-bucket
+    * rewrite instead. */
+  def joinThetaNonequi(s: SparkSession, d: String): DataFrame = {
+    val su = Tables.supplier(s, d)
+    val n  = Tables.nation(s, d)
+    su.join(broadcast(n), su("s_nationkey") < n("n_nationkey"))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_gt"))
+      .orderBy("s_suppkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_broadcast" -> joinInnerBroadcast _,
+    "join_shuffle_large"   -> joinShuffleLarge _,
+    "join_left_outer"      -> joinLeftOuter _,
+    "join_left_semi"       -> joinLeftSemi _,
+    "join_left_anti"       -> joinLeftAnti _,
+    "join_theta_nonequi"   -> joinThetaNonequi _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_broadcast" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_shuffle_large" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_left_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_theta_nonequi" ->
+      """SELECT s_suppkey, COUNT(*) AS n_gt
+        |FROM supplier JOIN nation ON s_nationkey < n_nationkey
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+  )
+}

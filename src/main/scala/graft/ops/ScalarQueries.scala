@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar-function packs + array/JSON/time-bucket extensions
+  * (SURVEY §2.2, §2.3).
+  *
+  * Determinism rules applied throughout: FP-sensitive math stays in
+  * decimal (or uses IEEE-correctly-rounded ops like sqrt on exactly
+  * representable inputs); timestamps are `date_trunc`ed then formatted to
+  * strings (events.ts is ns-precision parquet, Spark truncates to µs);
+  * dates formatted as strings (pandas representation gap, see
+  * EtlQueries.castToDate).
+  *
+  * All of these are single-pass projections — they pipeline inside one
+  * WholeStageCodegen span over the scan with columns pruned to exactly
+  * what the expressions read.
+  */
+object ScalarQueries {
+
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def moneyOut(c: Column): Column = c.cast(DoubleType)
+
+  /** T1–T3/L9 string battery: upper/lower/length/substr/concat. */
+  def scalarStringPack(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        lower(col("c_mktsegment")).as("lseg"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 5).as("name5"),
+        concat_ws("-", col("c_name"), col("c_mktsegment")).as("tagged"))
+      .orderBy("c_custkey")
+
+  /** T4 date battery: year/month/day, month-truncate, day diff from a
+    * fixed epoch. Truncated month emitted as a string. */
+  def scalarDatePack(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType))
+          .as("days_since"))
+      .orderBy("o_orderkey")
+
+  /** Math battery in exact decimal (round/abs/floor/ceil) plus IEEE sqrt
+    * of an exactly-representable integer key (correctly rounded on every
+    * engine, so bit-identical). */
+  def scalarMathPack(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        moneyOut(round(money(col("o_totalprice")), 1)).as("rounded"),
+        moneyOut(abs(money(col("o_totalprice")) - lit(200000))).as("absdev"),
+        moneyOut(floor(money(col("o_totalprice")))).as("flr"),
+        moneyOut(ceil(money(col("o_totalprice")))).as("cl"),
+        sqrt(col("o_orderkey").cast(DoubleType)).as("sqrt_key"))
+      .orderBy("o_orderkey")
+
+  /** §2.3 array ops over embeddings (list<float>): size + element access.
+    * (Vector math lives in SimilarityQueries.) */
+  def arrayBasics(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_val"))
+      .orderBy("vec_id")
+
+  /** §2.3 JSON-in-string extraction via regexp (regex on both sides keeps
+    * the oracle independent of DuckDB's JSON extension); the engine also
+    * ships schema-full from_json — see JsonOps. props shape: {"k": 87}. */
+  def jsonFieldRegex(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(IntegerType)
+          .as("k_val"))
+      .orderBy("event_id")
+
+  /** Streaming batch-equivalent: tumbling 1-hour buckets over events.ts
+    * with count + decimal sum. The same groupBy works under Structured
+    * Streaming with a watermark (see streaming package). */
+  def timeBucketTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_bucket"))
+      .agg(count(lit(1)).as("n"),
+        moneyOut(sum(money(col("value")))).as("sum_value"))
+      .orderBy("hour_bucket")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_string_pack"   -> scalarStringPack _,
+    "scalar_date_pack"     -> scalarDatePack _,
+    "scalar_math_pack"     -> scalarMathPack _,
+    "array_basics"         -> arrayBasics _,
+    "json_field_regex"     -> jsonFieldRegex _,
+    "time_bucket_tumbling" -> timeBucketTumbling _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scalar_string_pack" ->
+      """SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
+        |  length(c_name) AS name_len, substr(c_name, 1, 5) AS name5,
+        |  concat_ws('-', c_name, c_mktsegment) AS tagged
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "scalar_date_pack" ->
+      """SELECT o_orderkey,
+        |  EXTRACT(year FROM o_orderdate) AS yr,
+        |  EXTRACT(month FROM o_orderdate) AS mo,
+        |  EXTRACT(day FROM o_orderdate) AS dom,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scalar_math_pack" ->
+      """SELECT o_orderkey,
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS rounded,
+        |  CAST(abs(CAST(o_totalprice AS DECIMAL(18,2)) - 200000) AS DOUBLE) AS absdev,
+        |  CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS flr,
+        |  CAST(ceil(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS cl,
+        |  sqrt(CAST(o_orderkey AS DOUBLE)) AS sqrt_key
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "array_basics" ->
+      """SELECT vec_id, len(embedding) AS dim, embedding[1] AS first_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "json_field_regex" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "time_bucket_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hour_bucket""".stripMargin,
+  )
+}
