@@ -81,7 +81,17 @@ object EtlQueries {
       .distinct()
       .orderBy("o_orderstatus", "o_orderpriority")
 
+  /** T2 again, but through the engine's native Catalyst expression
+    * (graft.functions.CpfClean) instead of regexp_replace — covers the
+    * custom-Expression surface with the same oracle as the regex form. */
+  def customExprCpfClean(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        graft.functions.CpfClean.cpfClean(col("c_name")).as("digits"))
+      .orderBy("c_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "custom_expr_cpfclean"  -> customExprCpfClean _,
     "clean_regexp_digits"   -> cleanRegexpDigits _,
     "clean_translate_trim"  -> cleanTranslateTrim _,
     "cast_to_date"          -> castToDate _,
@@ -93,6 +103,9 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "custom_expr_cpfclean" ->
+      """SELECT c_custkey, regexp_replace(c_name, '[^0-9]', '', 'g') AS digits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "clean_regexp_digits" ->
       """SELECT c_custkey, regexp_replace(c_name, '[^0-9]', '', 'g') AS digits
         |FROM customer ORDER BY c_custkey""".stripMargin,
