@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EtlQueries.queries ++ JoinQueries.queries ++
-      AggWindowQueries.queries ++ SortSetQueries.queries ++ ScalarQueries.queries
+      AggWindowQueries.queries ++ SortSetQueries.queries ++
+      ScalarQueries.queries ++ TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ EtlQueries.oracle ++ JoinQueries.oracle ++
-      AggWindowQueries.oracle ++ SortSetQueries.oracle ++ ScalarQueries.oracle
+      AggWindowQueries.oracle ++ SortSetQueries.oracle ++
+      ScalarQueries.oracle ++ TextQueries.oracle
 }

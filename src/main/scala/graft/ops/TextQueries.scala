@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis._
+
+/** Declared text-analysis queries over the `documents` table (SURVEY
+  * §2.2 extension block). Every heuristic is mirrored exactly in the
+  * DuckDB oracle (list_filter/list_transform/list_reduce); divisions are
+  * double-by-double with identical operands so IEEE results match
+  * bit-for-bit.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a")
+  private val sqlWords  = Seq("join", "filter", "query", "sort", "merge", "agg")
+  private val dataWords = Seq("data", "table", "row", "column", "batch", "stream")
+
+  /** Token frequency top-50 (count desc, token asc tiebreak). The explode
+    * fans out ~100 tokens/doc, then partial aggregation collapses before
+    * the single shuffle on token. */
+  def textTokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  /** Quality scoring: token count, stopword hits, ratio, quality flag. */
+  def textQualityScore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        markerCount(col("text"), stopwords).as("n_stop"),
+        stopwordRatio(col("text"), stopwords).as("stop_ratio"),
+        isQuality(col("text"), stopwords).as("is_quality"))
+      .orderBy("doc_id")
+
+  /** Marker-argmax language ID (n-gram-style scoring shape). */
+  def textLangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        markerCount(col("text"), stopwords).as("n_art"),
+        markerCount(col("text"), sqlWords).as("n_sql"),
+        markerCount(col("text"), dataWords).as("n_data"),
+        langId(col("text"), Seq(
+          "generic" -> stopwords, "sqlish" -> sqlWords, "dataish" -> dataWords))
+          .as("pred_lang"))
+      .orderBy("doc_id")
+
+  /** Document fingerprints: exact (md5) + order-sensitive rolling hash. */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        contentFingerprint(col("text")).as("fp_md5"),
+        rollingFingerprint(col("text")).as("fp_roll"))
+      .orderBy("doc_id")
+
+  /** Approx BPE-ish token budget per source. */
+  def textBpeBudget(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(approxBpeCount(col("text"))).as("bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count"   -> textTokenCount _,
+    "text_quality_score" -> textQualityScore _,
+    "text_lang_id"       -> textLangId _,
+    "text_fingerprint"   -> textFingerprint _,
+    "text_bpe_budget"    -> textBpeBudget _,
+  )
+
+  private val tokensSql = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+  private def markSql(words: Seq[String]) =
+    s"len(list_filter($tokensSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  val oracle: Map[String, String] = Map(
+    "text_token_count" ->
+      s"""SELECT token, COUNT(*) AS n FROM (
+         |  SELECT unnest($tokensSql) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "text_quality_score" ->
+      s"""SELECT doc_id,
+         |  len($tokensSql) AS n_tokens,
+         |  ${markSql(stopwords)} AS n_stop,
+         |  CAST(${markSql(stopwords)} AS DOUBLE) /
+         |    CAST(NULLIF(len($tokensSql), 0) AS DOUBLE) AS stop_ratio,
+         |  COALESCE(len($tokensSql) >= 20 AND len($tokensSql) <= 1000 AND
+         |    CAST(${markSql(stopwords)} AS DOUBLE) /
+         |      CAST(NULLIF(len($tokensSql), 0) AS DOUBLE) < 0.5, false)
+         |    AS is_quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""SELECT doc_id,
+         |  ${markSql(stopwords)} AS n_art,
+         |  ${markSql(sqlWords)} AS n_sql,
+         |  ${markSql(dataWords)} AS n_data,
+         |  CASE
+         |    WHEN ${markSql(dataWords)} > ${markSql(sqlWords)}
+         |     AND ${markSql(dataWords)} > ${markSql(stopwords)} THEN 'dataish'
+         |    WHEN ${markSql(sqlWords)} > ${markSql(stopwords)} THEN 'sqlish'
+         |    ELSE 'generic' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp_md5,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($tokensSql, t -> CAST(length(t) AS BIGINT))),
+         |    (h, x) -> (h * 31 + x) % 1000000007) AS fp_roll
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bpe_budget" ->
+      s"""SELECT source,
+         |  CAST(SUM(list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($tokensSql, t -> CAST(length(t) AS BIGINT))),
+         |    (acc, x) -> acc + 1 + (x - 1) // 6)) AS BIGINT) AS bpe_tokens,
+         |  COUNT(*) AS n_docs
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+  )
+}
