@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EtlQueries.queries ++ JoinQueries.queries ++
       AggWindowQueries.queries ++ SortSetQueries.queries ++
-      ScalarQueries.queries ++ TextQueries.queries
+      ScalarQueries.queries ++ TextQueries.queries ++
+      DedupQueries.queries ++ SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ EtlQueries.oracle ++ JoinQueries.oracle ++
       AggWindowQueries.oracle ++ SortSetQueries.oracle ++
-      ScalarQueries.oracle ++ TextQueries.oracle
+      ScalarQueries.oracle ++ TextQueries.oracle ++
+      DedupQueries.oracle ++ SimilarityQueries.oracle
 }

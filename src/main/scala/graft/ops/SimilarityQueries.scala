@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.Column
+import graft.similarity.Vectors._
+
+/** Declared similarity-search queries over `embeddings` (north-star
+  * extension; the reference has no vector search).
+  *
+  * Scale posture: the probe side is a single broadcast row, so the scan
+  * side never shuffles — brute force is one embarrassing pass
+  * (map-side top-k via TakeOrderedAndProject). The LSH variant prunes
+  * the scan to one sign-bucket (~1/2^bits of the data) BEFORE the
+  * distance math — the same plan shape an IVF index gives, expressed as
+  * a filter Catalyst pushes down.
+  */
+object SimilarityQueries {
+
+  private val ProbeId = 1L
+
+  /** Scan with the squared norm precomputed once per row — every query
+    * divides by sqrt(nsq·qnsq), so the per-pair work is one dot product.
+    * Same IEEE op sequence as inlined cosine (bit-identical results). */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"),
+      normSq(col("embedding")).as("nsq"))
+
+  private def cosPre(q: Column): Column =
+    dot(col("embedding"), q) / sqrt(col("nsq") * col("qnsq"))
+
+  /** Brute-force cosine top-10 for probe vec_id=1 over the whole table.
+    * orderBy+limit plans as a two-stage top-k (per-partition heap, then
+    * driver merge of 10×partitions rows) — no global sort at any scale. */
+  def simCosineTopk(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val probe = broadcast(e.filter(col("vec_id") === ProbeId)
+      .select(col("embedding").as("q"), col("nsq").as("qnsq")))
+    e.crossJoin(probe)
+      .filter(col("vec_id") =!= ProbeId)
+      .select(col("vec_id"), cosPre(col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Sign-bit LSH bucketed ANN: candidates share the probe's 4-bit
+    * sign bucket (≈1/16 of the table scanned for distance), then cosine
+    * top-5 within the bucket. Recall < 1 by design — the scale path. */
+  def simLshBucketTopk(s: SparkSession, d: String): DataFrame = {
+    val bucketed = emb(s, d)
+      .select(col("vec_id"), col("embedding"), col("nsq"),
+        signBucket(col("embedding"), 4).as("bucket"))
+    val probe = broadcast(bucketed.filter(col("vec_id") === ProbeId)
+      .select(col("embedding").as("q"), col("nsq").as("qnsq"),
+        col("bucket").as("qbucket")))
+    bucketed.join(probe, col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= ProbeId)
+      .select(col("vec_id"), col("bucket"), cosPre(col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** Per-label 3-nearest-neighbor lists: two-stage top-k via window
+    * rank inside each label block — the grouped-ANN shape (one shuffle
+    * on label, rank inside partitions; no global sort). */
+  def simKnnPerLabel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val probe = broadcast(e.filter(col("vec_id") === ProbeId)
+      .select(col("embedding").as("q"), col("nsq").as("qnsq")))
+    val scored = e.crossJoin(probe)
+      .filter(col("vec_id") =!= ProbeId)
+      .select(col("label"), col("vec_id"), cosPre(col("q")).as("cos"))
+    val w = Window.partitionBy("label").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("label"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy("label", "rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk"     -> simCosineTopk _,
+    "sim_lsh_bucket_topk" -> simLshBucketTopk _,
+    "sim_knn_per_label"   -> simKnnPerLabel _,
+  )
+
+  // ---- DuckDB oracle (identical IEEE op order: widen→multiply in index
+  // order→left-fold sum seeded 0.0→sqrt of product) ----
+
+  private def fold(v: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $v), (s, x) -> s + x)"
+  private def dotSql(a: String, b: String): String =
+    fold(s"list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+  private val cosSql =
+    s"""${dotSql("e.embedding", "p.q")} / sqrt(
+       |  ${dotSql("e.embedding", "e.embedding")} * ${dotSql("p.q", "p.q")})""".stripMargin
+  private val probeCte =
+    s"SELECT embedding AS q FROM embeddings WHERE vec_id = $ProbeId"
+  private val bucketSql = // sign bits of dims 1..4
+    (0 until 4).map(i => s"(CASE WHEN EMB[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""SELECT e.vec_id, $cosSql AS cos
+         |FROM embeddings e CROSS JOIN ($probeCte) p
+         |WHERE e.vec_id <> $ProbeId
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_lsh_bucket_topk" ->
+      s"""SELECT e.vec_id, CAST(${bucketSql.replace("EMB", "e.embedding")} AS INTEGER) AS bucket, $cosSql AS cos
+         |FROM embeddings e CROSS JOIN (SELECT embedding AS q FROM embeddings WHERE vec_id = $ProbeId) p
+         |WHERE e.vec_id <> $ProbeId
+         |  AND ${bucketSql.replace("EMB", "e.embedding")} = ${bucketSql.replace("EMB", "p.q")}
+         |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
+    "sim_knn_per_label" ->
+      s"""SELECT label, rk, vec_id, cos FROM (
+         |  SELECT e.label, e.vec_id, $cosSql AS cos,
+         |    CAST(row_number() OVER (PARTITION BY e.label ORDER BY $cosSql DESC, e.vec_id) AS INTEGER) AS rk
+         |  FROM embeddings e CROSS JOIN ($probeCte) p
+         |  WHERE e.vec_id <> $ProbeId)
+         |WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.ops.{DedupQueries, SimilarityQueries}
+
+/** Correctness of the sub-quadratic near-dup pipelines and ANN queries
+  * (the DuckDB oracle is the primary gate; these pin algorithm-level
+  * invariants the oracle can't express). */
+class DedupSimilaritySpec extends SparkTestBase {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH and prefix-filter joins find the same pair set") {
+    val lsh = pairs("dedup_minhash_lsh")
+    val pre = pairs("dedup_prefix_jaccard")
+    // prefix filtering is exact (full recall); LSH ⊆ exact always,
+    // and on this corpus the banding recall is complete.
+    assert(lsh.nonEmpty)
+    assert(lsh == pre, s"LSH=${lsh.size} prefix=${pre.size}")
+  }
+
+  test("planted near-duplicate pair is detected by all three text pipelines") {
+    // doc pair (474, 498) has 3-shingle Jaccard ≈ 0.989 at sf0.001
+    assert(pairs("dedup_minhash_lsh").contains((474L, 498L)))
+    assert(pairs("dedup_prefix_jaccard").contains((474L, 498L)))
+    assert(pairs("dedup_simhash").contains((474L, 498L)))
+  }
+
+  test("simhash pairs are symmetric-free and ordered a<b") {
+    val p = pairs("dedup_simhash")
+    assert(p.forall { case (a, b) => a < b })
+  }
+
+  test("embedding near-dup pairs stay within label blocks") {
+    val rows = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("cos") >= 0.35))
+  }
+
+  test("brute-force topk is a superset-ranking of the LSH-bucketed topk") {
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(brute.length == 10)
+    // descending, tie-broken
+    assert(brute.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+    val lsh = SparkEntry.queries("sim_lsh_bucket_topk")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cos")).toMap
+    assert(lsh.nonEmpty && lsh.size <= 5)
+    // the bucketed search scores with the same metric: any id in both
+    // result sets must carry the identical cosine
+    val bruteMap = brute.toMap
+    lsh.foreach { case (id, c) =>
+      bruteMap.get(id).foreach(bc => assert(bc == c, s"cos mismatch for $id"))
+    }
+  }
+
+  test("knn per label returns exactly 3 neighbors for every label") {
+    val rows = SparkEntry.queries("sim_knn_per_label")(spark, sfDir).collect()
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    assert(byLabel.size == 10)
+    assert(byLabel.values.forall(_.length == 3))
+  }
+
+  test("candidate joins broadcast-or-shuffle on derived keys, never cross product") {
+    val plan = DedupQueries.dedupMinhashLsh(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cross product in:\n$plan")
+  }
+}
