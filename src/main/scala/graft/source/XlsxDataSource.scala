@@ -1,0 +1,234 @@
+package graft.source
+
+import java.util
+import java.util.zip.ZipFile
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 xlsx reader: `spark.read.format("xlsx")
+  * .option("sheet", name).schema(declared).load(path)`.
+  *
+  * Design (SURVEY §7.3): the reference reads Excel eagerly into pandas
+  * with dtype inference (`importador.py:47`) — the inference is the root
+  * of its phone-as-float and mixed-CEP quirks (SURVEY Q3). This source
+  * instead takes a DECLARED schema and converts cells per field type;
+  * with no schema it reads every column as string (safe, lossless).
+  *
+  * Scale posture: one InputPartition per sheet — a zip deflate stream is
+  * not splittable, so parallelism comes from many files/sheets, which is
+  * how a 100 TB spreadsheet-shaped corpus arrives in practice. Column
+  * pruning is pushed into the cell decoder (`SupportsPushDownRequiredColumns`):
+  * unneeded cells are skipped before any conversion cost.
+  *
+  * Typing rules per declared field:
+  *  - String: numeric cells render integrals without ".0" (canonicalizes
+  *    reference quirk Q3 at the source; `etl_process.py:14–15` turns
+  *    NaN into "nan" and leaves "…73.0" — we do neither)
+  *  - Date/Timestamp: numeric cells are Excel 1900-system serials
+  *    (days since 1899-12-30); strings are rejected as null
+  *  - numeric/boolean/decimal: direct conversion, null on mismatch
+  */
+class XlsxDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "xlsx"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    XlsxDataSource.headerSchema(XlsxDataSource.opts(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new XlsxTable(schema, XlsxDataSource.opts(new CaseInsensitiveStringMap(properties)))
+}
+
+object XlsxDataSource {
+  final case class Opts(path: String, sheet: Option[String], header: Boolean)
+      extends Serializable
+
+  private[source] def opts(m: CaseInsensitiveStringMap): Opts = {
+    val path = Option(m.get("path")).getOrElse(
+      throw new IllegalArgumentException("xlsx source requires a path"))
+    Opts(path, Option(m.get("sheet")), Option(m.get("header")).forall(_.toBoolean))
+  }
+
+  private[source] def resolveSheet(zip: ZipFile, o: Opts): XlsxParser.SheetRef = {
+    val refs = XlsxParser.sheetRefs(zip)
+    o.sheet match {
+      case Some(n) => refs.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"sheet '$n' not found; sheets: ${refs.map(_.name).mkString(", ")}"))
+      case None => refs.head
+    }
+  }
+
+  /** Header row → all-string StructType (inference = names only, never
+    * types). */
+  private[source] def headerSchema(o: Opts): StructType = {
+    val zip = new ZipFile(o.path)
+    try {
+      val ref = resolveSheet(zip, o)
+      val shared = XlsxParser.sharedStrings(zip)
+      val it = XlsxParser.rows(zip, ref.entry, shared)
+      if (!it.hasNext) return StructType(Nil)
+      val header = it.next()
+      if (o.header) {
+        StructType(header.map { case (i, c) =>
+          StructField(cellToHeaderName(c, i), StringType)
+        })
+      } else {
+        val width = header.map(_._1).max + 1
+        StructType((0 until width).map(i => StructField(s"_c$i", StringType)))
+      }
+    } finally zip.close()
+  }
+
+  private def cellToHeaderName(c: XlsxParser.Cell, i: Int): String = c match {
+    case XlsxParser.SCell(s) => s
+    case XlsxParser.NCell(d) => numToString(d)
+    case XlsxParser.BCell(b) => b.toString
+    case _ => s"_c$i"
+  }
+
+  /** Integral doubles print without ".0" (15 significant digits is
+    * Excel's own display bound for exact integers). */
+  private[source] def numToString(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  private val ExcelEpochOffsetDays = 25569L // 1970-01-01 minus 1899-12-30
+
+  /** Convert a raw cell to the Catalyst internal value for `dt`. */
+  private[source] def convert(cell: XlsxParser.Cell, dt: DataType): Any = cell match {
+    case null => null
+    case XlsxParser.SCell(s) => dt match {
+      case StringType => UTF8String.fromString(s)
+      case IntegerType => s.toIntOption.orNull
+      case LongType => s.toLongOption.map(Long.box).orNull
+      case DoubleType => s.toDoubleOption.map(Double.box).orNull
+      case FloatType => s.toFloatOption.map(Float.box).orNull
+      case d: DecimalType =>
+        try org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(s).setScale(d.scale, java.math.RoundingMode.HALF_UP))
+        catch { case _: NumberFormatException => null }
+      case BooleanType => s.toBooleanOption.map(Boolean.box).orNull
+      case DateType | TimestampType => null // strings are not date serials
+      case _ => null
+    }
+    case XlsxParser.NCell(v) => dt match {
+      case StringType => UTF8String.fromString(numToString(v))
+      case IntegerType => Int.box(v.toInt)
+      case LongType => Long.box(v.toLong)
+      case DoubleType => Double.box(v)
+      case FloatType => Float.box(v.toFloat)
+      case d: DecimalType =>
+        org.apache.spark.sql.types.Decimal(
+          java.math.BigDecimal.valueOf(v).setScale(d.scale, java.math.RoundingMode.HALF_UP))
+      case BooleanType => Boolean.box(v != 0.0)
+      case DateType => Int.box((v.toLong - ExcelEpochOffsetDays).toInt)
+      case TimestampType =>
+        Long.box(math.round((v - ExcelEpochOffsetDays) * 86400.0 * 1e6))
+      case _ => null
+    }
+    case XlsxParser.BCell(b) => dt match {
+      case BooleanType => Boolean.box(b)
+      case StringType => UTF8String.fromString(b.toString)
+      case _ => null
+    }
+  }
+}
+
+class XlsxTable(tableSchema: StructType, o: XlsxDataSource.Opts)
+    extends Table with SupportsRead {
+  override def name(): String = s"xlsx:${o.path}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new XlsxScanBuilder(tableSchema, o)
+}
+
+class XlsxScanBuilder(full: StructType, o: XlsxDataSource.Opts)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new XlsxScan(full, required, o)
+}
+
+class XlsxScan(full: StructType, required: StructType, o: XlsxDataSource.Opts)
+    extends Scan with Batch with Serializable {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(XlsxInputPartition(o, full, required))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XlsxPartitionReaderFactory
+  override def description(): String =
+    s"XlsxScan path=${o.path} sheet=${o.sheet.getOrElse("<first>")} " +
+      s"columns=[${required.fieldNames.mkString(",")}]"
+}
+
+final case class XlsxInputPartition(o: XlsxDataSource.Opts,
+    full: StructType, required: StructType) extends InputPartition
+
+class XlsxPartitionReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val xp = p.asInstanceOf[XlsxInputPartition]
+    new XlsxPartitionReader(xp.o, xp.full, xp.required)
+  }
+}
+
+class XlsxPartitionReader(o: XlsxDataSource.Opts, full: StructType,
+    required: StructType) extends PartitionReader[InternalRow] {
+  import XlsxParser._
+
+  private val zip = new ZipFile(o.path)
+  private val sheet = XlsxDataSource.resolveSheet(zip, o)
+  private val rowIter = XlsxParser.rows(zip, sheet.entry, sharedStrings(zip))
+
+  /** Sheet column index → position in `required` (or -1 = pruned). */
+  private val colToOut: Map[Int, Int] = {
+    val nameToOut = required.fieldNames.zipWithIndex.toMap
+    if (o.header) {
+      if (!rowIter.hasNext) Map.empty
+      else rowIter.next().flatMap { case (i, c) =>
+        val name = c match {
+          case SCell(s) => s
+          case NCell(d) => XlsxDataSource.numToString(d)
+          case BCell(b) => b.toString
+          case _ => s"_c$i"
+        }
+        nameToOut.get(name).map(i -> _)
+      }.toMap
+    } else {
+      full.fieldNames.zipWithIndex
+        .flatMap { case (n, i) => nameToOut.get(n).map(i -> _) }.toMap
+    }
+  }
+  private val outTypes = required.fields.map(_.dataType)
+  private var current: InternalRow = null
+
+  override def next(): Boolean = {
+    if (!rowIter.hasNext) { current = null; false }
+    else {
+      val cells = rowIter.next()
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+      cells.foreach { case (i, c) =>
+        colToOut.get(i).foreach { out =>
+          row.update(out, XlsxDataSource.convert(c, outTypes(out)))
+        }
+      }
+      current = row
+      true
+    }
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = zip.close()
+}
