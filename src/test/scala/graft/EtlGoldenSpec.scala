@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.functions._
+import graft.etl.{Clean, Pipeline, Schemas}
+
+/** Golden end-to-end ETL test: the real 1,200-row fixture through
+  * xlsx → clean → dedup → 6-table load into embedded Derby, asserting
+  * the counts the reference's run produces (FIXTURES.md §1 golden
+  * expectations: 16 planos, 1,198 clientes/contratos, 0 rejects) plus
+  * the quirk outputs Q5–Q7. Derby stands in for Postgres (same DDL
+  * shape incl. identity ids, UNIQUEs, FKs — FIXTURES.md §2). */
+class EtlGoldenSpec extends SparkTestBase {
+
+  private val fixture = "/root/reference/uploads/dados_importacao.xlsx"
+  private val dbDir = s"/tmp/graft-derby-${System.nanoTime()}"
+  private val url = s"jdbc:derby:$dbDir;create=true"
+  private val props = new Properties
+
+  private lazy val summary: Pipeline.Summary = {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    Seq(
+      """CREATE TABLE tbl_clientes (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        |  nome_razao_social VARCHAR(255), nome_fantasia VARCHAR(255),
+        |  cpf_cnpj VARCHAR(18) NOT NULL UNIQUE,
+        |  data_nascimento DATE, data_cadastro TIMESTAMP)""".stripMargin,
+      """CREATE TABLE tbl_planos (
+        |  id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        |  descricao VARCHAR(255) NOT NULL UNIQUE, valor DECIMAL(15,2))""".stripMargin,
+      "CREATE TABLE tbl_status_contrato (id INT PRIMARY KEY, status VARCHAR(255))",
+      "CREATE TABLE tbl_tipos_contato (id INT PRIMARY KEY, tipo_contato VARCHAR(255))",
+      """CREATE TABLE tbl_cliente_contratos (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        |  cliente_id BIGINT REFERENCES tbl_clientes(id),
+        |  plano_id INT REFERENCES tbl_planos(id),
+        |  dia_vencimento INT, isento BOOLEAN,
+        |  endereco_logradouro VARCHAR(255), endereco_numero VARCHAR(255),
+        |  endereco_bairro VARCHAR(255), endereco_cidade VARCHAR(255),
+        |  endereco_complemento VARCHAR(255), endereco_cep VARCHAR(255),
+        |  endereco_uf VARCHAR(2),
+        |  status_id INT REFERENCES tbl_status_contrato(id))""".stripMargin,
+      """CREATE TABLE tbl_cliente_contatos (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        |  cliente_id BIGINT REFERENCES tbl_clientes(id),
+        |  tipo_contato_id INT REFERENCES tbl_tipos_contato(id),
+        |  contato VARCHAR(255),
+        |  CONSTRAINT uq_contato UNIQUE (cliente_id, tipo_contato_id, contato))""".stripMargin,
+    ).foreach(st.executeUpdate)
+    Schemas.statusSeed.foreach { case (id, s) =>
+      st.executeUpdate(s"INSERT INTO tbl_status_contrato VALUES ($id, '$s')")
+    }
+    Schemas.tipoContatoSeed.foreach { case (id, t) =>
+      st.executeUpdate(s"INSERT INTO tbl_tipos_contato VALUES ($id, '$t')")
+    }
+    st.close(); conn.close()
+    Pipeline.run(spark, fixture, url, props)
+  }
+
+  private def table(name: String) = spark.read.jdbc(url, name, props)
+
+  test("golden counts: 16 planos, 1198 clientes, 1198 contratos, 0 rejects") {
+    assert(summary.planos == 16)
+    assert(summary.clientes == 1198)
+    assert(summary.contratos == 1198)
+    assert(summary.contratosRejeitados == 0)
+    assert(summary.contatosRejeitados == 0)
+  }
+
+  test("contatos count equals non-null contact cells of the deduped survivors") {
+    val clean = Clean.dedupDeterministic(Clean.transform(
+      spark.read.format("xlsx").schema(Schemas.fixtureSchema).load(fixture)))
+    val expected = clean.select(
+      (when(col("Telefones").isNotNull, 1).otherwise(0) +
+        when(col("Celulares").isNotNull, 1).otherwise(0) +
+        when(col("Emails").isNotNull, 1).otherwise(0)).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(summary.contatos == expected)
+    assert(table("tbl_cliente_contatos").count() == expected)
+  }
+
+  test("quirk Q6: endereco_uf is the 2-char truncation of full state names") {
+    val ufs = table("tbl_cliente_contratos").select("endereco_uf")
+      .distinct().collect().map(_.getString(0))
+    assert(ufs.forall(_.length <= 2))
+    assert(ufs.contains("Sã")) // "São Paulo" → "Sã" — the reference's bug, reproduced
+  }
+
+  test("quirk Q5/Q7: vencimento defaulted, isento false, status hardcoded 1") {
+    val c = table("tbl_cliente_contratos")
+    assert(c.filter(col("dia_vencimento").isNull || col("dia_vencimento") === 0).count() == 0)
+    assert(c.filter(col("isento") =!= false).count() == 0)
+    assert(c.filter(col("status_id") =!= 1).count() == 0)
+  }
+
+  test("cpf_cnpj stored digits-only (quirk Q2), unique (dedup held)") {
+    val cl = table("tbl_clientes")
+    assert(cl.filter(col("cpf_cnpj").rlike("[^0-9]")).count() == 0)
+    assert(cl.select("cpf_cnpj").distinct().count() == 1198)
+  }
+
+  test("contacts carry tipo ids from the seeded dimension and digit-clean phones") {
+    val ct = table("tbl_cliente_contatos")
+    assert(ct.select("tipo_contato_id").distinct().collect()
+      .map(_.getInt(0)).toSet == Set(1, 2, 3))
+    val phones = ct.filter(col("tipo_contato_id").isin(1, 2))
+    assert(phones.filter(col("contato").rlike("[^0-9]")).count() == 0)
+  }
+
+  test("upserts are idempotent: re-running plan/client load adds zero rows") {
+    summary // force first run
+    val clean = Clean.dedupDeterministic(Clean.transform(
+      spark.read.format("xlsx").schema(Schemas.fixtureSchema).load(fixture)))
+    val load = new graft.etl.Load(spark, url, props)
+    load.upsertPlanos(clean)
+    load.upsertClientes(clean)
+    assert(table("tbl_planos").count() == 16)
+    assert(table("tbl_clientes").count() == 1198)
+  }
+}
