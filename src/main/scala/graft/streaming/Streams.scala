@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extensions over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props — FIXTURES.md §3).
+  * The reference is pure batch (SURVEY §2.3); these are the north-star
+  * streaming ops, built so every transform is a plain DataFrame
+  * function usable on BOTH a batch frame and a `readStream` source —
+  * the Structured Streaming contract (one API, incremental execution).
+  *
+  * Scale posture: every aggregation is keyed (window and/or user), so
+  * state partitions by key across executors; watermarks bound state
+  * size; `dropDuplicatesWithinWatermark` keeps the dedup state window
+  * finite (the unbounded variant would OOM on an infinite stream).
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, n_events: Long,
+      total_value: Double, start: java.sql.Timestamp, end: java.sql.Timestamp)
+
+  final case class SessionState(nEvents: Long, totalValue: Double,
+      startMs: Long, lastMs: Long)
+
+  /** Tumbling 1-hour windowed counts/sums per event type, 2-hour
+    * watermark (late data beyond that is dropped, state is reclaimed). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding 1-hour windows every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"), col("n"))
+
+  /** Built-in session windows: events within a 30-minute gap merge. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("total_value"))
+
+  /** Streaming analog of the ETL's dedup (SURVEY T7): exactly-once by
+    * event_id with bounded state — duplicates arriving within the
+    * watermark horizon are dropped, state older than it is reclaimed. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: a
+    * session closes after 30 minutes of inactivity (event-time timeout
+    * keyed per user). Emits one row per closed session — the
+    * hand-rolled variant of `sessionCounts` for when session logic
+    * outgrows the built-in (e.g. value-dependent gaps). */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.nEvents, s.totalValue,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs)))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value, lastMs = math.max(s.lastMs, t)))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.nEvents, s.totalValue,
+                    new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs))
+                  cur = Some(SessionState(1, e.value, t, t))
+                case None =>
+                  cur = Some(SessionState(1, e.value, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

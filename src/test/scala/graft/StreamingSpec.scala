@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** MemoryStream harness for the streaming extensions (no DuckDB oracle
+  * — SURVEY §5.6): feeds batches through a real StreamingQuery into a
+  * memory sink and asserts emitted rows, including watermark-driven
+  * late-data drops and state timeouts. */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  private def runStream(events: Seq[Seq[Event]],
+      xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: OutputMode = OutputMode.Append): Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val name = s"sink_${System.nanoTime()}"
+    val q = xform(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try {
+      events.foreach { batch => mem.addData(batch); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  test("tumbling window counts emit after the watermark passes") {
+    val out = runStream(Seq(
+      Seq(Event(1, ts("10:05"), 1, "view", 1.0), Event(2, ts("10:40"), 2, "view", 2.0),
+        Event(3, ts("11:10"), 1, "buy", 5.0)),
+      // advance watermark far enough to close the 10:00 and 11:00 windows
+      Seq(Event(9, ts("14:00"), 9, "view", 0.0))),
+      Streams.tumblingCounts)
+    val m = out.map(r => (r.getTimestamp(0).toString.take(13), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    assert(m(("2024-01-01 10", "view")) == (2L, 3.0))
+    assert(m(("2024-01-01 11", "buy")) == (1L, 5.0))
+  }
+
+  test("late events beyond the watermark are dropped") {
+    val out = runStream(Seq(
+      Seq(Event(1, ts("10:05"), 1, "view", 1.0)),
+      Seq(Event(2, ts("15:00"), 2, "view", 1.0)), // watermark → 13:00
+      Seq(Event(3, ts("10:30"), 3, "view", 1.0)), // > 2h late: dropped
+      Seq(Event(4, ts("18:00"), 4, "view", 1.0))),
+      Streams.tumblingCounts)
+    val tenOclock = out.filter(_.getTimestamp(0).toString.startsWith("2024-01-01 10"))
+    assert(tenOclock.map(_.getLong(2)).sum == 1L, s"late event not dropped: $out")
+  }
+
+  test("sliding windows emit one row per overlapping window") {
+    val out = runStream(Seq(
+      Seq(Event(1, ts("10:20"), 1, "view", 1.0)),
+      Seq(Event(9, ts("14:00"), 9, "view", 0.0))),
+      Streams.slidingCounts)
+    // a point at 10:20 falls in 4 hour-long windows sliding by 15 min
+    val hits = out.filter(_.getLong(2) >= 1)
+      .filter(_.getTimestamp(0).toString < "2024-01-01 11")
+    assert(hits.length == 4, s"got: $out")
+  }
+
+  test("session windows merge events within the 30-minute gap") {
+    val out = runStream(Seq(
+      Seq(Event(1, ts("10:00"), 1, "view", 1.0), Event(2, ts("10:20"), 1, "view", 2.0),
+        Event(3, ts("11:30"), 1, "view", 3.0)), // gap > 30min → new session
+      Seq(Event(9, ts("15:00"), 9, "view", 0.0))),
+      Streams.sessionCounts)
+    val u1 = out.filter(_.getLong(0) == 1).sortBy(_.getTimestamp(1).getTime)
+    assert(u1.length == 2)
+    assert(u1(0).getLong(3) == 2 && u1(0).getDouble(4) == 3.0)
+    assert(u1(1).getLong(3) == 1 && u1(1).getDouble(4) == 3.0)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within the horizon") {
+    val out = runStream(Seq(
+      Seq(Event(1, ts("10:00"), 1, "view", 1.0), Event(1, ts("10:00"), 1, "view", 1.0)),
+      Seq(Event(1, ts("10:01"), 1, "view", 1.0), Event(2, ts("10:02"), 1, "view", 1.0))),
+      Streams.dedupWithinWatermark)
+    assert(out.map(_.getLong(0)).sorted == Seq(1L, 2L))
+  }
+
+  test("custom flatMapGroupsWithState sessionizer closes on inactivity timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val name = s"sess_${System.nanoTime()}"
+    val q = Streams.sessionize(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Seq(
+        Event(1, ts("10:00"), 1, "view", 1.0),
+        Event(2, ts("10:10"), 1, "buy", 4.0),
+        Event(3, ts("10:15"), 2, "view", 2.0)))
+      q.processAllAvailable()
+      // push watermark way past 10:45 so user 1+2 sessions time out
+      mem.addData(Seq(Event(9, ts("16:00"), 9, "view", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(10, ts("23:00"), 10, "view", 0.0)))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[Streams.SessionOut].collect()
+      val u1 = rows.find(_.user_id == 1).get
+      assert(u1.n_events == 2 && u1.total_value == 5.0)
+      assert(u1.start == ts("10:00") && u1.end == ts("10:10"))
+      assert(rows.exists(_.user_id == 2))
+    } finally q.stop()
+  }
+}
