@@ -21,7 +21,8 @@ object SparkEntry {
     RelationalQueries.queries ++ EtlQueries.queries ++ JoinQueries.queries ++
       AggWindowQueries.queries ++ SortSetQueries.queries ++
       ScalarQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     RelationalQueries.oracle ++ EtlQueries.oracle ++ JoinQueries.oracle ++
       AggWindowQueries.oracle ++ SortSetQueries.oracle ++
       ScalarQueries.oracle ++ TextQueries.oracle ++
-      DedupQueries.oracle ++ SimilarityQueries.oracle
+      DedupQueries.oracle ++ SimilarityQueries.oracle ++
+      MultimodalQueries.oracle
 }

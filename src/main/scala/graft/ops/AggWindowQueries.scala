@@ -92,7 +92,20 @@ object AggWindowQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Approximate distinct via HyperLogLog++ (engine-only: sketches have
+    * no DuckDB-exact oracle, so the driver records a rows-only check).
+    * The sketch's mergeable partial aggregation is the 100 TB path —
+    * exact count(distinct) reshuffles raw keys; HLL ships 2–4 KB
+    * buffers per group. */
+  def approxDistinctHll(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "approx_distinct_hll"    -> approxDistinctHll _,
     "agg_count_distinct"     -> aggCountDistinct _,
     "agg_rollup"             -> aggRollup _,
     "window_rank_topk_group" -> windowRankTopkGroup _,
