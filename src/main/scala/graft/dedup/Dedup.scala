@@ -26,21 +26,30 @@ object Dedup {
   /** One 32-bit hash per token: md5 → first 8 hex nibbles folded to a
     * long. This is the ONLY cryptographic hash in the dedup pipelines —
     * everything downstream (shingles, minhash, simhash) derives from it
-    * with integer arithmetic, so the md5 cost is paid once per token. */
+    * with integer arithmetic, so the md5 cost is paid once per token.
+    * Backed by the native codegen'd TokenHashArray expression; the
+    * composable HOF formulation below is kept as its differential
+    * test double. */
   def tokenHashes(toks: Column): Column =
+    graft.functions.TokenHashArray.tokenHashes(toks)
+
+  /** Built-ins-only formulation of [[tokenHashes]] (interpreted HOF
+    * path); must agree element-for-element with the native expression. */
+  private[graft] def tokenHashesHof(toks: Column): Column =
     transform(transform(toks, t => md5(t)), h => hexFold32(h))
 
   /** Distinct 3-gram shingle hashes from a token-hash array `th`.
     * Combine: h = ((a·8191 + b) mod P)·8191 + c mod P — operands stay
     * < 2^45, far from overflow; P > 2^32 keeps the value space wide.
     *
-    * PERFORMANCE: `th` must be a bound column (attribute), not an inline
-    * expression — it is indexed inside the per-element lambda, and
-    * higher-order lambdas are interpreted, so an inline expression would
-    * be re-evaluated once per shingle position (measured ~100×
-    * slowdown). Materialize token hashes in their own projection first;
-    * CollapseProject keeps a non-cheap multi-referenced alias in its own
-    * step. */
+    * PERFORMANCE: `th` must come from a MATERIALIZED (persisted)
+    * frame, not an inline expression — it is indexed inside the
+    * per-element lambda, and higher-order lambdas are interpreted, so an
+    * inline expression is re-evaluated once per shingle position
+    * (measured 16s vs 0.5s on 5k docs). A plain extra projection does
+    * NOT protect it: CollapseProject inlines multi-referenced aliases;
+    * only a cache/shuffle boundary (DedupQueries.hashedBase's persist)
+    * pins the attribute. */
   def shingleHashes(th: Column, n: Int = 3): Column = {
     val nt = size(th)
     def at(i: Column, off: Int) = element_at(th, (i + lit(off)).cast(IntegerType))

@@ -38,9 +38,10 @@ object DedupQueries {
     * arithmetic, so the md5 tokenization cost is paid exactly once
     * across all three pipelines. Spark's CacheManager keys on the
     * canonicalized plan, so repeated query invocations share one entry
-    * (a few MB per scale factor). The two-step projection is load-
-    * bearing: `th` must be an attribute before any lambda indexes it
-    * (see Dedup.shingleHashes). */
+    * (a few MB per scale factor). The persist is load-bearing twice
+    * over: it stops the self-joins from recomputing, AND it is the
+    * barrier that stops CollapseProject from inlining `th` into
+    * downstream per-element lambdas (see Dedup.shingleHashes). */
   private def hashedBase(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("tok"))
