@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.etl.Clean
+import graft.functions.CpfClean
+
+/** Property-based invariants (SURVEY §5.4): clean idempotence, dedup
+  * key-uniqueness, unpivot row-count identity. Generators run through
+  * REAL Spark plans (small local frames) so the properties hold for the
+  * executed expressions, not a reimplementation. */
+class PropertySpec extends SparkTestBase {
+
+  /** Minimal forAll over seeded samples (the scalatest-scalacheck
+    * bridge artifact is not in the offline cache). Deterministic: seeds
+    * 0..9. */
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (0 until 10).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private val weirdString: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.listOf(Gen.oneOf('0' to '9')).map(_.mkString("", ".", "-")),
+    Gen.const("591.267.843-19"),
+    Gen.const("+55 (71) 98765-4321"),
+    Gen.const("çãé.12/34"),
+    Gen.const(""),
+  )
+
+  test("digit-clean is idempotent and digits-only (clean∘clean = clean)") {
+    import spark.implicits._
+    forAll(Gen.listOfN(20, weirdString)) { xs =>
+      if (xs.nonEmpty) {
+        val df = xs.toDF("s").select(
+          Clean.digitsOnly(col("s")).as("once"),
+          Clean.digitsOnly(Clean.digitsOnly(col("s"))).as("twice"),
+          CpfClean.cpfClean(col("s")).as("native"))
+        val rows = df.collect()
+        rows.foreach { r =>
+          assert(r.getString(0) == r.getString(1), "idempotence")
+          assert(r.getString(0) == r.getString(2), "native ≡ regexp form")
+          assert(r.getString(0).forall(_.isDigit))
+        }
+      }
+    }
+  }
+
+  test("deterministic dedup yields unique keys and picks a stable survivor") {
+    import spark.implicits._
+    val rowGen = for {
+      key <- Gen.oneOf("a", "b", "c", "d")
+      name <- Gen.alphaStr.map(_.take(8))
+      day <- Gen.choose(1, 28)
+    } yield (key, name, f"2023-01-$day%02d")
+    forAll(Gen.listOfN(30, rowGen)) { xs =>
+      if (xs.nonEmpty) {
+        val df = xs.toDF("cpf_cnpj", "Nome_Razão_Social", "d")
+          .select(col("cpf_cnpj"), col("Nome_Razão_Social"),
+            col("d").cast("timestamp").as("Data_Cadastro_cliente"),
+            lit(null).cast("string").as("Emails"))
+        val out1 = Clean.dedupDeterministic(df).collect().sortBy(_.getString(0))
+        val out2 = Clean.dedupDeterministic(df.repartition(7)).collect().sortBy(_.getString(0))
+        // key-uniqueness
+        assert(out1.map(_.getString(0)).distinct.length == out1.length)
+        // partitioning-independent survivor
+        assert(out1.map(r => (r.getString(0), r.getString(1), r.getTimestamp(2))).toSeq ==
+          out2.map(r => (r.getString(0), r.getString(1), r.getTimestamp(2))).toSeq)
+      }
+    }
+  }
+
+  test("unpivot row-count identity: contact rows == non-null contact cells") {
+    import spark.implicits._
+    val cell: Gen[Option[String]] = Gen.option(Gen.alphaNumStr.map(_.take(6)))
+    val rowGen = for { t <- cell; c <- cell; e <- cell } yield (t, c, e)
+    forAll(Gen.listOfN(25, rowGen)) { xs =>
+      if (xs.nonEmpty) {
+        val df = xs.zipWithIndex
+          .map { case ((t, c, e), i) => (i.toLong, t.orNull, c.orNull, e.orNull) }
+          .toDF("id", "Telefones", "Celulares", "Emails")
+        val unpivoted = df.select(col("id"),
+          expr("stack(3, 1, Telefones, 2, Celulares, 3, Emails)")
+            .as(Seq("tipo", "contato")))
+          .filter(col("contato").isNotNull)
+        val expected = xs.map(r => r._1.size + r._2.size + r._3.size).sum
+        assert(unpivoted.count() == expected)
+      }
+    }
+  }
+}
