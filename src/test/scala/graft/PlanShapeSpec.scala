@@ -1,0 +1,51 @@
+package graft
+
+/** Plan-shape assertions (SURVEY §5.5): the physical plans that make
+  * these queries scale must not silently regress. Each assertion names
+  * the property that matters at 100 TB, not the incidental operator. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("scan_project_filter pushes the predicate and prunes columns at the scan") {
+    val p = plan("scan_project_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
+    // projection pruned to the 4 referenced columns, not the full table
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double>"), p)
+  }
+
+  test("agg_hash_groupby partial-aggregates map-side before its single shuffle") {
+    val p = plan("agg_hash_groupby")
+    assert(p.contains("partial_sum"), p)
+    // exactly one hash-partition exchange (plus the output range sort)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("sort_limit_topk plans as two-stage top-k, never a global sort") {
+    val p = plan("sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("broadcast joins for dims, shuffle join for fact-fact") {
+    assert(plan("join_inner_broadcast").contains("BroadcastHashJoin"))
+    val large = plan("join_shuffle_large")
+    assert(large.contains("SortMergeJoin") || large.contains("ShuffledHashJoin"), large)
+  }
+
+  test("similarity scans never shuffle the embedding side") {
+    val p = plan("sim_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("dedup candidate joins are equi-joins on derived keys, no cartesian") {
+    Seq("dedup_minhash_lsh", "dedup_prefix_jaccard", "dedup_simhash").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+}
