@@ -22,7 +22,7 @@ object SparkEntry {
       AggWindowQueries.queries ++ SortSetQueries.queries ++
       ScalarQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ AdvancedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       AggWindowQueries.oracle ++ SortSetQueries.oracle ++
       ScalarQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++
-      MultimodalQueries.oracle
+      MultimodalQueries.oracle ++ AdvancedQueries.oracle
 }

@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second-wave relational operators: full outer join, cube, analytic
+  * windows (ntile/percent_rank/cume_dist), range frames, pivot, array
+  * ops over real float vectors, exact percentiles, typed JSON
+  * extraction. Everything oracle-checked; determinism rules follow
+  * SURVEY §2.2 (total orders, decimal money, doubles only where the
+  * formula — not accumulation order — defines the value). */
+object AdvancedQueries {
+
+  /** Full outer join orders ⟗ customer: match + both dangling sides.
+    * Sort keys built non-null via coalesce (Spark ASC=NULLS FIRST vs
+    * DuckDB NULLS LAST would diverge otherwise). */
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("orderkey"),
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_orderkey").isNull, "customer_only")
+          .otherwise("both").as("side"))
+      .orderBy("custkey", "orderkey")
+  }
+
+  /** CUBE over two order dimensions with grouping id (sibling of the
+    * declared rollup). */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast(IntegerType).as("gid"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"))
+      .orderBy("gid", "status", "priority")
+
+  /** Analytic ranking battery: ntile quartiles, percent_rank, cume_dist
+    * per nation (rank arithmetic — no FP accumulation, bit-stable). */
+  def windowNtilePercent(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
+  /** RANGE frame: rolling 30-day order count/sum per customer over an
+    * integer day offset (range frames need a numeric order key in both
+    * engines). */
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast(DateType)).as("day"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    base
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        count(lit(1)).over(w).as("n_30d"),
+        sum("price").over(w).cast(DoubleType).as("sum_30d"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  /** Pivot order status → columns of counts per priority. */
+  def pivotStatusCounts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_orderpriority")
+
+  /** Array-function battery over the real float vectors: size, min/max,
+    * smallest-3 slice, negative-element existence. Floats widened to
+    * double BEFORE any comparison output (float32 repr drift otherwise). */
+  def arrayOpsPack(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("n"),
+        array_min(col("embedding")).cast(DoubleType).as("mn"),
+        array_max(col("embedding")).cast(DoubleType).as("mx"),
+        transform(slice(array_sort(col("embedding")), 1, 3),
+          x => x.cast(DoubleType)).as("smallest3"),
+        exists(col("embedding"), _ < 0f).as("has_neg"))
+      .orderBy("vec_id")
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `percentile_cont`: same linear-interpolation formula over
+    * the sorted set — deterministic, unlike approx sketches). */
+  def percentileMedian(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"))
+      .orderBy("l_returnflag")
+
+  /** Typed JSON extraction from the events props column. */
+  def jsonExtractTyped(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .groupBy(floor(col("k") / 10).cast(IntegerType).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min("k").as("k_min"), max("k").as("k_max"))
+      .orderBy("k_bucket")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_full_outer"      -> joinFullOuter _,
+    "agg_cube"             -> aggCube _,
+    "window_ntile_percent" -> windowNtilePercent _,
+    "window_range_frame"   -> windowRangeFrame _,
+    "pivot_status_counts"  -> pivotStatusCounts _,
+    "array_ops_pack"       -> arrayOpsPack _,
+    "percentile_median"    -> percentileMedian _,
+    "json_extract_typed"   -> jsonExtractTyped _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_full_outer" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  COALESCE(o_orderkey, -1) AS orderkey,
+        |  CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |       WHEN o_orderkey IS NULL THEN 'customer_only'
+        |       ELSE 'both' END AS side
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+        |ORDER BY custkey, orderkey""".stripMargin,
+    "agg_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+    "window_ntile_percent" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, day,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_30d,
+        |  CAST(SUM(price) OVER w AS DOUBLE) AS sum_30d
+        |FROM (SELECT o_custkey, o_orderkey,
+        |        datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+    "pivot_status_counts" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "array_ops_pack" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n,
+        |  CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |  CAST(list_max(embedding) AS DOUBLE) AS mx,
+        |  list_transform(list_slice(list_sort(embedding), 1, 3),
+        |    x -> CAST(x AS DOUBLE)) AS smallest3,
+        |  len(list_filter(embedding, x -> x < 0)) > 0 AS has_neg
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "percentile_median" ->
+      """SELECT l_returnflag,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+        |  percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "json_extract_typed" ->
+      """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS k_bucket,
+        |  COUNT(*) AS n,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+        |FROM events
+        |GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+  )
+}
