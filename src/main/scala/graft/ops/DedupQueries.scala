@@ -42,17 +42,21 @@ object DedupQueries {
     * over: it stops the self-joins from recomputing, AND it is the
     * barrier that stops CollapseProject from inlining `th` into
     * downstream per-element lambdas (see Dedup.shingleHashes). */
+  /** persist + eager count: without the action, the two branches of the
+    * downstream self-join race to materialize the cache and each
+    * computes every partition (Spark caches per-partition with no
+    * cross-task compute lock) — measured ~2× the cold cost. */
+  private def eager(df: DataFrame): DataFrame = { df.persist().count(); df }
+
   private def hashedBase(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    eager(Tables.documents(s, d)
       .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("tok"))
-      .select(col("doc_id"), size(col("tok")).as("n"), tokenHashes(col("tok")).as("th"))
-      .persist()
+      .select(col("doc_id"), size(col("tok")).as("n"), tokenHashes(col("tok")).as("th")))
 
   private def shingled(s: SparkSession, d: String): DataFrame =
-    hashedBase(s, d)
+    eager(hashedBase(s, d)
       .select(col("doc_id"), shingleHashes(col("th")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist()
+      .filter(size(col("sh")) > 0))
 
   /** Exact-verify step shared by minhash + prefix pipelines: join the
     * candidate (a_id, b_id) pairs back to their shingle sets, compute
@@ -73,8 +77,7 @@ object DedupQueries {
     // persist the signature, not the bands: the band keys reference
     // `sig` twice each, and without a cache boundary CollapseProject
     // inlines the signature expression 8× into the explode projection
-    val sig = base.select(col("doc_id"), minhashSignature(col("sh"), 8).as("sig"))
-      .persist()
+    val sig = eager(base.select(col("doc_id"), minhashSignature(col("sh"), 8).as("sig")))
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandKeys(col("sig"), 4, 2): _*)).as(Seq("band", "bkey")))
     val cand = bands.as("a")
@@ -92,9 +95,8 @@ object DedupQueries {
     * the same pairs as the LSH query when LSH recall is complete. */
   def dedupPrefixJaccard(s: SparkSession, d: String): DataFrame = {
     val base = shingled(s, d)
-    val pref = base.select(col("doc_id"),
-      explode(prefixShingles(col("sh"), J)).as("p"))
-      .persist() // both sides of the candidate self-join read this
+    val pref = eager(base.select(col("doc_id"),
+      explode(prefixShingles(col("sh"), J)).as("p")))
     val cand = pref.as("a")
       .join(pref.as("b"), col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -110,10 +112,9 @@ object DedupQueries {
     val sim = hashedBase(s, d)
       .filter(col("n") > 0)
       .select(col("doc_id"), simhash32(col("th"), col("n")).as("sim"))
-    val blocks = sim.select(col("doc_id"), col("sim"),
+    val blocks = eager(sim.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(k =>
-        shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("blk", "bval")))
-      .persist() // both sides of the candidate self-join read this
+        shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("blk", "bval"))))
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
@@ -129,10 +130,9 @@ object DedupQueries {
     * cosine ≥ 0.35 pairs. The label join stands in for a coarse
     * quantizer: at 100 TB the same plan holds with k-means cell ids. */
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = eager(Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
-        Vectors.normSq(col("embedding")).as("nsq")) // once per row, not per pair
-      .persist()
+        Vectors.normSq(col("embedding")).as("nsq"))) // norm once per row
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
