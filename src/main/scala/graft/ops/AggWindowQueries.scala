@@ -104,7 +104,19 @@ object AggWindowQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** UDAF surface #2: bounded-buffer group top-k (Aggregator with a ≤k
+    * element buffer → map-side combine ships k values per group, not
+    * the rows — the scalable alternative to a rank window). */
+  def customAggTopk(s: SparkSession, d: String): DataFrame = {
+    val top3 = udaf(new Aggregators.TopK(3))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(top3(col("l_extendedprice")).as("top3_price"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "custom_agg_topk"        -> customAggTopk _,
     "approx_distinct_hll"    -> approxDistinctHll _,
     "agg_count_distinct"     -> aggCountDistinct _,
     "agg_rollup"             -> aggRollup _,
@@ -115,6 +127,12 @@ object AggWindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "custom_agg_topk" ->
+      """SELECT l_returnflag,
+        |  list_transform(
+        |    list_slice(list_sort(list(CAST(l_extendedprice AS DECIMAL(18,2))), 'DESC'), 1, 3),
+        |    x -> CAST(x AS DOUBLE)) AS top3_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts,
         |  COUNT(*) AS n

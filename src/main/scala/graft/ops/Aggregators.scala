@@ -34,4 +34,25 @@ object Aggregators {
     def bufferEncoder: Encoder[JBigDecimal] = Encoders.DECIMAL
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** Bounded top-k values per group as a descending array — the
+    * scalable group-top-k: the buffer never exceeds k elements, so the
+    * map-side combine ships ≤ k doubles per group per partition instead
+    * of every row (a rank-window formulation shuffles all rows). Values
+    * are quantized to DECIMAL(18,2) (ties and FP noise would otherwise
+    * make the boundary element engine-dependent). */
+  final class TopK(k: Int) extends Aggregator[Double, Seq[JBigDecimal], Seq[Double]] {
+    private def quant(x: Double): JBigDecimal =
+      new JBigDecimal(x, MathContext.DECIMAL128).setScale(2, RoundingMode.HALF_UP)
+    private def trim(xs: Seq[JBigDecimal]): Seq[JBigDecimal] =
+      xs.sortWith(_.compareTo(_) > 0).take(k)
+    def zero: Seq[JBigDecimal] = Vector.empty
+    def reduce(b: Seq[JBigDecimal], x: Double): Seq[JBigDecimal] = trim(b :+ quant(x))
+    def merge(a: Seq[JBigDecimal], b: Seq[JBigDecimal]): Seq[JBigDecimal] = trim(a ++ b)
+    def finish(b: Seq[JBigDecimal]): Seq[Double] = b.map(_.doubleValue())
+    def bufferEncoder: Encoder[Seq[JBigDecimal]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[JBigDecimal]]()
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
 }
