@@ -22,7 +22,8 @@ object SparkEntry {
       AggWindowQueries.queries ++ SortSetQueries.queries ++
       ScalarQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries ++ AdvancedQueries.queries
+      MultimodalQueries.queries ++ AdvancedQueries.queries ++
+      SourceSinkQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       AggWindowQueries.oracle ++ SortSetQueries.oracle ++
       ScalarQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++
-      MultimodalQueries.oracle ++ AdvancedQueries.oracle
+      MultimodalQueries.oracle ++ AdvancedQueries.oracle ++
+      SourceSinkQueries.oracle
 }

@@ -68,7 +68,29 @@ object TextQueries {
         count(lit(1)).as("n_docs"))
       .orderBy("source")
 
+  /** Bigram frequency top-30 (n-gram analysis shape). Built with
+    * zip_with over two shifted slices: the slices are zip_with
+    * ARGUMENTS, evaluated once per row — indexing the token array
+    * inside a per-element lambda would re-evaluate the tokenizer per
+    * position once CollapseProject inlines it (the trap documented in
+    * Dedup.shingleHashes). */
+  def textBigramFreq(s: SparkSession, d: String): DataFrame = {
+    val tok = col("tok")
+    val n = size(tok)
+    val bigrams = when(n >= 2,
+      zip_with(slice(tok, lit(1), n - 1), slice(tok, lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, d)
+      .select(tokens(col("text")).as("tok"))
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_freq"   -> textBigramFreq _,
     "text_token_count"   -> textTokenCount _,
     "text_quality_score" -> textQualityScore _,
     "text_lang_id"       -> textLangId _,
@@ -81,6 +103,12 @@ object TextQueries {
     s"len(list_filter($tokensSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
+    "text_bigram_freq" ->
+      s"""SELECT bigram, COUNT(*) AS n FROM (
+         |  SELECT unnest(list_transform(range(1, len(tok)),
+         |    i -> tok[i] || ' ' || tok[i+1])) AS bigram
+         |  FROM (SELECT $tokensSql AS tok FROM documents) WHERE len(tok) >= 2)
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin,
     "text_token_count" ->
       s"""SELECT token, COUNT(*) AS n FROM (
          |  SELECT unnest($tokensSql) AS token FROM documents)
