@@ -112,7 +112,39 @@ object AdvancedQueries {
       .agg(count(lit(1)).as("n"), min("k").as("k_min"), max("k").as("k_max"))
       .orderBy("k_bucket")
 
+  /** Salted two-phase aggregation — the skew pattern, verifiable: phase
+    * 1 groups by (key, salt) so a hot key spreads over 8 reducers;
+    * phase 2 merges the 8 partials per key. Same result as a direct
+    * groupBy (the oracle), different shuffle shape. Salt is
+    * deterministic (hash of a row-identifying column, not rand()) so
+    * the query stays replayable. */
+  def aggSaltedTwophase(s: SparkSession, d: String): DataFrame = {
+    val salted = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("q"),
+        pmod(col("l_orderkey"), lit(8)).as("salt"))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum("q").as("partial_sum"), count(lit(1)).as("partial_n"))
+    salted.groupBy("l_returnflag")
+      .agg(sum("partial_sum").cast(DoubleType).as("sum_qty"),
+        sum("partial_n").as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Regex scalar battery: extract, match flag, split count, replace. */
+  def scalarRegexPack(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        col("c_name").rlike("[0-9]{3}").as("has3digits"),
+        size(split(col("c_name"), "#")).as("n_parts"),
+        regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("devoweled"))
+      .orderBy("c_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_salted_twophase"  -> aggSaltedTwophase _,
+    "scalar_regex_pack"    -> scalarRegexPack _,
     "join_full_outer"      -> joinFullOuter _,
     "agg_cube"             -> aggCube _,
     "window_ntile_percent" -> windowNtilePercent _,
@@ -124,6 +156,18 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_salted_twophase" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "scalar_regex_pack" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  regexp_matches(c_name, '[0-9]{3}') AS has3digits,
+        |  CAST(len(string_split_regex(c_name, '#')) AS INTEGER) AS n_parts,
+        |  regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS devoweled
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "join_full_outer" ->
       """SELECT COALESCE(c_custkey, o_custkey) AS custkey,
         |  COALESCE(o_orderkey, -1) AS orderkey,

@@ -85,6 +85,24 @@ class StreamingSpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).sorted == Seq(1L, 2L))
   }
 
+  test("streaming transforms run unchanged on batch frames (one-API parity)") {
+    import org.apache.spark.sql.functions._
+    val events = graft.ops.Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+    val viaStreamFn = Streams.tumblingCounts(events)
+      .orderBy("window_start", "event_type").collect()
+    val direct = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .orderBy("window_start", "event_type").collect()
+    assert(viaStreamFn.length == direct.length)
+    viaStreamFn.zip(direct).foreach { case (a, b) =>
+      assert(a.getTimestamp(0) == b.getTimestamp(0))
+      assert(a.getString(1) == b.getString(1))
+      assert(a.getLong(2) == b.getLong(2))
+    }
+  }
+
   test("custom flatMapGroupsWithState sessionizer closes on inactivity timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
