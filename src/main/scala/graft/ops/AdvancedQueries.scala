@@ -142,7 +142,17 @@ object AdvancedQueries {
         regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("devoweled"))
       .orderBy("c_custkey")
 
+  /** SQL text front end with the engine's registered native function
+    * (`cpf_clean` callable from spark.sql — GraftFunctions SQL surface). */
+  def sqlCustomFunction(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
+    s.sql("""SELECT c_custkey, cpf_clean(c_name) AS digits_only
+            |FROM graft_customer_v ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_custom_function"  -> sqlCustomFunction _,
     "agg_salted_twophase"  -> aggSaltedTwophase _,
     "scalar_regex_pack"    -> scalarRegexPack _,
     "join_full_outer"      -> joinFullOuter _,
@@ -156,6 +166,9 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_custom_function" ->
+      """SELECT c_custkey, regexp_replace(c_name, '[^0-9]', '', 'g') AS digits_only
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "agg_salted_twophase" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
