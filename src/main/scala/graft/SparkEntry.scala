@@ -23,7 +23,7 @@ object SparkEntry {
       ScalarQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ AdvancedQueries.queries ++
-      SourceSinkQueries.queries ++ AsofQueries.queries
+      SourceSinkQueries.queries ++ AsofQueries.queries ++ RangeTfQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
       ScalarQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++
       MultimodalQueries.oracle ++ AdvancedQueries.oracle ++
-      SourceSinkQueries.oracle ++ AsofQueries.oracle
+      SourceSinkQueries.oracle ++ AsofQueries.oracle ++ RangeTfQueries.oracle
 }

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Range join (bucketed) + TF term-ranking — two more operators the
+  * reference lacks but a complete engine needs.
+  */
+object RangeTfQueries {
+
+  /** Non-uniform value bands: [lo, hi) → band_id. */
+  private val bands: Seq[(Int, Long, Long)] = Seq(
+    (0, 0L, 50000L), (1, 50000L, 100000L), (2, 100000L, 200000L),
+    (3, 200000L, 400000L), (4, 400000L, 1000000L))
+  private val W = 50000L // coarse bucket width
+
+  /** Scalable range join: each band explodes to the coarse buckets it
+    * covers, the fact side computes its bucket arithmetically, the join
+    * is an EQUI-join on bucket + residual [lo,hi) filter. A naive
+    * non-equi join is a broadcast nested loop (fine for 5 bands, fatal
+    * for 5M intervals); the bucket expansion keeps it a hash join at
+    * any interval count. Verified against the naive formulation in
+    * DuckDB — different algorithm, same rows. */
+  def joinRangeBucketed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bandBuckets = bands.toDF("band_id", "lo", "hi")
+      .select(col("band_id"), col("lo"), col("hi"),
+        explode(sequence(floor(col("lo") / W).cast(LongType),
+          floor((col("hi") - 1) / W).cast(LongType))).as("bucket"))
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        floor(col("o_totalprice") / W).cast(LongType).as("bucket"))
+    orders.join(broadcast(bandBuckets), Seq("bucket"))
+      .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .orderBy("band_id")
+  }
+
+  /** Top-3 characteristic terms per document by tf/(df+1) — the tf-idf
+    * shape with a rational weight instead of ln() (libm log differs in
+    * the last ulp across engines; integer-ratio scores are bit-exact).
+    * Two shuffles: (doc, term) counts, then term document-frequencies
+    * broadcast back. */
+  def textTfRank(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast(DoubleType) / (col("df") + lit(1)).cast(DoubleType)).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_range_bucketed" -> joinRangeBucketed _,
+    "text_tf_rank"        -> textTfRank _,
+  )
+
+  private val bandsSql = bands
+    .map { case (b, lo, hi) => s"($b, $lo, $hi)" }.mkString(", ")
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+  val oracle: Map[String, String] = Map(
+    "join_range_bucketed" ->
+      s"""WITH bands(band_id, lo, hi) AS (VALUES $bandsSql)
+         |SELECT band_id, COUNT(*) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM orders JOIN bands
+         |  ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "text_tf_rank" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+         |SELECT doc_id, rk, term, tf, df, score FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+         |    CAST(tf.tf AS DOUBLE) / CAST(dfc.df + 1 AS DOUBLE) AS score,
+         |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfc.df + 1 AS DOUBLE) DESC,
+         |               tf.term) AS INTEGER) AS rk
+         |  FROM tf JOIN dfc ON tf.term = dfc.term)
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+  )
+}

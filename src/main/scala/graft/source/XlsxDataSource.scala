@@ -59,6 +59,18 @@ object XlsxDataSource {
     Opts(path, Option(m.get("sheet")), Option(m.get("header")).forall(_.toBoolean))
   }
 
+  /** A path may be one .xlsx file or a directory of them — a zip
+    * deflate stream is not splittable, so the parallelism unit is the
+    * FILE (sorted for deterministic partition numbering). This is the
+    * 100 TB shape: spreadsheet corpora arrive as many files. */
+  private[source] def expandFiles(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles().filter(_.getName.toLowerCase.endsWith(".xlsx"))
+        .map(_.getAbsolutePath).sorted.toSeq
+    else Seq(path)
+  }
+
   private[source] def resolveSheet(zip: ZipFile, o: Opts): XlsxParser.SheetRef = {
     val refs = XlsxParser.sheetRefs(zip)
     o.sheet match {
@@ -72,7 +84,9 @@ object XlsxDataSource {
   /** Header row → all-string StructType (inference = names only, never
     * types). */
   private[source] def headerSchema(o: Opts): StructType = {
-    val zip = new ZipFile(o.path)
+    val first = expandFiles(o.path).headOption.getOrElse(
+      throw new IllegalArgumentException(s"no .xlsx files at ${o.path}"))
+    val zip = new ZipFile(first)
     try {
       val ref = resolveSheet(zip, o)
       val shared = XlsxParser.sharedStrings(zip)
@@ -167,7 +181,8 @@ class XlsxScan(full: StructType, required: StructType, o: XlsxDataSource.Opts)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(XlsxInputPartition(o, full, required))
+    XlsxDataSource.expandFiles(o.path)
+      .map(f => XlsxInputPartition(o.copy(path = f), full, required)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new XlsxPartitionReaderFactory
   override def description(): String =

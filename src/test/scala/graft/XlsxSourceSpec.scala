@@ -84,6 +84,18 @@ class XlsxSourceSpec extends SparkTestBase {
     assert(v.getDecimal(1).toPlainString == "169.90")
   }
 
+  test("a directory of xlsx files reads as one partition per file") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx-multi").toFile
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(fixture),
+        java.nio.file.Paths.get(dir.getAbsolutePath, s"part$i.xlsx"))
+    }
+    val df = spark.read.format("xlsx").schema(Schemas.fixtureSchema)
+      .load(dir.getAbsolutePath)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 3600)
+  }
+
   test("column pruning reaches the scan") {
     val df = spark.read.format("xlsx").schema(Schemas.fixtureSchema).load(fixture)
       .select("UF")
