@@ -102,9 +102,12 @@ class Load(spark: SparkSession, url: String, props: Properties = new Properties)
         // Q6: UF[:2] truncation bug reproduced (etl_process.py:123)
         substring(coalesce(col("UF"), lit("")), 1, 2).as("endereco_uf"),
         lit(1).as("status_id")) // Q7: input Status ignored
+      .persist() // count + append: one computation, two actions
 
     append(loadable, "tbl_cliente_contratos")
-    (loadable.count(), rejects)
+    val n = loadable.count()
+    loadable.unpersist()
+    (n, rejects)
   }
 
   /** L10: unpivot the three contact columns to rows
@@ -126,8 +129,11 @@ class Load(spark: SparkSession, url: String, props: Properties = new Properties)
       .filter(col("contato").isNotNull)
       .select(col("cliente_id"), col("tipo_contato_id"),
         trim(col("contato")).as("contato"))
+      .persist() // count + append: one computation, two actions
 
     append(contatos, "tbl_cliente_contatos")
-    (contatos.count(), rejects)
+    val n = contatos.count()
+    contatos.unpersist()
+    (n, rejects)
   }
 }
