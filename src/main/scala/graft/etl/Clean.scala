@@ -73,14 +73,19 @@ object Clean {
 
   /** Deterministic replacement for `dropDuplicates(["cpf_cnpj"])`
     * (quirk Q8, `etl_process.py:213`): the survivor is the earliest
-    * signup, tie-broken by name and raw document — a total order, so
-    * reruns and different partitionings yield identical output. The
+    * signup, tie-broken by name/email and finally by a fingerprint of
+    * the ENTIRE row — a true total order (rows tying on all business
+    * keys but differing anywhere else would otherwise still be an
+    * arbitrary pick; fully identical rows are interchangeable). The
     * window shuffles once on the dedup key, same as dropDuplicates. */
   def dedupDeterministic(df: DataFrame): DataFrame = {
+    val rowFingerprint =
+      md5(concat_ws("\u0001", df.columns.map(c => col(s"`$c`").cast("string")): _*))
     val w = Window.partitionBy("cpf_cnpj")
       .orderBy(col("Data_Cadastro_cliente").asc_nulls_last,
         col("Nome_Razão_Social").asc_nulls_last,
-        col("Emails").asc_nulls_last)
+        col("Emails").asc_nulls_last,
+        rowFingerprint.asc_nulls_last)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

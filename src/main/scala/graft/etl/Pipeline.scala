@@ -36,8 +36,13 @@ object Pipeline {
     // plans → clients → contracts → contacts, sequential actions
     load.upsertPlanos(clean)
     load.upsertClientes(clean)
-    val (nContratos, rejContratos) = load.loadContratos(clean)
-    val (nContatos, rejContatos) = load.loadContatos(clean)
+    val (nContratos, rejContratos0) = load.loadContratos(clean)
+    val (nContatos, rejContatos0) = load.loadContatos(clean)
+    // persisted: counted below AND potentially shown by the caller
+    // after `clean` is unpersisted — without this the whole xlsx+JDBC
+    // lineage would re-execute per action
+    val rejContratos = rejContratos0.persist(StorageLevel.MEMORY_AND_DISK)
+    val rejContatos = rejContatos0.persist(StorageLevel.MEMORY_AND_DISK)
 
     val planos = spark.read.jdbc(jdbcUrl, "tbl_planos", props).count()
     val clientes = spark.read.jdbc(jdbcUrl, "tbl_clientes", props).count()

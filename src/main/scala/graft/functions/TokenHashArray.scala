@@ -31,7 +31,8 @@ case class TokenHashArray(child: Expression) extends UnaryExpression {
     case t => TypeCheckResult.TypeCheckFailure(
       s"token_hash32_array requires array<string>, got ${t.catalogString}")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
@@ -53,10 +54,11 @@ object TokenHashArray {
   /** Called from both interpreted and generated code paths. */
   def hashAll(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
-    val out = new Array[Long](n)
+    val out = new Array[Any](n)
     val md = digests.get()
     var i = 0
     while (i < n) {
+      // null element → null hash (md5(null) is null in the HOF double)
       if (!arr.isNullAt(i)) {
         md.reset()
         md.update(arr.getUTF8String(i).getBytes)

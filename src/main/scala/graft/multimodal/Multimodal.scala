@@ -153,7 +153,7 @@ object Multimodal {
     val h = md5(c)
     df.select(
       col("*"),
-      length(c).as("n_bytes"),
+      length(c).cast(LongType).as("n_bytes"),
       h.as("fingerprint"),
       (ascii(substring(h, 1, 1)) % 64 + 1).as("pseudo_width"),
       (ascii(substring(h, 2, 1)) % 64 + 1).as("pseudo_height"))

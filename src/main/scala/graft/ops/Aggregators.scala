@@ -1,6 +1,6 @@
 package graft.ops
 
-import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
@@ -18,12 +18,13 @@ import org.apache.spark.sql.expressions.Aggregator
 object Aggregators {
 
   /** Sum of squares with inputs quantized to DECIMAL(18,2) before
-    * squaring — mirrors `CAST(x AS DECIMAL(18,2)) * CAST(x AS
-    * DECIMAL(18,2))` exactly (Spark's double→decimal cast rounds
-    * HALF_UP, same as java.math here). */
+    * squaring — mirrors `CAST(x AS DECIMAL(18,2))` exactly: engines
+    * cast double→decimal through the SHORTEST decimal representation
+    * (Double.toString / BigDecimal.valueOf), not the exact binary
+    * expansion — new BigDecimal(2.675) would round the other way. */
   object SumSq extends Aggregator[Double, JBigDecimal, Double] {
     private def quant(x: Double): JBigDecimal =
-      new JBigDecimal(x, MathContext.DECIMAL128).setScale(2, RoundingMode.HALF_UP)
+      JBigDecimal.valueOf(x).setScale(2, RoundingMode.HALF_UP)
     def zero: JBigDecimal = JBigDecimal.ZERO
     def reduce(b: JBigDecimal, x: Double): JBigDecimal = {
       val q = quant(x)
@@ -43,7 +44,7 @@ object Aggregators {
     * make the boundary element engine-dependent). */
   final class TopK(k: Int) extends Aggregator[Double, Seq[JBigDecimal], Seq[Double]] {
     private def quant(x: Double): JBigDecimal =
-      new JBigDecimal(x, MathContext.DECIMAL128).setScale(2, RoundingMode.HALF_UP)
+      JBigDecimal.valueOf(x).setScale(2, RoundingMode.HALF_UP)
     private def trim(xs: Seq[JBigDecimal]): Seq[JBigDecimal] =
       xs.sortWith(_.compareTo(_) > 0).take(k)
     def zero: Seq[JBigDecimal] = Vector.empty

@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object SourceSinkQueries {
 
+  /** Stable within the JVM (repeat calls overwrite their own output),
+    * unique across JVMs (concurrent Verify+Bench must not clobber each
+    * other's roundtrip directory mid-read). */
+  private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
+
   private def roundtrip(s: SparkSession, d: String, format: String): DataFrame = {
     val src = Tables.nation(s, d)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${format}_" +
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${jvmTag}_${format}_" +
       d.replaceAll("[^a-zA-Z0-9]", "_")
     src.write.mode(SaveMode.Overwrite).format(format)
       .option("header", "true").save(path)

@@ -208,20 +208,31 @@ class XlsxPartitionReader(o: XlsxDataSource.Opts, full: StructType,
   private val sheet = XlsxDataSource.resolveSheet(zip, o)
   private val rowIter = XlsxParser.rows(zip, sheet.entry, sharedStrings(zip))
 
-  /** Sheet column index → position in `required` (or -1 = pruned). */
+  /** Sheet column index → position in `required` (pruned = absent).
+    * Declared fields that resolve to NO header cell fail fast — a typo
+    * or stray whitespace in a header would otherwise silently turn the
+    * whole column to nulls (declared-schema posture: loud, not null). */
   private val colToOut: Map[Int, Int] = {
     val nameToOut = required.fieldNames.zipWithIndex.toMap
     if (o.header) {
       if (!rowIter.hasNext) Map.empty
-      else rowIter.next().flatMap { case (i, c) =>
-        val name = c match {
-          case SCell(s) => s
-          case NCell(d) => XlsxDataSource.numToString(d)
-          case BCell(b) => b.toString
-          case _ => s"_c$i"
-        }
-        nameToOut.get(name).map(i -> _)
-      }.toMap
+      else {
+        val headerCells = rowIter.next()
+        val m = headerCells.flatMap { case (i, c) =>
+          val name = c match {
+            case SCell(s) => s
+            case NCell(d) => XlsxDataSource.numToString(d)
+            case BCell(b) => b.toString
+            case _ => s"_c$i"
+          }
+          nameToOut.get(name).map(i -> _)
+        }.toMap
+        val missing = required.fieldNames.toSet --
+          m.values.map(required.fieldNames(_)).toSet
+        require(missing.isEmpty,
+          s"declared columns not found in sheet header: ${missing.mkString(", ")}")
+        m
+      }
     } else {
       full.fieldNames.zipWithIndex
         .flatMap { case (n, i) => nameToOut.get(n).map(i -> _) }.toMap

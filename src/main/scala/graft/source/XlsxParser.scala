@@ -141,8 +141,8 @@ object XlsxParser {
                   t = r.getAttributeValue(null, "t")
                   sb.clear()
                 case "v" => inV = true; sb.clear()
-                case "is" => inIs = true
-                case "t" if inIs => inT = true; sb.clear()
+                case "is" => inIs = true; sb.clear() // runs concatenate
+                case "t" if inIs => inT = true
                 case _ =>
               }
             case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>

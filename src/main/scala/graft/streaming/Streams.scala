@@ -101,7 +101,12 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // flatMapGroupsWithState does NOT drop late rows, so a
+              // very late event could compute a timeout earlier than
+              // the current watermark — setTimeoutTimestamp throws and
+              // kills the query. Clamp to just past the watermark.
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.lastMs + gapMs, wm + 1))
             }
             closed.reverseIterator
           }

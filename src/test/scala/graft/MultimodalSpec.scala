@@ -60,8 +60,8 @@ class MultimodalSpec extends SparkTestBase {
         org.apache.spark.sql.functions.encode(
           org.apache.spark.sql.functions.col("txt"), "UTF-8").as("content"))
     val meta = binaryMeta(df, "content").collect().sortBy(_.getLong(0))
-    assert(meta(0).getAs[Int]("n_bytes") == 3)
-    assert(meta(1).getAs[Int]("n_bytes") == 0)
+    assert(meta(0).getAs[Long]("n_bytes") == 3L)
+    assert(meta(1).getAs[Long]("n_bytes") == 0L)
     // expression-only stage: no object-boundary operators in the plan
     val plan = binaryMeta(df, "content").queryExecution.executedPlan.toString
     assert(!plan.contains("MapPartitions") && !plan.contains("SerializeFromObject"))
