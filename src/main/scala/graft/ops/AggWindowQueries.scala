@@ -115,7 +115,27 @@ object AggWindowQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Ordered string aggregation (listagg/string_agg shape):
+    * collect_list is order-nondeterministic in a distributed agg, so
+    * the deterministic form sorts the collected array before joining —
+    * same contract as SQL `string_agg(... ORDER BY ...)`. */
+  def aggStringConcat(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .groupBy("n_regionkey")
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("n_regionkey")
+
+  /** Sorted array-of-values per group (collect + canonical order). */
+  def aggCollectSorted(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .groupBy("s_nationkey")
+      .agg(array_sort(collect_list(col("s_suppkey"))).as("suppliers"),
+        count(lit(1)).as("n"))
+      .orderBy("s_nationkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_string_concat"      -> aggStringConcat _,
+    "agg_collect_sorted"     -> aggCollectSorted _,
     "custom_agg_topk"        -> customAggTopk _,
     "approx_distinct_hll"    -> approxDistinctHll _,
     "agg_count_distinct"     -> aggCountDistinct _,
@@ -127,6 +147,13 @@ object AggWindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_string_concat" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "agg_collect_sorted" ->
+      """SELECT s_nationkey, list_sort(list(s_suppkey)) AS suppliers,
+        |  COUNT(*) AS n
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "custom_agg_topk" ->
       """SELECT l_returnflag,
         |  list_transform(

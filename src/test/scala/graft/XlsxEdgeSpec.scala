@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.types._
+
+/** Edge-dialect tests against synthesized minimal workbooks: inline
+  * rich-text runs, boolean/error cells, missing headers (fail-fast),
+  * headerless mode. */
+class XlsxEdgeSpec extends SparkTestBase {
+
+  private def makeXlsx(sheetXml: String, sharedXml: Option[String] = None): String = {
+    val dir = Files.createTempDirectory("xlsx-edge")
+    val path = dir.resolve("t.xlsx").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    sharedXml.foreach(x => put("xl/sharedStrings.xml", x))
+    put("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$sheetXml</sheetData></worksheet>""")
+    zos.close()
+    path
+  }
+
+  test("inline rich-text runs concatenate; booleans and errors decode") {
+    val path = makeXlsx(
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>col_a</t></is></c><c r="B1" t="inlineStr"><is><t>col_b</t></is></c><c r="C1" t="inlineStr"><is><t>col_c</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><r><t>foo</t></r><r><t>bar</t></r></is></c><c r="B2" t="b"><v>1</v></c><c r="C2" t="e"><v>#DIV/0!</v></c></row>""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("col_a", StringType), StructField("col_b", BooleanType),
+      StructField("col_c", StringType)))
+    val rows = spark.read.format("xlsx").schema(schema).load(path).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "foobar") // runs concatenated, not last-wins
+    assert(rows(0).getBoolean(1))
+    assert(rows(0).isNullAt(2)) // error cell → null
+  }
+
+  test("declared column missing from the header fails fast, not silently null") {
+    val path = makeXlsx(
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>present</t></is></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c></row>""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("present", LongType), StructField("missing_col", StringType)))
+    val e = intercept[Exception] {
+      spark.read.format("xlsx").schema(schema).load(path).collect()
+    }
+    assert(e.getMessage.contains("missing_col") ||
+      Option(e.getCause).exists(_.getMessage.contains("missing_col")))
+  }
+
+  test("header=false maps columns positionally") {
+    val path = makeXlsx(
+      """<row r="1"><c r="A1"><v>10</v></c><c r="B1"><v>20</v></c></row>
+        |<row r="2"><c r="A2"><v>30</v></c><c r="B2"><v>40</v></c></row>""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType)))
+    val rows = spark.read.format("xlsx").option("header", "false")
+      .schema(schema).load(path).collect().sortBy(_.getLong(0))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 20L), (30L, 40L)))
+  }
+
+  test("shared strings with multiple rich-text runs concatenate") {
+    val path = makeXlsx(
+      """<row r="1"><c r="A1" t="s"><v>0</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>1</v></c></row>""".stripMargin,
+      sharedXml = Some(
+        """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><t>h</t></si><si><r><t>ab</t></r><r><t>cd</t></r></si></sst>"""))
+    val schema = StructType(Seq(StructField("h", StringType)))
+    val rows = spark.read.format("xlsx").schema(schema).load(path).collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "abcd")
+  }
+}
