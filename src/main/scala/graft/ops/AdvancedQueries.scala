@@ -151,7 +151,37 @@ object AdvancedQueries {
             |FROM graft_customer_v ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Interval arithmetic: day/month offsets and a next-month-start
+    * derived date, emitted as strings (cross-engine date repr). */
+  def scalarIntervalPack(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        date_format(date_add(col("o_orderdate").cast(DateType), 30), "yyyy-MM-dd")
+          .as("plus_30d"),
+        date_format(add_months(col("o_orderdate").cast(DateType), 3), "yyyy-MM-dd")
+          .as("plus_3mo"),
+        date_format(trunc(add_months(col("o_orderdate").cast(DateType), 1), "month"),
+          "yyyy-MM-dd").as("next_month_start"),
+        last_day(col("o_orderdate").cast(DateType)).cast(StringType).as("month_end"))
+      .orderBy("o_orderkey")
+
+  /** first/last/nth window values over a running frame per customer. */
+  def windowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("latest_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_interval_pack" -> scalarIntervalPack _,
+    "window_first_last"    -> windowFirstLast _,
     "sql_custom_function"  -> sqlCustomFunction _,
     "agg_salted_twophase"  -> aggSaltedTwophase _,
     "scalar_regex_pack"    -> scalarRegexPack _,
@@ -166,6 +196,22 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "scalar_interval_pack" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo,
+        |  strftime(date_trunc('month', CAST(o_orderdate AS DATE)) + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month_start,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS latest_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "sql_custom_function" ->
       """SELECT c_custkey, regexp_replace(c_name, '[^0-9]', '', 'g') AS digits_only
         |FROM customer ORDER BY c_custkey""".stripMargin,
