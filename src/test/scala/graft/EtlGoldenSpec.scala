@@ -110,6 +110,22 @@ class EtlGoldenSpec extends SparkTestBase {
     assert(phones.filter(col("contato").rlike("[^0-9]")).count() == 0)
   }
 
+  test("dedup survivors for the fixture's 2 duplicated CPFs are the earliest signups") {
+    val clean = Clean.transform(
+      spark.read.format("xlsx").schema(Schemas.fixtureSchema).load(fixture))
+    val dups = clean.groupBy("cpf_cnpj").count().filter(col("count") > 1)
+      .select("cpf_cnpj").collect().map(_.getString(0))
+    assert(dups.length == 2) // fixture profile: 1,200 rows / 1,198 keys
+    val surviving = Clean.dedupDeterministic(clean)
+      .filter(col("cpf_cnpj").isin(dups.toSeq: _*))
+      .select("cpf_cnpj", "Data_Cadastro_cliente").collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    val earliest = clean.filter(col("cpf_cnpj").isin(dups.toSeq: _*))
+      .groupBy("cpf_cnpj").agg(min("Data_Cadastro_cliente").as("m")).collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    assert(surviving == earliest)
+  }
+
   test("upserts are idempotent: re-running plan/client load adds zero rows") {
     summary // force first run
     val clean = Clean.dedupDeterministic(Clean.transform(

@@ -85,6 +85,38 @@ class StreamingSpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).sorted == Seq(1L, 2L))
   }
 
+  test("foreachBatch streams windowed aggregates into a JDBC sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.etl.DerbyVarcharDialect.ensureRegistered()
+    val db = s"/tmp/graft-stream-derby-${System.nanoTime()}"
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      """CREATE TABLE hourly (window_start TIMESTAMP, event_type VARCHAR(64),
+        |  n BIGINT, total_value DOUBLE)""".stripMargin)
+    conn.close()
+
+    val mem = MemoryStream[Event]
+    val q = Streams.tumblingCounts(mem.toDF()).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .jdbc(url, "hourly", new java.util.Properties)
+      }
+      .start()
+    try {
+      mem.addData(Seq(Event(1, ts("10:05"), 1, "view", 1.0),
+        Event(2, ts("10:30"), 2, "view", 2.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(9, ts("15:00"), 9, "view", 0.0))) // closes 10:00
+      q.processAllAvailable()
+      val rows = spark.read.jdbc(url, "hourly", new java.util.Properties).collect()
+      val ten = rows.filter(_.getTimestamp(0).toString.startsWith("2024-01-01 10"))
+      assert(ten.length == 1 && ten(0).getLong(2) == 2 && ten(0).getDouble(3) == 3.0)
+    } finally q.stop()
+  }
+
   test("streaming transforms run unchanged on batch frames (one-API parity)") {
     import org.apache.spark.sql.functions._
     val events = graft.ops.Tables.events(spark, sfDir)
