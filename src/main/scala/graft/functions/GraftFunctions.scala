@@ -42,6 +42,8 @@ object GraftFunctions {
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(ext)
+    ext.injectOptimizerRule(_ => CpfCleanIdempotence)
+  }
 }

@@ -9,6 +9,19 @@ import graft.functions.CpfClean
 
 class CpfCleanSpec extends SparkTestBase {
 
+  test("optimizer rule collapses nested cpf_clean to one application") {
+    import graft.functions.{CpfClean, CpfCleanIdempotence}
+    import org.apache.spark.sql.functions.col
+    CpfCleanIdempotence.install(spark)
+    // non-foldable source (a literal relation would be constant-folded
+    // away before the rule's effect is observable)
+    val df = ops.Tables.customer(spark, sfDir)
+      .select(CpfClean.cpfClean(CpfClean.cpfClean(col("c_name"))).as("c"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("cpf_clean".r.findAllIn(optimized).length == 1, optimized)
+    assert(df.limit(1).collect()(0).getString(0).forall(_.isDigit))
+  }
+
   private def ref(s: String): String = s.replaceAll("[^0-9]", "")
 
   private def check(p: org.scalacheck.Prop): Unit = {
