@@ -179,7 +179,23 @@ object AdvancedQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Centered 7-row moving average per customer (sliding rows frame),
+    * decimal-exact then widened for output. */
+  def windowMovingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey").rowsBetween(-3, 3)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        // exact decimal sum widened to double BEFORE the division:
+        // decimal/long division semantics differ across engines in the
+        // last ulp; double/long is one IEEE op, identical everywhere
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DoubleType) /
+          count(lit(1)).over(w)).as("mavg"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_moving_avg"    -> windowMovingAvg _,
     "scalar_interval_pack" -> scalarIntervalPack _,
     "window_first_last"    -> windowFirstLast _,
     "sql_custom_function"  -> sqlCustomFunction _,
@@ -196,6 +212,14 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "window_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) /
+        |       COUNT(*) OVER w AS mavg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "scalar_interval_pack" ->
       """SELECT o_orderkey,
         |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,

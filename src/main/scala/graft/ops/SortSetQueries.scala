@@ -55,7 +55,16 @@ object SortSetQueries {
         expr("stack(2, 'discount', l_discount, 'tax', l_tax) AS (metric, value)"))
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** UNION (distinct semantics): the dedup-on-union shape — one
+    * shuffle on the full row, vs unionAll's none. */
+  def setUnionDistinct(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+    val su = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+    c.union(su).distinct().orderBy("nk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_union_distinct" -> setUnionDistinct _,
     "sort_limit_topk" -> sortLimitTopk _,
     "set_union_all"   -> setUnionAll _,
     "set_intersect"   -> setIntersect _,
@@ -64,6 +73,12 @@ object SortSetQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "set_union_distinct" ->
+      """SELECT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION
+        |  SELECT s_nationkey AS nk FROM supplier)
+        |ORDER BY nk""".stripMargin,
     "sort_limit_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
