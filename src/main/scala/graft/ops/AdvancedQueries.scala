@@ -78,8 +78,11 @@ object AdvancedQueries {
       .orderBy("o_orderpriority")
 
   /** Array-function battery over the real float vectors: size, min/max,
-    * smallest-3 slice, negative-element existence. Floats widened to
-    * double BEFORE any comparison output (float32 repr drift otherwise). */
+    * smallest-3 elements, negative-element existence. Floats widened to
+    * double BEFORE any comparison output (float32 repr drift otherwise).
+    * The smallest-3 emit as three scalar columns — verify outputs must
+    * not contain list columns (the driver's pandas row-sort cannot
+    * handle array cells; round-1 driver gate crashed on them). */
   def arrayOpsPack(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
@@ -88,8 +91,9 @@ object AdvancedQueries {
         size(col("embedding")).as("n"),
         array_min(col("embedding")).cast(DoubleType).as("mn"),
         array_max(col("embedding")).cast(DoubleType).as("mx"),
-        transform(slice(array_sort(col("embedding")), 1, 3),
-          x => x.cast(DoubleType)).as("smallest3"),
+        get(array_sort(col("embedding")), lit(0)).cast(DoubleType).as("sm1"),
+        get(array_sort(col("embedding")), lit(1)).cast(DoubleType).as("sm2"),
+        get(array_sort(col("embedding")), lit(2)).cast(DoubleType).as("sm3"),
         exists(col("embedding"), _ < 0f).as("has_neg"))
       .orderBy("vec_id")
 
@@ -294,8 +298,9 @@ object AdvancedQueries {
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n,
         |  CAST(list_min(embedding) AS DOUBLE) AS mn,
         |  CAST(list_max(embedding) AS DOUBLE) AS mx,
-        |  list_transform(list_slice(list_sort(embedding), 1, 3),
-        |    x -> CAST(x AS DOUBLE)) AS smallest3,
+        |  CAST(list_sort(embedding)[1] AS DOUBLE) AS sm1,
+        |  CAST(list_sort(embedding)[2] AS DOUBLE) AS sm2,
+        |  CAST(list_sort(embedding)[3] AS DOUBLE) AS sm3,
         |  len(list_filter(embedding, x -> x < 0)) > 0 AS has_neg
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "percentile_median" ->

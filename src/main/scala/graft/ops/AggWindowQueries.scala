@@ -106,12 +106,20 @@ object AggWindowQueries {
 
   /** UDAF surface #2: bounded-buffer group top-k (Aggregator with a ≤k
     * element buffer → map-side combine ships k values per group, not
-    * the rows — the scalable alternative to a rank window). */
+    * the rows — the scalable alternative to a rank window).
+    * Output is three scalar columns, not an array: the driver's compare
+    * sorts rows by every column with pandas, which cannot sort
+    * array-typed cells (round-1 lesson — no list columns in any
+    * verify output). `get` is 0-based and null-safe out of bounds. */
   def customAggTopk(s: SparkSession, d: String): DataFrame = {
     val top3 = udaf(new Aggregators.TopK(3))
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(top3(col("l_extendedprice")).as("top3_price"))
+      .agg(top3(col("l_extendedprice")).as("t3"))
+      .select(col("l_returnflag"),
+        get(col("t3"), lit(0)).as("top1"),
+        get(col("t3"), lit(1)).as("top2"),
+        get(col("t3"), lit(2)).as("top3"))
       .orderBy("l_returnflag")
   }
 
@@ -125,11 +133,15 @@ object AggWindowQueries {
       .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
       .orderBy("n_regionkey")
 
-  /** Sorted array-of-values per group (collect + canonical order). */
+  /** Sorted array-of-values per group (collect + canonical order),
+    * serialized to a CSV string: verify outputs must hold no list
+    * columns (driver's pandas row-sort cannot handle them). Sort
+    * numerically first, then stringify — "10" < "2" lexically. */
   def aggCollectSorted(s: SparkSession, d: String): DataFrame =
     Tables.supplier(s, d)
       .groupBy("s_nationkey")
-      .agg(array_sort(collect_list(col("s_suppkey"))).as("suppliers"),
+      .agg(array_join(transform(array_sort(collect_list(col("s_suppkey"))),
+          x => x.cast(StringType)), ",").as("suppliers"),
         count(lit(1)).as("n"))
       .orderBy("s_nationkey")
 
@@ -151,15 +163,19 @@ object AggWindowQueries {
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "agg_collect_sorted" ->
-      """SELECT s_nationkey, list_sort(list(s_suppkey)) AS suppliers,
+      """SELECT s_nationkey,
+        |  array_to_string(list_sort(list(s_suppkey)), ',') AS suppliers,
         |  COUNT(*) AS n
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "custom_agg_topk" ->
       """SELECT l_returnflag,
-        |  list_transform(
-        |    list_slice(list_sort(list(CAST(l_extendedprice AS DECIMAL(18,2))), 'DESC'), 1, 3),
-        |    x -> CAST(x AS DOUBLE)) AS top3_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |  CAST(t3[1] AS DOUBLE) AS top1,
+        |  CAST(t3[2] AS DOUBLE) AS top2,
+        |  CAST(t3[3] AS DOUBLE) AS top3
+        |FROM (SELECT l_returnflag,
+        |        list_sort(list(CAST(l_extendedprice AS DECIMAL(18,2))), 'DESC') AS t3
+        |      FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts,
         |  COUNT(*) AS n

@@ -19,7 +19,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    return df.reset_index(drop=True)
+    # The driver sorts rows by ALL columns before hashing; replicate it so
+    # unsortable cell types (numpy arrays from list columns) fail HERE,
+    # not in the driver's round gate.
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
 
 
 def cell(v):
