@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 g on the 128 GiB bench host: local[32] runs 32 concurrent tasks
+  // in ONE JVM (driver + all executor threads share the heap), and an
+  // 8 g heap put the dedup self-joins under enough GC pressure to cause
+  // the round-2 2.5× run-to-run bench variance.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty)
 )

@@ -41,16 +41,24 @@ object Dedup {
   /** Distinct 3-gram shingle hashes from a token-hash array `th`.
     * Combine: h = ((a·8191 + b) mod P)·8191 + c mod P — operands stay
     * < 2^45, far from overflow; P > 2^32 keeps the value space wide.
+    * Backed by the native codegen'd ShingleHashes3 expression; the HOF
+    * formulation below is its differential-test double. */
+  def shingleHashes(th: Column): Column =
+    graft.functions.ShingleHashes3.shingleHashes(th)
+
+  /** Built-ins-only formulation of [[shingleHashes]] (interpreted HOF
+    * path); must agree element-for-element with the native expression on
+    * non-null inputs.
     *
-    * PERFORMANCE: `th` must come from a MATERIALIZED (persisted)
-    * frame, not an inline expression — it is indexed inside the
-    * per-element lambda, and higher-order lambdas are interpreted, so an
-    * inline expression is re-evaluated once per shingle position
-    * (measured 16s vs 0.5s on 5k docs). A plain extra projection does
-    * NOT protect it: CollapseProject inlines multi-referenced aliases;
-    * only a cache/shuffle boundary (DedupQueries.hashedBase's persist)
-    * pins the attribute. */
-  def shingleHashes(th: Column, n: Int = 3): Column = {
+    * PERFORMANCE (why the native expression exists): `th` must come
+    * from a MATERIALIZED (persisted) frame, not an inline expression —
+    * it is indexed inside the per-element lambda, and higher-order
+    * lambdas are interpreted, so an inline expression is re-evaluated
+    * once per shingle position (measured 16s vs 0.5s on 5k docs). A
+    * plain extra projection does NOT protect it: CollapseProject inlines
+    * multi-referenced aliases; only a cache/shuffle boundary pins the
+    * attribute. */
+  private[graft] def shingleHashesHof(th: Column, n: Int = 3): Column = {
     val nt = size(th)
     def at(i: Column, off: Int) = element_at(th, (i + lit(off)).cast(IntegerType))
     when(nt >= n,
@@ -72,9 +80,17 @@ object Dedup {
   /** MinHash signature over an already-hashed shingle array: k affine
     * permutations (the standard a·h+b mod p scheme — k independent
     * min-wise hashes for the cost of one strong hash, already paid in
-    * `tokenHashes`). One traversal: per-shingle k-vectors, elementwise
-    * min fold. Elements are P (≡ +∞) if the shingle set is empty. */
+    * `tokenHashes`). Elements are P (≡ +∞) if the shingle set is empty.
+    * Backed by the native codegen'd MinhashSignature expression (one
+    * compiled k×n loop); the HOF formulation below is its
+    * differential-test double. */
   def minhashSignature(sh: Column, k: Int = 8): Column =
+    graft.functions.MinhashSignature.minhash(sh, k)
+
+  /** Built-ins-only formulation of [[minhashSignature]] (interpreted HOF
+    * path — one traversal: per-shingle k-vectors, elementwise min fold);
+    * must agree element-for-element with the native expression. */
+  private[graft] def minhashSignatureHof(sh: Column, k: Int = 8): Column =
     aggregate(
       transform(sh, h => transform(sequence(lit(0), lit(k - 1)), i => affine(h, i))),
       array_repeat(lit(MinhashP), k),
@@ -123,13 +139,20 @@ object Dedup {
   /** 32-bit SimHash over the token-hash multiset `vs` (from
     * `tokenHashes`; `n` = token count): bit j is set iff a strict
     * majority of tokens have bit j set in their 32-bit hash. Token
-    * frequency is the weight (multiset, not set).
+    * frequency is the weight (multiset, not set). Backed by the native
+    * codegen'd Simhash32 expression; the HOF formulation below is its
+    * differential-test double. */
+  def simhash32(vs: Column, n: Column): Column =
+    graft.functions.Simhash32.simhash32(vs, n)
+
+  /** Built-ins-only formulation of [[simhash32]] (interpreted HOF path);
+    * must agree with the native expression.
     *
     * One traversal accumulating all 32 bit-counters via an array-typed
     * `aggregate` (higher-order lambdas are interpreted, not codegen'd,
     * so a formulation with 32 separate `filter` scans re-hashes every
     * token 32×8 times — 60× slower, measured). */
-  def simhash32(vs: Column, n: Column): Column = {
+  private[graft] def simhash32Hof(vs: Column, n: Column): Column = {
     // bit j of v as floor(v / 2^j) % 2 — division by a power of two is
     // exact in doubles, and the column-typed shift keeps j lambda-bound
     val counts = aggregate(vs, array_repeat(lit(0L), 32),

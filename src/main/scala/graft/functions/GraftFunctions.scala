@@ -22,6 +22,13 @@ object GraftFunctions {
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cpf_clean" -> (args => CpfClean(args.head)),
     "token_hash32_array" -> (args => TokenHashArray(args.head)),
+    "shingle_hashes3" -> (args => ShingleHashes3(args.head)),
+    // k must be a foldable literal (evaluated at registration-call time)
+    "minhash_signature" -> (args =>
+      MinhashSignature(args(0), args(1).eval().asInstanceOf[Number].intValue)),
+    "simhash32" -> (args => Simhash32(args(0), args(1))),
+    "vec_dot" -> (args => VecDot(args(0), args(1))),
+    "vec_norm_sq" -> (args => VecNormSq(args.head)),
   )
 
   def register(spark: SparkSession): Unit = {

