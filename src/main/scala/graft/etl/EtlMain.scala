@@ -14,24 +14,15 @@ import org.apache.spark.sql.SparkSession
   * was applied by docker-compose; same contract here).
   */
 object EtlMain {
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: EtlMain <file.xlsx> <jdbcUrl> [sheet]")
-    val (path, jdbcUrl) = (args(0), args(1))
-    val sheet = args.lift(2)
 
+  /** The full CLI flow on a caller-owned session (separated from `main`
+    * so tests can drive it without the session teardown). Returns the
+    * pipeline summary after printing the preview + result report. */
+  def run(spark: SparkSession, path: String, jdbcUrl: String,
+      sheet: Option[String]): Pipeline.Summary = {
     // receive_arquivo_excel: existence + extension validation
     require(Files.exists(Paths.get(path)), s"file not found: $path")
     require(path.toLowerCase.endsWith(".xlsx"), s"not an .xlsx file: $path")
-
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .appName("graft-etl")
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     // visualizar_excel: sheet enumeration + 5-row preview per sheet
     val zip = new java.util.zip.ZipFile(path)
@@ -55,6 +46,21 @@ object EtlMain {
     } else {
       println("Todos os registros foram importados com sucesso!")
     }
+    summary
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: EtlMain <file.xlsx> <jdbcUrl> [sheet]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .appName("graft-etl")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, args(0), args(1), args.lift(2))
     spark.stop()
   }
 }

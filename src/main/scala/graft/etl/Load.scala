@@ -34,8 +34,19 @@ class Load(spark: SparkSession, url: String, props: Properties = new Properties)
   private def readTable(name: String): DataFrame =
     spark.read.jdbc(url, name, props)
 
-  private def append(df: DataFrame, table: String): Unit =
-    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+  /** Sink batching contract, stated rather than defaulted: 10k-row
+    * executeBatch chunks amortize driver round trips (the reference
+    * pays one round trip PER ROW), and at most 8 concurrent writer
+    * connections so a wide cluster can't open one connection per task
+    * and overwhelm the database's connection limit. Caller-provided
+    * `props` win. */
+  private def append(df: DataFrame, table: String): Unit = {
+    val p = new Properties
+    p.putAll(props)
+    if (!p.containsKey("batchsize")) p.setProperty("batchsize", "10000")
+    if (!p.containsKey("numPartitions")) p.setProperty("numPartitions", "8")
+    df.write.mode(SaveMode.Append).jdbc(url, table, p)
+  }
 
   /** L1+L3: distinct (Plano, Plano_Valor) pairs, insert-if-absent on
     * descricao (`etl_process.py:28–49`). Runs on the deduped frame, as

@@ -15,11 +15,12 @@ import org.apache.spark.sql.types._
   * partition, not per row — exactly how a JNI codec or an ONNX session
   * would be held).
   *
-  * STUB NOTE: this container ships no image/audio codecs, so
-  * `decodeFake` is a clearly-marked deterministic stand-in (pixel bytes
-  * derived from the content hash). Every schema, partitioning and
-  * batching decision around it is real; swapping `decodeFake` for a
-  * libjpeg/ffmpeg call changes no plumbing.
+  * Image rows decode FOR REAL through the JDK's built-in
+  * `javax.imageio` codecs (PNG/JPEG/BMP/GIF — zero external jars);
+  * bytes that aren't a parseable image (synthetic fixtures) and
+  * audio/video rows fall back to `decodeFake`, a clearly-marked
+  * deterministic stand-in (pixel bytes derived from the content hash).
+  * Swapping `decodeFake` for an ffmpeg/JNI call changes no plumbing.
   */
 object Multimodal {
 
@@ -46,10 +47,51 @@ object Multimodal {
 
   // ---------------------------------------------------------------- decode
 
+  /** Real image decode via the JDK's built-in `javax.imageio` readers.
+    * Returns (width, height, grayscale row-major pixels) with the TRUE
+    * decoded dimensions; grayscale is Rec.601 integer luminance
+    * ((299·R + 587·G + 114·B + 500) / 1000 — pure integer arithmetic,
+    * deterministic across JVMs). None when the bytes are not a
+    * parseable image (the caller falls back to [[decodeFake]]). */
+  def decodeImage(content: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF
+          val g = (rgb >> 8) & 0xFF
+          val b = rgb & 0xFF
+          px(y * w + x) = ((299 * r + 587 * g + 114 * b + 500) / 1000).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, px))
+    }
+  }
+
+  /** Decode dispatcher: image rows try the real `javax.imageio` path
+    * first (true decoded dimensions override the metadata); unparseable
+    * bytes (synthetic fixtures) and audio/video rows use the
+    * deterministic stub at the metadata dimensions. */
+  def decode(m: MediaRow): (Int, Int, Array[Byte]) =
+    (if (m.meta.media_type == "image") decodeImage(m.content) else None)
+      .getOrElse((m.meta.width, m.meta.height,
+        decodeFake(m.content, m.meta.width, m.meta.height)))
+
   /** STUB (`???`-equivalent): deterministic fake decoder — produces a
     * width×height single-channel image whose pixel (x, y) is a hash mix
-    * of the content bytes and the coordinate. Replace with an actual
-    * codec (libjpeg via JNI, javax.imageio, …) for real media; the
+    * of the content bytes and the coordinate. Stands in for codecs the
+    * JDK lacks (audio/video; an ffmpeg/JNI call would slot in here); the
     * signature — bytes in, row-major pixel array out — is the contract
     * the rest of the pipeline compiles against. */
   def decodeFake(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
@@ -75,9 +117,12 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init (real codecs/ONNX sessions are expensive):
+      // ImageIO's default disk-backed stream cache would write a temp
+      // file per image — in-memory streams only, set once per partition
+      javax.imageio.ImageIO.setUseCache(false)
       val histogramBins = 16
       rows.map { m =>
-        val px = decodeFake(m.content, m.meta.width, m.meta.height)
+        val (w, h, px) = decode(m)
         val hist = new Array[Long](histogramBins)
         var sum = 0L
         var i = 0
@@ -87,7 +132,7 @@ object Multimodal {
           sum += v
           i += 1
         }
-        ImageFeatures(m.media_id, m.meta.width, m.meta.height,
+        ImageFeatures(m.media_id, w, h,
           if (px.length == 0) 0.0 else sum.toDouble / px.length, hist)
       }
     }
@@ -98,10 +143,10 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { m =>
-        val (w, h) = (m.meta.width, m.meta.height)
+        val (w, h, px) = decode(m)
         val (nw, nh) = (math.max(1, w / factor), math.max(1, h / factor))
-        val px = decodeFake(m.content, w, h)
         val out = new Array[Byte](nw * nh)
         var y = 0
         while (y < nh) {

@@ -85,15 +85,18 @@ object AdvancedQueries {
     * handle array cells; round-1 driver gate crashed on them). */
   def arrayOpsPack(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        // sort ONCE into an intermediate column; indexing it three times
+        // would otherwise re-sort per reference (no CSE across aliases)
+        array_sort(col("embedding")).as("sorted_emb"))
       .select(
         col("vec_id"),
         size(col("embedding")).as("n"),
         array_min(col("embedding")).cast(DoubleType).as("mn"),
         array_max(col("embedding")).cast(DoubleType).as("mx"),
-        get(array_sort(col("embedding")), lit(0)).cast(DoubleType).as("sm1"),
-        get(array_sort(col("embedding")), lit(1)).cast(DoubleType).as("sm2"),
-        get(array_sort(col("embedding")), lit(2)).cast(DoubleType).as("sm3"),
+        get(col("sorted_emb"), lit(0)).cast(DoubleType).as("sm1"),
+        get(col("sorted_emb"), lit(1)).cast(DoubleType).as("sm2"),
+        get(col("sorted_emb"), lit(2)).cast(DoubleType).as("sm3"),
         exists(col("embedding"), _ < 0f).as("has_neg"))
       .orderBy("vec_id")
 
@@ -298,11 +301,12 @@ object AdvancedQueries {
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n,
         |  CAST(list_min(embedding) AS DOUBLE) AS mn,
         |  CAST(list_max(embedding) AS DOUBLE) AS mx,
-        |  CAST(list_sort(embedding)[1] AS DOUBLE) AS sm1,
-        |  CAST(list_sort(embedding)[2] AS DOUBLE) AS sm2,
-        |  CAST(list_sort(embedding)[3] AS DOUBLE) AS sm3,
+        |  CAST(sorted_emb[1] AS DOUBLE) AS sm1,
+        |  CAST(sorted_emb[2] AS DOUBLE) AS sm2,
+        |  CAST(sorted_emb[3] AS DOUBLE) AS sm3,
         |  len(list_filter(embedding, x -> x < 0)) > 0 AS has_neg
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+        |FROM (SELECT *, list_sort(embedding) AS sorted_emb FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
     "percentile_median" ->
       """SELECT l_returnflag,
         |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,

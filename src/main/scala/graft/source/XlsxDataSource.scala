@@ -116,10 +116,15 @@ object XlsxDataSource {
   private[source] def numToString(d: Double): String =
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
-  private val ExcelEpochOffsetDays = 25569L // 1970-01-01 minus 1899-12-30
+  /** 1970-01-01 minus the serial-0 date of each Excel date system. */
+  private[source] val Excel1900EpochOffsetDays = 25569L // serial 0 = 1899-12-30
+  private[source] val Excel1904EpochOffsetDays = 24107L // serial 0 = 1904-01-01
 
-  /** Convert a raw cell to the Catalyst internal value for `dt`. */
-  private[source] def convert(cell: XlsxParser.Cell, dt: DataType): Any = cell match {
+  /** Convert a raw cell to the Catalyst internal value for `dt`;
+    * `epochOffsetDays` selects the workbook's date system (1900 vs
+    * 1904 — `XlsxParser.isDate1904`). */
+  private[source] def convert(cell: XlsxParser.Cell, dt: DataType,
+      epochOffsetDays: Long = Excel1900EpochOffsetDays): Any = cell match {
     case null => null
     case XlsxParser.SCell(s) => dt match {
       case StringType => UTF8String.fromString(s)
@@ -145,9 +150,9 @@ object XlsxDataSource {
         org.apache.spark.sql.types.Decimal(
           java.math.BigDecimal.valueOf(v).setScale(d.scale, java.math.RoundingMode.HALF_UP))
       case BooleanType => Boolean.box(v != 0.0)
-      case DateType => Int.box((v.toLong - ExcelEpochOffsetDays).toInt)
+      case DateType => Int.box((v.toLong - epochOffsetDays).toInt)
       case TimestampType =>
-        Long.box(math.round((v - ExcelEpochOffsetDays) * 86400.0 * 1e6))
+        Long.box(math.round((v - epochOffsetDays) * 86400.0 * 1e6))
       case _ => null
     }
     case XlsxParser.BCell(b) => dt match {
@@ -169,43 +174,68 @@ class XlsxTable(tableSchema: StructType, o: XlsxDataSource.Opts)
 }
 
 class XlsxScanBuilder(full: StructType, o: XlsxDataSource.Opts)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new XlsxScan(full, required, o)
+
+  /** BEST-EFFORT pushdown: predicates the row decoder can evaluate are
+    * applied before a row is emitted (skipping the conversion +
+    * materialization of non-matching rows), but every filter is ALSO
+    * returned as residual so Catalyst re-applies it — correctness never
+    * depends on the source's evaluation semantics (nulls, collations),
+    * exactly the posture of the built-in file sources. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(XlsxFilterEval.supports(full, _))
+    filters // all residual: Spark re-evaluates (see doc above)
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new XlsxScan(full, required, pushed, o)
 }
 
-class XlsxScan(full: StructType, required: StructType, o: XlsxDataSource.Opts)
+class XlsxScan(full: StructType, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter], o: XlsxDataSource.Opts)
     extends Scan with Batch with Serializable {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     XlsxDataSource.expandFiles(o.path)
-      .map(f => XlsxInputPartition(o.copy(path = f), full, required)).toArray
+      .map(f => XlsxInputPartition(o.copy(path = f), full, required, pushed)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new XlsxPartitionReaderFactory
   override def description(): String =
     s"XlsxScan path=${o.path} sheet=${o.sheet.getOrElse("<first>")} " +
-      s"columns=[${required.fieldNames.mkString(",")}]"
+      s"columns=[${required.fieldNames.mkString(",")}] " +
+      s"PushedFilters=[${pushed.mkString(", ")}]"
 }
 
 final case class XlsxInputPartition(o: XlsxDataSource.Opts,
-    full: StructType, required: StructType) extends InputPartition
+    full: StructType, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter]) extends InputPartition
 
 class XlsxPartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val xp = p.asInstanceOf[XlsxInputPartition]
-    new XlsxPartitionReader(xp.o, xp.full, xp.required)
+    new XlsxPartitionReader(xp.o, xp.full, xp.required, xp.pushed)
   }
 }
 
 class XlsxPartitionReader(o: XlsxDataSource.Opts, full: StructType,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends PartitionReader[InternalRow] {
   import XlsxParser._
 
   private val zip = new ZipFile(o.path)
   private val sheet = XlsxDataSource.resolveSheet(zip, o)
+  // per-workbook date system: a 1904-mode workbook read as 1900-mode
+  // would shift every date/timestamp by 1,462 days
+  private val epochOffsetDays =
+    if (XlsxParser.isDate1904(zip)) XlsxDataSource.Excel1904EpochOffsetDays
+    else XlsxDataSource.Excel1900EpochOffsetDays
   private val rowIter = XlsxParser.rows(zip, sheet.entry, sharedStrings(zip))
 
   /** Sheet column index → position in `required` (pruned = absent).
@@ -239,22 +269,112 @@ class XlsxPartitionReader(o: XlsxDataSource.Opts, full: StructType,
     }
   }
   private val outTypes = required.fields.map(_.dataType)
+  private val rowFilter = XlsxFilterEval.compile(pushed, required)
   private var current: InternalRow = null
 
   override def next(): Boolean = {
-    if (!rowIter.hasNext) { current = null; false }
-    else {
+    while (rowIter.hasNext) {
       val cells = rowIter.next()
       val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
       cells.foreach { case (i, c) =>
         colToOut.get(i).foreach { out =>
-          row.update(out, XlsxDataSource.convert(c, outTypes(out)))
+          row.update(out, XlsxDataSource.convert(c, outTypes(out), epochOffsetDays))
         }
       }
-      current = row
-      true
+      // pushed-filter short-circuit: non-matching rows are dropped here,
+      // before Spark ever materializes them (Catalyst re-checks — see
+      // XlsxScanBuilder.pushFilters)
+      if (rowFilter(row)) { current = row; return true }
     }
+    current = null
+    false
   }
   override def get(): InternalRow = current
   override def close(): Unit = zip.close()
+}
+
+/** Source-side evaluator for the pushed-down subset of
+  * `org.apache.spark.sql.sources.Filter` — conjunctive top-level
+  * filters over string/numeric/boolean columns. `supports` gates what
+  * `pushFilters` accepts; `compile` builds a row predicate. Unknown or
+  * null-valued comparisons evaluate to FALSE (SQL semantics for a
+  * top-level predicate: a null comparison never satisfies the filter),
+  * except IsNull/IsNotNull which test nullity directly. */
+private[source] object XlsxFilterEval {
+  import org.apache.spark.sql.sources._
+
+  /** Types whose literals we can compare without timezone/collation
+    * subtleties. */
+  private def comparable(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | DoubleType | FloatType |
+         BooleanType => true
+    case _ => false
+  }
+
+  def supports(schema: StructType, f: Filter): Boolean = {
+    def col(n: String): Boolean =
+      schema.fields.exists(sf => sf.name == n && comparable(sf.dataType))
+    f match {
+      case EqualTo(n, _) => col(n)
+      case GreaterThan(n, _) => col(n)
+      case GreaterThanOrEqual(n, _) => col(n)
+      case LessThan(n, _) => col(n)
+      case LessThanOrEqual(n, _) => col(n)
+      case In(n, _) => col(n)
+      case IsNull(n) => schema.fieldNames.contains(n)
+      case IsNotNull(n) => schema.fieldNames.contains(n)
+      case StringStartsWith(n, _) => col(n)
+      case StringEndsWith(n, _) => col(n)
+      case StringContains(n, _) => col(n)
+      case And(l, r) => supports(schema, l) && supports(schema, r)
+      case _ => false
+    }
+  }
+
+  /** Compare a Catalyst internal value against a filter literal; None
+    * when either side is null or the pairing is incomparable. */
+  private def cmp(v: Any, lit: Any): Option[Int] = (v, lit) match {
+    case (null, _) | (_, null) => None
+    case (u: UTF8String, s: String) => Some(u.toString.compareTo(s))
+    case (b: java.lang.Boolean, l: Boolean) => Some(b.compareTo(l))
+    case (n: java.lang.Number, l: java.lang.Number) =>
+      Some(java.lang.Double.compare(n.doubleValue(), l.doubleValue()))
+    case _ => None
+  }
+
+  def compile(filters: Array[Filter], required: StructType): InternalRow => Boolean = {
+    val idx = required.fieldNames.zipWithIndex.toMap
+    // a filter whose column Spark pruned away cannot be evaluated here —
+    // skip it (Catalyst re-checks every residual filter anyway; dropping
+    // a row on a guess would be a correctness bug)
+    val applicable = filters.filter(_.references.forall(idx.contains))
+    if (applicable.isEmpty) return _ => true
+    val types = required.fields.map(_.dataType)
+    def value(row: InternalRow, n: String): Any = {
+      val i = idx(n)
+      if (row.isNullAt(i)) null else row.get(i, types(i))
+    }
+    def eval(f: Filter, row: InternalRow): Boolean = f match {
+      case EqualTo(n, l) => cmp(value(row, n), l).contains(0)
+      case GreaterThan(n, l) => cmp(value(row, n), l).exists(_ > 0)
+      case GreaterThanOrEqual(n, l) => cmp(value(row, n), l).exists(_ >= 0)
+      case LessThan(n, l) => cmp(value(row, n), l).exists(_ < 0)
+      case LessThanOrEqual(n, l) => cmp(value(row, n), l).exists(_ <= 0)
+      case In(n, vs) => vs.exists(l => cmp(value(row, n), l).contains(0))
+      case IsNull(n) => row.isNullAt(idx(n))
+      case IsNotNull(n) => !row.isNullAt(idx(n))
+      case StringStartsWith(n, p) => value(row, n) match {
+        case u: UTF8String => u.toString.startsWith(p); case _ => false
+      }
+      case StringEndsWith(n, p) => value(row, n) match {
+        case u: UTF8String => u.toString.endsWith(p); case _ => false
+      }
+      case StringContains(n, p) => value(row, n) match {
+        case u: UTF8String => u.toString.contains(p); case _ => false
+      }
+      case And(l, r) => eval(l, row) && eval(r, row)
+      case _ => true // unsupported never reaches here (supports() gate)
+    }
+    row => applicable.forall(eval(_, row))
+  }
 }

@@ -72,6 +72,24 @@ object XlsxParser {
     out.toSeq
   }
 
+  /** Whether the workbook uses the 1904 (Mac-origin) date system:
+    * `<workbookPr date1904="1"/>` in xl/workbook.xml. Serials in a 1904
+    * workbook count from 1904-01-01, not 1899-12-30 — reading one as
+    * 1900-system silently shifts every date by 1,462 days. */
+  def isDate1904(zip: ZipFile): Boolean = {
+    val r = reader(zip, "xl/workbook.xml")
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "workbookPr") {
+          val v = r.getAttributeValue(null, "date1904")
+          return v == "1" || (v != null && v.equalsIgnoreCase("true"))
+        }
+      }
+      false
+    } finally r.close()
+  }
+
   /** Shared-string table; rich-text runs inside one `<si>` concatenate. */
   def sharedStrings(zip: ZipFile): IndexedSeq[String] = {
     if (zip.getEntry("xl/sharedStrings.xml") == null) return IndexedSeq.empty

@@ -4,11 +4,75 @@ import graft.multimodal.Multimodal
 import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
 
 /** Spark-side plumbing tests for the multimodal stages (schema, batch
-  * shape, determinism); the decode itself is a documented deterministic
-  * stub. */
+  * shape, determinism), plus REAL image decode through javax.imageio
+  * (audio/video and unparseable bytes use the documented deterministic
+  * stub). */
 class MultimodalSpec extends SparkTestBase {
 
   import Multimodal._
+
+  /** Encode a PNG in-memory from explicit RGB pixel rows. */
+  private def png(rgbRows: Array[Array[Int]]): Array[Byte] = {
+    val h = rgbRows.length
+    val w = rgbRows.head.length
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbRows(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage decodes a real PNG pixel-exactly (Rec.601 integer luminance)") {
+    val rgb = Array(
+      Array(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF),
+      Array(0x000000, 0x808080, 0x123456, 0xFEDCBA))
+    val Some((w, h, px)) = decodeImage(png(rgb))
+    assert(w == 4 && h == 2)
+    val expected = rgb.flatten.map { c =>
+      val (r, g, b) = ((c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF)
+      ((299 * r + 587 * g + 114 * b + 500) / 1000).toByte
+    }
+    assert(px.toSeq == expected.toSeq)
+  }
+
+  test("imageFeatures decodes real PNGs in the distributed pipeline, true dims win") {
+    import spark.implicits._
+    // metadata lies about the dimensions (2×2); the decoder must report
+    // the true decoded 4×2 and feature the real pixels
+    val bytes = png(Array(
+      Array(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF),
+      Array(0x000000, 0x808080, 0x123456, 0xFEDCBA)))
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, MediaMeta("image", 2, 2, 1, 0), bytes))).repartition(2)
+    val f = imageFeatures(ds).collect().head
+    assert(f.width == 4 && f.height == 2)
+    val lum = Array(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF,
+      0x000000, 0x808080, 0x123456, 0xFEDCBA).map { c =>
+      (299 * ((c >> 16) & 0xFF) + 587 * ((c >> 8) & 0xFF) + 114 * (c & 0xFF) + 500) / 1000
+    }
+    assert(f.mean_intensity == lum.sum.toDouble / 8)
+    assert(f.histogram.sum == 8)
+    lum.foreach(v => assert(f.histogram(v * 16 / 256) > 0))
+  }
+
+  test("resize pools a real PNG at its decoded dimensions") {
+    import spark.implicits._
+    val bytes = png(Array.fill(8)(Array.fill(8)(0x808080))) // uniform gray 8×8
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, MediaMeta("image", 1, 1, 1, 0), bytes)))
+    val out = resize(ds, 2).collect().head
+    assert(out.meta.width == 4 && out.meta.height == 4)
+    // average-pooling a uniform image is the identity on intensity
+    assert(out.content.forall(b => (b & 0xFF) == (299 * 0x80 + 587 * 0x80 + 114 * 0x80 + 500) / 1000))
+  }
+
+  test("non-image media and unparseable bytes fall back to the deterministic stub") {
+    val junk = MediaRow(1L, MediaMeta("image", 4, 4, 1, 0), Array[Byte](1, 2, 3))
+    val audio = MediaRow(2L, MediaMeta("audio", 4, 4, 1, 44100), png(Array(Array(0xFFFFFF))))
+    assert(decode(junk)._3.toSeq == decodeFake(junk.content, 4, 4).toSeq)
+    assert(decode(audio)._3.toSeq == decodeFake(audio.content, 4, 4).toSeq)
+  }
 
   private def mediaDs = {
     import spark.implicits._

@@ -135,6 +135,43 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("file-source integration: readStream over a parquet events dir matches batch") {
+    import org.apache.spark.sql.functions._
+    val events = graft.ops.Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    // three chronological file chunks (append in ts order) so each
+    // micro-batch only ever sees data NEWER than the watermark — the
+    // arrival pattern a time-partitioned landing zone produces
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+    val chunked = events.withColumn("chunk", ntile(3).over(w)).cache()
+    (1 to 3).foreach { c =>
+      chunked.filter(col("chunk") === c).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    chunked.unpersist()
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // several incremental micro-batches
+      .parquet(srcDir)
+    val name = s"filesrc_${System.nanoTime()}"
+    val q = Streams.tumblingCounts(stream).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", ckptDir) // durable progress, real restart semantics
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress != null && q.recentProgress.nonEmpty)
+      val streamed = spark.table(name)
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = Streams.tumblingCounts(spark.read.parquet(srcDir))
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("custom flatMapGroupsWithState sessionizer closes on inactivity timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -10,7 +10,8 @@ import org.apache.spark.sql.types._
   * headerless mode. */
 class XlsxEdgeSpec extends SparkTestBase {
 
-  private def makeXlsx(sheetXml: String, sharedXml: Option[String] = None): String = {
+  private def makeXlsx(sheetXml: String, sharedXml: Option[String] = None,
+      date1904: Boolean = false): String = {
     val dir = Files.createTempDirectory("xlsx-edge")
     val path = dir.resolve("t.xlsx").toString
     val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
@@ -19,8 +20,9 @@ class XlsxEdgeSpec extends SparkTestBase {
       zos.write(content.getBytes("UTF-8"))
       zos.closeEntry()
     }
+    val wbPr = if (date1904) """<workbookPr date1904="1"/>""" else ""
     put("xl/workbook.xml",
-      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+      s"""<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">$wbPr<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>""")
     put("xl/_rels/workbook.xml.rels",
       """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
     sharedXml.foreach(x => put("xl/sharedStrings.xml", x))
@@ -77,5 +79,40 @@ class XlsxEdgeSpec extends SparkTestBase {
     val schema = StructType(Seq(StructField("h", StringType)))
     val rows = spark.read.format("xlsx").schema(schema).load(path).collect()
     assert(rows.length == 1 && rows(0).getString(0) == "abcd")
+  }
+
+  test("1904 date system offsets serials by 1,462 days vs the 1900 system") {
+    // serial 100: 1900-system → 1899-12-30 + 100d = 1900-04-09;
+    //             1904-system → 1904-01-01 + 100d = 1904-04-10
+    val sheet =
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>d</t></is></c></row>
+        |<row r="2"><c r="A2"><v>100</v></c></row>""".stripMargin
+    val schema = StructType(Seq(StructField("d", DateType)))
+    val d1900 = spark.read.format("xlsx").schema(schema)
+      .load(makeXlsx(sheet)).collect()(0).getDate(0)
+    val d1904 = spark.read.format("xlsx").schema(schema)
+      .load(makeXlsx(sheet, date1904 = true)).collect()(0).getDate(0)
+    assert(d1900.toString == "1900-04-09")
+    assert(d1904.toString == "1904-04-10")
+    val dayMs = 86400000L
+    assert((d1904.getTime - d1900.getTime) / dayMs == 1462L)
+  }
+
+  test("pushed filters drop rows at the source and appear in the scan description") {
+    val path = makeXlsx(
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>name</t></is></c><c r="B1" t="inlineStr"><is><t>qty</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>keep</t></is></c><c r="B2"><v>10</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>drop</t></is></c><c r="B3"><v>3</v></c></row>
+        |<row r="4"><c r="A4" t="inlineStr"><is><t>keep</t></is></c><c r="B4"><v>7</v></c></row>""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("qty", LongType)))
+    val df = spark.read.format("xlsx").schema(schema).load(path)
+      .filter(org.apache.spark.sql.functions.col("name") === "keep")
+      .filter(org.apache.spark.sql.functions.col("qty") > 5L)
+    assert(df.collect().map(_.getLong(1)).sorted.toSeq == Seq(7L, 10L))
+    // the scan node must advertise what it pushed (plan-visible contract)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters=[") && plan.contains("EqualTo(name,keep)"),
+      plan)
   }
 }

@@ -20,9 +20,22 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # The driver sorts rows by ALL columns before hashing; replicate it so
-    # unsortable cell types (numpy arrays from list columns) fail HERE,
-    # not in the driver's round gate.
-    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    # unsortable cell types (numpy arrays from list columns, mixed
+    # None/str object columns) fail HERE, not in the driver's round gate.
+    try:
+        df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    except TypeError as e:
+        # name the offending column so the regression is self-explanatory
+        for c in df.columns:
+            try:
+                df[c].sort_values()
+            except TypeError:
+                raise TypeError(
+                    f"output column {c!r} (dtype {df[c].dtype}) is not "
+                    f"row-sortable — the driver's gate would crash on this "
+                    f"output shape: {e}"
+                ) from e
+        raise
     return df
 
 
