@@ -33,7 +33,10 @@ object Bench {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      // warm through the same accessor the queries use — events needs
+      // the nanos-as-long conf, so a raw read there throws and leaves
+      // the table cold (observed round 3: PARQUET_TYPE_ILLEGAL)
+      try ops.Tables.byName(spark, sfDir, t).count()
       catch { case scala.util.control.NonFatal(e) =>
         // a missing table shifts its footer cost back into the first
         // query that reads it — say so instead of hiding it

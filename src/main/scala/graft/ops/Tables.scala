@@ -33,4 +33,12 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Name-dispatched accessor that routes through the per-table quirks
+    * (events' nanos handling) — use this instead of `apply` when the
+    * table name is data, e.g. Bench's warmup loop. */
+  def byName(s: SparkSession, d: String, name: String): DataFrame = name match {
+    case "events" => events(s, d)
+    case n => apply(s, d, n)
+  }
 }
