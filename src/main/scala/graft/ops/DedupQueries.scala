@@ -189,12 +189,47 @@ object DedupQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected-components-lite over the verified near-dup graph: every
+    * doc in a minhash-verified pair gets a cluster label via BOUNDED
+    * min-label propagation (2 rounds). This is the canonical "pick one
+    * survivor per duplicate CLUSTER" step a training-data pipeline runs
+    * after pair finding — pairs alone under-dedup transitive groups
+    * (A~B, B~C but A≁C).
+    *
+    * Scale posture: each round is ONE shuffle (join labels to edges +
+    * min-aggregate) — the standard large-graph CC recipe (label
+    * propagation / hash-to-min) where a production run loops rounds to
+    * convergence with an AQE-sized shuffle per round. The round count
+    * is FIXED here (2 = graph diameter the fixture exhibits) because
+    * the semantics must be expressible as a deterministic oracle;
+    * looping the same `propagate` to fixpoint is the unbounded variant
+    * (each extra round = same plan re-applied). */
+  def dedupClusterLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = PipelineCache.getOrPersist(s"dedup:verifiedPairs:$d")(
+      dedupMinhashLsh(s, d).select(col("a_id"), col("b_id")))
+    val edges = pairs.union(
+      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val labels0 = edges.select(col("a_id").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    def propagate(lbl: DataFrame): DataFrame =
+      lbl.as("l")
+        .join(edges.as("e"), col("l.id") === col("e.a_id"))
+        .join(lbl.select(col("id").as("nb_id"), col("lbl").as("nb_lbl")).as("n"),
+          col("e.b_id") === col("n.nb_id"))
+        .groupBy(col("l.id").as("id"))
+        .agg(least(min(col("n.nb_lbl")), min(col("l.lbl"))).as("lbl"))
+    propagate(propagate(labels0))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_text"       -> dedupExactText _,
     "dedup_minhash_lsh"      -> dedupMinhashLsh _,
     "dedup_prefix_jaccard"   -> dedupPrefixJaccard _,
     "dedup_simhash"          -> dedupSimhash _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
+    "dedup_cluster_labels"   -> dedupClusterLabels _,
   )
 
   // ---- DuckDB oracle SQL (mirrors the exact arithmetic above) ----
@@ -244,20 +279,41 @@ object DedupQueries {
       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(b.embedding)+1),
       |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (s, v) -> s + v))""".stripMargin
 
+  /** Shared CTE chain: token hashes → shingles → minhash signatures →
+    * LSH band candidates (used by the minhash query and the cluster
+    * labels built on its verified pairs). */
+  private val minhashCandCte =
+    s"""$baseCte,
+       |sig AS (SELECT doc_id, list_transform(range(0,8),
+       |  i -> list_min(list_transform(sh, h -> ((2*i+3)*h + i*2654435761) % 4294967311))) AS sig FROM base),
+       |bands AS (SELECT doc_id, b, sig[2*b+1] || '|' || sig[2*b+2] AS bkey
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS b) t),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact_text" ->
       """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS survivor_id,
         |  CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""$baseCte,
-         |sig AS (SELECT doc_id, list_transform(range(0,8),
-         |  i -> list_min(list_transform(sh, h -> ((2*i+3)*h + i*2654435761) % 4294967311))) AS sig FROM base),
-         |bands AS (SELECT doc_id, b, sig[2*b+1] || '|' || sig[2*b+2] AS bkey
-         |  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS b) t),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      s"""$minhashCandCte
          |$verifySql""".stripMargin,
+    "dedup_cluster_labels" ->
+      s"""$minhashCandCte,
+         |pairs AS (SELECT a_id, b_id
+         |  FROM cand JOIN base x ON x.doc_id = a_id JOIN base y ON y.doc_id = b_id
+         |  WHERE $jaccardSql >= $J),
+         |edges AS (SELECT a_id AS id, b_id AS nb FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |l0 AS (SELECT DISTINCT id, id AS lbl FROM edges),
+         |l1 AS (SELECT e.id, least(min(n.lbl), min(l.lbl)) AS lbl
+         |  FROM edges e JOIN l0 l ON l.id = e.id JOIN l0 n ON n.id = e.nb
+         |  GROUP BY e.id),
+         |l2 AS (SELECT e.id, least(min(n.lbl), min(l.lbl)) AS lbl
+         |  FROM edges e JOIN l1 l ON l.id = e.id JOIN l1 n ON n.id = e.nb
+         |  GROUP BY e.id)
+         |SELECT id AS doc_id, lbl AS cluster FROM l2 ORDER BY doc_id""".stripMargin,
     "dedup_prefix_jaccard" ->
       s"""$baseCte,
          |pref AS (SELECT doc_id, unnest(list_slice(list_sort(sh), 1,

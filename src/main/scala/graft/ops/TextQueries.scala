@@ -89,13 +89,39 @@ object TextQueries {
       .limit(30)
   }
 
+  /** Composite curation funnel — the three text gates a training-data
+    * pipeline chains before tokenization, in one plan: exact-dedup
+    * survivor (first doc per content hash) → quality gate → language
+    * gate → per-source document/token budget. Single pass over the
+    * corpus: the window dedup is one shuffle on the content hash, the
+    * gates are codegen'd scalar filters on top, and the final rollup is
+    * a partial-aggregated groupBy — at 100 TB this is one shuffle more
+    * than the budget query alone. */
+  def textCurationFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val survivorRank = row_number().over(
+      Window.partitionBy(md5(col("text"))).orderBy("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", survivorRank)
+      .filter(col("rk") === 1)
+      .filter(isQuality(col("text"), stopwords) &&
+        langId(col("text"), Seq(
+          "generic" -> stopwords, "sqlish" -> sqlWords, "dataish" -> dataWords))
+          =!= "sqlish")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(approxBpeCount(col("text"))).as("bpe_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bigram_freq"   -> textBigramFreq _,
-    "text_token_count"   -> textTokenCount _,
-    "text_quality_score" -> textQualityScore _,
-    "text_lang_id"       -> textLangId _,
-    "text_fingerprint"   -> textFingerprint _,
-    "text_bpe_budget"    -> textBpeBudget _,
+    "text_bigram_freq"     -> textBigramFreq _,
+    "text_token_count"     -> textTokenCount _,
+    "text_quality_score"   -> textQualityScore _,
+    "text_lang_id"         -> textLangId _,
+    "text_fingerprint"     -> textFingerprint _,
+    "text_bpe_budget"      -> textBpeBudget _,
+    "text_curation_funnel" -> textCurationFunnel _,
   )
 
   private val tokensSql = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
@@ -150,5 +176,23 @@ object TextQueries {
          |    (acc, x) -> acc + 1 + (x - 1) // 6)) AS BIGINT) AS bpe_tokens,
          |  COUNT(*) AS n_docs
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "text_curation_funnel" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($tokensSql, t -> CAST(length(t) AS BIGINT))),
+         |    (acc, x) -> acc + 1 + (x - 1) // 6)) AS BIGINT) AS bpe_tokens
+         |FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+         |      FROM documents)
+         |WHERE rk = 1
+         |  AND COALESCE(len($tokensSql) >= 20 AND len($tokensSql) <= 1000 AND
+         |    CAST(${markSql(stopwords)} AS DOUBLE) /
+         |      CAST(NULLIF(len($tokensSql), 0) AS DOUBLE) < 0.5, false)
+         |  AND (CASE
+         |    WHEN ${markSql(dataWords)} > ${markSql(sqlWords)}
+         |     AND ${markSql(dataWords)} > ${markSql(stopwords)} THEN 'dataish'
+         |    WHEN ${markSql(sqlWords)} > ${markSql(stopwords)} THEN 'sqlish'
+         |    ELSE 'generic' END) <> 'sqlish'
+         |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -69,4 +69,44 @@ class DedupSimilaritySpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cross product in:\n$plan")
   }
+
+  test("cluster labels stay within true connected components and point at member ids") {
+    val edgeSet = pairs("dedup_minhash_lsh")
+    // ground truth: union-find over the (small) collected pair set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edgeSet.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val labels = SparkEntry.queries("dedup_cluster_labels")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    labels.foreach { case (id, lbl) =>
+      assert(lbl <= id, s"label must be a min-propagated id: $id -> $lbl")
+      assert(labels.contains(lbl), s"label $lbl of $id is not a member doc")
+      // propagation only travels along edges: never cross true components
+      assert(find(lbl) == find(id), s"$id labeled across components: $lbl")
+    }
+    // the planted duplicates give at least one multi-member cluster
+    assert(labels.groupBy(_._2).exists(_._2.size > 1))
+  }
+
+  test("curation funnel only shrinks the per-source budget") {
+    val budget = SparkEntry.queries("text_bpe_budget")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // text_bpe_budget emits (source, bpe_tokens, n_docs)
+    val funnel = SparkEntry.queries("text_curation_funnel")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // funnel emits (source, n_docs, bpe_tokens)
+    assert(funnel.nonEmpty)
+    funnel.foreach { case (src, (nDocs, bpe)) =>
+      val (allBpe, allDocs) = budget(src)
+      assert(nDocs <= allDocs, s"$src: funnel kept more docs than exist")
+      assert(bpe <= allBpe, s"$src: funnel kept more tokens than exist")
+      assert(nDocs > 0 && bpe > 0)
+    }
+  }
 }
