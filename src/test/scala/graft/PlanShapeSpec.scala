@@ -42,10 +42,18 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("dedup candidate joins are equi-joins on derived keys, no cartesian") {
-    Seq("dedup_minhash_lsh", "dedup_prefix_jaccard", "dedup_simhash").foreach { q =>
+    Seq("dedup_minhash_lsh", "dedup_prefix_jaccard", "dedup_simhash",
+        "dedup_embedding_cosine", "dedup_cluster_labels").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
     }
+  }
+
+  test("curation funnel's survivor filter plans as a window group-limit") {
+    // rank()=1 must push a per-group limit BELOW the shuffle
+    // (WindowGroupLimit), not materialize the full window
+    val p = plan("text_curation_funnel")
+    assert(p.contains("WindowGroupLimit"), p)
   }
 }

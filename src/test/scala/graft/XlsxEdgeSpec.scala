@@ -115,4 +115,24 @@ class XlsxEdgeSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters=[") && plan.contains("EqualTo(name,keep)"),
       plan)
   }
+
+  test("pushed In/startsWith/null filters agree with Spark's residual semantics") {
+    import org.apache.spark.sql.functions.col
+    // beta's qty cell is ABSENT → null through the declared schema
+    val path = makeXlsx(
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>name</t></is></c><c r="B1" t="inlineStr"><is><t>qty</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>alpha</t></is></c><c r="B2"><v>1</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>beta</t></is></c></row>
+        |<row r="4"><c r="A4" t="inlineStr"><is><t>alphonse</t></is></c><c r="B4"><v>3</v></c></row>""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("qty", LongType)))
+    def read = spark.read.format("xlsx").schema(schema).load(path)
+    assert(read.filter(col("name").startsWith("alph"))
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("alpha", "alphonse"))
+    assert(read.filter(col("qty").isNull)
+      .collect().map(_.getString(0)).toSeq == Seq("beta"))
+    assert(read.filter(col("qty").isin(1L, 3L)).count() == 2)
+    // null comparison drops the row at the source AND in the residual
+    assert(read.filter(col("qty") > 0L).count() == 2)
+  }
 }
