@@ -41,6 +41,22 @@ object AdvancedQueries {
         col("gid"), col("n"))
       .orderBy("gid", "status", "priority")
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * per-status totals, per-priority totals, and the grand total in ONE
+    * pass (Spark expands the sets map-side and partial-aggregates
+    * before the single shuffle, same as rollup). */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast(IntegerType).as("gid"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"))
+      .orderBy("gid", "status", "priority")
+
   /** Analytic ranking battery: ntile quartiles, percent_rank, cume_dist
     * per nation (rank arithmetic — no FP accumulation, bit-stable). */
   def windowNtilePercent(s: SparkSession, d: String): DataFrame = {
@@ -210,6 +226,7 @@ object AdvancedQueries {
     "scalar_regex_pack"    -> scalarRegexPack _,
     "join_full_outer"      -> joinFullOuter _,
     "agg_cube"             -> aggCube _,
+    "agg_grouping_sets"    -> aggGroupingSets _,
     "window_ntile_percent" -> windowNtilePercent _,
     "window_range_frame"   -> windowRangeFrame _,
     "pivot_status_counts"  -> pivotStatusCounts _,
@@ -272,6 +289,14 @@ object AdvancedQueries {
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
         |  COUNT(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY gid, status, priority""".stripMargin,
     "window_ntile_percent" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,

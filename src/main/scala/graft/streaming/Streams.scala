@@ -62,6 +62,31 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stateful stream-stream INNER join: every `buy` event matched to
+    * the same user's `view` events in the PRECEDING hour (conversion
+    * attribution). Both sides carry watermarks and the join condition
+    * is time-range-bounded, so Spark derives a state-eviction horizon
+    * for each side — the state store holds at most ~3 h of events per
+    * user key instead of growing forever (the unbounded-state
+    * stream-stream join would OOM on an infinite stream). Works
+    * unchanged on batch frames (watermarks are a no-op there). */
+  def viewToBuyJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "2 hours")
+    val buys = events.filter(col("event_type") === "buy")
+      .select(col("user_id"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"), col("value").as("buy_value"))
+      .withWatermark("buy_ts", "2 hours")
+    buys.join(views,
+      col("v_user") === col("user_id") &&
+        col("view_ts") <= col("buy_ts") &&
+        col("view_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("buy_id"), col("view_id"),
+        col("buy_ts"), col("view_ts"), col("buy_value"))
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState: a
     * session closes after 30 minutes of inactivity (event-time timeout
     * keyed per user). Emits one row per closed session — the

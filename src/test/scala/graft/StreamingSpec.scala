@@ -135,6 +135,26 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream join attributes buys to preceding views within the hour") {
+    val out = runStream(Seq(
+      Seq(Event(1, ts("10:00"), 1, "view", 0.0),
+        Event(2, ts("10:30"), 1, "buy", 9.0),   // joins view 1 (30 min before)
+        Event(3, ts("10:40"), 2, "view", 0.0)),
+      Seq(Event(4, ts("13:00"), 1, "buy", 5.0), // no view within 1 h → no row
+        Event(5, ts("13:10"), 2, "buy", 7.0)),  // view 3 is 2.5 h earlier → no row
+      Seq(Event(9, ts("18:00"), 9, "view", 0.0))), // advance watermark
+      Streams.viewToBuyJoin)
+    assert(out.map(r => (r.getLong(1), r.getLong(2))) == Seq((2L, 1L)),
+      s"got: $out")
+    // batch parity: identical rows on a static frame
+    import spark.implicits._
+    val batch = Streams.viewToBuyJoin(Seq(
+      Event(1, ts("10:00"), 1, "view", 0.0), Event(2, ts("10:30"), 1, "buy", 9.0),
+      Event(3, ts("10:40"), 2, "view", 0.0), Event(4, ts("13:00"), 1, "buy", 5.0),
+      Event(5, ts("13:10"), 2, "buy", 7.0)).toDF()).collect()
+    assert(batch.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((2L, 1L)))
+  }
+
   test("file-source integration: readStream over a parquet events dir matches batch") {
     import org.apache.spark.sql.functions._
     val events = graft.ops.Tables.events(spark, sfDir)
