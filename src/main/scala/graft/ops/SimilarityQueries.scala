@@ -61,6 +61,53 @@ object SimilarityQueries {
       .limit(5)
   }
 
+  /** IVF with a REAL coarse quantizer (upgrades the sign-bucket and
+    * label stand-ins): assign every vector to its nearest of `NCells`
+    * centroids by squared L2, probe the query's 2 nearest cells
+    * (multi-probe), cosine top-5 within the probed cells only.
+    *
+    * Centroids are the embeddings of vec_id 1..NCells — a deterministic
+    * seed choice so the DuckDB oracle can mirror the assignment
+    * bit-for-bit; a production quantizer would train k-means offline
+    * and broadcast the trained centroids, THE SAME PLAN SHAPE (the
+    * training loop is out-of-band either way).
+    *
+    * Scale posture: assignment is a narrow crossJoin against NCells
+    * broadcast rows folded to an argmin by `min(struct(d2, cid))` —
+    * map-side partial aggregation means the only shuffle carries one
+    * (vec_id, cell) pair per vector; cell then becomes the partition
+    * key and the probe scans cells/NCells of the data. d2 uses the
+    * native VecDot/VecNormSq expressions: nsq_v + nsq_c − 2·dot. */
+  def simIvfCoarseTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val NCells = 8
+    val e = emb(s, d)
+    val cents = broadcast(e.filter(col("vec_id") <= NCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("nsq").as("cnsq")))
+    val d2all = e.crossJoin(cents)
+      .select(col("vec_id"), col("cid"),
+        (col("nsq") + col("cnsq") - lit(2.0) * dot(col("embedding"), col("cemb")))
+          .as("d2"))
+    val assigned = d2all
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    val probeCells = broadcast(d2all.filter(col("vec_id") === ProbeId)
+      .withColumn("rn", row_number().over(Window.orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") <= 2)
+      .select(col("cid").as("pcell")))
+    val probe = broadcast(e.filter(col("vec_id") === ProbeId)
+      .select(col("embedding").as("q"), col("nsq").as("qnsq")))
+    e.join(assigned, "vec_id")
+      .join(probeCells, col("cell") === col("pcell"))
+      .crossJoin(probe)
+      .filter(col("vec_id") =!= ProbeId)
+      .select(col("vec_id"), col("cell"), cosPre(col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** Per-label 3-nearest-neighbor lists: two-stage top-k via window
     * rank inside each label block — the grouped-ANN shape (one shuffle
     * on label, rank inside partitions; no global sort). */
@@ -83,6 +130,7 @@ object SimilarityQueries {
     "sim_cosine_topk"     -> simCosineTopk _,
     "sim_lsh_bucket_topk" -> simLshBucketTopk _,
     "sim_knn_per_label"   -> simKnnPerLabel _,
+    "sim_ivf_coarse_topk" -> simIvfCoarseTopk _,
   )
 
   // ---- DuckDB oracle (identical IEEE op order: widen→multiply in index
@@ -120,5 +168,29 @@ object SimilarityQueries {
          |  FROM embeddings e CROSS JOIN ($probeCte) p
          |  WHERE e.vec_id <> $ProbeId)
          |WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
+    "sim_ivf_coarse_topk" ->
+      // d2 = (nsq_v + nsq_c) - (2.0 * dot): same association order as the
+      // Spark expression; nsq/dot are the identical left-fold fragments
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id <= 8),
+         |d2all AS (SELECT e.vec_id, c.cid,
+         |    ${dotSql("e.embedding", "e.embedding")} +
+         |    ${dotSql("c.cemb", "c.cemb")} -
+         |    2.0 * ${dotSql("e.embedding", "c.cemb")} AS d2
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asgn AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d2all) WHERE rn = 1),
+         |pcells AS (SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY d2, cid) AS rn
+         |    FROM d2all WHERE vec_id = $ProbeId) WHERE rn <= 2)
+         |SELECT e.vec_id, a.cid AS cell, $cosSql AS cos
+         |FROM embeddings e
+         |JOIN asgn a ON a.vec_id = e.vec_id
+         |JOIN pcells pc ON a.cid = pc.cid
+         |CROSS JOIN ($probeCte) p
+         |WHERE e.vec_id <> $ProbeId
+         |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
   )
 }

@@ -57,6 +57,17 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF multi-probe results carry brute-force-identical cosines") {
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = SparkEntry.queries("sim_ivf_coarse_topk")(spark, sfDir).collect()
+    assert(ivf.length == 5)
+    // any IVF hit that brute-force also ranked must have the same cosine
+    ivf.foreach { r =>
+      brute.get(r.getLong(0)).foreach(bc => assert(bc == r.getDouble(2)))
+    }
+  }
+
   test("knn per label returns exactly 3 neighbors for every label") {
     val rows = SparkEntry.queries("sim_knn_per_label")(spark, sfDir).collect()
     val byLabel = rows.groupBy(_.getAs[Int]("label"))
