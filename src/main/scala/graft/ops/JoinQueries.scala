@@ -45,6 +45,57 @@ object JoinQueries {
   /** L5 at fact-fact scale: lineitem ⋈ orders on orderkey. Both sides are
     * unbounded → must shuffle on the key; SHUFFLE_MERGE pins the strategy
     * so the small-SF test exercises the same plan a cluster would run. */
+  /** Bucketed CO-LOCATED fact-fact join — the shuffle-elimination
+    * technique that matters most at 100 TB: both sides are written
+    * bucketed+sorted on the join key (8 buckets here; thousands in
+    * production), so the sort-merge join reads bucket i against bucket
+    * i with NO exchange and NO sort on either side — the only shuffle
+    * in the plan is the downstream aggregation's. The bucketed tables
+    * are built once per session (an index-build, not query work) and
+    * registered in the session catalog; `PlanShapeSpec` pins the
+    * exchange-free join. */
+  /** Build `name` bucketed once per session. The in-memory catalog
+    * forgets tables across JVMs but the warehouse directory persists —
+    * a stale location would fail the managed-table CREATE
+    * (LOCATION_ALREADY_EXISTS), so remove it first. */
+  private def ensureBucketedTable(s: SparkSession, name: String)(write: => Unit): Unit =
+    if (!s.catalog.tableExists(name)) {
+      val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+      val dir = new java.io.File(wh, name)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+      write
+    }
+
+  def joinBucketedColocated(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val lt = s"graft_bkt_lineitem_$tag"
+    val ot = s"graft_bkt_orders_$tag"
+    ensureBucketedTable(s, lt) {
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+    }
+    ensureBucketedTable(s, ot) {
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+    }
+    val li = s.table(lt)
+    val o  = s.table(ot).hint("MERGE") // pin SMJ: broadcast would hide the co-location
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(
+        moneyOut(sum(money(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   def joinShuffleLarge(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val o  = Tables.orders(s, d).hint("SHUFFLE_MERGE")
@@ -104,6 +155,7 @@ object JoinQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_inner_broadcast" -> joinInnerBroadcast _,
     "join_shuffle_large"   -> joinShuffleLarge _,
+    "join_bucketed_colocated" -> joinBucketedColocated _,
     "join_left_outer"      -> joinLeftOuter _,
     "join_left_semi"       -> joinLeftSemi _,
     "join_left_anti"       -> joinLeftAnti _,
@@ -123,6 +175,12 @@ object JoinQueries {
         |  COUNT(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_bucketed_colocated" -> // same answer; bucketing is a layout choice
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "join_left_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey

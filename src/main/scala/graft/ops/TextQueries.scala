@@ -114,7 +114,27 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Deterministic hash-based train/holdout split — the reproducible
+    * sampling primitive every training-data pipeline needs: membership
+    * is a pure function of (salt, doc_id) via md5, so the same doc
+    * lands in the same split on every run, on any cluster, at any
+    * parallelism — no RNG, no sampleBy seed drift across Spark
+    * versions. 90/10 by hash bucket; embarrassingly parallel (one
+    * codegen'd projection, the only shuffle is the summary rollup). */
+  def sampleHashSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(graft.dedup.Dedup.hexFold32(
+      md5(concat(lit("split:"), col("doc_id").cast("string")))), lit(100L))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(bucket < 90, "train").otherwise("holdout").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_hash_split"    -> sampleHashSplit _,
     "text_bigram_freq"     -> textBigramFreq _,
     "text_token_count"     -> textTokenCount _,
     "text_quality_score"   -> textQualityScore _,
@@ -128,7 +148,22 @@ object TextQueries {
   private def markSql(words: Seq[String]) =
     s"len(list_filter($tokensSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
+  /** 32-bit fold of md5($arg)'s first 8 hex nibbles — mirrors
+    * graft.dedup.Dedup.hexFold32 exactly (integer arithmetic only). */
+  private def fold32Sql(arg: String): String = {
+    def nib(pos: Int) = {
+      val c = s"ascii(substr(md5($arg), $pos, 1))"
+      s"CAST(CASE WHEN $c >= 97 THEN $c - 87 ELSE $c - 48 END AS BIGINT)"
+    }
+    (0 until 8).map(i => s"${nib(i + 1)} * ${1L << (4 * (7 - i))}").mkString(" + ")
+  }
+
   val oracle: Map[String, String] = Map(
+    "sample_hash_split" ->
+      s"""SELECT CASE WHEN (${fold32Sql("'split:' || CAST(doc_id AS VARCHAR)")}) % 100 < 90
+         |    THEN 'train' ELSE 'holdout' END AS split,
+         |  COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     "text_bigram_freq" ->
       s"""SELECT bigram, COUNT(*) AS n FROM (
          |  SELECT unnest(list_transform(range(1, len(tok)),

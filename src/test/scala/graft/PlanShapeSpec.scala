@@ -50,6 +50,17 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed co-located join reads buckets with no exchange or sort on either side") {
+    val df = graft.ops.JoinQueries.joinBucketedColocated(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("SelectedBucketsCount"), p) // bucket pruning surface active
+    // the ONLY hash exchange allowed is the aggregation's, above the join:
+    // the join inputs are bucket-partitioned and sorted on disk
+    val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinSection.contains("Exchange hashpartitioning"), p)
+  }
+
   test("curation funnel's survivor filter plans as a window group-limit") {
     // rank()=1 must push a per-group limit BELOW the shuffle
     // (WindowGroupLimit), not materialize the full window
