@@ -96,6 +96,33 @@ object JoinQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Salted skew join — the manual recipe for a join whose key
+    * distribution has hot keys AQE can't split finely enough: the
+    * large/skewed side appends a deterministic salt (l_linenumber mod
+    * SaltBuckets, so one hot orderkey's rows spread across SaltBuckets
+    * partitions), the small side replicates SaltBuckets× via explode,
+    * and the join key becomes the compound (key, salt). Result rows are
+    * identical to the plain join — salting is a partitioning choice —
+    * so the oracle is the unsalted SQL. Replication cost: SaltBuckets×
+    * the SMALLER side, the classic skew-vs-volume trade (same trade as
+    * DedupQueries.EmbedCells). */
+  def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val SaltBuckets = 4
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"),
+        pmod(col("l_linenumber"), lit(SaltBuckets)).as("salt"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        explode(sequence(lit(0), lit(SaltBuckets - 1))).as("salt"))
+    li.join(o.hint("MERGE"), // pin SMJ: the skew story is about shuffles
+        li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+      .groupBy("o_orderpriority")
+      .agg(
+        moneyOut(sum(money(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   def joinShuffleLarge(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val o  = Tables.orders(s, d).hint("SHUFFLE_MERGE")
@@ -156,6 +183,7 @@ object JoinQueries {
     "join_inner_broadcast" -> joinInnerBroadcast _,
     "join_shuffle_large"   -> joinShuffleLarge _,
     "join_bucketed_colocated" -> joinBucketedColocated _,
+    "join_skew_salted"     -> joinSkewSalted _,
     "join_left_outer"      -> joinLeftOuter _,
     "join_left_semi"       -> joinLeftSemi _,
     "join_left_anti"       -> joinLeftAnti _,
@@ -181,6 +209,12 @@ object JoinQueries {
         |  COUNT(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_skew_salted" -> // same answer; salting is a partitioning choice
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_left_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey

@@ -62,6 +62,15 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-STATIC enrichment join: each streaming event decorated from
+    * a static dimension frame. No streaming state at all — the static
+    * side is (re)planned per micro-batch and broadcast, so at 100 TB/day
+    * the stream never shuffles; only the dim moves, once per batch.
+    * Left join keeps events with no dim row (null-enriched), mirroring
+    * the ETL's reject-channel posture. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Stateful stream-stream INNER join: every `buy` event matched to
     * the same user's `view` events in the PRECEDING hour (conversion
     * attribution). Both sides carry watermarks and the join condition

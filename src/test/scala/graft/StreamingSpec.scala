@@ -135,6 +135,26 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream-static enrichment joins each micro-batch against the broadcast dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val name = s"enrich_${System.nanoTime()}"
+    val q = Streams.enrichWithDim(mem.toDF(), dim).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Seq(Event(1, ts("10:00"), 1, "view", 1.0),
+        Event(2, ts("10:01"), 9, "view", 1.0))) // user 9 has no dim row
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => r.getLong(r.fieldIndex("event_id")) ->
+          Option(r.getAs[String]("tier"))).toMap
+      assert(rows(1L).contains("gold"))
+      assert(rows(2L).isEmpty) // left join: kept, null-enriched
+    } finally q.stop()
+  }
+
   test("stream-stream join attributes buys to preceding views within the hour") {
     val out = runStream(Seq(
       Seq(Event(1, ts("10:00"), 1, "view", 0.0),
