@@ -72,6 +72,39 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("minhash signature distributes over set union (the mergeability LSH relies on)") {
+    import spark.implicits._
+    val shingle: Gen[Long] = Gen.chooseNum(0L, graft.dedup.Dedup.MinhashP - 1)
+    val setsGen = for {
+      a <- Gen.listOfN(12, shingle); b <- Gen.listOfN(12, shingle)
+    } yield (a, b)
+    forAll(setsGen) { case (a, b) =>
+      val df = Seq((a, b, a ++ b)).toDF("a", "b", "ab")
+      val r = df.select(
+        graft.dedup.Dedup.minhashSignature(col("ab"), 8).as("whole"),
+        zip_with(
+          graft.dedup.Dedup.minhashSignature(col("a"), 8),
+          graft.dedup.Dedup.minhashSignature(col("b"), 8),
+          (x, y) => least(x, y)).as("merged")).collect().head
+      // sig(A ∪ B) = elementwise min(sig(A), sig(B)) — exact integers;
+      // this is what makes minhash sketches mergeable across partitions
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("simhash of a single token is that token's 32-bit hash (majority of 1)") {
+    import spark.implicits._
+    val h: Gen[Long] = Gen.chooseNum(0L, (1L << 32) - 1)
+    forAll(Gen.listOfN(8, h)) { hs =>
+      val df = hs.map(v => Tuple1(Seq(v))).toDF("vs")
+      val rows = df.select(col("vs"),
+        graft.dedup.Dedup.simhash32(col("vs"), size(col("vs"))).as("sim")).collect()
+      rows.foreach { r =>
+        assert(r.getLong(1) == r.getSeq[Long](0).head)
+      }
+    }
+  }
+
   test("unpivot row-count identity: contact rows == non-null contact cells") {
     import spark.implicits._
     val cell: Gen[Option[String]] = Gen.option(Gen.alphaNumStr.map(_.take(6)))
