@@ -65,7 +65,7 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       // release the pipelines' persisted bases OUTSIDE the timed window:
       // each query is measured data-cold (deterministic, stable), and
-      // the pool never accumulates across 74 queries
+      // the pool never accumulates across the full query sweep
       ops.PipelineCache.releaseAll()
       (name, if (ok) elapsed else -1.0, ok)
     }

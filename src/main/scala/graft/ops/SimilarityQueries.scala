@@ -79,7 +79,6 @@ object SimilarityQueries {
     * key and the probe scans cells/NCells of the data. d2 uses the
     * native VecDot/VecNormSq expressions: nsq_v + nsq_c − 2·dot. */
   def simIvfCoarseTopk(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val NCells = 8
     val e = emb(s, d)
     val cents = broadcast(e.filter(col("vec_id") <= NCells)
@@ -94,8 +93,7 @@ object SimilarityQueries {
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cell"))
     val probeCells = broadcast(d2all.filter(col("vec_id") === ProbeId)
-      .withColumn("rn", row_number().over(Window.orderBy(col("d2"), col("cid"))))
-      .filter(col("rn") <= 2)
+      .orderBy(col("d2"), col("cid")).limit(2) // 8 rows → TakeOrdered, no window
       .select(col("cid").as("pcell")))
     val probe = broadcast(e.filter(col("vec_id") === ProbeId)
       .select(col("embedding").as("q"), col("nsq").as("qnsq")))
