@@ -33,10 +33,14 @@ object SourceSinkQueries {
 
   def csvRoundtripAgg(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "csv")
   def jsonRoundtripAgg(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "json")
+  /** Columnar binary format with its own type system + predicate
+    * pushdown surface (Spark's built-in ORC reader/writer). */
+  def orcRoundtripAgg(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "orc")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip_agg"  -> csvRoundtripAgg _,
     "json_roundtrip_agg" -> jsonRoundtripAgg _,
+    "orc_roundtrip_agg"  -> orcRoundtripAgg _,
   )
 
   private val aggSql =
@@ -46,5 +50,6 @@ object SourceSinkQueries {
   val oracle: Map[String, String] = Map(
     "csv_roundtrip_agg"  -> aggSql,
     "json_roundtrip_agg" -> aggSql,
+    "orc_roundtrip_agg"  -> aggSql,
   )
 }
