@@ -59,6 +59,31 @@ object AdvancedQueries {
 
   /** Analytic ranking battery: ntile quartiles, percent_rank, cume_dist
     * per nation (rank arithmetic — no FP accumulation, bit-stable). */
+  /** Batch sessionization — the lag-gap-flag + running-sum idiom (the
+    * batch twin of `Streams.sessionize`): a new session starts when the
+    * gap to the previous event of the same user exceeds 30 minutes;
+    * the session index is the running count of starts. Two windows over
+    * ONE partitioning (user_id) → a single shuffle serves both, then
+    * the summary groupBy reuses the same keys. Timestamps truncated to
+    * seconds on both engines (events.ts is ns-precision parquet; Spark
+    * reads µs — the second grain is the shared safe grain). */
+  def windowSessionizeBatch(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts"))
+    e.withColumn("new_s",
+        when(lag(col("ts"), 1).over(byUser).isNull ||
+          col("ts").cast(LongType) - lag(col("ts"), 1).over(byUser).cast(LongType) > 1800L,
+          1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .orderBy("user_id", "session_idx")
+  }
+
   def windowNtilePercent(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
     Tables.customer(s, d)
@@ -228,6 +253,7 @@ object AdvancedQueries {
     "agg_cube"             -> aggCube _,
     "agg_grouping_sets"    -> aggGroupingSets _,
     "window_ntile_percent" -> windowNtilePercent _,
+    "window_sessionize_batch" -> windowSessionizeBatch _,
     "window_range_frame"   -> windowRangeFrame _,
     "pivot_status_counts"  -> pivotStatusCounts _,
     "array_ops_pack"       -> arrayOpsPack _,
@@ -290,6 +316,21 @@ object AdvancedQueries {
         |  COUNT(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, status, priority""".stripMargin,
+    "window_sessionize_batch" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+        |  COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_idx""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,

@@ -61,6 +61,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!joinSection.contains("Exchange hashpartitioning"), p)
   }
 
+  test("batch sessionization shuffles once on user_id for both windows and the agg") {
+    // lag + running-sum windows share PARTITION BY user_id, and the
+    // session groupBy's (user_id, session_idx) keys are a superset of
+    // user_id — at 100 TB the whole pipeline must ride ONE exchange
+    // (plus the presentation range sort), never re-shuffle per window.
+    val p = plan("window_sessionize_batch")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
   test("curation funnel's survivor filter plans as a window group-limit") {
     // rank()=1 must push a per-group limit BELOW the shuffle
     // (WindowGroupLimit), not materialize the full window
