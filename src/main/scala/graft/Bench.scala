@@ -53,21 +53,35 @@ object Bench {
       }
       ops.PipelineCache.releaseAll()
     }
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+    // Median of SPARK_GRAFT_BENCH_REPS (default 3) full sweeps. A single
+    // sweep is hostage to whichever transient stall (major GC, IO flush)
+    // lands mid-run: observed 80 s vs 37 s totals on an idle box, the
+    // excess each time smeared over a DIFFERENT alphabetically-contiguous
+    // query block. Per-query median across whole sweeps keeps each
+    // repetition data-cold w.r.t. Spark caches (PipelineCache released
+    // between queries) while voting the stall window out.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val sweeps = (1 to reps).map { _ =>
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // release the pipelines' persisted bases OUTSIDE the timed window
+        ops.PipelineCache.releaseAll()
+        (name, elapsed, ok)
       }
-      // a failed query reports -1 (not its time-to-crash) so a
-      // regression can never masquerade as a speedup
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // release the pipelines' persisted bases OUTSIDE the timed window:
-      // each query is measured data-cold (deterministic, stable), and
-      // the pool never accumulates across the full query sweep
-      ops.PipelineCache.releaseAll()
-      (name, if (ok) elapsed else -1.0, ok)
+    }
+    val results = ordered.map { case (name, _) =>
+      val runs = sweeps.map(_.find(_._1 == name).get)
+      // a failed rep reports -1 (not its time-to-crash) so a regression
+      // can never masquerade as a speedup
+      val ok = runs.forall(_._3)
+      val median = runs.map(_._2).sorted.apply(runs.size / 2)
+      (name, if (ok) median else -1.0, ok)
     }
     // 3-decimal (ms) rounding: keeps the JSON line short enough for the
     // driver's bounded tail capture (round 1: full-precision doubles
