@@ -23,7 +23,8 @@ object SparkEntry {
       ScalarQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ AdvancedQueries.queries ++
-      SourceSinkQueries.queries ++ AsofQueries.queries ++ RangeTfQueries.queries
+      SourceSinkQueries.queries ++ AsofQueries.queries ++
+      RangeTfQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       ScalarQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++
       MultimodalQueries.oracle ++ AdvancedQueries.oracle ++
-      SourceSinkQueries.oracle ++ AsofQueries.oracle ++ RangeTfQueries.oracle
+      SourceSinkQueries.oracle ++ AsofQueries.oracle ++
+      RangeTfQueries.oracle ++ CurationQueries.oracle
 }

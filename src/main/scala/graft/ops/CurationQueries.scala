@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.Dedup.hexFold32
+
+/** Training-data curation operators beyond text analysis/dedup: PII
+  * redaction, stratified sampling, and weighted source mixing — the
+  * remaining standard stages of a large-scale pretraining pipeline
+  * (north-star extension; the reference's only "curation" is its CPF/
+  * phone cleaning, `/root/reference/etl_process.py:10–15`, which
+  * `EtlQueries` already covers).
+  *
+  * Determinism contract (same as the dedup suite): every sampling /
+  * weighting decision derives from md5 hex + integer arithmetic — a pure
+  * function of the row key, so results are reproducible across runs,
+  * engines, cluster sizes, and partitionings. No RNG anywhere.
+  */
+object CurationQueries {
+
+  // Patterns are valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+  // explicit char classes, no backreferences, no lookaround.
+  private val idPat    = "[0-9]{3}\\.[0-9]{3}\\.[0-9]{3}-[0-9]{2}"
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val numPat   = "[0-9]{4,}"
+
+  /** PII redaction pass: CPF-style ids → `<ID>`, emails → `<EMAIL>`,
+    * then any surviving 4+-digit run → `<NUM>` (order matters: the
+    * digit-run rule must not eat ids/emails first). Counts are taken on
+    * the pre-redaction text for ids/emails and on the intermediate text
+    * for digit runs, so nothing is double-counted.
+    *
+    * Scale: one codegen'd projection per row, no shuffle except the
+    * final presentation sort — embarrassingly parallel at 100 TB. The
+    * redacted text is returned as (md5, length) rather than the string
+    * itself only to keep the verification output small; a real pipeline
+    * would write the redacted column. */
+  def textPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val red1 = regexp_replace(col("text"), idPat, "<ID>")
+    val red2 = regexp_replace(red1, emailPat, "<EMAIL>")
+    val red3 = regexp_replace(red2, numPat, "<NUM>")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(idPat), lit(0))).as("n_ids"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(red2, lit(numPat), lit(0))).as("n_nums"),
+        md5(red3).as("red_md5"),
+        length(red3).cast(LongType).as("red_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling: each language stratum gets its
+    * own keep-rate (here derived from a hash of the stratum name so the
+    * query needs no knowledge of the corpus's language values; a real
+    * pipeline would pass a rate map), and membership is a pure function
+    * of the doc id — the same doc is kept on every run at any
+    * parallelism. Up/down-weighting languages this way is the standard
+    * pretraining-mix lever.
+    *
+    * Scale: the keep decision is a codegen'd projection; the only
+    * shuffle is the per-stratum rollup (pre-aggregated map-side, ~one
+    * row per language). */
+  def sampleStratifiedLang(s: SparkSession, d: String): DataFrame = {
+    val rate = pmod(hexFold32(md5(concat(lit("rate:"), col("lang")))), lit(50L)) + 50L
+    val bucket = pmod(hexFold32(md5(concat(lit("strat:"), col("doc_id").cast(StringType)))), lit(100L))
+    Tables.documents(s, d)
+      .select(col("lang"), rate.as("keep_rate"), (bucket < rate).as("keep"))
+      .groupBy("lang")
+      .agg(
+        min("keep_rate").as("keep_rate"), // constant per stratum; min = the value
+        count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  /** Weighted source interleave under a global document budget: each
+    * source gets weight w ∈ {1,2,3} (hash-derived here; a rate map in a
+    * real pipeline), docs are ranked within their source in a
+    * deterministic pseudo-random order (md5 of the doc id — reshuffling
+    * the corpus without an RNG), and doc rank r of a weight-w source is
+    * admitted with priority r/w. Taking the budget-N lowest priorities
+    * yields per-source shares proportional to the weights while drawing
+    * each source's docs in its own shuffled order — the standard
+    * "mix sources by sampling weight" construction, expressed
+    * relationally.
+    *
+    * Scale: one shuffle to rank within sources (window over the source
+    * key; sources are few → could salt by rank-block if one source
+    * dominates), then the global budget cut is TakeOrderedAndProject —
+    * per-partition top-N + driver merge of N·partitions rows, never a
+    * full sort. */
+  def mixWeightedSources(s: SparkSession, d: String, budget: Int = 200): DataFrame = {
+    val w = pmod(hexFold32(md5(concat(lit("wt:"), col("source")))), lit(3L)) + 1L
+    val shuffleKey = md5(concat(lit("mix:"), col("doc_id").cast(StringType)))
+    val rn = row_number().over(
+      Window.partitionBy("source").orderBy(shuffleKey, col("doc_id")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), w.as("w"), rn.as("rn"))
+      .withColumn("priority", col("rn").cast(DoubleType) / col("w").cast(DoubleType))
+      .orderBy(col("priority"), col("source"), col("doc_id"))
+      .limit(budget)
+      .groupBy("source")
+      .agg(min("w").as("w"), count(lit(1)).as("n_taken"), max("priority").as("max_priority"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_redact"        -> textPiiRedact _,
+    "sample_stratified_lang" -> sampleStratifiedLang _,
+    "mix_weighted_sources"   -> ((s, d) => mixWeightedSources(s, d)),
+  )
+
+  import OracleSql.fold32
+
+  val oracle: Map[String, String] = Map(
+    "text_pii_redact" ->
+      s"""WITH r AS (SELECT doc_id, text,
+         |    regexp_replace(text, '$idPat', '<ID>', 'g') AS red1 FROM documents),
+         |r2 AS (SELECT *, regexp_replace(red1, '$emailPat', '<EMAIL>', 'g') AS red2 FROM r),
+         |r3 AS (SELECT *, regexp_replace(red2, '$numPat', '<NUM>', 'g') AS red3 FROM r2)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$idPat')) AS n_ids,
+         |  len(regexp_extract_all(text, '$emailPat')) AS n_emails,
+         |  len(regexp_extract_all(red2, '$numPat')) AS n_nums,
+         |  md5(red3) AS red_md5,
+         |  length(red3) AS red_len
+         |FROM r3 ORDER BY doc_id""".stripMargin,
+    "sample_stratified_lang" ->
+      s"""WITH t AS (SELECT lang,
+         |    (${fold32("'rate:' || lang")}) % 50 + 50 AS keep_rate,
+         |    (${fold32("'strat:' || CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+         |  FROM documents)
+         |SELECT lang, MIN(keep_rate) AS keep_rate, COUNT(*) AS n_docs,
+         |  COUNT(CASE WHEN bucket < keep_rate THEN 1 END) AS n_kept
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "mix_weighted_sources" ->
+      s"""WITH ranked AS (SELECT doc_id, source,
+         |    (${fold32("'wt:' || source")}) % 3 + 1 AS w,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents),
+         |taken AS (SELECT *, CAST(rn AS DOUBLE) / CAST(w AS DOUBLE) AS priority
+         |  FROM ranked ORDER BY priority, source, doc_id LIMIT 200)
+         |SELECT source, MIN(w) AS w, COUNT(*) AS n_taken, MAX(priority) AS max_priority
+         |FROM taken GROUP BY source ORDER BY source""".stripMargin,
+  )
+}

@@ -223,7 +223,36 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark-contamination check — the decontamination step every
+    * pretraining pipeline runs before training: flag training documents
+    * that share any 3-gram shingle with a held-out evaluation set. The
+    * held-out side here is the same deterministic hash split as
+    * `sample_hash_split` (salt "split:", bucket ≥ 90), so the two
+    * queries compose into one pipeline: split → decontaminate train
+    * against holdout.
+    *
+    * Scale posture: the eval/benchmark side is SMALL by construction at
+    * any corpus size (benchmarks don't grow with the crawl), so its
+    * distinct shingle set is broadcast — the 100 TB training side
+    * streams map-side against it with NO shuffle of the corpus; the only
+    * shuffle is the per-doc rollup of matched shingles (already
+    * collapsed by partial aggregation). Same shingle base
+    * ([[hashedBase]]/[[shingled]]) as the dedup pipelines — the md5
+    * tokenization is still paid once. */
+  def dedupContaminationNgram(s: SparkSession, d: String): DataFrame = {
+    val split = pmod(hexFold32(md5(concat(lit("split:"), col("doc_id").cast("string")))), lit(100L))
+    val grams = shingled(s, d)
+      .select(col("doc_id"), (split < 90).as("is_train"), explode(col("sh")).as("g"))
+    val bench = broadcast(grams.filter(!col("is_train")).select("g").distinct())
+    grams.filter(col("is_train"))
+      .join(bench, "g")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("g")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_contamination_ngram" -> dedupContaminationNgram _,
     "dedup_exact_text"       -> dedupExactText _,
     "dedup_minhash_lsh"      -> dedupMinhashLsh _,
     "dedup_prefix_jaccard"   -> dedupPrefixJaccard _,
@@ -292,6 +321,16 @@ object DedupQueries {
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_contamination_ngram" ->
+      s"""$baseCte,
+         |g AS (SELECT doc_id,
+         |    (${OracleSql.fold32("'split:' || CAST(doc_id AS VARCHAR)")}) % 100 < 90 AS is_train,
+         |    unnest(sh) AS g FROM base),
+         |bench AS (SELECT DISTINCT g FROM g WHERE NOT is_train)
+         |SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_shared
+         |FROM g t JOIN bench b ON t.g = b.g
+         |WHERE t.is_train
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     "dedup_exact_text" ->
       """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS survivor_id,
         |  CAST(count(*) AS BIGINT) AS n_copies

@@ -148,15 +148,7 @@ object TextQueries {
   private def markSql(words: Seq[String]) =
     s"len(list_filter($tokensSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
-  /** 32-bit fold of md5($arg)'s first 8 hex nibbles — mirrors
-    * graft.dedup.Dedup.hexFold32 exactly (integer arithmetic only). */
-  private def fold32Sql(arg: String): String = {
-    def nib(pos: Int) = {
-      val c = s"ascii(substr(md5($arg), $pos, 1))"
-      s"CAST(CASE WHEN $c >= 97 THEN $c - 87 ELSE $c - 48 END AS BIGINT)"
-    }
-    (0 until 8).map(i => s"${nib(i + 1)} * ${1L << (4 * (7 - i))}").mkString(" + ")
-  }
+  private def fold32Sql(arg: String): String = OracleSql.fold32(arg)
 
   val oracle: Map[String, String] = Map(
     "sample_hash_split" ->

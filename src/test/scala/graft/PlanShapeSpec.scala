@@ -76,4 +76,18 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("text_curation_funnel")
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("contamination streams the corpus against a broadcast benchmark set") {
+    // the benchmark side must broadcast (it stays small at any corpus
+    // scale) so the 100 TB training side never shuffles for the probe
+    val p = plan("dedup_contamination_ngram")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("weighted mix budget cut is two-stage top-k, never a global sort") {
+    val p = plan("mix_weighted_sources")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
 }
