@@ -49,12 +49,32 @@ object AsofQueries {
       .orderBy("event_id")
   }
 
+  /** The same as-of lookup through the engine's NATIVE operator
+    * ([[graft.plans.AsofJoin]]: custom LogicalPlan + SparkStrategy +
+    * SparkPlan) instead of the union+last_value composition — each side
+    * shuffles on its own key and a linear per-partition merge replaces
+    * the window over the unioned rows. Same rows by construction
+    * (differential-tested in AsofNativeSpec; same DuckDB oracle). */
+  def joinAsofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType)).as("day"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(count(lit(1)).cast(LongType).as("day_total"))
+      .select(col("user_id").as("r_user_id"), col("day").as("r_day"), col("day_total"))
+    graft.plans.AsofJoin(ev, daily, "user_id", "r_user_id", "day", "r_day")
+      .select(col("event_id"), col("user_id"), col("day"),
+        coalesce(col("day_total"), lit(-1L)).as("asof_total"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "join_asof_daily" -> joinAsofDaily _,
+    "join_asof_daily"  -> joinAsofDaily _,
+    "join_asof_native" -> joinAsofNative _,
   )
 
-  val oracle: Map[String, String] = Map(
-    "join_asof_daily" ->
+  /** Both formulations answer the same question — one oracle text. */
+  private val asofOracleSql =
       """WITH ev AS (
         |  SELECT event_id, user_id,
         |    datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day
@@ -65,6 +85,10 @@ object AsofQueries {
         |  COALESCE(d.day_total, -1) AS asof_total
         |FROM ev e ASOF LEFT JOIN daily d
         |  ON e.user_id = d.user_id AND e.day >= d.day
-        |ORDER BY event_id""".stripMargin,
+        |ORDER BY event_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "join_asof_daily"  -> asofOracleSql,
+    "join_asof_native" -> asofOracleSql,
   )
 }

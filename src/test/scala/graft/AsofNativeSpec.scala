@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsofQueries
+import graft.plans.AsofJoin
+
+/** Differential + edge tests for the native as-of join operator
+  * (custom LogicalPlan/SparkStrategy/SparkPlan). The union+last_value
+  * composition in AsofQueries is the reference double; the DuckDB ASOF
+  * JOIN oracle is the third independent implementation. */
+class AsofNativeSpec extends SparkTestBase {
+
+  test("native as-of join equals the union+last_value formulation") {
+    val native = AsofQueries.joinAsofNative(spark, sfDir).collect().toSeq
+    val composed = AsofQueries.joinAsofDaily(spark, sfDir).collect().toSeq
+    assert(native.nonEmpty)
+    assert(native == composed)
+  }
+
+  test("plans through AsofJoinExec with no window and a per-side shuffle") {
+    val p = AsofQueries.joinAsofNative(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // physical node renders as "AsofJoin <keys>" (TreeNode strips "Exec")
+    assert(p.contains("AsofJoin "), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("backward-inclusive semantics, nulls never match, empty build side") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, Some(10L), 5L),   // before any build row -> null
+      (2L, Some(10L), 10L),  // exact time match (inclusive) -> 100
+      (3L, Some(10L), 17L),  // between build rows -> latest <= 17 is 15 -> 150
+      (4L, Some(10L), 99L),  // after all build rows -> 150
+      (5L, Some(77L), 50L),  // key with no build rows -> null
+      (6L, None, 50L)        // null key -> null
+    ).toDF("id", "k", "t")
+      .select(col("id"), col("k").as("user"), col("t").as("when"))
+    val build = Seq((10L, 10L, 100L), (10L, 15L, 150L), (20L, 1L, 999L))
+      .toDF("r_user", "r_when", "v")
+
+    val got = AsofJoin(probe, build, "user", "r_user", "when", "r_when")
+      .select(col("id"), col("v")).orderBy("id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq
+    assert(got == Seq(1L -> None, 2L -> Some(100L), 3L -> Some(150L),
+      4L -> Some(150L), 5L -> None, 6L -> None))
+  }
+
+  test("self-lineage sides (build derived from probe) do not collide") {
+    import spark.implicits._
+    val base = Seq((1L, 1L, 10L), (1L, 2L, 20L), (2L, 1L, 30L))
+      .toDF("k", "t", "v")
+    // build = aggregate OF the probe plan — shared scan lineage
+    val daily = base.groupBy("k", "t").agg(sum("v").as("s"))
+      .select(col("k").as("rk"), col("t").as("rt"), col("s"))
+    val out = AsofJoin(base, daily, "k", "rk", "t", "rt")
+      .select(col("k"), col("t"), col("s")).orderBy("k", "t").collect()
+    assert(out.length == 3)
+    assert(out.forall(!_.isNullAt(2))) // every row finds its own aggregate
+  }
+}
