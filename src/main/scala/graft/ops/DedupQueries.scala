@@ -223,6 +223,58 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Connected components to CONVERGENCE — the unbounded variant of
+    * [[dedupClusterLabels]]: min-label propagation looped until no label
+    * changes (true transitive closure, whatever the graph diameter),
+    * not a fixed 2 rounds. This is the form a production dedup actually
+    * runs; the driver-side loop is control flow only — each round is
+    * the same one-shuffle propagate plan, materialized per round.
+    *
+    * Scale posture: per-round frames are persisted (breaking recompute;
+    * the previous round is unpersisted as soon as its successor is
+    * materialized) and the loop is capped at [[CcMaxRounds]] — near-dup
+    * graphs have tiny diameters, and the cap also bounds logical-plan
+    * growth (each round's plan references its predecessor's twice; at a
+    * 100 TB run with hundreds of rounds one would `checkpoint` per
+    * round to truncate lineage — same loop, one extra call). The
+    * convergence test (`changed == 0`) rides the same action that
+    * materializes the round, costing one count against cached data.
+    *
+    * Oracle: DuckDB recursive CTE — min reachable node over the
+    * symmetric edge set, a genuinely different algorithm (BFS closure
+    * vs iterated relational propagation) that must agree exactly. */
+  def dedupClusterConverged(s: SparkSession, d: String): DataFrame = {
+    val pairs = PipelineCache.getOrPersist(s"dedup:verifiedPairs:$d")(
+      dedupMinhashLsh(s, d).select(col("a_id"), col("b_id")))
+    val edges = PipelineCache.getOrPersist(s"dedup:ccEdges:$d")(
+      pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    labels.persist().count()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < CcMaxRounds) {
+      val next = labels.as("l")
+        .join(edges.as("e"), col("l.id") === col("e.a_id"))
+        .join(labels.select(col("id").as("nb_id"), col("lbl").as("nb_lbl")).as("n"),
+          col("e.b_id") === col("n.nb_id"))
+        .groupBy(col("l.id").as("id"))
+        .agg(least(min(col("n.nb_lbl")), min(col("l.lbl"))).as("lbl"))
+      next.persist()
+      changed = next.as("a").join(labels.as("b"), col("a.id") === col("b.id"))
+        .filter(col("a.lbl") =!= col("b.lbl")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      rounds += 1
+    }
+    PipelineCache.register(s"dedup:ccConverged:$d", labels)
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  /** Diameter cap for [[dedupClusterConverged]] (see its scaladoc). */
+  val CcMaxRounds = 12
+
   /** Benchmark-contamination check — the decontamination step every
     * pretraining pipeline runs before training: flag training documents
     * that share any 3-gram shingle with a held-out evaluation set. The
@@ -252,6 +304,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_converged"   -> dedupClusterConverged _,
     "dedup_contamination_ngram" -> dedupContaminationNgram _,
     "dedup_exact_text"       -> dedupExactText _,
     "dedup_minhash_lsh"      -> dedupMinhashLsh _,
@@ -321,6 +374,20 @@ object DedupQueries {
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // transitive closure by recursive BFS — a different algorithm than
+    // the engine's iterated propagation; must agree exactly at fixpoint
+    "dedup_cluster_converged" ->
+      s"""${minhashCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT a_id, b_id
+         |  FROM cand JOIN base x ON x.doc_id = a_id JOIN base y ON y.doc_id = b_id
+         |  WHERE $jaccardSql >= $J),
+         |edges AS (SELECT a_id, b_id FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT a_id AS id, a_id AS r FROM edges
+         |  UNION
+         |  SELECT t.id, e.b_id FROM reach t JOIN edges e ON e.a_id = t.r)
+         |SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_contamination_ngram" ->
       s"""$baseCte,
          |g AS (SELECT doc_id,

@@ -33,6 +33,13 @@ object PipelineCache {
     frames.getOrElseUpdate(key, { val df = build; df.persist(); df.count(); df })
   }
 
+  /** Adopt an ALREADY-persisted frame into the lifecycle (used by
+    * iterative pipelines that persist per round themselves and need the
+    * surviving final frame released at the query boundary). */
+  def register(key: String, df: DataFrame): Unit = synchronized {
+    frames.update(key, df)
+  }
+
   /** Unpersist every registered frame (non-blocking) and clear. */
   def releaseAll(): Unit = synchronized {
     frames.valuesIterator.foreach(_.unpersist(blocking = false))

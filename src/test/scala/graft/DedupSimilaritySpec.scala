@@ -105,6 +105,25 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(labels.groupBy(_._2).exists(_._2.size > 1))
   }
 
+  test("converged cluster labels equal union-find components exactly") {
+    val edgeSet = pairs("dedup_minhash_lsh")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edgeSet.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    // canonical truth: every node labeled by the MIN id of its component
+    val members = parent.keys.toSeq
+    val minOfRoot = members.groupBy(find).map { case (r, ms) => r -> ms.min }
+    val truth = members.map(id => id -> minOfRoot(find(id))).toMap
+    val got = SparkEntry.queries("dedup_cluster_converged")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == truth, "fixpoint propagation must equal union-find components")
+  }
+
   test("curation funnel only shrinks the per-source budget") {
     val budget = SparkEntry.queries("text_bpe_budget")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
