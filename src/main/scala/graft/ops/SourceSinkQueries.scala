@@ -37,10 +37,32 @@ object SourceSinkQueries {
     * pushdown surface (Spark's built-in ORC reader/writer). */
   def orcRoundtripAgg(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "orc")
 
+  /** Hive-style partitioned layout + partition pruning — the first
+    * lever of any 100 TB table design: write `documents` partitioned by
+    * `lang` (one directory per value), read back, and aggregate a
+    * two-language slice. The reader must prune at the DIRECTORY level —
+    * the predicate lands in `PartitionFilters`, not `PushedFilters`, so
+    * non-matching partitions are never listed, opened, or scanned
+    * (pinned in PlanShapeSpec). At 100 TB with date/tenant partitions
+    * this is the difference between scanning a day and scanning a year. */
+  def parquetPartitionedPrune(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${jvmTag}_part_" +
+      d.replaceAll("[^a-zA-Z0-9]", "_")
+    src.write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(path)
+    // the two pruned-in languages exist in the corpus (en, de)
+    s.read.parquet(path)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip_agg"  -> csvRoundtripAgg _,
     "json_roundtrip_agg" -> jsonRoundtripAgg _,
     "orc_roundtrip_agg"  -> orcRoundtripAgg _,
+    "parquet_partitioned_prune" -> parquetPartitionedPrune _,
   )
 
   private val aggSql =
@@ -51,5 +73,9 @@ object SourceSinkQueries {
     "csv_roundtrip_agg"  -> aggSql,
     "json_roundtrip_agg" -> aggSql,
     "orc_roundtrip_agg"  -> aggSql,
+    "parquet_partitioned_prune" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -90,4 +90,11 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
+
+  test("partitioned layout prunes at the directory level, not the row level") {
+    val p = plan("parquet_partitioned_prune")
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+    assert(pf.exists(_.group(1).contains("lang")),
+      s"lang predicate must be a PartitionFilter (directory prune):\n$p")
+  }
 }
