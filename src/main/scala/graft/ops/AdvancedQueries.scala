@@ -242,7 +242,24 @@ object AdvancedQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Fixed-width histogram — the profiling aggregate behind data-quality
+    * dashboards: equi-width buckets from pure arithmetic (floor of an
+    * IEEE division, identical in any engine — no width_bucket builtin
+    * dependency), counts + per-bucket decimal-exact min/max. One
+    * partial-aggregated shuffle on the bucket id at any scale. */
+  def aggHistogramBuckets(s: SparkSession, d: String): DataFrame = {
+    val bucket = floor(col("o_totalprice") / lit(60000.0)).cast(LongType)
+    Tables.orders(s, d)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        // min/max in exact decimal, FINAL cast to double (pandas-compare rule)
+        min(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("lo"),
+        max(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("hi"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_histogram_buckets" -> aggHistogramBuckets _,
     "window_moving_avg"    -> windowMovingAvg _,
     "scalar_interval_pack" -> scalarIntervalPack _,
     "window_first_last"    -> windowFirstLast _,
@@ -262,6 +279,12 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_histogram_buckets" ->
+      """SELECT CAST(floor(o_totalprice / 60000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "window_moving_avg" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) /

@@ -250,10 +250,18 @@ object DedupQueries {
       pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
     var labels = edges.select(col("a_id").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-    labels.persist().count()
-    var changed = 1L
+    labels.persist()
+    // convergence check: labels are MONOTONICALLY non-increasing under
+    // min-propagation, so the label sum strictly decreases until the
+    // fixpoint — one cheap agg on the (cached) round result replaces a
+    // join-with-previous diff. The agg is also the action that
+    // materializes the round's persist.
+    def lblSum(df: DataFrame): Long =
+      df.agg(sum(col("lbl"))).head.getLong(0)
+    var prevSum = lblSum(labels)
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < CcMaxRounds) {
+    while (changed && rounds < CcMaxRounds) {
       val next = labels.as("l")
         .join(edges.as("e"), col("l.id") === col("e.a_id"))
         .join(labels.select(col("id").as("nb_id"), col("lbl").as("nb_lbl")).as("n"),
@@ -261,8 +269,9 @@ object DedupQueries {
         .groupBy(col("l.id").as("id"))
         .agg(least(min(col("n.nb_lbl")), min(col("l.lbl"))).as("lbl"))
       next.persist()
-      changed = next.as("a").join(labels.as("b"), col("a.id") === col("b.id"))
-        .filter(col("a.lbl") =!= col("b.lbl")).count()
+      val s = lblSum(next)
+      changed = s != prevSum
+      prevSum = s
       labels.unpersist(blocking = false)
       labels = next
       rounds += 1

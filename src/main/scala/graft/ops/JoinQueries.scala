@@ -179,7 +179,26 @@ object JoinQueries {
       .orderBy("s_suppkey")
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other — the semantics SQL equality can't express without
+    * a COALESCE hack that breaks pushdown. Spark plans `<=>` as a true
+    * equi-join key (hashable), so the join still shuffles/broadcasts
+    * like any equi-join at 100 TB; nulls are synthesized from a key
+    * residue since the corpus has none. */
+  def joinNullSafeEq(s: SparkSession, d: String): DataFrame = {
+    def nullify(c: Column): Column = when(c % 5 === 0, lit(null)).otherwise(c)
+    val cu = Tables.customer(s, d)
+      .select(col("c_custkey"), nullify(col("c_nationkey")).as("k"))
+    val su = Tables.supplier(s, d)
+      .select(col("s_suppkey"), nullify(col("s_nationkey")).as("k2"))
+    cu.join(su, cu("k") <=> su("k2"))
+      .groupBy(coalesce(cu("k"), lit(-1L)).as("k"))
+      .agg(count(lit(1)).as("n_pairs"), count_distinct(col("s_suppkey")).as("n_supp"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_safe_eq"    -> joinNullSafeEq _,
     "join_inner_broadcast" -> joinInnerBroadcast _,
     "join_shuffle_large"   -> joinShuffleLarge _,
     "join_bucketed_colocated" -> joinBucketedColocated _,
@@ -191,6 +210,17 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_null_safe_eq" ->
+      """WITH cu AS (SELECT c_custkey,
+        |    CASE WHEN c_nationkey % 5 = 0 THEN NULL ELSE c_nationkey END AS k
+        |  FROM customer),
+        |su AS (SELECT s_suppkey,
+        |    CASE WHEN s_nationkey % 5 = 0 THEN NULL ELSE s_nationkey END AS k2
+        |  FROM supplier)
+        |SELECT COALESCE(k, -1) AS k, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT s_suppkey) AS n_supp
+        |FROM cu JOIN su ON k IS NOT DISTINCT FROM k2
+        |GROUP BY COALESCE(k, -1) ORDER BY k""".stripMargin,
     "join_inner_broadcast" ->
       """SELECT p_brand,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
