@@ -48,6 +48,29 @@ class AsofNativeSpec extends SparkTestBase {
       4L -> Some(150L), 5L -> None, 6L -> None))
   }
 
+  test("native as-of join equals a brute-force reference on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val probe = Seq.tabulate(400)(i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(60).toLong))
+    // unique (key, time) on the build side: duplicate times would make
+    // the as-of value ambiguous in ANY implementation
+    val build = rnd.shuffle(
+      (for (k <- 0L until 12L; t <- 0L until 60L if rnd.nextDouble() < 0.15)
+        yield (k, t, k * 1000 + t)).toSeq)
+    val probeDf = probe.toDF("id", "k", "t")
+    val buildDf = build.toDF("bk", "bt", "v")
+    val got = AsofJoin(probeDf, buildDf, "k", "bk", "t", "bt")
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val byKey = build.groupBy(_._1)
+    val want = probe.map { case (id, k, t) =>
+      id -> byKey.getOrElse(k, Seq.empty).filter(_._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3).getOrElse(-1L)
+    }.toMap
+    assert(got == want)
+  }
+
   test("self-lineage sides (build derived from probe) do not collide") {
     import spark.implicits._
     val base = Seq((1L, 1L, 10L), (1L, 2L, 20L), (2L, 1L, 30L))
