@@ -16,11 +16,12 @@ import org.apache.spark.sql.types._
   * would be held).
   *
   * Image rows decode FOR REAL through the JDK's built-in
-  * `javax.imageio` codecs (PNG/JPEG/BMP/GIF — zero external jars);
-  * bytes that aren't a parseable image (synthetic fixtures) and
-  * audio/video rows fall back to `decodeFake`, a clearly-marked
-  * deterministic stand-in (pixel bytes derived from the content hash).
-  * Swapping `decodeFake` for an ffmpeg/JNI call changes no plumbing.
+  * `javax.imageio` codecs (PNG/JPEG/BMP/GIF — zero external jars), and
+  * audio rows through `javax.sound.sampled` WAV/PCM parsing (also
+  * JDK-built-in). Bytes that aren't parseable (synthetic fixtures) and
+  * video rows fall back to `decodeFake`, a clearly-marked deterministic
+  * stand-in (pixel bytes derived from the content hash). Swapping
+  * `decodeFake` for an ffmpeg/JNI call changes no plumbing.
   */
 object Multimodal {
 
@@ -79,6 +80,54 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode via the JDK's built-in `javax.sound.sampled`
+    * WAV/AIFF parsing (PCM — zero external jars, pure header+sample
+    * reading, deterministic). Returns (sampleRate, mono samples):
+    * multi-channel frames fold to mono by integer-average. Supports the
+    * 8/16-bit PCM encodings the JDK ships; None otherwise (the caller
+    * falls back to the stub). */
+  def decodeWav(content: Array[Byte]): Option[(Int, Array[Int])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = in.getFormat
+      val ok = (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) &&
+        (fmt.getSampleSizeInBits == 8 || fmt.getSampleSizeInBits == 16)
+      if (!ok) None
+      else {
+        val bytes = in.readAllBytes()
+        val ch = fmt.getChannels
+        val bps = fmt.getSampleSizeInBits / 8
+        val frameLen = ch * bps
+        val nFrames = bytes.length / frameLen
+        val out = new Array[Int](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0
+          var c = 0
+          while (c < ch) {
+            val off = f * frameLen + c * bps
+            acc += (if (bps == 1) {
+              // 8-bit WAV is unsigned-centered; recenter to signed
+              if (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
+                (bytes(off) & 0xFF) - 128
+              else bytes(off).toInt
+            } else {
+              val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
+              (bytes(hi).toInt << 8) | (bytes(lo) & 0xFF)
+            })
+            c += 1
+          }
+          out(f) = acc / ch
+          f += 1
+        }
+        Some((fmt.getSampleRate.toInt, out))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Decode dispatcher: image rows try the real `javax.imageio` path
     * first (true decoded dimensions override the metadata); unparseable
     * bytes (synthetic fixtures) and audio/video rows use the
@@ -134,6 +183,42 @@ object Multimodal {
         }
         ImageFeatures(m.media_id, w, h,
           if (px.length == 0) 0.0 else sum.toDouble / px.length, hist)
+      }
+    }
+  }
+
+  final case class AudioFeatures(media_id: Long, sample_rate: Int,
+      n_samples: Long, duration_s: Double, rms: Double, peak: Int)
+
+  /** Partition-wise audio feature extraction: WAV rows decode FOR REAL
+    * (javax.sound.sampled); non-audio / unparseable rows derive
+    * deterministic fake samples from the stub so the pipeline shape is
+    * total. RMS/peak in integer+IEEE arithmetic — deterministic across
+    * partitionings (per-row fold, no float reduction order). */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (rate, samples) =
+          (if (m.meta.media_type == "audio") decodeWav(m.content) else None)
+            .getOrElse {
+              val fake = decodeFake(m.content, math.max(1, m.meta.width),
+                math.max(1, m.meta.height))
+              (m.meta.sample_rate, fake.map(b => (b & 0xFF) - 128))
+            }
+        var sumSq = 0L
+        var peak = 0
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i)
+          sumSq += v.toLong * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          i += 1
+        }
+        val n = samples.length
+        AudioFeatures(m.media_id, rate, n,
+          if (rate <= 0) 0.0 else n.toDouble / rate,
+          if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n), peak)
       }
     }
   }

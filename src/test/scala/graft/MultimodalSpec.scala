@@ -67,6 +67,52 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.content.forall(b => (b & 0xFF) == (299 * 0x80 + 587 * 0x80 + 114 * 0x80 + 500) / 1000))
   }
 
+  /** Encode an in-memory WAV (16-bit signed PCM little-endian). */
+  private def wav(samples: Array[Short], rate: Float = 8000f,
+      channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, channels, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      data(2 * i) = (samples(i) & 0xFF).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data),
+      fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeWav round-trips 16-bit PCM samples exactly") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 42)
+    val Some((rate, got)) = decodeWav(wav(samples))
+    assert(rate == 8000)
+    assert(got.toSeq == samples.map(_.toInt).toSeq)
+  }
+
+  test("decodeWav folds stereo to mono by integer average") {
+    // interleaved L/R frames: (100, 200), (-50, 50), (7, 8)
+    val Some((_, got)) = decodeWav(wav(Array[Short](100, 200, -50, 50, 7, 8),
+      channels = 2))
+    assert(got.toSeq == Seq(150, 0, 7))
+  }
+
+  test("audioFeatures decodes real WAVs; non-audio rows keep the stub shape") {
+    import spark.implicits._
+    val samples = Array[Short](3, -4, 12, 0)
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("audio", 0, 0, 1, 0), wav(samples)),
+      MediaRow(2L, MediaMeta("video", 4, 4, 6, 0), Array[Byte](9, 9)))
+    val f = audioFeatures(spark.createDataset(rows).repartition(2))
+      .collect().sortBy(_.media_id)
+    assert(f(0).sample_rate == 8000 && f(0).n_samples == 4)
+    assert(f(0).duration_s == 4.0 / 8000)
+    assert(f(0).rms == math.sqrt((9 + 16 + 144 + 0).toDouble / 4))
+    assert(f(0).peak == 12)
+    assert(f(1).n_samples == 16) // stub at meta dims (4×4), total pipeline
+  }
+
   test("non-image media and unparseable bytes fall back to the deterministic stub") {
     val junk = MediaRow(1L, MediaMeta("image", 4, 4, 1, 0), Array[Byte](1, 2, 3))
     val audio = MediaRow(2L, MediaMeta("audio", 4, 4, 1, 44100), png(Array(Array(0xFFFFFF))))
