@@ -104,6 +104,20 @@ object AggWindowQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Approximate percentiles via the Greenwald–Khanna summary sketch
+    * (engine-only rows-check, like the HLL: no DuckDB-exact oracle).
+    * Mergeable bounded-size summaries per group — the 100 TB path where
+    * exact percentiles (`percentile_median`) must shuffle or sort full
+    * value sets. Deterministic for fixed data + accuracy. */
+  def approxQuantileSketch(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** UDAF surface #2: bounded-buffer group top-k (Aggregator with a ≤k
     * element buffer → map-side combine ships k values per group, not
     * the rows — the scalable alternative to a rank window).
@@ -150,6 +164,7 @@ object AggWindowQueries {
     "agg_collect_sorted"     -> aggCollectSorted _,
     "custom_agg_topk"        -> customAggTopk _,
     "approx_distinct_hll"    -> approxDistinctHll _,
+    "approx_quantile_sketch" -> approxQuantileSketch _,
     "agg_count_distinct"     -> aggCountDistinct _,
     "agg_rollup"             -> aggRollup _,
     "window_rank_topk_group" -> windowRankTopkGroup _,

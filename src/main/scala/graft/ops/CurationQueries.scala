@@ -108,15 +108,82 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** Flagship end-to-end pretrain-corpus build — every curation stage
+    * this engine implements, composed in one query the way a production
+    * pipeline chains them:
+    *
+    *   exact-dedup survivors → quality gate → language gate →
+    *   train-split membership → benchmark DECONTAMINATION (anti-join
+    *   against docs sharing a 3-gram shingle with the holdout) →
+    *   per-source doc/token budget.
+    *
+    * Scale shape: the survivor window is one shuffle on the content
+    * hash; the three gates and the split are codegen'd filters; the
+    * decontamination anti-join probes the flagged-id set (small: only
+    * contaminated TRAIN docs) as a broadcast; the rollup is
+    * partial-aggregated. Net: two shuffles + one broadcast more than a
+    * bare scan, independent of corpus size. */
+  def pipelinePretrainCorpus(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis._
+    // production decontamination uses LONG n-grams (13-grams) precisely
+    // so single collisions don't flag; with the corpus's 3-gram shingles
+    // the equivalent precision lever is a shared-count threshold
+    val flagged = DedupQueries.dedupContaminationNgram(s, d)
+      .filter(col("n_shared") >= 5).select("doc_id")
+    val survivorRank = row_number().over(
+      Window.partitionBy(md5(col("text"))).orderBy("doc_id"))
+    val bucket = pmod(hexFold32(md5(concat(lit("split:"), col("doc_id").cast(StringType)))), lit(100L))
+    Tables.documents(s, d)
+      .withColumn("rk", survivorRank)
+      .filter(col("rk") === 1)
+      .filter(isQuality(col("text"), TextQueries.stopwords) &&
+        langId(col("text"), Seq(
+          "generic" -> TextQueries.stopwords, "sqlish" -> TextQueries.sqlWords,
+          "dataish" -> TextQueries.dataWords)) =!= "sqlish")
+      .filter(bucket < 90)
+      .join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(approxBpeCount(col("text"))).as("bpe_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pretrain_corpus" -> pipelinePretrainCorpus _,
     "text_pii_redact"        -> textPiiRedact _,
     "sample_stratified_lang" -> sampleStratifiedLang _,
     "mix_weighted_sources"   -> ((s, d) => mixWeightedSources(s, d)),
   )
 
   import OracleSql.fold32
+  import TextQueries.{tokensSql, markSql}
+
+  private val bpeSql =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($tokensSql, t -> CAST(length(t) AS BIGINT))),
+       |    (acc, x) -> acc + 1 + (x - 1) // 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pipeline_pretrain_corpus" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM($bpeSql) AS BIGINT) AS bpe_tokens
+         |FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+         |      FROM documents)
+         |WHERE rk = 1
+         |  AND COALESCE(len($tokensSql) >= 20 AND len($tokensSql) <= 1000 AND
+         |    CAST(${markSql(TextQueries.stopwords)} AS DOUBLE) /
+         |      CAST(NULLIF(len($tokensSql), 0) AS DOUBLE) < 0.5, false)
+         |  AND (CASE
+         |    WHEN ${markSql(TextQueries.dataWords)} > ${markSql(TextQueries.sqlWords)}
+         |     AND ${markSql(TextQueries.dataWords)} > ${markSql(TextQueries.stopwords)} THEN 'dataish'
+         |    WHEN ${markSql(TextQueries.sqlWords)} > ${markSql(TextQueries.stopwords)} THEN 'sqlish'
+         |    ELSE 'generic' END) <> 'sqlish'
+         |  AND (${fold32("'split:' || CAST(doc_id AS VARCHAR)")}) % 100 < 90
+         |  AND doc_id NOT IN (SELECT doc_id FROM (
+         |    ${DedupQueries.oracle("dedup_contamination_ngram")}) WHERE n_shared >= 5)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "text_pii_redact" ->
       s"""WITH r AS (SELECT doc_id, text,
          |    regexp_replace(text, '$idPat', '<ID>', 'g') AS red1 FROM documents),

@@ -13,9 +13,9 @@ import graft.text.TextAnalysis._
   */
 object TextQueries {
 
-  private val stopwords = Seq("the", "a")
-  private val sqlWords  = Seq("join", "filter", "query", "sort", "merge", "agg")
-  private val dataWords = Seq("data", "table", "row", "column", "batch", "stream")
+  private[ops] val stopwords = Seq("the", "a")
+  private[ops] val sqlWords  = Seq("join", "filter", "query", "sort", "merge", "agg")
+  private[ops] val dataWords = Seq("data", "table", "row", "column", "batch", "stream")
 
   /** Token frequency top-50 (count desc, token asc tiebreak). The explode
     * fans out ~100 tokens/doc, then partial aggregation collapses before
@@ -144,8 +144,8 @@ object TextQueries {
     "text_curation_funnel" -> textCurationFunnel _,
   )
 
-  private val tokensSql = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
-  private def markSql(words: Seq[String]) =
+  private[ops] val tokensSql = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+  private[ops] def markSql(words: Seq[String]) =
     s"len(list_filter($tokensSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   private def fold32Sql(arg: String): String = OracleSql.fold32(arg)
