@@ -91,6 +91,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("pretrain pipeline: group-limit survivor filter + broadcast anti-join, no cartesian") {
+    val p = plan("pipeline_pretrain_corpus")
+    assert(p.contains("WindowGroupLimit"), p) // dedup survivor stays a group limit
+    // the decontamination flag set broadcasts; the corpus side never
+    // shuffles for the anti-join probe
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("partitioned layout prunes at the directory level, not the row level") {
     val p = plan("parquet_partitioned_prune")
     val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
