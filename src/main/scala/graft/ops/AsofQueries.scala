@@ -59,7 +59,12 @@ object AsofQueries {
     val ev = Tables.events(s, d).select(
       col("event_id"), col("user_id"),
       datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType)).as("day"))
-    val daily = ev.groupBy("user_id", "day")
+    // repartition by user_id BEFORE the (user_id, day) agg: hash(user_id)
+    // satisfies ClusteredDistribution(user_id, day) (subset rule), so the
+    // agg reuses this exchange AND its output partitioning already
+    // satisfies the as-of join's requirement — the build side reaches the
+    // merge with ONE exchange instead of two
+    val daily = ev.repartition(col("user_id")).groupBy("user_id", "day")
       .agg(count(lit(1)).cast(LongType).as("day_total"))
       .select(col("user_id").as("r_user_id"), col("day").as("r_day"), col("day_total"))
     graft.plans.AsofJoin(ev, daily, "user_id", "r_user_id", "day", "r_day")

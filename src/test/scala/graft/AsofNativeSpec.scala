@@ -24,6 +24,10 @@ class AsofNativeSpec extends SparkTestBase {
     // physical node renders as "AsofJoin <keys>" (TreeNode strips "Exec")
     assert(p.contains("AsofJoin "), p)
     assert(!p.contains("Window"), p)
+    // one hash exchange per side: the build-side agg REUSES the
+    // user_id repartition (hash subset rule) and reaches the merge
+    // with no further shuffle
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, p)
   }
 
   test("backward-inclusive semantics, nulls never match, empty build side") {
