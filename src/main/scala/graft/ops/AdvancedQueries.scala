@@ -258,7 +258,37 @@ object AdvancedQueries {
       .orderBy("bucket")
   }
 
+  /** Statistical moments (mean/variance/covariance/correlation) from
+    * EXACT decimal sums. Built-in corr/covar/stddev are streaming
+    * (Welford-style) and NOT bit-stable across engines or partition
+    * orders — the portable form accumulates Σx, Σy, Σxx, Σyy, Σxy as
+    * exact decimals (order-insensitive), then computes the moments in
+    * double from identical operands. Same single-shuffle partial-agg
+    * plan as any groupBy at 100 TB. */
+  def aggStatsMoments(s: SparkSession, d: String): DataFrame = {
+    val xd = col("l_quantity").cast(DecimalType(18, 2))
+    val yd = col("l_extendedprice").cast(DecimalType(18, 2))
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = sum(xd).cast(DoubleType)
+    val sy = sum(yd).cast(DoubleType)
+    val sxx = sum(xd * xd).cast(DoubleType)
+    val syy = sum(yd * yd).cast(DoubleType)
+    val sxy = sum(xd * yd).cast(DoubleType)
+    val varX = (sxx - sx * sx / n) / (n - lit(1.0))
+    val varY = (syy - sy * sy / n) / (n - lit(1.0))
+    val covar = (sxy - sx * sy / n) / (n - lit(1.0))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        (sx / n).as("mean_qty"),
+        varX.as("var_qty"),
+        covar.as("covar_qp"),
+        (covar / sqrt(varX * varY)).as("corr_qp"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_stats_moments"     -> aggStatsMoments _,
     "agg_histogram_buckets" -> aggHistogramBuckets _,
     "window_moving_avg"    -> windowMovingAvg _,
     "scalar_interval_pack" -> scalarIntervalPack _,
@@ -279,6 +309,22 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_stats_moments" ->
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, cnt AS n,
+        |  sx / CAST(cnt AS DOUBLE) AS mean_qty,
+        |  (sxx - sx * sx / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0) AS var_qty,
+        |  (sxy - sx * sy / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0) AS covar_qp,
+        |  ((sxy - sx * sy / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)) /
+        |    sqrt(((sxx - sx * sx / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)) *
+        |         ((syy - sy * sy / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0))) AS corr_qp
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "agg_histogram_buckets" ->
       """SELECT CAST(floor(o_totalprice / 60000.0) AS BIGINT) AS bucket,
         |  COUNT(*) AS n,

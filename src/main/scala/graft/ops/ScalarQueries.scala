@@ -64,6 +64,23 @@ object ScalarQueries {
         sqrt(col("o_orderkey").cast(DoubleType)).as("sqrt_key"))
       .orderBy("o_orderkey")
 
+  /** Bitwise function family — mask/flag manipulation every engine
+    * user expects (and the dedup suite uses internally via simhash):
+    * and/or/xor, shifts, bit_count. Pure integer arithmetic —
+    * engine-identical by construction. */
+  def scalarBitwisePack(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    Tables.orders(s, d)
+      .select(
+        k,
+        k.bitwiseAND(lit(0xFFL)).as("low_byte"),
+        k.bitwiseOR(lit(0x100L)).as("with_flag"),
+        k.bitwiseXOR(shiftright(k, 4)).as("mixed"),
+        shiftleft(k.bitwiseAND(lit(0xFL)), 2).as("shifted"),
+        bit_count(k).as("popcount"))
+      .orderBy("o_orderkey")
+  }
+
   /** §2.3 array ops over embeddings (list<float>): size + element access.
     * (Vector math lives in SimilarityQueries.) */
   def arrayBasics(s: SparkSession, d: String): DataFrame =
@@ -100,12 +117,21 @@ object ScalarQueries {
     "scalar_string_pack"   -> scalarStringPack _,
     "scalar_date_pack"     -> scalarDatePack _,
     "scalar_math_pack"     -> scalarMathPack _,
+    "scalar_bitwise_pack"  -> scalarBitwisePack _,
     "array_basics"         -> arrayBasics _,
     "json_field_regex"     -> jsonFieldRegex _,
     "time_bucket_tumbling" -> timeBucketTumbling _,
   )
 
   val oracle: Map[String, String] = Map(
+    "scalar_bitwise_pack" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS low_byte,
+        |  o_orderkey | 256 AS with_flag,
+        |  xor(o_orderkey, o_orderkey >> 4) AS mixed,
+        |  (o_orderkey & 15) << 2 AS shifted,
+        |  CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "scalar_string_pack" ->
       """SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
         |  length(c_name) AS name_len, substr(c_name, 1, 5) AS name5,
