@@ -96,6 +96,84 @@ object Streams {
         col("buy_ts"), col("view_ts"), col("buy_value"))
   }
 
+  final case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  final case class BandHit(doc_id: Long, ts: java.sql.Timestamp,
+      sig: Seq[Long], band_key: String)
+
+  /** Per-band verdict: `first_id == doc_id` means this doc is the first
+    * writer of the band; otherwise `sig_agree` of 8 signature slots
+    * match the band's first doc (agreement/8 estimates Jaccard). */
+  final case class BandVerdict(doc_id: Long, band_key: String,
+      first_id: Long, sig_agree: Int)
+
+  final case class BandState(firstId: Long, sig: Seq[Long], lastMs: Long)
+
+  /** STREAMING near-duplicate detection — minhash-LSH dedup over an
+    * incremental crawl, the streaming counterpart of
+    * `dedup_minhash_lsh`: each arriving doc computes its 8-slot minhash
+    * signature (the same native codegen'd expressions as the batch
+    * pipeline), fans out to 4 LSH band keys, and a per-band
+    * first-writer-wins state emits a [[BandVerdict]] per (doc, band).
+    * A doc is a near-dup if ANY band verdict points at an earlier
+    * first-writer (signature agreement estimates the Jaccard; the
+    * exact-verify step of the batch pipeline would join content back
+    * on the flagged pairs downstream).
+    *
+    * Scale posture: state is keyed by BAND KEY → partitions across
+    * executors; one entry (first doc id + 8 longs) per live band;
+    * event-time timeout reclaims bands idle past the horizon, so an
+    * infinite crawl holds state only for the dedup window — the same
+    * boundedness contract as `dropDuplicatesWithinWatermark`, with
+    * NEAR-dup (not exact) semantics. */
+  def nearDupBandVerdicts(docs: Dataset[DocEvent],
+      horizon: String = "2 hours"): Dataset[BandVerdict] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = 2L * 60 * 60 * 1000
+    val sig = graft.dedup.Dedup.minhashSignature(
+      graft.dedup.Dedup.shingleHashes(
+        graft.dedup.Dedup.tokenHashes(graft.text.TextAnalysis.tokens(col("text")))), 8)
+    docs.toDF()
+      .withWatermark("ts", horizon)
+      .select(col("doc_id"), col("ts"), sig.as("sig"))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(array(graft.dedup.Dedup.bandKeys(col("sig"), 4, 2): _*))
+          .as(Seq("band", "bkey")))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        concat_ws("#", col("band"), col("bkey")).as("band_key"))
+      .as[BandHit]
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[BandState, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[BandHit], state: GroupState[BandState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic within-batch order: event time, then doc id
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var st = state.getOption
+            val out = sorted.map { r =>
+              st match {
+                case None =>
+                  st = Some(BandState(r.doc_id, r.sig, r.ts.getTime))
+                  BandVerdict(r.doc_id, key, r.doc_id, 8)
+                case Some(s) =>
+                  val agree = s.sig.zip(r.sig).count { case (a, b) => a == b }
+                  st = Some(s.copy(lastMs = math.max(s.lastMs, r.ts.getTime)))
+                  BandVerdict(r.doc_id, key, s.firstId, agree)
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              // same clamp as sessionize: never set a timeout at/behind
+              // the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + horizonMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState: a
     * session closes after 30 minutes of inactivity (event-time timeout
     * keyed per user). Emits one row per closed session — the

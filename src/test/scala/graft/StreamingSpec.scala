@@ -175,6 +175,37 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((2L, 1L)))
   }
 
+  test("streaming near-dup: later near-duplicate docs point at the first writer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val nearDup = base.replace("kappa", "lambda") // one token differs
+    val distinct = "one two three four five six seven eight nine ten " * 3
+    val mem = MemoryStream[Streams.DocEvent]
+    val name = s"neardup_${System.nanoTime()}"
+    val q = Streams.nearDupBandVerdicts(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        Streams.DocEvent(1L, ts("10:00"), base),
+        Streams.DocEvent(2L, ts("10:05"), distinct)))
+      q.processAllAvailable()
+      mem.addData(Seq(Streams.DocEvent(3L, ts("10:10"), nearDup)))
+      q.processAllAvailable()
+      val verdicts = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      // docs 1 and 2 are first writers of all their bands
+      assert(verdicts.filter(v => v._1 == 1L || v._1 == 2L).forall(v => v._3 == v._1))
+      // the near-dup shares at least one band with doc 1 and points at it
+      val dupHits = verdicts.filter(v => v._1 == 3L && v._3 == 1L)
+      assert(dupHits.nonEmpty, s"doc 3 must collide with doc 1: ${verdicts.mkString(",")}")
+      // a shared band implies those 2 signature slots agree
+      assert(dupHits.forall(_._4 >= 2), dupHits.mkString(","))
+      // and never collides with the unrelated doc 2
+      assert(!verdicts.exists(v => v._1 == 3L && v._3 == 2L))
+    } finally q.stop()
+  }
+
   test("file-source integration: readStream over a parquet events dir matches batch") {
     import org.apache.spark.sql.functions._
     val events = graft.ops.Tables.events(spark, sfDir)
