@@ -136,4 +136,29 @@ class EtlGoldenSpec extends SparkTestBase {
     assert(table("tbl_planos").count() == 16)
     assert(table("tbl_clientes").count() == 1198)
   }
+
+  test("reject channel: unknown cliente / unknown plano carry the reference's error strings") {
+    summary // ensure the dimensions are loaded
+    import spark.implicits._
+    val goodCpf = table("tbl_clientes").select("cpf_cnpj")
+      .orderBy("cpf_cnpj").limit(1).collect()(0).getString(0)
+    val goodPlano = table("tbl_planos").select("descricao")
+      .orderBy("descricao").limit(1).collect()(0).getString(0)
+    val before = table("tbl_cliente_contratos").count()
+    val rows = Seq(
+      ("00000000000099", goodPlano, Some(5)), // cpf not in tbl_clientes
+      (goodCpf, "Plano Fantasma", Some(5)),   // plano not in tbl_planos
+      (goodCpf, goodPlano, None)              // valid; vencimento defaults to 10
+    ).toDF("cpf_cnpj", "Plano", "Vencimento")
+      .select(Seq(col("cpf_cnpj"), col("Plano"), col("Vencimento")) ++
+        Seq("Endereço", "Número", "Bairro", "Cidade", "Complemento", "CEP", "UF")
+          .map(c => lit(null).cast("string").as(c)): _*)
+    val (n, rejects) = new graft.etl.Load(spark, url, props).loadContratos(rows)
+    val errs = rejects.select(col("cpf_cnpj"), col("erro")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(n == 1) // only the valid row loads
+    assert(errs("00000000000099") == "Cliente não encontrado")
+    assert(errs(goodCpf) == "Plano não encontrado")
+    assert(table("tbl_cliente_contratos").count() == before + 1)
+  }
 }

@@ -243,6 +243,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("checkpoint restart: aggregation state survives a query stop/start") {
+    import org.apache.spark.sql.functions._
+    val events = graft.ops.Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-restart-src").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-restart-ckpt").toString
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+    val chunked = events.withColumn("chunk", ntile(2).over(w)).cache()
+    def writeChunk(c: Int): Unit =
+      chunked.filter(col("chunk") === c).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    writeChunk(1)
+    val schema = spark.read.parquet(srcDir).schema
+    def start(name: String) = Streams.tumblingCounts(
+      spark.readStream.schema(schema).parquet(srcDir)).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", ckptDir)
+      .start()
+    // phase 1: process the first half, then STOP the query
+    val q1 = start(s"restart1_${System.nanoTime()}")
+    try q1.processAllAvailable() finally q1.stop()
+    chunked.unpersist()
+    // phase 2: more data lands while no query runs; a NEW query on the
+    // SAME checkpoint must recover the first half's state and fold the
+    // second half in — the memory table is fresh, so every pre-restart
+    // count it shows was recovered from the checkpoint, not recomputed
+    writeChunk(2)
+    val name2 = s"restart2_${System.nanoTime()}"
+    val q2 = start(name2)
+    try {
+      q2.processAllAvailable()
+      val resumed = spark.table(name2)
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = Streams.tumblingCounts(spark.read.parquet(srcDir))
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(resumed.nonEmpty && resumed == batch)
+    } finally q2.stop()
+  }
+
   test("custom flatMapGroupsWithState sessionizer closes on inactivity timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
