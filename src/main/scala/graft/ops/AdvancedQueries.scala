@@ -199,6 +199,28 @@ object AdvancedQueries {
             |FROM graft_customer_v ORDER BY c_custkey""".stripMargin)
   }
 
+  /** SQL surface #2 — correlated and uncorrelated subqueries, the
+    * query shapes a SQL-only reference user writes instead of joins:
+    * a scalar subquery (global benchmark value) and a correlated
+    * EXISTS. Catalyst decorrelates both into joins (the scalar one
+    * broadcasts a single-row aggregate; EXISTS becomes a semi-join) —
+    * no per-row re-execution at any scale. */
+  def sqlSubqueries(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_v2")
+    // the mean as exact-sum / count with an explicit double division:
+    // avg(DECIMAL) result types differ across engines (Spark keeps a
+    // widened decimal, DuckDB goes to double) — identical-operand IEEE
+    // division is the portable form
+    s.sql("""SELECT c_custkey, c_acctbal,
+            |  c_acctbal - (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) /
+            |                      CAST(COUNT(*) AS DOUBLE) FROM graft_customer_v2) AS dev_from_avg
+            |FROM graft_customer_v2 c
+            |WHERE EXISTS (SELECT 1 FROM graft_orders_v o
+            |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+            |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Interval arithmetic: day/month offsets and a next-month-start
     * derived date, emitted as strings (cross-engine date repr). */
   def scalarIntervalPack(s: SparkSession, d: String): DataFrame =
@@ -288,6 +310,7 @@ object AdvancedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_subqueries"        -> sqlSubqueries _,
     "agg_stats_moments"     -> aggStatsMoments _,
     "agg_histogram_buckets" -> aggHistogramBuckets _,
     "window_moving_avg"    -> windowMovingAvg _,
@@ -309,6 +332,14 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_subqueries" ->
+      """SELECT c_custkey, c_acctbal,
+        |  c_acctbal - (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) /
+        |                      CAST(COUNT(*) AS DOUBLE) FROM customer) AS dev_from_avg
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
     "agg_stats_moments" ->
       """WITH s AS (SELECT l_returnflag, COUNT(*) AS cnt,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
