@@ -30,6 +30,10 @@ object Bench {
     // compilation warm. Round-1 totals included ~4 s of JVM startup;
     // round-2 totals included per-query compile. ROUND_NOTES.md tracks
     // the change; cross-round totals are not directly comparable.
+    // parse + validate the reps override BEFORE the multi-minute warmup
+    // — discovering a bad value afterwards would waste the whole run
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>
@@ -60,7 +64,6 @@ object Bench {
     // query block. Per-query median across whole sweeps keeps each
     // repetition data-cold w.r.t. Spark caches (PipelineCache released
     // between queries) while voting the stall window out.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val sweeps = (1 to reps).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -92,9 +92,14 @@ object Multimodal {
       val in = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(content))
       val fmt = in.getFormat
-      val ok = (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
-        fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) &&
-        (fmt.getSampleSizeInBits == 8 || fmt.getSampleSizeInBits == 16)
+      // 16-bit: signed only (the decode loop sign-extends; an unsigned
+      // 16-bit stream would need a 32768 recenter it doesn't get).
+      // 8-bit: both encodings, recentered below.
+      val ok = (fmt.getSampleSizeInBits == 16 &&
+          fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED) ||
+        (fmt.getSampleSizeInBits == 8 &&
+          (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED))
       if (!ok) None
       else {
         val bytes = in.readAllBytes()

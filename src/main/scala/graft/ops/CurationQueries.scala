@@ -124,23 +124,14 @@ object CurationQueries {
     * partial-aggregated. Net: two shuffles + one broadcast more than a
     * bare scan, independent of corpus size. */
   def pipelinePretrainCorpus(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.text.TextAnalysis._
+    import graft.text.TextAnalysis.approxBpeCount
     // production decontamination uses LONG n-grams (13-grams) precisely
     // so single collisions don't flag; with the corpus's 3-gram shingles
     // the equivalent precision lever is a shared-count threshold
     val flagged = DedupQueries.dedupContaminationNgram(s, d)
       .filter(col("n_shared") >= 5).select("doc_id")
-    val survivorRank = row_number().over(
-      Window.partitionBy(md5(col("text"))).orderBy("doc_id"))
     val bucket = pmod(hexFold32(md5(concat(lit("split:"), col("doc_id").cast(StringType)))), lit(100L))
-    Tables.documents(s, d)
-      .withColumn("rk", survivorRank)
-      .filter(col("rk") === 1)
-      .filter(isQuality(col("text"), TextQueries.stopwords) &&
-        langId(col("text"), Seq(
-          "generic" -> TextQueries.stopwords, "sqlish" -> TextQueries.sqlWords,
-          "dataish" -> TextQueries.dataWords)) =!= "sqlish")
+    TextQueries.curationGate(Tables.documents(s, d)) // shared survivor+quality+language gate
       .filter(bucket < 90)
       .join(broadcast(flagged), Seq("doc_id"), "left_anti")
       .groupBy("source")
@@ -157,29 +148,19 @@ object CurationQueries {
   )
 
   import OracleSql.fold32
-  import TextQueries.{tokensSql, markSql}
-
-  private val bpeSql =
-    s"""list_reduce(
-       |    list_prepend(CAST(0 AS BIGINT),
-       |      list_transform($tokensSql, t -> CAST(length(t) AS BIGINT))),
-       |    (acc, x) -> acc + 1 + (x - 1) // 6)""".stripMargin
+  import TextQueries.{bpeSql, langCaseSql, qualityGateSql, survivorFromSql}
 
   val oracle: Map[String, String] = Map(
+    // composed from the SAME fragments as text_curation_funnel's oracle
+    // plus the split predicate and the nested contamination subquery —
+    // the gate thresholds live once, in TextQueries
     "pipeline_pretrain_corpus" ->
       s"""SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM($bpeSql) AS BIGINT) AS bpe_tokens
-         |FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
-         |      FROM documents)
+         |FROM $survivorFromSql
          |WHERE rk = 1
-         |  AND COALESCE(len($tokensSql) >= 20 AND len($tokensSql) <= 1000 AND
-         |    CAST(${markSql(TextQueries.stopwords)} AS DOUBLE) /
-         |      CAST(NULLIF(len($tokensSql), 0) AS DOUBLE) < 0.5, false)
-         |  AND (CASE
-         |    WHEN ${markSql(TextQueries.dataWords)} > ${markSql(TextQueries.sqlWords)}
-         |     AND ${markSql(TextQueries.dataWords)} > ${markSql(TextQueries.stopwords)} THEN 'dataish'
-         |    WHEN ${markSql(TextQueries.sqlWords)} > ${markSql(TextQueries.stopwords)} THEN 'sqlish'
-         |    ELSE 'generic' END) <> 'sqlish'
+         |  AND $qualityGateSql
+         |  AND $langCaseSql <> 'sqlish'
          |  AND (${fold32("'split:' || CAST(doc_id AS VARCHAR)")}) % 100 < 90
          |  AND doc_id NOT IN (SELECT doc_id FROM (
          |    ${DedupQueries.oracle("dedup_contamination_ngram")}) WHERE n_shared >= 5)

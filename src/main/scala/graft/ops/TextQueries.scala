@@ -89,30 +89,37 @@ object TextQueries {
       .limit(30)
   }
 
-  /** Composite curation funnel — the three text gates a training-data
-    * pipeline chains before tokenization, in one plan: exact-dedup
-    * survivor (first doc per content hash) → quality gate → language
-    * gate → per-source document/token budget. Single pass over the
-    * corpus: the window dedup is one shuffle on the content hash, the
-    * gates are codegen'd scalar filters on top, and the final rollup is
-    * a partial-aggregated groupBy — at 100 TB this is one shuffle more
-    * than the budget query alone. */
-  def textCurationFunnel(s: SparkSession, d: String): DataFrame = {
+  /** The shared curation gate: exact-dedup survivor (first doc per
+    * content hash) → quality gate → language gate. ONE implementation
+    * composed by both [[textCurationFunnel]] and
+    * [[CurationQueries.pipelinePretrainCorpus]] — the thresholds live
+    * here only (the matching oracle fragments are
+    * [[survivorFromSql]]/[[qualityGateSql]]/[[langCaseSql]]). */
+  private[ops] def curationGate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val survivorRank = row_number().over(
       Window.partitionBy(md5(col("text"))).orderBy("doc_id"))
-    Tables.documents(s, d)
-      .withColumn("rk", survivorRank)
+    df.withColumn("rk", survivorRank)
       .filter(col("rk") === 1)
       .filter(isQuality(col("text"), stopwords) &&
         langId(col("text"), Seq(
           "generic" -> stopwords, "sqlish" -> sqlWords, "dataish" -> dataWords))
           =!= "sqlish")
+  }
+
+  /** Composite curation funnel — the three text gates a training-data
+    * pipeline chains before tokenization, in one plan: [[curationGate]]
+    * → per-source document/token budget. Single pass over the
+    * corpus: the window dedup is one shuffle on the content hash, the
+    * gates are codegen'd scalar filters on top, and the final rollup is
+    * a partial-aggregated groupBy — at 100 TB this is one shuffle more
+    * than the budget query alone. */
+  def textCurationFunnel(s: SparkSession, d: String): DataFrame =
+    curationGate(Tables.documents(s, d))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(approxBpeCount(col("text"))).as("bpe_tokens"))
       .orderBy("source")
-  }
 
   /** Deterministic hash-based train/holdout split — the reproducible
     * sampling primitive every training-data pipeline needs: membership
@@ -147,6 +154,35 @@ object TextQueries {
   private[ops] val tokensSql = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
   private[ops] def markSql(words: Seq[String]) =
     s"len(list_filter($tokensSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  // ---- shared oracle fragments mirroring [[curationGate]] / bpe count —
+  // the single source of truth for the thresholds on the SQL side ----
+
+  /** FROM-clause subquery ranking exact-dup survivors. */
+  private[ops] val survivorFromSql =
+    """(SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+      |      FROM documents)""".stripMargin
+
+  /** Mirrors `isQuality(text, stopwords)`. */
+  private[ops] val qualityGateSql =
+    s"""COALESCE(len($tokensSql) >= 20 AND len($tokensSql) <= 1000 AND
+       |    CAST(${markSql(stopwords)} AS DOUBLE) /
+       |      CAST(NULLIF(len($tokensSql), 0) AS DOUBLE) < 0.5, false)""".stripMargin
+
+  /** Mirrors `langId(text, generic/sqlish/dataish)`. */
+  private[ops] val langCaseSql =
+    s"""(CASE
+       |    WHEN ${markSql(dataWords)} > ${markSql(sqlWords)}
+       |     AND ${markSql(dataWords)} > ${markSql(stopwords)} THEN 'dataish'
+       |    WHEN ${markSql(sqlWords)} > ${markSql(stopwords)} THEN 'sqlish'
+       |    ELSE 'generic' END)""".stripMargin
+
+  /** Mirrors `approxBpeCount(text)`. */
+  private[ops] val bpeSql =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($tokensSql, t -> CAST(length(t) AS BIGINT))),
+       |    (acc, x) -> acc + 1 + (x - 1) // 6)""".stripMargin
 
   private def fold32Sql(arg: String): String = OracleSql.fold32(arg)
 
@@ -197,29 +233,16 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_bpe_budget" ->
       s"""SELECT source,
-         |  CAST(SUM(list_reduce(
-         |    list_prepend(CAST(0 AS BIGINT),
-         |      list_transform($tokensSql, t -> CAST(length(t) AS BIGINT))),
-         |    (acc, x) -> acc + 1 + (x - 1) // 6)) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM($bpeSql) AS BIGINT) AS bpe_tokens,
          |  COUNT(*) AS n_docs
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "text_curation_funnel" ->
       s"""SELECT source, COUNT(*) AS n_docs,
-         |  CAST(SUM(list_reduce(
-         |    list_prepend(CAST(0 AS BIGINT),
-         |      list_transform($tokensSql, t -> CAST(length(t) AS BIGINT))),
-         |    (acc, x) -> acc + 1 + (x - 1) // 6)) AS BIGINT) AS bpe_tokens
-         |FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
-         |      FROM documents)
+         |  CAST(SUM($bpeSql) AS BIGINT) AS bpe_tokens
+         |FROM $survivorFromSql
          |WHERE rk = 1
-         |  AND COALESCE(len($tokensSql) >= 20 AND len($tokensSql) <= 1000 AND
-         |    CAST(${markSql(stopwords)} AS DOUBLE) /
-         |      CAST(NULLIF(len($tokensSql), 0) AS DOUBLE) < 0.5, false)
-         |  AND (CASE
-         |    WHEN ${markSql(dataWords)} > ${markSql(sqlWords)}
-         |     AND ${markSql(dataWords)} > ${markSql(stopwords)} THEN 'dataish'
-         |    WHEN ${markSql(sqlWords)} > ${markSql(stopwords)} THEN 'sqlish'
-         |    ELSE 'generic' END) <> 'sqlish'
+         |  AND $qualityGateSql
+         |  AND $langCaseSql <> 'sqlish'
          |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

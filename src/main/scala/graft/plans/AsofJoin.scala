@@ -63,10 +63,19 @@ object AsofJoin {
       out.find(_.name == name).getOrElse(throw new IllegalArgumentException(
         s"as-of column $name not in ${out.map(_.name).mkString(",")}"))
     val rOut = rAliases.map(_.toAttribute)
+    val (lk, rk) = (resolve(lPlan.output, leftKey), resolve(rOut, rightKey))
+    val (lt, rt) = (resolve(lPlan.output, leftTime), resolve(rOut, rightTime))
+    // the exec builds its comparators from the LEFT types and applies
+    // them to right-side values — a mismatch must fail HERE, not as an
+    // executor-side ClassCastException mid-merge
+    def sameType(a: Attribute, b: Attribute, what: String): Unit =
+      require(org.apache.spark.sql.types.DataType.equalsStructurally(
+          a.dataType, b.dataType, ignoreNullability = true),
+        s"as-of $what types differ: ${a.name}: ${a.dataType} vs ${b.name}: ${b.dataType}")
+    sameType(lk, rk, "key")
+    sameType(lt, rt, "time")
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
-      AsofJoin(lPlan, rPlan,
-        resolve(lPlan.output, leftKey), resolve(rOut, rightKey),
-        resolve(lPlan.output, leftTime), resolve(rOut, rightTime)))
+      AsofJoin(lPlan, rPlan, lk, rk, lt, rt))
   }
 }
 

@@ -332,13 +332,26 @@ private[source] object XlsxFilterEval {
   }
 
   /** Compare a Catalyst internal value against a filter literal; None
-    * when either side is null or the pairing is incomparable. */
+    * when either side is null or the pairing is incomparable. EXACT
+    * comparisons only — rows dropped here never reach Spark's residual
+    * re-check, so any approximation would silently lose rows:
+    * strings compare in UTF8String binary (code-point) order, not Java
+    * UTF-16 order; integral/integral compares as long (a double detour
+    * would collapse values beyond 2^53); mixed integral/fractional
+    * compares as double — exactly the promotion Catalyst itself applies
+    * to a long-vs-double comparison, so semantics match Spark's. */
   private def cmp(v: Any, lit: Any): Option[Int] = (v, lit) match {
     case (null, _) | (_, null) => None
-    case (u: UTF8String, s: String) => Some(u.toString.compareTo(s))
+    case (u: UTF8String, s: String) => Some(u.compareTo(UTF8String.fromString(s)))
     case (b: java.lang.Boolean, l: Boolean) => Some(b.compareTo(l))
     case (n: java.lang.Number, l: java.lang.Number) =>
-      Some(java.lang.Double.compare(n.doubleValue(), l.doubleValue()))
+      def integral(x: java.lang.Number) =
+        x.isInstanceOf[java.lang.Integer] || x.isInstanceOf[java.lang.Long] ||
+          x.isInstanceOf[java.lang.Short] || x.isInstanceOf[java.lang.Byte]
+      if (integral(n) && integral(l))
+        Some(java.lang.Long.compare(n.longValue(), l.longValue()))
+      else
+        Some(java.lang.Double.compare(n.doubleValue(), l.doubleValue()))
     case _ => None
   }
 

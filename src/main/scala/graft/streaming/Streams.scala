@@ -127,9 +127,14 @@ object Streams {
     * boundedness contract as `dropDuplicatesWithinWatermark`, with
     * NEAR-dup (not exact) semantics. */
   def nearDupBandVerdicts(docs: Dataset[DocEvent],
-      horizon: String = "2 hours"): Dataset[BandVerdict] = {
+      horizonMinutes: Long = 120): Dataset[BandVerdict] = {
     import docs.sparkSession.implicits._
-    val horizonMs = 2L * 60 * 60 * 1000
+    // ONE horizon drives both the watermark and the state timeout —
+    // separate knobs would desynchronize eviction from the late-data
+    // contract (state outliving the watermark bloats; state evicted
+    // early re-admits dups as first writers)
+    val horizon = s"$horizonMinutes minutes"
+    val horizonMs = horizonMinutes * 60 * 1000
     val sig = graft.dedup.Dedup.minhashSignature(
       graft.dedup.Dedup.shingleHashes(
         graft.dedup.Dedup.tokenHashes(graft.text.TextAnalysis.tokens(col("text")))), 8)

@@ -75,6 +75,16 @@ class AsofNativeSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("mismatched key/time types fail at build time, not mid-merge") {
+    import spark.implicits._
+    val l = Seq((1, 1L)).toDF("k", "t")   // k: int
+    val r = Seq((1L, 1L, 2L)).toDF("rk", "rt", "v") // rk: long
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin(l, r, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("key types differ"), e.getMessage)
+  }
+
   test("self-lineage sides (build derived from probe) do not collide") {
     import spark.implicits._
     val base = Seq((1L, 1L, 10L), (1L, 2L, 20L), (2L, 1L, 30L))

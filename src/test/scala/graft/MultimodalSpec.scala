@@ -91,6 +91,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.toSeq == samples.map(_.toInt).toSeq)
   }
 
+  test("decodeWav recenters 8-bit unsigned PCM; rejects 16-bit unsigned") {
+    import javax.sound.sampled._
+    def wav8u(samples: Array[Int]): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 8, 1, false, false) // unsigned 8-bit
+      val data = samples.map(_.toByte)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data),
+        fmt, samples.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 0x80 is unsigned-center silence -> 0 after recentering
+    val Some((_, got)) = decodeWav(wav8u(Array(0x80, 0xFF, 0x00)))
+    assert(got.toSeq == Seq(0, 127, -128))
+  }
+
   test("decodeWav folds stereo to mono by integer average") {
     // interleaved L/R frames: (100, 200), (-50, 50), (7, 8)
     val Some((_, got)) = decodeWav(wav(Array[Short](100, 200, -50, 50, 7, 8),
