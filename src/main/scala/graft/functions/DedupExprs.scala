@@ -86,7 +86,11 @@ object ShingleHashes3 {
   * per row vs the interpreted per-element k-vector allocation of the HOF
   * (`Dedup.minhashSignatureHof`). */
 case class MinhashSignature(child: Expression, k: Int) extends UnaryExpression {
-  require(k > 0, "minhash_signature requires k > 0")
+  // 4096 enforces the overflow audit in MinhashSignature.signature's
+  // scaladoc with ~5 orders of magnitude to spare (exact overflow is at
+  // k ≈ 4.6e8); real LSH signatures are tens of hashes wide.
+  require(k > 0 && k <= 4096,
+    s"minhash_signature requires 1 <= k <= 4096, got $k")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -112,9 +116,11 @@ object MinhashSignature {
   import DedupExprs.P
 
   /** Called from both interpreted and generated code paths. Operand
-    * bound: h < P < 2^33, (2k+1)·h + k·2654435761 < 2^38 for k ≤ 8 —
-    * far from Long overflow, and all operands are non-negative so Java
-    * `%` equals the mathematical mod (same as Spark/DuckDB `%` on
+    * bound: h < P < 2^33 and j < k, so (2j+3)·h + j·2654435761 <
+    * k·(2^34 + 2^32) ≈ k·2e10 — overflow only at k ≈ 4.6e8, and the
+    * expression constructor enforces k ≤ 4096, five orders of magnitude
+    * inside the safe range. All operands are non-negative so Java `%`
+    * equals the mathematical mod (same as Spark/DuckDB `%` on
     * non-negative BIGINTs). */
   def signature(sh: ArrayData, k: Int): ArrayData = {
     val out = Array.fill[Long](k)(P)

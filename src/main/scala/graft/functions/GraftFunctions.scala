@@ -23,9 +23,20 @@ object GraftFunctions {
     "cpf_clean" -> (args => CpfClean(args.head)),
     "token_hash32_array" -> (args => TokenHashArray(args.head)),
     "shingle_hashes3" -> (args => ShingleHashes3(args.head)),
-    // k must be a foldable literal (evaluated at registration-call time)
-    "minhash_signature" -> (args =>
-      MinhashSignature(args(0), args(1).eval().asInstanceOf[Number].intValue)),
+    // k must be a foldable literal: the signature width shapes the
+    // expression itself, so a per-row k is unrepresentable. Check before
+    // eval — a column argument would otherwise surface as an obscure
+    // UnresolvedException from eval() instead of an analysis error.
+    "minhash_signature" -> (args => {
+      require(args.length == 2,
+        s"minhash_signature(tokens, k) takes 2 arguments, got ${args.length}")
+      require(args(1).foldable,
+        "minhash_signature k must be a literal (the signature width is fixed " +
+        "at plan time); got non-foldable: " + args(1).sql)
+      val k = args(1).eval()
+      require(k != null, "minhash_signature k must not be NULL")
+      MinhashSignature(args(0), k.asInstanceOf[Number].intValue)
+    }),
     "simhash32" -> (args => Simhash32(args(0), args(1))),
     "vec_dot" -> (args => VecDot(args(0), args(1))),
     "vec_norm_sq" -> (args => VecNormSq(args.head)),

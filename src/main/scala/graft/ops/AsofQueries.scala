@@ -73,9 +73,77 @@ object AsofQueries {
       .orderBy("event_id")
   }
 
+  /** INDEPENDENT-sides as-of: probe = events, build = an aggregate of a
+    * DIFFERENT table (orders) — the case the native operator exists for.
+    * `join_asof_daily`/`join_asof_native` derive both sides from the one
+    * events scan, which lets the union+window form share a single
+    * shuffle; with genuinely independent sides each formulation pays one
+    * shuffle per side, and the comparison isolates merge cost: linear
+    * typed forward merge (native) vs window over the unioned rows
+    * (composed). Shared time axis: day-of-month (events are 2024-01,
+    * orders 1995–2001 — calendar days overlap 1..30, so matches
+    * genuinely interleave instead of degenerating to "last build row").
+    * Key axis: o_custkey % 150 folds the 1500 customers onto the 150
+    * event users. */
+  private def asofOrdersSides(s: SparkSession, d: String,
+      repartitionBuild: Boolean = false): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      dayofmonth(col("ts")).cast(LongType).as("day"))
+    val ordBase = Tables.orders(s, d)
+      .select((col("o_custkey") % 150).as("r_cust"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("r_day"),
+        col("o_totalprice"))
+    // native form: repartition by r_cust BEFORE the (r_cust, r_day) agg —
+    // hash(r_cust) satisfies ClusteredDistribution(r_cust, r_day) by the
+    // subset rule, so the agg reuses this exchange AND its layout already
+    // satisfies the as-of merge's ClusteredDistribution(r_cust). Without
+    // it the agg exchanges on (r_cust, r_day), which does NOT satisfy the
+    // merge, and EnsureRequirements inserts a third shuffle.
+    val ord = (if (repartitionBuild) ordBase.repartition(col("r_cust")) else ordBase)
+      .groupBy("r_cust", "r_day")
+      .agg(count(lit(1)).as("n_orders"),
+        // max of doubles is order-insensitive and exact (unlike sum) —
+        // keeps the oracle hash bit-stable across engines
+        max("o_totalprice").as("best_price"))
+    (ev, ord)
+  }
+
+  def joinAsofOrdersNative(s: SparkSession, d: String): DataFrame = {
+    val (ev, ord) = asofOrdersSides(s, d, repartitionBuild = true)
+    graft.plans.AsofJoin(ev, ord, "user_id", "r_cust", "day", "r_day")
+      .select(col("event_id"), col("user_id"), col("day"),
+        coalesce(col("n_orders"), lit(-1L)).as("n_orders"),
+        coalesce(col("best_price"), lit(-1.0)).as("best_price"))
+      .orderBy("event_id")
+  }
+
+  def joinAsofOrdersComposed(s: SparkSession, d: String): DataFrame = {
+    val (ev, ord) = asofOrdersSides(s, d)
+    val tagged = ord.select(col("r_cust").as("user_id"), col("r_day").as("day"),
+        lit(0).as("kind"), lit(null).cast(LongType).as("event_id"),
+        col("n_orders"), col("best_price"))
+      .unionByName(ev.select(col("user_id"), col("day"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast(LongType).as("n_orders"),
+        lit(null).cast(DoubleType).as("best_price")))
+    val w = Window.partitionBy("user_id")
+      .orderBy("day", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_n", last("n_orders", ignoreNulls = true).over(w))
+      .withColumn("asof_p", last("best_price", ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("day"),
+        coalesce(col("asof_n"), lit(-1L)).as("n_orders"),
+        coalesce(col("asof_p"), lit(-1.0)).as("best_price"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "join_asof_daily"  -> joinAsofDaily _,
-    "join_asof_native" -> joinAsofNative _,
+    "join_asof_daily"           -> joinAsofDaily _,
+    "join_asof_native"          -> joinAsofNative _,
+    "join_asof_orders_native"   -> joinAsofOrdersNative _,
+    "join_asof_orders_composed" -> joinAsofOrdersComposed _,
   )
 
   /** Both formulations answer the same question — one oracle text. */
@@ -92,8 +160,26 @@ object AsofQueries {
         |  ON e.user_id = d.user_id AND e.day >= d.day
         |ORDER BY event_id""".stripMargin
 
+  /** Both formulations of the independent-sides variant share one oracle
+    * (DuckDB native ASOF LEFT JOIN — a third, unrelated algorithm). */
+  private val asofOrdersOracleSql =
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(day(ts) AS BIGINT) AS day FROM events),
+        |ord AS (
+        |  SELECT o_custkey % 150 AS r_cust, CAST(day(o_orderdate) AS BIGINT) AS r_day,
+        |         COUNT(*) AS n_orders, MAX(o_totalprice) AS best_price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.day,
+        |  COALESCE(o.n_orders, -1) AS n_orders,
+        |  COALESCE(o.best_price, -1.0) AS best_price
+        |FROM ev e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.r_cust AND e.day >= o.r_day
+        |ORDER BY event_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "join_asof_daily"  -> asofOracleSql,
-    "join_asof_native" -> asofOracleSql,
+    "join_asof_daily"           -> asofOracleSql,
+    "join_asof_native"          -> asofOracleSql,
+    "join_asof_orders_native"   -> asofOrdersOracleSql,
+    "join_asof_orders_composed" -> asofOrdersOracleSql,
   )
 }

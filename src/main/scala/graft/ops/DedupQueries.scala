@@ -140,10 +140,17 @@ object DedupQueries {
       .orderBy("a_id", "b_id")
   }
 
-  /** Sub-cells per label for the embedding self-join (triangle cell
-    * partitioning). At 100 TB, set m ≈ ⌈max label count / target cell
-    * size⌉ so no single join task ever sees more than ~2·target rows. */
-  private val EmbedCells = 4
+  /** Default sub-cells per label for the embedding self-join (triangle
+    * cell partitioning). SIZING RULE: m ≈ ⌈max per-label row count /
+    * target cell size⌉, where target cell size is what one join task
+    * should hold (≈ sqrt(task-memory / row-width) rows, since the
+    * in-cell join is quadratic) — at 100 TB derive max-label-count from
+    * a cheap `groupBy(label).count().agg(max(...))` pre-pass and pass it
+    * to [[dedupEmbeddingCosineCells]]. The PAIR SET is invariant in m
+    * (the cell-pair cover is exhaustive for any m ≥ 1 — pinned by spec);
+    * m trades replication volume (m× shuffle) against per-task bound
+    * (O(2·label/m)²). 4 suits the fixture's ~250-row labels. */
+  private[graft] val EmbedCells = 4
 
   /** Embedding near-dup: within-label (IVF-coarse-bucket pattern)
     * cosine ≥ 0.35 pairs. The label join stands in for a coarse
@@ -163,9 +170,16 @@ object DedupQueries {
     * the naive join (oracle unchanged) but the biggest join task shrinks
     * from O(hottest label)² to O(2·label/m)². Replication cost: m× rows
     * shuffled — the classic skew-vs-volume trade, tuned by [[EmbedCells]]. */
-  def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
-    val m = EmbedCells
-    val rep = PipelineCache.getOrPersist(s"dedup:embCells:$d")(
+  def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame =
+    dedupEmbeddingCosineCells(s, d, EmbedCells)
+
+  /** [[dedupEmbeddingCosine]] with the cell count as a parameter (see
+    * [[EmbedCells]] for the sizing rule). Output is identical for every
+    * m ≥ 1; only the shuffle/task-bound trade moves. */
+  private[graft] def dedupEmbeddingCosineCells(
+      s: SparkSession, d: String, m: Int): DataFrame = {
+    require(m >= 1, s"cell count must be >= 1, got $m")
+    val rep = PipelineCache.getOrPersist(s"dedup:embCells:$d:$m")(
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"),
           Vectors.normSq(col("embedding")).as("nsq"), // norm once per row
@@ -243,7 +257,15 @@ object DedupQueries {
     * Oracle: DuckDB recursive CTE — min reachable node over the
     * symmetric edge set, a genuinely different algorithm (BFS closure
     * vs iterated relational propagation) that must agree exactly. */
-  def dedupClusterConverged(s: SparkSession, d: String): DataFrame = {
+  def dedupClusterConverged(s: SparkSession, d: String): DataFrame =
+    ccConvergedWithStats(s, d, CcMaxRounds)._1
+
+  /** [[dedupClusterConverged]] with the loop's outcome exposed:
+    * (result, rounds run, converged?). Package-visible so the spec can
+    * pin "converges well before the cap on the fixture" and exercise the
+    * cap-trip warning with a tiny maxRounds. */
+  private[graft] def ccConvergedWithStats(s: SparkSession, d: String,
+      maxRounds: Int): (DataFrame, Int, Boolean) = {
     val pairs = PipelineCache.getOrPersist(s"dedup:verifiedPairs:$d")(
       dedupMinhashLsh(s, d).select(col("a_id"), col("b_id")))
     val edges = PipelineCache.getOrPersist(s"dedup:ccEdges:$d")(
@@ -255,13 +277,14 @@ object DedupQueries {
     // min-propagation, so the label sum strictly decreases until the
     // fixpoint — one cheap agg on the (cached) round result replaces a
     // join-with-previous diff. The agg is also the action that
-    // materializes the round's persist.
+    // materializes the round's persist. coalesce guards the zero-row
+    // corpus (no verified near-dup pair → empty label frame → sum NULL).
     def lblSum(df: DataFrame): Long =
-      df.agg(sum(col("lbl"))).head.getLong(0)
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
     var prevSum = lblSum(labels)
     var changed = true
     var rounds = 0
-    while (changed && rounds < CcMaxRounds) {
+    while (changed && rounds < maxRounds) {
       val next = labels.as("l")
         .join(edges.as("e"), col("l.id") === col("e.a_id"))
         .join(labels.select(col("id").as("nb_id"), col("lbl").as("nb_lbl")).as("n"),
@@ -276,9 +299,20 @@ object DedupQueries {
       labels = next
       rounds += 1
     }
+    if (changed) {
+      // exited via the round cap, not convergence: the labels are NOT the
+      // transitive closure (graph diameter > maxRounds) and would
+      // silently diverge from the recursive-CTE oracle — say so loudly
+      // (plain stderr, not log4j: must surface even when logging is quiet)
+      System.err.println(
+        s"[graft] dedup_cluster_converged: round cap maxRounds=$maxRounds " +
+        "reached before convergence — labels are truncated, not the true " +
+        "transitive closure. Raise CcMaxRounds (and checkpoint lineage) for " +
+        "this graph.")
+    }
     PipelineCache.register(s"dedup:ccConverged:$d", labels)
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
-      .orderBy("doc_id")
+    (labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy("doc_id"), rounds, !changed)
   }
 
   /** Diameter cap for [[dedupClusterConverged]] (see its scaladoc). */

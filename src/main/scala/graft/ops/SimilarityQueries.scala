@@ -78,10 +78,28 @@ object SimilarityQueries {
     * (vec_id, cell) pair per vector; cell then becomes the partition
     * key and the probe scans cells/NCells of the data. d2 uses the
     * native VecDot/VecNormSq expressions: nsq_v + nsq_c − 2·dot. */
-  def simIvfCoarseTopk(s: SparkSession, d: String): DataFrame = {
-    val NCells = 8
+  def simIvfCoarseTopk(s: SparkSession, d: String): DataFrame =
+    simIvfCoarseTopkCells(s, d, NCells, NProbe)
+
+  /** Default IVF cell count. SIZING RULE: nCells ≈ sqrt(N) is the
+    * classic IVF balance (cell size ≈ N/nCells ≈ sqrt(N) rows scanned
+    * per probe); at 100 TB with ~1e9 vectors that's ~32k trained
+    * centroids, still a broadcast-sized table (~128 MB at 1k dims).
+    * nProbe trades recall for scan fraction (nProbe/nCells of the data).
+    * 8/2 suit the fixture (6k vectors → ~750-row cells). */
+  private[graft] val NCells = 8
+  private[graft] val NProbe = 2
+
+  /** [[simIvfCoarseTopk]] with cell/probe counts as parameters. Unlike
+    * the triangle-cell dedup, the RESULT legitimately depends on the
+    * quantization (IVF is approximate): more probes monotonically
+    * approach the exact brute-force top-k. */
+  private[graft] def simIvfCoarseTopkCells(
+      s: SparkSession, d: String, nCells: Int, nProbe: Int): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells, got nCells=$nCells nProbe=$nProbe")
     val e = emb(s, d)
-    val cents = broadcast(e.filter(col("vec_id") <= NCells)
+    val cents = broadcast(e.filter(col("vec_id") <= nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
         col("nsq").as("cnsq")))
     val d2all = e.crossJoin(cents)
@@ -93,7 +111,7 @@ object SimilarityQueries {
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cell"))
     val probeCells = broadcast(d2all.filter(col("vec_id") === ProbeId)
-      .orderBy(col("d2"), col("cid")).limit(2) // 8 rows → TakeOrdered, no window
+      .orderBy(col("d2"), col("cid")).limit(nProbe) // nCells rows → TakeOrdered, no window
       .select(col("cid").as("pcell")))
     val probe = broadcast(e.filter(col("vec_id") === ProbeId)
       .select(col("embedding").as("q"), col("nsq").as("qnsq")))

@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Pro
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Native as-of (temporal lookup) join — the whole-operator extension
   * rung of the brief's ladder (custom `LogicalPlan` + `SparkStrategy` +
@@ -74,6 +73,21 @@ object AsofJoin {
         s"as-of $what types differ: ${a.name}: ${a.dataType} vs ${b.name}: ${b.dataType}")
     sameType(lk, rk, "key")
     sameType(lt, rt, "time")
+    // supported-type validation belongs HERE too: an exotic key type (or
+    // a collated string, whose sort order the binary merge would not
+    // honor) must be a build-time error, not an executor-side throw
+    def supported(a: Attribute, what: String): Unit = a.dataType match {
+      case IntegerType | DateType | LongType | TimestampType |
+           TimestampNTZType | ShortType | DoubleType | FloatType => ()
+      case st: StringType if st == StringType => ()
+      case st: StringType => throw new IllegalArgumentException(
+        s"as-of $what ${a.name}: collated string $st is not " +
+        "supported — the merge compares UTF8 bytes, which disagrees with a " +
+        "non-binary collation's sort order")
+      case other => throw new IllegalArgumentException(
+        s"as-of $what ${a.name}: type $other not supported")
+    }
+    supported(lk, "key"); supported(lt, "time")
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
       AsofJoin(lPlan, rPlan, lk, rk, lt, rt))
   }
@@ -122,35 +136,50 @@ case class AsofJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
 
-  /** Total-order comparator for the supported key/time types. Planning
-    * fails loudly for exotic types rather than comparing wrongly. */
-  private def comparator(dt: DataType): (Any, Any) => Int = dt match {
-    case IntegerType | DateType =>
-      (a, b) => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
-    case LongType | TimestampType | TimestampNTZType =>
-      (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
-    case ShortType =>
-      (a, b) => java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
-    case DoubleType =>
-      (a, b) => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
-    case FloatType =>
-      (a, b) => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
-    case _: StringType =>
-      (a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
-    case other => throw new UnsupportedOperationException(
-      s"as-of join key/time type $other not supported")
-  }
+  /** Typed cross-row field comparator: `cmp(a, aOrd, b, bOrd)` compares
+    * `a(aOrd)` to `b(bOrd)` through `SpecializedGetters` primitive
+    * accessors — no per-row boxing, no generic `eval`. Null handling is
+    * the caller's job (via `isNullAt`); build-time validation in
+    * [[AsofJoin.apply]] already restricted the types, so the `case
+    * other` arm is unreachable through the public API. */
+  private def typedCmp(dt: DataType): (InternalRow, Int, InternalRow, Int) => Int =
+    dt match {
+      case IntegerType | DateType =>
+        (a, ai, b, bi) => java.lang.Integer.compare(a.getInt(ai), b.getInt(bi))
+      case LongType | TimestampType | TimestampNTZType =>
+        (a, ai, b, bi) => java.lang.Long.compare(a.getLong(ai), b.getLong(bi))
+      case ShortType =>
+        (a, ai, b, bi) => java.lang.Short.compare(a.getShort(ai), b.getShort(bi))
+      case DoubleType =>
+        (a, ai, b, bi) => java.lang.Double.compare(a.getDouble(ai), b.getDouble(bi))
+      case FloatType =>
+        (a, ai, b, bi) => java.lang.Float.compare(a.getFloat(ai), b.getFloat(bi))
+      case st: StringType if st == StringType =>
+        (a, ai, b, bi) => a.getUTF8String(ai).compareTo(b.getUTF8String(bi))
+      case other => throw new UnsupportedOperationException(
+        s"as-of join key/time type $other not supported")
+    }
+
+  /** Keys/times reach the exec as resolved [[Attribute]]s (the only form
+    * [[AsofJoin.apply]] constructs), so binding always yields a
+    * [[BoundReference]] whose ordinal feeds the typed accessors above. */
+  private def ordinalOf(e: Expression, schema: Seq[Attribute]): Int =
+    BindReferences.bindReference(e, schema) match {
+      case b: BoundReference => b.ordinal
+      case other => throw new IllegalStateException(
+        s"as-of key/time must bind to a column reference; got $other")
+    }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
     val out = output
-    val lKeyB = BindReferences.bindReference(leftKey, leftOut)
-    val lTimeB = BindReferences.bindReference(leftTime, leftOut)
-    val rKeyB = BindReferences.bindReference(rightKey, rightOut)
-    val rTimeB = BindReferences.bindReference(rightTime, rightOut)
-    val cmpKey = comparator(leftKey.dataType)
-    val cmpTime = comparator(leftTime.dataType)
+    val lkOrd = ordinalOf(leftKey, leftOut)
+    val ltOrd = ordinalOf(leftTime, leftOut)
+    val rkOrd = ordinalOf(rightKey, rightOut)
+    val rtOrd = ordinalOf(rightTime, rightOut)
+    val cmpKey = typedCmp(leftKey.dataType)
+    val cmpTime = typedCmp(leftTime.dataType)
     val rightWidth = rightOut.size
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -158,52 +187,49 @@ case class AsofJoinExec(
       val nullRight = new GenericInternalRow(rightWidth)
       // bind against null-FORCED right attributes: the null-extended rows
       // must go through a null check even when the child declared the
-      // column non-nullable
+      // column non-nullable. The projection itself is codegen'd
+      // (UnsafeProjection.create compiles to bytecode), so the only
+      // per-row interpreted work left in this merge is the typed
+      // primitive comparisons above.
       val project = UnsafeProjection.create(out,
         leftOut ++ rightOut.map(_.withNullability(true)))
       new Iterator[InternalRow] {
-        // rHead: next right row not yet merged; its key/time are only
-        // read while it stays current (rIter.next() invalidates it, and
-        // we never call next() while rHead is live)
+        // rHead: next right row not yet merged; its fields are only read
+        // while it stays current (rIter.next() invalidates it, and we
+        // never call next() while rHead is live)
         private var rHead: InternalRow = _
-        private var rHeadKey: Any = _
-        private var rHeadTime: Any = _
-        // candidate: last right row of candKey with time <= the current
+        // candidate: last right row of its key with time <= the current
         // left time; COPIED because it outlives the iterator's row reuse
         private var candRow: InternalRow = _
-        private var candKey: Any = _
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val l = lIter.next()
-          val k = lKeyB.eval(l)
-          val t = lTimeB.eval(l)
-          if (k == null || t == null) return project(joined(l, nullRight))
+          if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
+            return project(joined(l, nullRight)) // null key/time never matches
+          }
           var stop = false
           while (!stop) {
             if (rHead == null) {
               if (rIter.hasNext) {
                 val r = rIter.next()
-                val rk = rKeyB.eval(r)
-                val rt = rTimeB.eval(r)
-                if (rk != null && rt != null) {
-                  rHead = r; rHeadKey = rk; rHeadTime = rt
-                } // else: null key/time never matches — drop the row
+                // null right key/time never matches — drop the row
+                if (!r.isNullAt(rkOrd) && !r.isNullAt(rtOrd)) rHead = r
               } else stop = true
             } else {
-              val c = cmpKey(rHeadKey, k)
+              val c = cmpKey(rHead, rkOrd, l, lkOrd)
               if (c < 0) rHead = null // right key already passed: discard
               else if (c > 0) stop = true // right side ahead: hold
-              else if (cmpTime(rHeadTime, t) <= 0) {
+              else if (cmpTime(rHead, rtOrd, l, ltOrd) <= 0) {
                 candRow = rHead.copy() // may serve several left rows
-                candKey = rKeyB.eval(candRow)
                 rHead = null
               } else stop = true // same key but future time: hold
             }
           }
-          if (candRow != null && cmpKey(candKey, k) == 0) project(joined(l, candRow))
-          else project(joined(l, nullRight))
+          if (candRow != null && cmpKey(candRow, rkOrd, l, lkOrd) == 0) {
+            project(joined(l, candRow))
+          } else project(joined(l, nullRight))
         }
       }
     }

@@ -75,6 +75,25 @@ class AsofNativeSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("independent-sides variant: native equals composed (probe=events, build=orders)") {
+    val native = AsofQueries.joinAsofOrdersNative(spark, sfDir).collect().toSeq
+    val composed = AsofQueries.joinAsofOrdersComposed(spark, sfDir).collect().toSeq
+    assert(native.nonEmpty)
+    assert(native == composed)
+    // the match must genuinely interleave: some events matched, some not
+    assert(native.exists(_.getLong(3) >= 0))
+  }
+
+  test("unsupported key type fails at build time") {
+    import spark.implicits._
+    val l = Seq((Array(1.toByte), 1L)).toDF("k", "t") // binary key
+    val r = Seq((Array(1.toByte), 1L, 2L)).toDF("rk", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin(l, r, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("not supported"), e.getMessage)
+  }
+
   test("mismatched key/time types fail at build time, not mid-merge") {
     import spark.implicits._
     val l = Seq((1, 1L)).toDF("k", "t")   // k: int

@@ -124,6 +124,54 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got == truth, "fixpoint propagation must equal union-find components")
   }
 
+  test("embedding near-dup pair set is invariant in the cell count m") {
+    import graft.ops.PipelineCache
+    def pairs(m: Int): Seq[(Long, Long)] = {
+      val r = DedupQueries.dedupEmbeddingCosineCells(spark, sfDir, m)
+        .select("a_id", "b_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq
+      PipelineCache.releaseAll() // each m caches its own replicated base
+      r
+    }
+    val m4 = pairs(4) // default
+    assert(m4.nonEmpty)
+    assert(pairs(1) == m4)  // m=1: no replication, one cell-pair per label
+    assert(pairs(7) == m4)  // m=7: a non-divisor of the label sizes
+  }
+
+  test("full-probe IVF (nProbe = nCells) equals exact brute-force top-k") {
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.take(5) // brute is top-10
+    val full = graft.ops.SimilarityQueries
+      .simIvfCoarseTopkCells(spark, sfDir, nCells = 4, nProbe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(full == brute) // scanning every cell removes the approximation
+  }
+
+  test("CC loop converges well before the round cap; cap trip warns loudly") {
+    import graft.ops.PipelineCache
+    val (df, rounds, converged) =
+      DedupQueries.ccConvergedWithStats(spark, sfDir, DedupQueries.CcMaxRounds)
+    assert(df.count() > 0)
+    assert(converged, s"fixture graph should converge (rounds=$rounds)")
+    assert(rounds < DedupQueries.CcMaxRounds,
+      s"fixture should converge before the cap, took $rounds")
+    assert(rounds > 1, "fixture graph should need more than one round " +
+      "(else the cap-trip test below is vacuous)")
+    PipelineCache.releaseAll()
+    // cap trip: maxRounds=1 cannot reach the fixture's fixpoint
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    val (_, _, converged1) = try {
+      System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+      DedupQueries.ccConvergedWithStats(spark, sfDir, 1)
+    } finally System.setErr(realErr)
+    assert(!converged1)
+    assert(errBuf.toString("UTF-8").contains("reached before convergence"),
+      s"expected the cap-trip warning, got: ${errBuf.toString("UTF-8").take(200)}")
+    PipelineCache.releaseAll()
+  }
+
   test("curation funnel only shrinks the per-source budget") {
     val budget = SparkEntry.queries("text_bpe_budget")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

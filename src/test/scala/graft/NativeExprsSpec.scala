@@ -108,4 +108,25 @@ class NativeExprsSpec extends SparkTestBase with TableDrivenPropertyChecks {
     assert(r.getSeq[Long](0).length == 4)
     assert(r.getDouble(2) == 11.0 && r.getDouble(3) == 25.0)
   }
+
+  test("minhash_signature rejects a non-literal k with a clear error") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT minhash_signature(shingle_hashes3(token_hash32_array(array('a','b','c'))), n)
+          |FROM VALUES (4) AS t(n)""".stripMargin).collect()
+    }
+    // the require message must survive Spark's analysis-error wrapping
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("k must be a literal")), e.toString)
+  }
+
+  test("minhash_signature enforces the overflow-audited k bound") {
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.MinhashSignature(
+        org.apache.spark.sql.catalyst.expressions.Literal(Array(1L)), 5000)
+    }
+    assert(e.getMessage.contains("4096"))
+  }
 }
