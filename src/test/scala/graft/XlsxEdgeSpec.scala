@@ -135,4 +135,85 @@ class XlsxEdgeSpec extends SparkTestBase {
     // null comparison drops the row at the source AND in the residual
     assert(read.filter(col("qty") > 0L).count() == 2)
   }
+
+  /** 0-based column index → A1-style column letters (25→Z, 26→AA). */
+  private def colRef(i: Int): String = {
+    var n = i + 1; val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  /** Multi-sheet workbook: sheet "Narrow" (2 cols) + sheet "Wide"
+    * (`width` cols — past Z, so data cells carry AA+ refs, the classic
+    * hand-rolled-parser decode bug) + blank trailing rows on Wide:
+    * an empty <row/> and a style-only row with no <v> cells. */
+  private def makeWideXlsx(width: Int, dataRows: Int): String = {
+    val dir = Files.createTempDirectory("xlsx-wide")
+    val path = dir.resolve("wide.xlsx").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Narrow" sheetId="1" r:id="rId1"/><sheet name="Wide" sheetId="2" r:id="rId2"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/></Relationships>""")
+    def sheetXml(rows: String) =
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$rows</sheetData></worksheet>"""
+    put("xl/worksheets/sheet1.xml", sheetXml(
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>only_a</t></is></c><c r="B1" t="inlineStr"><is><t>only_b</t></is></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c></row>""".stripMargin))
+    val header = (0 until width).map(j =>
+      s"""<c r="${colRef(j)}1" t="inlineStr"><is><t>c${"%02d".format(j + 1)}</t></is></c>""").mkString
+    val data = (0 until dataRows).map { i =>
+      val cells = (0 until width).map(j =>
+        s"""<c r="${colRef(j)}${i + 2}"><v>${(i + 1) * 100 + (j + 1)}</v></c>""").mkString
+      s"""<row r="${i + 2}">$cells</row>"""
+    }.mkString
+    // blank trailing rows: an EMPTY row element, then a style-only row
+    // (cells with no <v> — what Excel leaves after formatting-then-clear)
+    val trailing =
+      s"""<row r="${dataRows + 2}"/>""" +
+      s"""<row r="${dataRows + 3}"><c r="A${dataRows + 3}" s="1"/><c r="${colRef(width - 1)}${dataRows + 3}" s="1"/></row>"""
+    put("xl/worksheets/sheet2.xml", sheetXml(s"""<row r="1">$header</row>$data$trailing"""))
+    zos.close()
+    path
+  }
+
+  test("sheet selection + >26 columns: AA+ cell refs land in the right fields; " +
+      "blank trailing rows are skipped") {
+    val width = 30
+    val path = makeWideXlsx(width, dataRows = 3)
+    val schema = StructType((1 to width).map(j =>
+      StructField("c" + "%02d".format(j), LongType)))
+    val rows = spark.read.format("xlsx").schema(schema)
+      .option("sheet", "Wide").load(path)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 3) // the two trailing blank rows never surface
+    for (i <- 0 until 3; j <- 0 until width)
+      assert(rows(i).getLong(j) == (i + 1) * 100 + (j + 1),
+        s"cell decode wrong at row $i col $j (${colRef(j)}): ${rows(i)}")
+  }
+
+  test("combined pushed filter + pruned columns on an AA+ column") {
+    import org.apache.spark.sql.functions.col
+    val width = 30
+    val path = makeWideXlsx(width, dataRows = 3)
+    val schema = StructType((1 to width).map(j =>
+      StructField("c" + "%02d".format(j), LongType)))
+    // c28 sits at index 27 = column AB — both the filter column and one
+    // projected column are past Z
+    val df = spark.read.format("xlsx").schema(schema)
+      .option("sheet", "Wide").load(path)
+      .filter(col("c28") > 128L) // keeps rows 2,3 (228, 328)
+      .select("c02", "c28")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((202L, 228L), (302L, 328L)))
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("GreaterThan(c28,128)"), s"filter not pushed: $scan")
+    assert(scan.contains("columns=[c02, c28]") || scan.contains("columns=[c02,c28]"),
+      s"pruning missing in: $scan")
+  }
 }
