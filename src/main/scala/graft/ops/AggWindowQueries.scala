@@ -159,7 +159,27 @@ object AggWindowQueries {
         count(lit(1)).as("n"))
       .orderBy("s_nationkey")
 
+  /** Per-group mode with a DETERMINISTIC tie-break (highest count, then
+    * smallest value): the argmax folds map-side as min(struct(-n, v)) —
+    * struct ordering compares -n first (so the largest count wins) and
+    * the value second (so ties break to the smallest). One row per
+    * (group, value) shuffles; no window, no second pass — at 100 TB
+    * this is two partial-aggregated shuffles, same shape as tf-rank.
+    * The oracle computes the same mode via row_number — a different
+    * algorithm forced to the same answer by the total tie-break. */
+  def aggModePerGroup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("status")
+      .agg(min(struct((-col("n")).as("neg"), col("priority").as("p"))).as("m"))
+      .select(col("status"), col("m.p").as("mode_priority"),
+        (-col("m.neg")).as("n"))
+      .orderBy("status")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode_per_group"     -> aggModePerGroup _,
     "agg_string_concat"      -> aggStringConcat _,
     "agg_collect_sorted"     -> aggCollectSorted _,
     "custom_agg_topk"        -> customAggTopk _,
@@ -174,6 +194,14 @@ object AggWindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_mode_per_group" ->
+      """SELECT status, priority AS mode_priority, n FROM (
+        |  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |    COUNT(*) AS n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY COUNT(*) DESC, o_orderpriority) AS rk
+        |  FROM orders GROUP BY 1, 2)
+        |WHERE rk = 1 ORDER BY status""".stripMargin,
     "agg_string_concat" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,

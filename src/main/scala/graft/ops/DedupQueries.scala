@@ -318,6 +318,20 @@ object DedupQueries {
   /** Diameter cap for [[dedupClusterConverged]] (see its scaladoc). */
   val CcMaxRounds = 12
 
+  /** Cluster-size histogram over the CONVERGED components — the dedup
+    * health metric a pipeline owner actually reads ("how many pairs vs
+    * how many 50-doc boilerplate families?"): cluster_size → number of
+    * clusters of that size. Two tiny aggregations on top of the CC
+    * result (first keyed by cluster, then by size), both map-side
+    * partial — the cost is the CC loop itself, shared shape with
+    * `dedup_cluster_converged`. */
+  def dedupClusterSizes(s: SparkSession, d: String): DataFrame =
+    dedupClusterConverged(s, d)
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"))
+      .orderBy("cluster_size")
+
   /** Benchmark-contamination check — the decontamination step every
     * pretraining pipeline runs before training: flag training documents
     * that share any 3-gram shingle with a held-out evaluation set. The
@@ -348,6 +362,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster_converged"   -> dedupClusterConverged _,
+    "dedup_cluster_sizes"       -> dedupClusterSizes _,
     "dedup_contamination_ngram" -> dedupContaminationNgram _,
     "dedup_exact_text"       -> dedupExactText _,
     "dedup_minhash_lsh"      -> dedupMinhashLsh _,
@@ -431,6 +446,22 @@ object DedupQueries {
          |  UNION
          |  SELECT t.id, e.b_id FROM reach t JOIN edges e ON e.a_id = t.r)
          |SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the histogram reuses the same recursive closure, aggregated twice
+    "dedup_cluster_sizes" ->
+      s"""${minhashCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT a_id, b_id
+         |  FROM cand JOIN base x ON x.doc_id = a_id JOIN base y ON y.doc_id = b_id
+         |  WHERE $jaccardSql >= $J),
+         |edges AS (SELECT a_id, b_id FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT a_id AS id, a_id AS r FROM edges
+         |  UNION
+         |  SELECT t.id, e.b_id FROM reach t JOIN edges e ON e.a_id = t.r),
+         |labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster, COUNT(*) AS sz FROM labels GROUP BY cluster)
+         |SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+         |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "dedup_contamination_ngram" ->
       s"""$baseCte,
          |g AS (SELECT doc_id,

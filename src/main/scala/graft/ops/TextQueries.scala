@@ -140,7 +140,58 @@ object TextQueries {
       .orderBy("split")
   }
 
+  /** Gopher-style intra-document repetition signals — the quality gate
+    * that catches boilerplate/spam the stopword heuristics miss: type-
+    * token ratio and the most-frequent-token fraction, flagged when
+    * either crosses the classic thresholds (top token > 20% of the doc,
+    * or fewer than 30% distinct tokens).
+    *
+    * Scale posture: explode → two-level aggregation; the (doc_id, token)
+    * level partial-aggregates map-side, so the only shuffle carries one
+    * row per distinct token per doc — the same shape as tf computation.
+    * Token-less docs drop out of the explode on BOTH engines (the oracle
+    * unnests the same token list), so the outputs stay aligned. */
+  def textRepetitionScore(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_types"),
+        max("n").as("max_cnt"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("max_cnt"),
+        (col("n_types").cast(DoubleType) / col("n_tokens").cast(DoubleType)).as("ttr"),
+        (col("max_cnt").cast(DoubleType) / col("n_tokens").cast(DoubleType)).as("top_frac"))
+      .withColumn("is_repetitive", col("top_frac") > 0.2 || col("ttr") < 0.3)
+      .orderBy("doc_id")
+  }
+
+  /** Corpus document frequency (inverted-index statistics): for the 40
+    * most widespread tokens, in how many DOCS each appears and the doc
+    * fraction. df_frac is the division only — no log-IDF, because libm
+    * `ln` is not guaranteed bit-identical across engines and the hash
+    * gate needs exact doubles; a consumer applies its own log.
+    *
+    * Scale posture: array_distinct BEFORE the explode keeps the shuffle
+    * to one row per distinct (doc, token); the corpus-size scalar rides
+    * in as a broadcast single row (no second pass over the data in the
+    * same plan — Spark computes it in a 1-row subplan). */
+  def textDocFrequency(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val docs = Tables.documents(s, d)
+    val total = docs.agg(count(lit(1)).cast(DoubleType).as("total"))
+    docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("df"),
+        (col("df").cast(DoubleType) / col("total")).as("df_frac"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(40)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition_score" -> textRepetitionScore _,
+    "text_doc_frequency"   -> textDocFrequency _,
     "sample_hash_split"    -> sampleHashSplit _,
     "text_bigram_freq"     -> textBigramFreq _,
     "text_token_count"     -> textTokenCount _,
@@ -187,6 +238,29 @@ object TextQueries {
   private def fold32Sql(arg: String): String = OracleSql.fold32(arg)
 
   val oracle: Map[String, String] = Map(
+    "text_repetition_score" ->
+      s"""SELECT doc_id,
+         |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |  COUNT(*) AS n_types,
+         |  MAX(n) AS max_cnt,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS ttr,
+         |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_frac,
+         |  (CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) > 0.2 OR
+         |   CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) < 0.3) AS is_repetitive
+         |FROM (
+         |  SELECT doc_id, token, COUNT(*) AS n FROM (
+         |    SELECT doc_id, unnest($tokensSql) AS token FROM documents)
+         |  GROUP BY doc_id, token)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_doc_frequency" ->
+      s"""SELECT token, df,
+         |  CAST(df AS DOUBLE) /
+         |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS df_frac
+         |FROM (
+         |  SELECT token, COUNT(*) AS df FROM (
+         |    SELECT DISTINCT doc_id, unnest($tokensSql) AS token FROM documents)
+         |  GROUP BY token)
+         |ORDER BY df DESC, token LIMIT 40""".stripMargin,
     "sample_hash_split" ->
       s"""SELECT CASE WHEN (${fold32Sql("'split:' || CAST(doc_id AS VARCHAR)")}) % 100 < 90
          |    THEN 'train' ELSE 'holdout' END AS split,

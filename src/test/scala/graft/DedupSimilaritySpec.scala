@@ -172,6 +172,18 @@ class DedupSimilaritySpec extends SparkTestBase {
     PipelineCache.releaseAll()
   }
 
+  test("cluster-size histogram accounts for every labeled doc") {
+    val labeled = SparkEntry.queries("dedup_cluster_converged")(spark, sfDir).count()
+    graft.ops.PipelineCache.releaseAll()
+    val hist = SparkEntry.queries("dedup_cluster_sizes")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.nonEmpty)
+    assert(hist.forall(_._1 >= 2), "a cluster needs at least one pair")
+    assert(hist.map { case (sz, n) => sz * n }.sum == labeled,
+      s"histogram mass must equal labeled docs: $labeled vs ${hist.toSeq}")
+    graft.ops.PipelineCache.releaseAll()
+  }
+
   test("curation funnel only shrinks the per-source budget") {
     val budget = SparkEntry.queries("text_bpe_budget")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
