@@ -142,11 +142,81 @@ object SimilarityQueries {
       .orderBy("label", "rk")
   }
 
+  /** One k-means TRAINING iteration with exact cross-engine arithmetic:
+    * assign every vector to its nearest seed centroid (the IVF
+    * assignment), then recompute each centroid dimension as the mean of
+    * its members. The mean is an ORDERED left-fold over members sorted
+    * by vec_id (collect→sort→fold, seeded 0.0) because a parallel
+    * double sum is order-nondeterministic — the one place the engine
+    * trades associativity for bit-stability against the oracle; a
+    * production trainer would use plain `avg` (and tolerate ±ulp).
+    *
+    * Scale posture: posexplode fans each vector to 64 (cell, dim) rows;
+    * the groupBy shuffles one row per (vector, dim) — with k·d cells ≈
+    * 512 groups the reduce side is trivial; collect_list per group is
+    * bounded by cell membership (the quantity IVF already balances). */
+  def simKmeansStep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val e = emb(s, d)
+    val cents = broadcast(e.filter(col("vec_id") <= NCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("nsq").as("cnsq")))
+    val assigned = e.crossJoin(cents)
+      .select(col("vec_id"), col("cid"),
+        (col("nsq") + col("cnsq") - lit(2.0) * dot(col("embedding"), col("cemb")))
+          .as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    e.join(assigned, "vec_id")
+      .select(col("vec_id"), col("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), (col("pos") + 1).cast(LongType).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+            m => m.getField("x").cast(DoubleType)),
+          lit(0.0), (acc, v) => acc + v).as("sx"))
+      .select(col("cell"), col("dim"),
+        (col("sx") / col("n").cast(DoubleType)).as("centroid"), col("n"))
+      .orderBy("cell", "dim")
+  }
+
+  /** Scalar int8 quantization of the embedding column — the storage
+    * path a 100 TB vector store actually ships (4× smaller than f32):
+    * clamp to [-1, 1], scale by 127, round half-away-from-zero. Output
+    * is per-vector scalars only (exact integer checksum of the codes +
+    * IEEE-exact reconstruction error), no list columns — the driver's
+    * row-sort gate cannot hold arrays. Pure per-row projection: zero
+    * shuffle at any scale. */
+  def simQuantizeInt8(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val xd = transform(col("embedding"), x => x.cast(DoubleType))
+    val q = transform(xd, x =>
+      round(greatest(lit(-1.0), least(lit(1.0), x)) * lit(127.0))
+        .cast(IntegerType))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), xd.as("xd"), q.as("q"))
+      .select(col("vec_id"), col("label"),
+        size(col("q")).as("n_dims"),
+        size(filter(col("xd"), x => abs(x) > lit(1.0))).as("n_clipped"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v.cast(LongType))
+          .as("q_sum"),
+        aggregate(
+          zip_with(col("xd"), col("q"), (a, b) =>
+            (a - b.cast(DoubleType) / lit(127.0)) *
+              (a - b.cast(DoubleType) / lit(127.0))),
+          lit(0.0), (acc, v) => acc + v).as("l2_err"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk"     -> simCosineTopk _,
     "sim_lsh_bucket_topk" -> simLshBucketTopk _,
     "sim_knn_per_label"   -> simKnnPerLabel _,
     "sim_ivf_coarse_topk" -> simIvfCoarseTopk _,
+    "sim_kmeans_step"     -> simKmeansStep _,
+    "sim_quantize_int8"   -> simQuantizeInt8 _,
   )
 
   // ---- DuckDB oracle (identical IEEE op order: widen→multiply in index
@@ -208,5 +278,46 @@ object SimilarityQueries {
          |CROSS JOIN ($probeCte) p
          |WHERE e.vec_id <> $ProbeId
          |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
+    "sim_kmeans_step" ->
+      // same assignment CTE as IVF; the mean is the same ordered
+      // left-fold (members sorted by vec_id, seed 0.0) as the engine
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id <= 8),
+         |d2all AS (SELECT e.vec_id, c.cid,
+         |    ${dotSql("e.embedding", "e.embedding")} +
+         |    ${dotSql("c.cemb", "c.cemb")} -
+         |    2.0 * ${dotSql("e.embedding", "c.cemb")} AS d2
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asgn AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d2all) WHERE rn = 1),
+         |ex AS (SELECT a.cid AS cell, e.vec_id,
+         |    CAST(generate_subscripts(e.embedding, 1) AS BIGINT) AS dim,
+         |    unnest(e.embedding) AS x
+         |  FROM embeddings e JOIN asgn a ON a.vec_id = e.vec_id)
+         |SELECT cell, dim,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(CAST(x AS DOUBLE) ORDER BY vec_id)), (a, b) -> a + b) /
+         |    CAST(COUNT(*) AS DOUBLE) AS centroid,
+         |  COUNT(*) AS n
+         |FROM ex GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
+    "sim_quantize_int8" ->
+      // q[i] and the error term are spelled with the engine's exact op
+      // order: clamp→*127→round (half away from zero on both engines),
+      // (x - q/127)*(x - q/127), left-fold seeded 0/0.0
+      s"""SELECT vec_id, label,
+         |  CAST(len(embedding) AS INTEGER) AS n_dims,
+         |  CAST(len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 1.0)) AS INTEGER) AS n_clipped,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(embedding, x ->
+         |        CAST(round(greatest(-1.0, least(1.0, CAST(x AS DOUBLE))) * 127.0) AS BIGINT))),
+         |    (a, b) -> a + b) AS q_sum,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(embedding, x ->
+         |        (CAST(x AS DOUBLE) - CAST(round(greatest(-1.0, least(1.0, CAST(x AS DOUBLE))) * 127.0) AS DOUBLE) / 127.0) *
+         |        (CAST(x AS DOUBLE) - CAST(round(greatest(-1.0, least(1.0, CAST(x AS DOUBLE))) * 127.0) AS DOUBLE) / 127.0))),
+         |    (a, b) -> a + b) AS l2_err
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
   )
 }

@@ -172,6 +172,34 @@ class DedupSimilaritySpec extends SparkTestBase {
     PipelineCache.releaseAll()
   }
 
+  test("k-means step: cell masses cover the table and centroids are finite") {
+    val total = graft.ops.Tables.embeddings(spark, sfDir).count()
+    val rows = SparkEntry.queries("sim_kmeans_step")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val dims = rows.map(_._2).distinct.sorted.toSeq
+    assert(dims == (1L to 64L).toSeq) // 64-dim embeddings
+    // every vector lands in exactly one cell: per-dim masses sum to N
+    dims.foreach { dim =>
+      assert(rows.filter(_._2 == dim).map(_._4).sum == total)
+    }
+    assert(rows.forall(r => !r._3.isNaN && !r._3.isInfinite))
+  }
+
+  test("int8 quantization: codes bounded, zero clipping only when |x| <= 1") {
+    val rows = SparkEntry.queries("sim_quantize_int8")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nDims, nClipped, qSum, l2) =>
+      assert(nDims == 64 && nClipped >= 0 && nClipped <= nDims)
+      assert(math.abs(qSum) <= 127L * nDims, s"vec $id code checksum out of range")
+      // max per-element error is (0.5/127)^2 for in-range values, plus
+      // the clipped overshoot — bound loosely but finitely
+      assert(l2 >= 0.0 && !l2.isNaN)
+      if (nClipped == 0) assert(l2 <= nDims * math.pow(0.5 / 127.0, 2) + 1e-12,
+        s"vec $id unclipped error too large: $l2")
+    }
+  }
+
   test("cluster-size histogram accounts for every labeled doc") {
     val labeled = SparkEntry.queries("dedup_cluster_converged")(spark, sfDir).count()
     graft.ops.PipelineCache.releaseAll()
