@@ -46,10 +46,15 @@ object RangeTfQueries {
     * Two shuffles: (doc, term) counts, then term document-frequencies
     * broadcast back. */
   def textTfRank(s: SparkSession, d: String): DataFrame = {
-    val tf = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf feeds BOTH the df aggregation and the join probe; persist it so
+    // the explode+count runs once (exchange reuse alone still re-runs
+    // the final aggregation in each branch, and AQE stage boundaries can
+    // break even that) — same lifecycle pattern as the dedup bases
+    val tf = PipelineCache.getOrPersist(s"tfrank:tf:$d")(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),

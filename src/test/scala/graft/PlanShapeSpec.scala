@@ -106,4 +106,41 @@ class PlanShapeSpec extends SparkTestBase {
     assert(pf.exists(_.group(1).contains("lang")),
       s"lang predicate must be a PartitionFilter (directory prune):\n$p")
   }
+
+  test("mode argmax folds map-side with no window") {
+    val p = plan("agg_mode_per_group")
+    assert(!p.contains("Window"), p) // min(struct) beats row_number here
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+  }
+
+  test("repetition score and doc frequency partial-aggregate before each shuffle") {
+    Seq("text_repetition_score", "text_doc_frequency").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_count"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("k-means assignment broadcasts the centroids, never shuffles the table for them") {
+    val p = plan("sim_kmeans_step")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("int8 quantization is a pure projection: no join, no aggregate exchange") {
+    val p = plan("sim_quantize_int8")
+    assert(!p.contains("Join"), p)
+    // only the final orderBy may exchange; no hash shuffle at all
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("independent-sides native as-of reuses the build aggregation's exchange") {
+    val p = SparkEntry.queries("join_asof_orders_native")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin "), p)
+    assert(!p.contains("Window"), p)
+    // one exchange per side + the output range sort; the (r_cust, r_day)
+    // agg must NOT add a third hash exchange (repartition reuse)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, p)
+  }
 }
