@@ -16,12 +16,15 @@ import org.apache.spark.sql.types._
   * would be held).
   *
   * Image rows decode FOR REAL through the JDK's built-in
-  * `javax.imageio` codecs (PNG/JPEG/BMP/GIF — zero external jars), and
+  * `javax.imageio` codecs (PNG/JPEG/BMP/GIF — zero external jars),
   * audio rows through `javax.sound.sampled` WAV/PCM parsing (also
-  * JDK-built-in). Bytes that aren't parseable (synthetic fixtures) and
-  * video rows fall back to `decodeFake`, a clearly-marked deterministic
-  * stand-in (pixel bytes derived from the content hash). Swapping
-  * `decodeFake` for an ffmpeg/JNI call changes no plumbing.
+  * JDK-built-in), and MOVING-PICTURE rows in animated-GIF containers
+  * through ImageIO's multi-image reads (`decodeGifFrames` — true frame
+  * count and dimensions). Bytes that aren't parseable (synthetic
+  * fixtures) and codec-less containers (MP4/WebM — the JDK ships none)
+  * fall back to `decodeFake`, a clearly-marked deterministic stand-in
+  * (pixel bytes derived from the content hash). Swapping `decodeFake`
+  * for an ffmpeg/JNI call changes no plumbing.
   */
 object Multimodal {
 
@@ -130,6 +133,53 @@ object Multimodal {
         }
         Some((fmt.getSampleRate.toInt, out))
       }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Real MULTI-FRAME decode for animated-GIF containers via the JDK's
+    * built-in ImageIO reader (`getNumImages`/`read(i)` — zero external
+    * jars). Returns (width, height, per-frame grayscale pixels) with the
+    * same Rec.601 integer luminance as [[decodeImage]]. None when the
+    * bytes aren't a seekable multi-image container (the caller falls
+    * back to the stub slice). CAVEAT: frames are decoded AS STORED —
+    * GIF disposal/compositing of partial frames is out of scope (a
+    * production path composites against the logical screen); the
+    * pipeline contract (container bytes in → frame pixel rows out) is
+    * exercised for real either way. */
+  def decodeGifFrames(content: Array[Byte]): Option[(Int, Int, IndexedSeq[Array[Byte]])] = {
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        val frames = (0 until n).map { i =>
+          val img = reader.read(i)
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xFF
+              val g = (rgb >> 8) & 0xFF
+              val b = rgb & 0xFF
+              px(y * w + x) = ((299 * r + 587 * g + 114 * b + 500) / 1000).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (w, h, px)
+        }
+        Some((frames.head._1, frames.head._2, frames.map(_._3)))
+      } finally reader.dispose()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -263,17 +313,28 @@ object Multimodal {
   }
 
   /** Frame sampling for video rows: emit every `everyN`-th frame as its
-    * own row (flatMap — the fan-out shape; a real implementation seeks
-    * the container stream instead of slicing the fake buffer). */
+    * own row (flatMap — the fan-out shape). Animated-GIF containers
+    * decode FOR REAL through [[decodeGifFrames]] (JDK ImageIO
+    * multi-image reads — true dimensions, true frame count, pixel-exact
+    * tests); other containers fall back to the deterministic stub slice
+    * (the JDK ships no MP4/WebM codec — an ffmpeg/JNI seek-and-decode
+    * slots into the Some branch, changing no plumbing). */
   def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val frameLen = math.max(1, m.meta.width * m.meta.height)
-      (0 until m.meta.n_frames by everyN).map { f =>
-        // STUB slice: a real decoder extracts frame f from the container
-        val bytes = decodeFake(m.content ++ BigInt(f).toByteArray,
-          m.meta.width, m.meta.height)
-        Frame(m.media_id, f, bytes.take(frameLen))
+      val real =
+        if (m.meta.media_type == "video") decodeGifFrames(m.content) else None
+      real match {
+        case Some((_, _, frames)) =>
+          (0 until frames.length by everyN).map(f => Frame(m.media_id, f, frames(f)))
+        case None =>
+          val frameLen = math.max(1, m.meta.width * m.meta.height)
+          (0 until m.meta.n_frames by everyN).map { f =>
+            // STUB slice: stands in for codecs the JDK lacks
+            val bytes = decodeFake(m.content ++ BigInt(f).toByteArray,
+              m.meta.width, m.meta.height)
+            Frame(m.media_id, f, bytes.take(frameLen))
+          }
       }
     }
   }

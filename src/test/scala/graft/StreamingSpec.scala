@@ -368,6 +368,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch-equivalence: streamed watermark dedup equals batch distinct " +
+      "on a corpus with re-delivered events") {
+    import org.apache.spark.sql.functions._
+    val beqSf = "/root/testdata/sf0.01"
+    val events = graft.ops.Tables.events(spark, beqSf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-beq-dedup").toString
+    // at-least-once delivery: a 2000-event prefix arrives twice
+    events.union(events.limit(2000)).coalesce(2)
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val name = s"beq_dedup_${System.nanoTime()}"
+    val q = Streams.dedupWithinWatermark(
+        spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(name).select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      val batch = events.select("event_id").distinct().collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"${streamed.length} streamed vs ${batch.length} batch distinct ids")
+    } finally q.stop()
+  }
+
   test("custom flatMapGroupsWithState sessionizer closes on inactivity timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
