@@ -178,7 +178,25 @@ object AggWindowQueries {
         (-col("m.neg")).as("n"))
       .orderBy("status")
 
+  /** Conditional/boolean aggregate surface: FILTER-style counts and
+    * sums, bool_and/bool_or, and a DETERMINISTIC any_value stand-in
+    * (min — any_value itself is non-deterministic and can never be
+    * oracle-checked). Everything folds map-side in one shuffle; the
+    * conditional sum stays DECIMAL until the final double cast. */
+  def aggConditionalPack(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(when(col("l_quantity") > 25.0, lit(1))).as("n_large"),
+        moneyOut(sum(when(col("l_discount") > 0.05,
+          money(col("l_extendedprice"))))).as("discounted_revenue"),
+        bool_and(col("l_quantity") < 60.0).as("all_under_60"),
+        bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
+        min(col("l_linestatus")).as("first_status"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_conditional_pack"   -> aggConditionalPack _,
     "agg_mode_per_group"     -> aggModePerGroup _,
     "agg_string_concat"      -> aggStringConcat _,
     "agg_collect_sorted"     -> aggCollectSorted _,
@@ -194,6 +212,15 @@ object AggWindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_conditional_pack" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25.0) AS n_large,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_revenue,
+        |  bool_and(l_quantity < 60.0) AS all_under_60,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount,
+        |  MIN(l_linestatus) AS first_status
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_mode_per_group" ->
       """SELECT status, priority AS mode_priority, n FROM (
         |  SELECT o_orderstatus AS status, o_orderpriority AS priority,

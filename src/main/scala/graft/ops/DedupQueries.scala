@@ -318,6 +318,37 @@ object DedupQueries {
   /** Diameter cap for [[dedupClusterConverged]] (see its scaladoc). */
   val CcMaxRounds = 12
 
+  /** Shared-PASSAGE detection — substring-level duplication the
+    * whole-document Jaccard pipelines under-weight: doc pairs sharing at
+    * least [[PassageMinShared]] distinct 3-gram shingles, found by a
+    * self-join on the exploded shingle table.
+    *
+    * Scale posture — the stop-shingle problem: a shingle appearing in
+    * df docs fans out to df·(df−1)/2 pairs, so one boilerplate phrase in
+    * 1% of a 100 TB corpus would alone generate 10^12 candidate rows.
+    * The df-band filter (2 ≤ df ≤ [[PassageDfCap]]) is the standard
+    * stop-ngram prune: ultra-common shingles carry no dedup signal
+    * (they're stopword runs) and are dropped BEFORE the pair join, which
+    * bounds every shingle's fan-out by the cap. The df computation
+    * itself is one partial-aggregated shuffle of (shingle, doc). */
+  private[graft] val PassageDfCap = 50L
+  private[graft] val PassageMinShared = 10L
+
+  def dedupSharedPassage(s: SparkSession, d: String): DataFrame = {
+    val grams = PipelineCache.getOrPersist(s"dedup:passageGrams:$d")(
+      shingled(s, d).select(col("doc_id"), explode(col("sh")).as("g")))
+    val dfg = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= PassageDfCap)
+    val kept = grams.join(dfg, "g")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= PassageMinShared)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Cluster-size histogram over the CONVERGED components — the dedup
     * health metric a pipeline owner actually reads ("how many pairs vs
     * how many 50-doc boilerplate families?"): cluster_size → number of
@@ -363,6 +394,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster_converged"   -> dedupClusterConverged _,
     "dedup_cluster_sizes"       -> dedupClusterSizes _,
+    "dedup_shared_passage"      -> dedupSharedPassage _,
     "dedup_contamination_ngram" -> dedupContaminationNgram _,
     "dedup_exact_text"       -> dedupExactText _,
     "dedup_minhash_lsh"      -> dedupMinhashLsh _,
@@ -446,6 +478,16 @@ object DedupQueries {
          |  UNION
          |  SELECT t.id, e.b_id FROM reach t JOIN edges e ON e.a_id = t.r)
          |SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_shared_passage" ->
+      s"""$baseCte,
+         |g AS (SELECT doc_id, unnest(sh) AS g FROM base),
+         |dfg AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
+         |kept AS (SELECT g.doc_id, g.g FROM g JOIN dfg ON g.g = dfg.g
+         |         WHERE dfg.df >= 2 AND dfg.df <= $PassageDfCap)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+         |FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $PassageMinShared
+         |ORDER BY a_id, b_id""".stripMargin,
     // the histogram reuses the same recursive closure, aggregated twice
     "dedup_cluster_sizes" ->
       s"""${minhashCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -63,7 +63,27 @@ object SortSetQueries {
     c.union(su).distinct().orderBy("nk")
   }
 
+  /** Schema-evolution union: `unionByName(allowMissingColumns = true)`
+    * — the shape every multi-source ingest hits (sources drift columns
+    * over time); missing columns null-fill instead of failing or, worse,
+    * silently mismatching by position. Zero shuffle (union is a
+    * partition concat); the final sort is presentation only. */
+  def setUnionByName(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val c = Tables.customer(s, d).select(col("c_custkey").as("id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+      lit("customer").as("src"))
+    // supplier side deliberately LACKS acctbal → null-filled by name
+    val sup = Tables.supplier(s, d).select(
+      (col("s_suppkey") + 1000000L).as("id"), col("s_name").as("name"),
+      lit("supplier").as("src"))
+    c.unionByName(sup, allowMissingColumns = true)
+      .select(col("id"), col("name"), col("acctbal").cast(DoubleType), col("src"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_union_by_name"  -> setUnionByName _,
     "set_union_distinct" -> setUnionDistinct _,
     "sort_limit_topk" -> sortLimitTopk _,
     "set_union_all"   -> setUnionAll _,
@@ -73,6 +93,15 @@ object SortSetQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "set_union_by_name" ->
+      """SELECT id, name, acctbal, src FROM (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |    CAST(c_acctbal AS DOUBLE) AS acctbal, 'customer' AS src
+        |  FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT s_suppkey + 1000000 AS id, s_name AS name, 'supplier' AS src
+        |  FROM supplier)
+        |ORDER BY id""".stripMargin,
     "set_union_distinct" ->
       """SELECT nk FROM (
         |  SELECT c_nationkey AS nk FROM customer

@@ -200,6 +200,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("shared-passage pairs cover the minhash near-dups and stay pruned") {
+    import graft.ops.PipelineCache
+    val passages = SparkEntry.queries("dedup_shared_passage")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(passages.nonEmpty)
+    assert(passages.forall(_._3 >= DedupQueries.PassageMinShared))
+    assert(passages.forall(p => p._1 < p._2)) // canonical pair order
+    // the planted long near-dup (474, 498) shares ~all of its ~100
+    // shingles — it must surface here too (short near-dups can legally
+    // fall under the 10-shared threshold; whole-doc Jaccard and passage
+    // overlap measure different things)
+    val passagePairs = passages.map(p => (p._1, p._2)).toSet
+    assert(passagePairs.contains((474L, 498L)), passagePairs.take(10).toString)
+    PipelineCache.releaseAll()
+  }
+
   test("cluster-size histogram accounts for every labeled doc") {
     val labeled = SparkEntry.queries("dedup_cluster_converged")(spark, sfDir).count()
     graft.ops.PipelineCache.releaseAll()

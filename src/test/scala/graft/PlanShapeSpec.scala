@@ -43,7 +43,8 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("dedup candidate joins are equi-joins on derived keys, no cartesian") {
     Seq("dedup_minhash_lsh", "dedup_prefix_jaccard", "dedup_simhash",
-        "dedup_embedding_cosine", "dedup_cluster_labels").foreach { q =>
+        "dedup_embedding_cosine", "dedup_cluster_labels",
+        "dedup_shared_passage").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
