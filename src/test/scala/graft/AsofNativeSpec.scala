@@ -84,6 +84,51 @@ class AsofNativeSpec extends SparkTestBase {
     assert(native.exists(_.getLong(3) >= 0))
   }
 
+  test("string keys merge in UTF8 binary order (typed comparator path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // keys deliberately include non-ASCII + prefix-of-each-other cases,
+    // where UTF8 binary order and UTF-16 String order can disagree
+    val keys = Vector("a", "ab", "b", "ü", "α", "z0", "z")
+    val probe = Seq.tabulate(200)(i =>
+      (i.toLong, keys(rnd.nextInt(keys.length)), rnd.nextInt(40).toLong))
+    val build = rnd.shuffle(
+      (for (k <- keys; t <- 0L until 40L if rnd.nextDouble() < 0.2)
+        yield (k, t, s"$k@$t")))
+    val got = AsofJoin(probe.toDF("id", "k", "t"), build.toDF("bk", "bt", "v"),
+        "k", "bk", "t", "bt")
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val byKey = build.groupBy(_._1)
+    val want = probe.map { case (id, k, t) =>
+      id -> byKey.getOrElse(k, Vector.empty).filter(_._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("double event times merge correctly (typed comparator path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val probe = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextDouble() * 10))
+    val build = rnd.shuffle(
+      (for (k <- 0L until 5L; j <- 0 until 25)
+        yield (k, rnd.nextDouble() * 10, k * 1000 + j)))
+      // unique (key, time): duplicate double times would be ambiguous
+      .distinctBy(b => (b._1, b._2))
+    val got = AsofJoin(probe.toDF("id", "k", "t"), build.toDF("bk", "bt", "v"),
+        "k", "bk", "t", "bt")
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val byKey = build.groupBy(_._1)
+    val want = probe.map { case (id, k, t) =>
+      id -> byKey.getOrElse(k, Vector.empty).filter(_._2 <= t)
+        .maxByOption(_._2).map(_._3).getOrElse(-1L)
+    }.toMap
+    assert(got == want)
+  }
+
   test("unsupported key type fails at build time") {
     import spark.implicits._
     val l = Seq((Array(1.toByte), 1L)).toDF("k", "t") // binary key
