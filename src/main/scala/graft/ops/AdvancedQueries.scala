@@ -221,6 +221,22 @@ object AdvancedQueries {
             |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Correlated LATERAL top-k through `spark.sql` — the SQL-surface
+    * form of "top-N per group" (Catalyst decorrelates the correlated
+    * LIMIT subquery into a ranked join; DuckDB runs the same text
+    * natively). The per-group LIMIT keeps the intermediate bounded at
+    * k·|nation| rows regardless of customer cardinality. */
+  def sqlLateralTopk(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_v")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_v3")
+    s.sql("""SELECT n.n_nationkey, c.c_custkey, c.c_acctbal
+            |FROM graft_nation_v n, LATERAL (
+            |  SELECT c_custkey, c_acctbal FROM graft_customer_v3
+            |  WHERE c_nationkey = n.n_nationkey
+            |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+            |ORDER BY n_nationkey, c_acctbal DESC, c_custkey""".stripMargin)
+  }
+
   /** Interval arithmetic: day/month offsets and a next-month-start
     * derived date, emitted as strings (cross-engine date repr). */
   def scalarIntervalPack(s: SparkSession, d: String): DataFrame =
@@ -309,7 +325,37 @@ object AdvancedQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Time-series GAP FILL + forward fill — the densification step every
+    * metrics/feature pipeline runs before resampling: per user, generate
+    * the full day spine between that user's first and last active day
+    * (`sequence` + explode), left-join the observed daily counts, and
+    * carry the last observation forward through the gaps
+    * (`last(ignoreNulls)` over a running frame).
+    *
+    * Scale posture: the spine explode fans out only (hi − lo) rows per
+    * key — no cross join against a global calendar dimension; the
+    * forward fill shares the ONE hash shuffle on user_id with the
+    * spine aggregation (subset rule), and the left join is on the same
+    * key prefix. First spine day is always observed, so n_filled is
+    * total (no leading nulls to backfill). */
+  def windowGapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      dayofmonth(col("ts")).cast(LongType).as("day"))
+    val daily = ev.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("n").isNotNull.as("observed"),
+        last(col("n"), ignoreNulls = true).over(w).as("n_filled"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_gap_fill"       -> windowGapFill _,
+    "sql_lateral_topk"      -> sqlLateralTopk _,
     "sql_subqueries"        -> sqlSubqueries _,
     "agg_stats_moments"     -> aggStatsMoments _,
     "agg_histogram_buckets" -> aggHistogramBuckets _,
@@ -332,6 +378,25 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_lateral_topk" ->
+      """SELECT n.n_nationkey, c.c_custkey, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_nationkey, c_acctbal DESC, c_custkey""".stripMargin,
+    "window_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(day(ts) AS BIGINT) AS day FROM events),
+        |daily AS (SELECT user_id, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+        |spine AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM (
+        |  SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1)),
+        |j AS (SELECT s.user_id, s.day, d.n FROM spine s
+        |      LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+        |SELECT user_id, day, n IS NOT NULL AS observed,
+        |  last_value(n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled
+        |FROM j ORDER BY user_id, day""".stripMargin,
     "sql_subqueries" ->
       """SELECT c_custkey, c_acctbal,
         |  c_acctbal - (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) /

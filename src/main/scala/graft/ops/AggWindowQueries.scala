@@ -195,7 +195,28 @@ object AggWindowQueries {
         min(col("l_linestatus")).as("first_status"))
       .orderBy("l_returnflag")
 
+  /** Arg-max/arg-min aggregate surface (`max_by`/`min_by`, DuckDB
+    * `arg_max`/`arg_min`): richest and poorest customer per nation.
+    * The ordering key folds the tie-breaking custkey INTO an integer
+    * (cents·1e6 + key) because max_by ties are engine-nondeterministic —
+    * the composite key is total, so both engines must agree. Cents via
+    * DECIMAL, not double·100: double arithmetic leaves ±ulp residue that
+    * Spark's cast truncates and DuckDB's rounds — decimal is exact in
+    * both. One map-side-folding shuffle, no window, no self-join. */
+  def aggArgMinMax(s: SparkSession, d: String): DataFrame = {
+    val ord = (money(col("c_acctbal")) * 100).cast(LongType) * 1000000L +
+      col("c_custkey")
+    Tables.customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(max_by(col("c_custkey"), ord).as("richest_cust"),
+        min_by(col("c_custkey"), ord).as("poorest_cust"),
+        moneyOut(max(money(col("c_acctbal")))).as("max_bal"),
+        moneyOut(min(money(col("c_acctbal")))).as("min_bal"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_argminmax"          -> aggArgMinMax _,
     "agg_conditional_pack"   -> aggConditionalPack _,
     "agg_mode_per_group"     -> aggModePerGroup _,
     "agg_string_concat"      -> aggStringConcat _,
@@ -212,6 +233,15 @@ object AggWindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_argminmax" ->
+      """SELECT c_nationkey,
+        |  arg_max(c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000 + c_custkey)
+        |    AS richest_cust,
+        |  arg_min(c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000 + c_custkey)
+        |    AS poorest_cust,
+        |  CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal,
+        |  CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "agg_conditional_pack" ->
       """SELECT l_returnflag,
         |  COUNT(*) FILTER (WHERE l_quantity > 25.0) AS n_large,
