@@ -24,7 +24,8 @@ object SparkEntry {
       DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ AdvancedQueries.queries ++
       SourceSinkQueries.queries ++ AsofQueries.queries ++
-      RangeTfQueries.queries ++ CurationQueries.queries
+      RangeTfQueries.queries ++ CurationQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       DedupQueries.oracle ++ SimilarityQueries.oracle ++
       MultimodalQueries.oracle ++ AdvancedQueries.oracle ++
       SourceSinkQueries.oracle ++ AsofQueries.oracle ++
-      RangeTfQueries.oracle ++ CurationQueries.oracle
+      RangeTfQueries.oracle ++ CurationQueries.oracle ++
+      GraphQueries.oracle
 }

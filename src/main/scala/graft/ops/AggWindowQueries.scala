@@ -215,7 +215,34 @@ object AggWindowQueries {
       .orderBy("c_nationkey")
   }
 
+  /** OHLC downsampling — the finance/metrics resample: per (series,
+    * hour bucket), open/close are the values of the FIRST/LAST event in
+    * the bucket, high/low the extrema, plus count and volume. One
+    * partial-then-final shuffle on the bucket keys; open/close ride
+    * `min_by`/`max_by` on the event sequence number, so there is no
+    * window, no sort, and no self-join — the map side already folds
+    * each partition to one candidate per (series, bucket).
+    *
+    * `event_id` is the ordering key (assigned in ts order at ingest and
+    * unique, where raw ts has duplicate-µs hazards after nanos
+    * truncation); money() decimal keeps extrema/sums engine-exact. */
+  def timeResampleOhlc(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket"),
+        col("event_id"), money(col("value")).as("v"))
+      .groupBy("event_type", "bucket")
+      .agg(moneyOut(min_by(col("v"), col("event_id"))).as("open"),
+        moneyOut(max(col("v"))).as("high"),
+        moneyOut(min(col("v"))).as("low"),
+        moneyOut(max_by(col("v"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"),
+        moneyOut(sum(col("v"))).as("volume"))
+      .orderBy("event_type", "bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_resample_ohlc"     -> timeResampleOhlc _,
     "agg_argminmax"          -> aggArgMinMax _,
     "agg_conditional_pack"   -> aggConditionalPack _,
     "agg_mode_per_group"     -> aggModePerGroup _,
@@ -233,6 +260,16 @@ object AggWindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "time_resample_ohlc" ->
+      """SELECT event_type,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(arg_min(CAST(value AS DECIMAL(18,2)), event_id) AS DOUBLE) AS open,
+        |  CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS high,
+        |  CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS low,
+        |  CAST(arg_max(CAST(value AS DECIMAL(18,2)), event_id) AS DOUBLE) AS close,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
     "agg_argminmax" ->
       """SELECT c_nationkey,
         |  arg_max(c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000 + c_custkey)

@@ -90,7 +90,51 @@ object EtlQueries {
         graft.functions.CpfClean.cpfClean(col("c_name")).as("digits"))
       .orderBy("c_custkey")
 
+  /** SCD type-2 merge (CDC upsert with history) — the dimension-table
+    * maintenance pattern the reference's insert-if-absent loads
+    * (`etl_process.py:101–141`) are the degenerate no-history case of.
+    * Current state: even order keys; incoming batch: keys divisible by
+    * 3, with every 5th key's status changed (so the batch carries real
+    * inserts, real updates, and no-op matches). Merge semantics:
+    *  - unmatched current row  → kept open (is_current)
+    *  - matched, same value    → kept open, no new version
+    *  - matched, changed value → old version CLOSED + new version opened
+    *  - unmatched incoming row → inserted open at the new version
+    *
+    * Posture: ONE full-outer shuffle join on the business key, then a
+    * generator (explode of a 1–2 element struct array) emits closed and
+    * opened versions in the same pass — no per-branch rescan of either
+    * side, no window. `valid_to` uses a 9999 open-sentinel instead of
+    * NULL so every output column stays total-orderable. */
+  def etlScd2Merge(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val cur = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("cur_status"))
+    val inc = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 5 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("inc_status"))
+    def version(st: org.apache.spark.sql.Column, from: Int, current: Boolean) =
+      struct(st.as("status"), lit(from).as("valid_from"),
+        lit(9999).as("valid_to"), lit(current).as("is_current"))
+    cur.join(inc, Seq("k"), "full_outer")
+      .select(col("k"), explode(
+        when(col("inc_status").isNull ||
+             col("cur_status") === col("inc_status"),
+          array(version(col("cur_status"), 0, current = true)))
+        .when(col("cur_status").isNull,
+          array(version(col("inc_status"), 1, current = true)))
+        .otherwise(array(
+          version(col("cur_status"), 0, current = false),
+          version(col("inc_status"), 1, current = true)))).as("r"))
+      .select(col("k"), col("r.status").as("status"),
+        col("r.valid_from").as("valid_from"), col("r.valid_to").as("valid_to"),
+        col("r.is_current").as("is_current"))
+      .orderBy("k", "valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_scd2_merge"        -> etlScd2Merge _,
     "custom_expr_cpfclean"  -> customExprCpfClean _,
     "clean_regexp_digits"   -> cleanRegexpDigits _,
     "clean_translate_trim"  -> cleanTranslateTrim _,
@@ -103,6 +147,26 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_scd2_merge" ->
+      """WITH current AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |incoming AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS status
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT c.k AS k, c.status AS status, 0 AS valid_from,
+        |  9999 AS valid_to, FALSE AS is_current
+        |  FROM current c JOIN incoming i ON c.k = i.k AND c.status <> i.status
+        |UNION ALL
+        |SELECT c.k, c.status, 0, 9999, TRUE
+        |  FROM current c LEFT JOIN incoming i ON c.k = i.k
+        |  WHERE i.k IS NULL OR c.status = i.status
+        |UNION ALL
+        |SELECT i.k, i.status, 1, 9999, TRUE
+        |  FROM incoming i LEFT JOIN current c ON i.k = c.k
+        |  WHERE c.k IS NULL OR c.status <> i.status
+        |ORDER BY k, valid_from""".stripMargin,
     "custom_expr_cpfclean" ->
       """SELECT c_custkey, regexp_replace(c_name, '[^0-9]', '', 'g') AS digits
         |FROM customer ORDER BY c_custkey""".stripMargin,

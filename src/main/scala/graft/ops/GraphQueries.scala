@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the co-order product graph.
+  *
+  * The reference has no graph operators (its single pipeline is
+  * `/root/reference/etl_process.py`); these are north-star extensions a
+  * large-scale corpus/feature pipeline needs — affinity mining over
+  * co-occurrence graphs is the standard precursor to recommendation
+  * features and spam-cluster detection over near-dup graphs.
+  *
+  * Graph construction: two parts are connected when they appear in the
+  * SAME order at least [[MinSupport]] times. The support threshold is
+  * the classic defense against co-occurrence blow-up: a single hub
+  * order with k items yields C(k,2) pairs, but pairs that never repeat
+  * carry no signal and would dominate the edge list (115k raw pairs vs
+  * 3.6k support-2 edges at sf0.01). At 100 TB additionally cap per-key
+  * fan-out before pairing (drop baskets with k above a percentile) —
+  * the pair generator is quadratic in basket size.
+  */
+object GraphQueries {
+
+  /** Minimum co-occurrence count for an edge to enter the graph. */
+  val MinSupport = 2
+
+  /** Canonical (u < v) support-filtered edge list, persisted for the
+    * round of self-joins that consumes it (triangle closure reads it
+    * three times; recomputing means re-running the quadratic pair
+    * generator per read). */
+  private def supportEdges(s: SparkSession, d: String): DataFrame =
+    PipelineCache.getOrPersist(s"graph_support_edges:$d") {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= MinSupport)
+        .select("u", "v")
+    }
+
+  /** Triangle participation counts — top-20 parts by the number of
+    * co-purchase triangles they close.
+    *
+    * Algorithm: degree-ordered triangle enumeration. Each undirected
+    * edge is oriented from the lower-(degree, id) endpoint to the
+    * higher; wedges are enumerated only at each triangle's LOWEST-rank
+    * vertex and closed with one join on the oriented (b, c) edge. The
+    * orientation bounds every vertex's wedge fan-out by its oriented
+    * out-degree ≤ O(√m), giving the standard O(m^1.5) wedge total —
+    * WITHOUT it a single hub vertex of degree h enumerates h²/2 wedges,
+    * which is the scale-killer on power-law graphs. Every triangle is
+    * produced exactly once (its vertices are totally ordered by rank).
+    *
+    * The DuckDB oracle enumerates with the simpler id-order (a<b<c)
+    * orientation — a different traversal of the SAME triangle set, so
+    * the per-vertex counts agree exactly.
+    */
+  def graphTriangleCount(s: SparkSession, d: String): DataFrame = {
+    val edges = supportEdges(s, d)
+    val deg = edges.select(col("u").as("x"))
+      .unionAll(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("x").as("u"), col("deg").as("udeg")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("deg").as("vdeg")), Seq("v"))
+    val uFirst = col("udeg") < col("vdeg") ||
+      (col("udeg") === col("vdeg") && col("u") < col("v"))
+    val oriented = PipelineCache.getOrPersist(s"graph_oriented_edges:$d") {
+      withDeg.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("vdeg")).otherwise(col("udeg")).as("ddeg"))
+    }
+    val o1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("bdeg"))
+    val o2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("cdeg"))
+    val wedges = o1.join(o2, Seq("src"))
+      .filter(col("bdeg") < col("cdeg") ||
+        (col("bdeg") === col("cdeg") && col("b") < col("c")))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"))
+      .select(col("src").as("a"), col("b"), col("c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("l_partkey"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangle_count" -> graphTriangleCount _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "graph_triangle_count" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |tris AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+        |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |verts AS (
+        |  SELECT a AS v FROM tris UNION ALL SELECT b FROM tris
+        |  UNION ALL SELECT c FROM tris)
+        |SELECT v AS l_partkey, COUNT(*) AS n_tri FROM verts GROUP BY 1
+        |ORDER BY n_tri DESC, l_partkey LIMIT 20""".stripMargin
+  )
+}

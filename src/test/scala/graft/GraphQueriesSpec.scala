@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Invariant + differential tests for the graph / SCD2 / OHLC operators. */
+class GraphQueriesSpec extends SparkTestBase {
+
+  test("triangle counts match a naive id-ordered enumeration") {
+    // Independent reformulation: enumerate triangles with the simple
+    // a<b<c orientation (the oracle's shape) and compare per-vertex
+    // counts with the degree-ordered production implementation.
+    val li = ops.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= ops.GraphQueries.MinSupport)
+      .select("u", "v")
+    val e1 = edges.select(col("u").as("a"), col("v").as("b"))
+    val e2 = edges.select(col("u").as("b"), col("v").as("c"))
+    val e3 = edges.select(col("u").as("a"), col("v").as("c"))
+    val tris = e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
+    val naive = tris.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("v")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val prod = SparkEntry.queries("graph_triangle_count")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(prod.nonEmpty)
+    assert(prod == naive)
+    ops.PipelineCache.releaseAll()
+  }
+
+  test("triangle plan has no cartesian product") {
+    val plan = SparkEntry.queries("graph_triangle_count")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    ops.PipelineCache.releaseAll()
+  }
+
+  test("scd2 merge: version invariants hold for every key") {
+    val rows = SparkEntry.queries("etl_scd2_merge")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, vs) =>
+      // exactly one open (current) version per key
+      assert(vs.count(_._5) == 1, s"key $k: ${vs.count(_._5)} current rows")
+      assert(vs.length <= 2, s"key $k: ${vs.length} versions")
+      if (vs.length == 2) {
+        // a closed v0 + an open v1, and the update changed the value
+        val closed = vs.find(!_._5).get
+        val open = vs.find(_._5).get
+        assert(closed._3 == 0 && open._3 == 1)
+        assert(closed._2 != open._2, s"key $k: no-op update emitted 2 versions")
+      }
+      assert(vs.forall(_._4 == 9999))
+    }
+    // branch totals match first-principles membership counts
+    val o = ops.Tables.orders(spark, sfDir).select(col("o_orderkey"),
+      col("o_orderstatus")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cur = o.filter(_._1 % 2 == 0).toMap
+    val inc = o.filter(_._1 % 3 == 0)
+      .map { case (k, st) => k -> (if (k % 5 == 0) "X" else st) }.toMap
+    val nUpdated = cur.count { case (k, st) => inc.get(k).exists(_ != st) }
+    val nInserted = inc.count { case (k, _) => !cur.contains(k) }
+    assert(rows.count(!_._5) == nUpdated)
+    assert(rows.count(r => r._3 == 1 && r._5) == nUpdated + nInserted)
+    assert(rows.length == cur.size + nInserted + nUpdated)
+  }
+
+  test("ohlc open/close match a window first/last reformulation") {
+    val ev = ops.Tables.events(spark, sfDir).select(col("event_type"),
+      date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("bucket"),
+      col("event_id"),
+      col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+    val w = Window.partitionBy("event_type", "bucket").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val windowed = ev
+      .withColumn("open", first(col("v")).over(w).cast("double"))
+      .withColumn("close", last(col("v")).over(w).cast("double"))
+      .select("event_type", "bucket", "open", "close").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val prod = SparkEntry.queries("time_resample_ohlc")(spark, sfDir).collect()
+    assert(prod.nonEmpty)
+    prod.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val (open, close) = windowed(key)
+      assert(r.getDouble(2) == open, s"$key open")
+      assert(r.getDouble(5) == close, s"$key close")
+      assert(r.getDouble(3) >= math.max(open, close), s"$key high")
+      assert(r.getDouble(4) <= math.min(open, close), s"$key low")
+    }
+  }
+}
