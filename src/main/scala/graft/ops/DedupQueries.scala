@@ -60,25 +60,57 @@ object DedupQueries {
       .filter(col("jaccard") >= J)
       .orderBy("a_id", "b_id")
 
-  /** MinHash + LSH banding: 8 md5-minhashes, 4 bands × 2 rows; docs
-    * sharing a band key are candidates; exact Jaccard ≥ 0.8 verified on
-    * candidates only. */
-  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val base = shingled(s, d)
-    // persist the signature, not the bands: the band keys reference
-    // `sig` twice each, and the cache boundary stops CollapseProject
-    // from inlining the signature expression 8× into the explode
-    val sig = PipelineCache.getOrPersist(s"dedup:minhashSig:$d")(
-      base.select(col("doc_id"), minhashSignature(col("sh"), 8).as("sig")))
+  /** Persisted 8-hash minhash signature per doc. Persist the signature,
+    * not the bands: the band keys reference `sig` twice each, and the
+    * cache boundary stops CollapseProject from inlining the signature
+    * expression 8× into the explode. */
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    PipelineCache.getOrPersist(s"dedup:minhashSig:$d")(
+      shingled(s, d).select(col("doc_id"), minhashSignature(col("sh"), 8).as("sig")))
+
+  /** LSH band-bucket candidate pairs (4 bands × 2 rows), shared by the
+    * verified near-dup query and the sketch-accuracy query. */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSig(s, d)
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandKeys(col("sig"), 4, 2): _*)).as(Seq("band", "bkey")))
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    verifyPairs(cand, base)
+  }
+
+  /** MinHash + LSH banding: 8 md5-minhashes, 4 bands × 2 rows; docs
+    * sharing a band key are candidates; exact Jaccard ≥ 0.8 verified on
+    * candidates only. */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    verifyPairs(lshCandidates(s, d), shingled(s, d))
+
+  /** Sketch-accuracy measurement: for every LSH candidate pair, the
+    * minhash Jaccard ESTIMATE (matching signature slots / k) next to the
+    * exact shingle Jaccard and the absolute error — the query an engine
+    * operator runs to size k before trusting the sketch at corpus scale
+    * (E[est] = J, σ = √(J(1−J)/k), so k=8 is a coarse screen: observed
+    * errors up to ~0.35 on true-J≈0.8 pairs are in-distribution).
+    * Everything after the candidate join touches only candidate pairs —
+    * the signature and shingle frames are both already persisted, and
+    * est/err are exact small-rational doubles in both engines. */
+  def dedupMinhashError(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSig(s, d)
+    val base = shingled(s, d)
+    lshCandidates(s, d)
+      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("siga")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sigb")), "b_id")
+      .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+          m => m)).cast("double") / 8.0).as("est_jaccard"),
+        jaccard(col("sha"), col("shb")).as("jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .orderBy("a_id", "b_id")
   }
 
   /** PPJoin-style exact similarity join: explode each doc's
@@ -398,6 +430,7 @@ object DedupQueries {
     "dedup_contamination_ngram" -> dedupContaminationNgram _,
     "dedup_exact_text"       -> dedupExactText _,
     "dedup_minhash_lsh"      -> dedupMinhashLsh _,
+    "dedup_minhash_error"    -> dedupMinhashError _,
     "dedup_prefix_jaccard"   -> dedupPrefixJaccard _,
     "dedup_simhash"          -> dedupSimhash _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
@@ -521,6 +554,18 @@ object DedupQueries {
     "dedup_minhash_lsh" ->
       s"""$minhashCandCte
          |$verifySql""".stripMargin,
+    "dedup_minhash_error" ->
+      s"""$minhashCandCte
+         |SELECT a_id, b_id, est_jaccard, jaccard,
+         |  abs(est_jaccard - jaccard) AS abs_err
+         |FROM (SELECT a_id, b_id,
+         |    CAST(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i]))
+         |      AS DOUBLE) / 8.0 AS est_jaccard,
+         |    $jaccardSql AS jaccard
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+         |  JOIN base x ON x.doc_id = a_id JOIN base y ON y.doc_id = b_id)
+         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_cluster_labels" ->
       s"""$minhashCandCte,
          |pairs AS (SELECT a_id, b_id

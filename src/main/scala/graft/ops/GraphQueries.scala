@@ -88,8 +88,47 @@ object GraphQueries {
       .limit(20)
   }
 
+  /** One damped PageRank power-iteration over the co-purchase graph
+    * (d = 0.85, uniform 1/N start): rank(v) = 0.15/N + 0.85·Σ over
+    * in-neighbors u of rank(u)/outdeg(u). The undirected support graph
+    * has no dangling vertices (every vertex owns an edge), so no
+    * dangling-mass correction term is needed.
+    *
+    * Posture: one shuffle for out-degrees, one shuffle of contributions
+    * on dst; N arrives as a broadcast single-row frame (no driver-side
+    * scalar read). Full PageRank is this plan iterated with per-round
+    * persist + round cap, exactly like [[DedupQueries]]' CC loop.
+    *
+    * Bit-stability: the per-vertex contribution sum is an ordered
+    * left-fold (in-neighbors sorted by id, seed 0.0) so both engines add
+    * in the same order — cross-engine testing needs it; production would
+    * use a plain partial-aggregated `sum` and tolerate last-ulp drift.
+    * The fold materializes each vertex's in-neighbor list, which a hub
+    * vertex makes wide — another reason plain `sum` is the production
+    * form at 100 TB. */
+  def graphPagerankIter(s: SparkSession, d: String): DataFrame = {
+    val edges = supportEdges(s, d)
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val outdeg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nV = outdeg.agg(count(lit(1)).as("n_vertices"))
+    dir.join(outdeg, "src")
+      .crossJoin(broadcast(nV))
+      .select(col("dst"), col("src"), col("n_vertices"),
+        (lit(1.0) / col("n_vertices") / col("deg")).as("c"))
+      .groupBy("dst", "n_vertices")
+      .agg(count(lit(1)).as("deg"),
+        collect_list(struct(col("src"), col("c"))).as("cs"))
+      .select(col("dst").as("l_partkey"), col("deg"),
+        (lit(0.15) / col("n_vertices") +
+          lit(0.85) * aggregate(array_sort(col("cs")), lit(0.0),
+            (acc, x) => acc + x.getField("c"))).as("pr"))
+      .orderBy("l_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_triangle_count" -> graphTriangleCount _
+    "graph_triangle_count" -> graphTriangleCount _,
+    "graph_pagerank_iter"  -> graphPagerankIter _
   )
 
   val oracle: Map[String, String] = Map(
@@ -107,6 +146,24 @@ object GraphQueries {
         |  SELECT a AS v FROM tris UNION ALL SELECT b FROM tris
         |  UNION ALL SELECT c FROM tris)
         |SELECT v AS l_partkey, COUNT(*) AS n_tri FROM verts GROUP BY 1
-        |ORDER BY n_tri DESC, l_partkey LIMIT 20""".stripMargin
+        |ORDER BY n_tri DESC, l_partkey LIMIT 20""".stripMargin,
+    "graph_pagerank_iter" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dir AS (SELECT u AS src, v AS dst FROM edges
+        |        UNION ALL SELECT v AS src, u AS dst FROM edges),
+        |outdeg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY 1),
+        |nv AS (SELECT COUNT(*) AS n FROM outdeg),
+        |contrib AS (SELECT d.dst, d.src,
+        |    CAST(1.0 AS DOUBLE) / nv.n / od.deg AS c
+        |  FROM dir d JOIN outdeg od ON d.src = od.src CROSS JOIN nv)
+        |SELECT dst AS l_partkey, COUNT(*) AS deg,
+        |  CAST(0.15 AS DOUBLE) / (SELECT n FROM nv) + CAST(0.85 AS DOUBLE) *
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(c ORDER BY src)), (a, b) -> a + b) AS pr
+        |FROM contrib GROUP BY dst ORDER BY l_partkey""".stripMargin
   )
 }

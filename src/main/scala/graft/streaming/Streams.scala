@@ -79,7 +79,18 @@ object Streams {
     * user key instead of growing forever (the unbounded-state
     * stream-stream join would OOM on an infinite stream). Works
     * unchanged on batch frames (watermarks are a no-op there). */
-  def viewToBuyJoin(events: DataFrame): DataFrame = {
+  def viewToBuyJoin(events: DataFrame): DataFrame =
+    viewToBuyJoin(events, "inner")
+
+  /** As [[viewToBuyJoin]], with a join-type knob. `left_outer` keeps
+    * unattributed buys: Spark holds each buy in state until BOTH sides'
+    * watermarks pass its join window, then emits it once with nulled
+    * view columns — the streaming analogue of a batch left join, with
+    * the null row delayed (never early) by exactly the state-eviction
+    * horizon the time bounds already established. Without the time
+    * bounds + watermarks Spark rejects the outer join outright
+    * (no horizon → unmatched rows could never be finalized). */
+  def viewToBuyJoin(events: DataFrame, joinType: String): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
         col("event_id").as("view_id"))
@@ -91,7 +102,8 @@ object Streams {
     buys.join(views,
       col("v_user") === col("user_id") &&
         col("view_ts") <= col("buy_ts") &&
-        col("view_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"))
+        col("view_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("user_id"), col("buy_id"), col("view_id"),
         col("buy_ts"), col("view_ts"), col("buy_value"))
   }

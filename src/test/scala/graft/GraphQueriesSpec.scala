@@ -40,6 +40,43 @@ class GraphQueriesSpec extends SparkTestBase {
     ops.PipelineCache.releaseAll()
   }
 
+  test("pagerank iteration conserves rank mass") {
+    val rows = SparkEntry.queries("graph_pagerank_iter")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // no dangling mass: one damped iteration over a dangling-free graph
+    // redistributes everything, so Σ rank = 1 up to fp accumulation
+    val mass = rows.map(_._3).sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"rank mass $mass")
+    // every rank is at least the teleport floor 0.15/N
+    val n = rows.length
+    assert(rows.forall(_._3 >= 0.15 / n - 1e-12))
+    ops.PipelineCache.releaseAll()
+  }
+
+  test("minhash estimate rows cover the verified near-dup pairs exactly") {
+    val err = SparkEntry.queries("dedup_minhash_error")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(err.nonEmpty)
+    // estimates are multiples of 1/8 in [0,1]; abs_err consistent
+    err.values.foreach { case (est, _) =>
+      assert(est >= 0.0 && est <= 1.0 && (est * 8) == math.round(est * 8).toDouble)
+    }
+    // every verified LSH pair appears among the candidates with the
+    // same exact Jaccard (the verify filter is jaccard >= 0.8)
+    val verified = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(verified.nonEmpty)
+    verified.foreach { case (pair, j) =>
+      assert(err.contains(pair), s"verified pair $pair missing")
+      assert(err(pair)._2 == j, s"jaccard mismatch for $pair")
+      assert(j >= 0.8)
+    }
+    ops.PipelineCache.releaseAll()
+  }
+
   test("scd2 merge: version invariants hold for every key") {
     val rows = SparkEntry.queries("etl_scd2_merge")(spark, sfDir)
       .collect()

@@ -175,6 +175,27 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((2L, 1L)))
   }
 
+  test("left-outer stream-stream join emits unmatched buys after the watermark") {
+    val out = runStream(Seq(
+      Seq(Event(1, ts("10:00"), 1, "view", 0.0),
+        Event(2, ts("10:30"), 1, "buy", 9.0),   // attributed to view 1
+        Event(3, ts("13:00"), 2, "buy", 5.0)),  // user 2 never viewed
+      // advance BOTH watermarks far past 13:00 + 1 h join window so the
+      // unmatched buy can be finalized and emitted with null view cols
+      Seq(Event(8, ts("20:00"), 9, "view", 0.0),
+        Event(9, ts("20:00"), 9, "buy", 0.0)),
+      Seq(Event(10, ts("23:30"), 9, "view", 0.0),
+        Event(11, ts("23:30"), 9, "buy", 0.0))),
+      df => Streams.viewToBuyJoin(df, "left_outer"))
+    val byBuy = out.map(r => r.getLong(1) ->
+      (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(byBuy(2L).contains(1L), s"buy 2 must attribute to view 1: $out")
+    assert(byBuy.contains(3L) && byBuy(3L).isEmpty,
+      s"unmatched buy 3 must emit null-padded: $out")
+    // inner-join rows are a subset: no null view for attributed buys
+    assert(byBuy(2L).nonEmpty)
+  }
+
   test("streaming near-dup: later near-duplicate docs point at the first writer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
