@@ -242,6 +242,93 @@ object Multimodal {
     }
   }
 
+  final case class PHash(media_id: Long, phash: Long)
+
+  /** 64-bit difference hash (dHash) of a decoded grayscale image — the
+    * standard perceptual fingerprint for IMAGE near-dup detection in a
+    * crawl corpus: resample to a 9×8 grid by integer area-averaging
+    * (deterministic across JVMs — no AWT interpolation), then one bit
+    * per adjacent-cell comparison per row. Robust to re-encoding,
+    * resizing, and uniform brightness shifts (gradients are invariant);
+    * near-identical images land within a few bits of Hamming distance. */
+  def dHash64(w: Int, h: Int, px: Array[Byte]): Long = {
+    val gw = 9; val gh = 8
+    val g = new Array[Int](gh * gw)
+    var j = 0
+    while (j < gh) {
+      val y0 = j * h / gh
+      val y1 = math.max(y0 + 1, (j + 1) * h / gh)
+      var i = 0
+      while (i < gw) {
+        val x0 = i * w / gw
+        val x1 = math.max(x0 + 1, (i + 1) * w / gw)
+        var sum = 0L
+        var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) { sum += px(y * w + x) & 0xFF; n += 1; x += 1 }
+          y += 1
+        }
+        g(j * gw + i) = if (n == 0) 0 else (sum / n).toInt
+        i += 1
+      }
+      j += 1
+    }
+    var bits = 0L
+    var k = 0
+    j = 0
+    while (j < gh) {
+      var i = 0
+      while (i < 8) {
+        if (g(j * gw + i + 1) > g(j * gw + i)) bits |= 1L << k
+        k += 1; i += 1
+      }
+      j += 1
+    }
+    bits
+  }
+
+  /** Per-row perceptual hashes: decode (real for parseable images, the
+    * documented fake otherwise) → [[dHash64]]. Partition-wise, one
+    * codec init per partition, like the other decode pipelines. */
+  def perceptualHashes(media: Dataset[MediaRow]): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { m =>
+        val (w, h, px) = decode(m)
+        PHash(m.media_id, dHash64(w, h, px))
+      }
+    }
+  }
+
+  /** Image near-dup pairs by dHash pigeonhole blocking: split the 64-bit
+    * hash into 4×16-bit blocks; two hashes within Hamming distance
+    * `maxHamming` ≤ 3 must agree on at least one whole block
+    * (pigeonhole — 3 flipped bits cannot touch all 4 blocks), so the
+    * candidate join is an EQUI-join on (block index, block value) and
+    * the exact Hamming check runs on candidates only — the same
+    * lossless-blocking scale shape as the simhash text pipeline; the
+    * O(n²) all-pairs never materializes. */
+  def phashNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-block pigeonhole is lossless only for maxHamming <= 3, got $maxHamming")
+    val hs = perceptualHashes(media).toDF()
+    val blocks = hs.select(col("media_id"),  col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("blk", "bval")))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
   final case class AudioFeatures(media_id: Long, sample_rate: Int,
       n_samples: Long, duration_s: Double, rms: Double, peak: Int)
 

@@ -353,7 +353,41 @@ object AdvancedQueries {
       .orderBy("user_id", "day")
   }
 
+  /** Staged conversion FUNNEL — ordered event-sequence analytics: per
+    * user, the first view, the first click strictly AFTER that view,
+    * and the first purchase strictly after that click; depth = how far
+    * the user got. The stage dependency is inherently sequential (a
+    * click before the first view must not count), so each stage is a
+    * min-aggregate over events gated by the previous stage's time.
+    *
+    * Posture: all three stage aggregations and both assembly joins key
+    * on user_id, so the ONE hash exchange is reused end-to-end (subset
+    * rule) — stage count does not multiply shuffles. Timestamps are
+    * second-truncated on both engines before comparison: events.ts is
+    * ns-precision parquet that Spark reads µs-truncated, and a raw
+    * `t > t1` at the ns margin would diverge from DuckDB. */
+  def windowFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      date_trunc("second", col("ts")).as("t"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("t")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("t") > col("t1"))
+      .groupBy("user_id").agg(min(col("t")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("t") > col("t2"))
+      .groupBy("user_id").agg(min(col("t")).as("t3"))
+    v.join(c.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1) + coalesce(col("s2"), lit(0)) + coalesce(col("s3"), lit(0)))
+          .as("depth"),
+        date_format(col("t1"), "yyyy-MM-dd HH:mm:ss").as("first_view"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_funnel"         -> windowFunnel _,
     "window_gap_fill"       -> windowGapFill _,
     "sql_lateral_topk"      -> sqlLateralTopk _,
     "sql_subqueries"        -> sqlSubqueries _,
@@ -378,6 +412,24 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "window_funnel" ->
+      """WITH ev AS (SELECT user_id, date_trunc('second', ts) AS t, event_type
+        |  FROM events),
+        |v AS (SELECT user_id, MIN(t) AS t1 FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.t) AS t2 FROM ev e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.t > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.t) AS t3 FROM ev e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.t > c.t2 GROUP BY 1)
+        |SELECT v.user_id,
+        |  1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+        |    + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS depth,
+        |  strftime(v.t1, '%Y-%m-%d %H:%M:%S') AS first_view
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "sql_lateral_topk" ->
       """SELECT n.n_nationkey, c.c_custkey, c.c_acctbal
         |FROM nation n, LATERAL (

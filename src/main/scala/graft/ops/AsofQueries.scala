@@ -139,7 +139,28 @@ object AsofQueries {
       .orderBy("event_id")
   }
 
+  /** Tolerance-bounded as-of over the independent sides: a lookup row
+    * staler than [[AsofToleranceDays]] days is treated as absent (nulls
+    * → the -1 sentinels), the standard "don't join stale quotes"
+    * guard in market-data and feature-store lookups. Exercises the
+    * native operator's tolerance gate — DuckDB's ASOF has no tolerance
+    * clause, so the oracle post-filters the gap with a CASE, which is
+    * equivalent precisely because the as-of candidate is gap-minimal
+    * (if IT is out of tolerance, every other candidate is too). */
+  val AsofToleranceDays = 3L
+
+  def joinAsofToleranceNative(s: SparkSession, d: String): DataFrame = {
+    val (ev, ord) = asofOrdersSides(s, d, repartitionBuild = true)
+    graft.plans.AsofJoin(ev, ord, "user_id", "r_cust", "day", "r_day",
+        Some(AsofToleranceDays))
+      .select(col("event_id"), col("user_id"), col("day"),
+        coalesce(col("n_orders"), lit(-1L)).as("n_orders"),
+        coalesce(col("best_price"), lit(-1.0)).as("best_price"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_tolerance_native" -> joinAsofToleranceNative _,
     "join_asof_daily"           -> joinAsofDaily _,
     "join_asof_native"          -> joinAsofNative _,
     "join_asof_orders_native"   -> joinAsofOrdersNative _,
@@ -176,7 +197,24 @@ object AsofQueries {
         |  ON e.user_id = o.r_cust AND e.day >= o.r_day
         |ORDER BY event_id""".stripMargin
 
+  private val asofToleranceOracleSql =
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, CAST(day(ts) AS BIGINT) AS day FROM events),
+        |ord AS (
+        |  SELECT o_custkey % 150 AS r_cust, CAST(day(o_orderdate) AS BIGINT) AS r_day,
+        |         COUNT(*) AS n_orders, MAX(o_totalprice) AS best_price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.day,
+        |  COALESCE(CASE WHEN e.day - o.r_day <= $AsofToleranceDays
+        |    THEN o.n_orders END, -1) AS n_orders,
+        |  COALESCE(CASE WHEN e.day - o.r_day <= $AsofToleranceDays
+        |    THEN o.best_price END, -1.0) AS best_price
+        |FROM ev e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.r_cust AND e.day >= o.r_day
+        |ORDER BY event_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "join_asof_tolerance_native" -> asofToleranceOracleSql,
     "join_asof_daily"           -> asofOracleSql,
     "join_asof_native"          -> asofOracleSql,
     "join_asof_orders_native"   -> asofOrdersOracleSql,

@@ -40,6 +40,54 @@ object RangeTfQueries {
       .orderBy("band_id")
   }
 
+  /** Audit windows for [[joinIntervalOverlap]]: 40 overlapping 30-hour
+    * windows starting every 18 hours from 2024-01-01 (seconds offsets),
+    * [lo, hi) half-open. Deliberately overlapping so activities match
+    * several windows. */
+  private val auditWindows: Seq[(Int, Long, Long)] =
+    Seq.tabulate(40)(w => (w, w * 64800L, w * 64800L + 108000L))
+  private val IW = 86400L // interval-join bucket width: 1 day
+  private val Epoch2024 = 1704067200L // 2024-01-01 00:00:00 UTC
+
+  /** INTERVAL × INTERVAL overlap join — the two-sided generalization of
+    * the point-in-range join above: per-user daily activity intervals
+    * [first event, last event] against overlapping audit windows;
+    * output = per-window activity count + distinct users.
+    *
+    * Scale recipe: both interval sets replicate to the fixed-width
+    * buckets they span, the join is an EQUI-join on bucket + residual
+    * overlap test, and the FIRST-SHARED-BUCKET OWNERSHIP guard
+    * (`bucket == max(⌊a_lo/W⌋, ⌊w_lo/W⌋)`) emits each overlapping pair
+    * exactly once — no distinct pass to dedup multi-bucket matches.
+    * (The shared bucket range of an overlapping pair starts at that
+    * max, so the owner bucket always exists; a naive theta join is a
+    * nested loop that dies at interval counts a bucket join shrugs at.)
+    * Times are second-truncated integer offsets on both engines
+    * (ns-vs-µs truncation hazard, as in window_funnel). */
+  def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val win = auditWindows.toDF("win_id", "w_lo", "w_hi")
+      .select(col("win_id"), col("w_lo"), col("w_hi"),
+        explode(sequence(floor(col("w_lo") / IW).cast(LongType),
+          floor((col("w_hi") - 1) / IW).cast(LongType))).as("bucket"))
+    val act = Tables.events(s, d)
+      .select(col("user_id"),
+        (unix_timestamp(date_trunc("second", col("ts"))) - Epoch2024).as("sec"))
+      .groupBy(col("user_id"), (col("sec") / IW).cast(LongType).as("day"))
+      .agg(min(col("sec")).as("a_lo"), max(col("sec")).as("a_hi"))
+    val actB = act.select(col("user_id"), col("a_lo"), col("a_hi"),
+      explode(sequence((col("a_lo") / IW).cast(LongType),
+        (col("a_hi") / IW).cast(LongType))).as("bucket"))
+    actB.join(broadcast(win), Seq("bucket"))
+      .filter(col("a_lo") < col("w_hi") && col("a_hi") >= col("w_lo"))
+      .filter(col("bucket") === greatest(
+        (col("a_lo") / IW).cast(LongType), (col("w_lo") / IW).cast(LongType)))
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("n_overlap"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("win_id")
+  }
+
   /** Top-3 characteristic terms per document by tf/(df+1) — the tf-idf
     * shape with a rational weight instead of ln() (libm log differs in
     * the last ulp across engines; integer-ratio scores are bit-exact).
@@ -67,8 +115,9 @@ object RangeTfQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "join_range_bucketed" -> joinRangeBucketed _,
-    "text_tf_rank"        -> textTfRank _,
+    "join_range_bucketed"   -> joinRangeBucketed _,
+    "join_interval_overlap" -> joinIntervalOverlap _,
+    "text_tf_rank"          -> textTfRank _,
   )
 
   private val bandsSql = bands
@@ -76,7 +125,24 @@ object RangeTfQueries {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
+  private val winSql = auditWindows
+    .map { case (w, lo, hi) => s"($w, $lo, $hi)" }.mkString(", ")
+
   val oracle: Map[String, String] = Map(
+    "join_interval_overlap" ->
+      // naive theta join — different algorithm (no buckets), same rows
+      s"""WITH win(win_id, w_lo, w_hi) AS (VALUES $winSql),
+         |ev AS (SELECT user_id,
+         |    datediff('second', TIMESTAMP '2024-01-01 00:00:00',
+         |      date_trunc('second', ts)) AS sec
+         |  FROM events),
+         |act AS (SELECT user_id, sec // $IW AS day,
+         |    MIN(sec) AS a_lo, MAX(sec) AS a_hi
+         |  FROM ev GROUP BY 1, 2)
+         |SELECT win_id, COUNT(*) AS n_overlap,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM act JOIN win ON a_lo < w_hi AND a_hi >= w_lo
+         |GROUP BY win_id ORDER BY win_id""".stripMargin,
     "join_range_bucketed" ->
       s"""WITH bands(band_id, lo, hi) AS (VALUES $bandsSql)
          |SELECT band_id, COUNT(*) AS n,

@@ -210,7 +210,64 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** ANN QUALITY EVALUATION — the measurement that decides whether an
+    * approximate index is shippable: recall@5 of the IVF(8,2) search
+    * against exact brute-force top-5, over a panel of 10 probe vectors
+    * (vec_id 11–20, disjoint from the centroid seeds). recall = |IVF
+    * top-5 ∩ exact top-5| / 5 per probe.
+    *
+    * Scale posture: the probe panel is a broadcast frame, so the scored
+    * cross product is a single pass over the table fanned ×10 (probes ×
+    * corpus, never corpus × corpus); it is computed ONCE (persisted) and
+    * reused by both arms, so the eval costs one scan + two windowed
+    * top-ks + a pair-counting join on (pid, vec_id). At 100 TB the
+    * panel would be a held-out query sample — same plan. Both arms use
+    * identical tie-breaks (cos DESC, vec_id), so the compared sets are
+    * deterministic in both engines. */
+  def simAnnRecallEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val e = emb(s, d)
+    val probes = broadcast(e.filter(col("vec_id").between(11, 20))
+      .select(col("vec_id").as("pid"), col("embedding").as("q"),
+        col("nsq").as("qnsq")))
+    val scored = PipelineCache.getOrPersist(s"sim:recallScored:$d")(
+      e.crossJoin(probes).filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("vec_id"), cosPre(col("q")).as("cos")))
+    val wp = Window.partitionBy("pid").orderBy(col("cos").desc, col("vec_id"))
+    val exact = scored.withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= 5).select("pid", "vec_id")
+    val cents = broadcast(e.filter(col("vec_id") <= NCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("nsq").as("cnsq")))
+    val d2all = e.crossJoin(cents)
+      .select(col("vec_id"), col("cid"),
+        (col("nsq") + col("cnsq") - lit(2.0) * dot(col("embedding"), col("cemb")))
+          .as("d2"))
+    val assigned = d2all.groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    val wq = Window.partitionBy("pid").orderBy(col("d2"), col("cid"))
+    val probeCells = broadcast(d2all.filter(col("vec_id").between(11, 20))
+      .select(col("vec_id").as("pid"), col("cid"), col("d2"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= NProbe)
+      .select(col("pid").as("cpid"), col("cid").as("pcell")))
+    val approx = scored.join(assigned, "vec_id")
+      .join(probeCells,
+        col("pid") === col("cpid") && col("cell") === col("pcell"))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= 5).select("pid", "vec_id")
+    val hits = exact.join(approx, Seq("pid", "vec_id"))
+      .groupBy("pid").agg(count(lit(1)).as("n_hit"))
+    probes.select("pid").join(hits, Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast(DoubleType) / lit(5.0))
+      .orderBy("pid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_recall_eval" -> simAnnRecallEval _,
     "sim_cosine_topk"     -> simCosineTopk _,
     "sim_lsh_bucket_topk" -> simLshBucketTopk _,
     "sim_knn_per_label"   -> simKnnPerLabel _,
@@ -236,6 +293,41 @@ object SimilarityQueries {
       .mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "sim_ann_recall_eval" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS q
+         |  FROM embeddings WHERE vec_id BETWEEN 11 AND 20),
+         |scored AS (SELECT p.pid, e.vec_id, $cosSql AS cos
+         |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.pid),
+         |exact AS (SELECT pid, vec_id FROM (
+         |    SELECT pid, vec_id,
+         |      row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id) AS rk
+         |    FROM scored) WHERE rk <= 5),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id <= $NCells),
+         |d2all AS (SELECT e.vec_id, c.cid,
+         |    ${dotSql("e.embedding", "e.embedding")} +
+         |    ${dotSql("c.cemb", "c.cemb")} -
+         |    2.0 * ${dotSql("e.embedding", "c.cemb")} AS d2
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asgn AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d2all) WHERE rn = 1),
+         |pcells AS (SELECT pid, cid FROM (
+         |    SELECT vec_id AS pid, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d2all WHERE vec_id BETWEEN 11 AND 20) WHERE rn <= $NProbe),
+         |approx AS (SELECT pid, vec_id FROM (
+         |    SELECT s.pid, s.vec_id,
+         |      row_number() OVER (PARTITION BY s.pid ORDER BY s.cos DESC, s.vec_id) AS rk
+         |    FROM scored s
+         |    JOIN asgn a ON a.vec_id = s.vec_id
+         |    JOIN pcells pc ON pc.pid = s.pid AND pc.cid = a.cid) WHERE rk <= 5),
+         |hits AS (SELECT e.pid, COUNT(*) AS n_hit FROM exact e
+         |  JOIN approx x ON e.pid = x.pid AND e.vec_id = x.vec_id GROUP BY 1)
+         |SELECT p.pid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(5.0 AS DOUBLE) AS recall
+         |FROM p LEFT JOIN hits h ON p.pid = h.pid ORDER BY p.pid""".stripMargin,
     "sim_cosine_topk" ->
       s"""SELECT e.vec_id, $cosSql AS cos
          |FROM embeddings e CROSS JOIN ($probeCte) p

@@ -33,7 +33,8 @@ import org.apache.spark.sql.types._
 case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -51,7 +52,22 @@ object AsofJoin {
     * attributes — the same dedup the analyzer does for built-in joins. */
   def apply(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String): DataFrame =
+    apply(leftDf, rightDf, leftKey, rightKey, leftTime, rightTime, None)
+
+  /** As-of join with an optional TOLERANCE bound: a left row matches
+    * only when `leftTime - rightTime <= tolerance` (in the time
+    * column's own unit — days for DateType, µs for timestamps, raw
+    * magnitude for numerics); a staler lookup row yields nulls, exactly
+    * as if it didn't exist. Because the as-of candidate already has the
+    * LARGEST right-time ≤ left-time, an out-of-tolerance candidate
+    * proves no in-tolerance row exists — the merge stays linear and the
+    * check is one comparison at emission. String time axes have no
+    * distance metric, so tolerance on them is rejected at build time. */
+  def apply(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      tolerance: Option[Long]): DataFrame = {
     val spark = SparkSession.active
     AsofJoinStrategy.install(spark)
     val lPlan = leftDf.queryExecution.analyzed
@@ -88,8 +104,14 @@ object AsofJoin {
         s"as-of $what ${a.name}: type $other not supported")
     }
     supported(lk, "key"); supported(lt, "time")
+    tolerance.foreach { t =>
+      require(t >= 0, s"as-of tolerance must be >= 0, got $t")
+      require(lt.dataType != StringType,
+        "as-of tolerance needs a numeric/temporal time axis; a string " +
+        "time has no distance metric")
+    }
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
-      AsofJoin(lPlan, rPlan, lk, rk, lt, rt))
+      AsofJoin(lPlan, rPlan, lk, rk, lt, rt, tolerance))
   }
 }
 
@@ -98,8 +120,8 @@ object AsofJoin {
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), tol) :: Nil
     case _ => Nil
   }
 
@@ -116,7 +138,8 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -160,6 +183,29 @@ case class AsofJoinExec(
         s"as-of join key/time type $other not supported")
     }
 
+  /** Tolerance gate `left(li) - right(ri) <= tol` through the same typed
+    * accessors as [[typedCmp]]. Integral/temporal axes subtract in Long
+    * (no overflow at sane time magnitudes); Float/Double subtract in
+    * Double against tol's double image. Strings were rejected at build
+    * time ([[AsofJoin.apply]]). */
+  private def typedTolCheck(dt: DataType,
+      tol: Long): (InternalRow, Int, InternalRow, Int) => Boolean =
+    dt match {
+      case IntegerType | DateType =>
+        (l, li, r, ri) => l.getInt(li).toLong - r.getInt(ri).toLong <= tol
+      case LongType | TimestampType | TimestampNTZType =>
+        (l, li, r, ri) => l.getLong(li) - r.getLong(ri) <= tol
+      case ShortType =>
+        (l, li, r, ri) => (l.getShort(li) - r.getShort(ri)).toLong <= tol
+      case DoubleType =>
+        (l, li, r, ri) => l.getDouble(li) - r.getDouble(ri) <= tol.toDouble
+      case FloatType =>
+        (l, li, r, ri) =>
+          l.getFloat(li).toDouble - r.getFloat(ri).toDouble <= tol.toDouble
+      case other => throw new UnsupportedOperationException(
+        s"as-of tolerance on time type $other not supported")
+    }
+
   /** Keys/times reach the exec as resolved [[Attribute]]s (the only form
     * [[AsofJoin.apply]] constructs), so binding always yields a
     * [[BoundReference]] whose ordinal feeds the typed accessors above. */
@@ -180,6 +226,9 @@ case class AsofJoinExec(
     val rtOrd = ordinalOf(rightTime, rightOut)
     val cmpKey = typedCmp(leftKey.dataType)
     val cmpTime = typedCmp(leftTime.dataType)
+    val tolOk: (InternalRow, Int, InternalRow, Int) => Boolean =
+      tolerance.map(typedTolCheck(leftTime.dataType, _))
+        .getOrElse((_, _, _, _) => true)
     val rightWidth = rightOut.size
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -227,7 +276,8 @@ case class AsofJoinExec(
               } else stop = true // same key but future time: hold
             }
           }
-          if (candRow != null && cmpKey(candRow, rkOrd, l, lkOrd) == 0) {
+          if (candRow != null && cmpKey(candRow, rkOrd, l, lkOrd) == 0 &&
+              tolOk(l, ltOrd, candRow, rtOrd)) {
             project(joined(l, candRow))
           } else project(joined(l, nullRight))
         }

@@ -75,6 +75,53 @@ class AsofNativeSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("tolerance gate equals a brute-force reference on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val probe = Seq.tabulate(400)(i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(60).toLong))
+    val build = rnd.shuffle(
+      (for (k <- 0L until 12L; t <- 0L until 60L if rnd.nextDouble() < 0.15)
+        yield (k, t, k * 1000 + t)).toSeq)
+    val probeDf = probe.toDF("id", "k", "t")
+    val buildDf = build.toDF("bk", "bt", "v")
+    val byKey = build.groupBy(_._1)
+    for (tol <- Seq(0L, 5L, 100L)) {
+      val got = AsofJoin(probeDf, buildDf, "k", "bk", "t", "bt", Some(tol))
+        .select(col("id"), col("v")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val want = probe.map { case (id, k, t) =>
+        id -> byKey.getOrElse(k, Seq.empty)
+          .filter(b => b._2 <= t && t - b._2 <= tol)
+          .sortBy(_._2).lastOption.map(_._3).getOrElse(-1L)
+      }.toMap
+      assert(got == want, s"tolerance $tol")
+    }
+    // tol=100 covers the whole axis: must equal the unbounded operator
+    val unbounded = AsofJoin(probeDf, buildDf, "k", "bk", "t", "bt")
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val wide = AsofJoin(probeDf, buildDf, "k", "bk", "t", "bt", Some(100L))
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(wide == unbounded)
+  }
+
+  test("tolerance misuse fails at build time") {
+    import spark.implicits._
+    val l = Seq((1L, "a", "x")).toDF("id", "k", "t")
+    val r = Seq(("a", "x", 1L)).toDF("bk", "bt", "v")
+    // string time axis has no distance metric
+    intercept[IllegalArgumentException] {
+      AsofJoin(l, r, "k", "bk", "t", "bt", Some(1L))
+    }
+    val ln = Seq((1L, 1L, 1L)).toDF("id", "k", "t")
+    val rn = Seq((1L, 1L, 1L)).toDF("bk", "bt", "v")
+    intercept[IllegalArgumentException] {
+      AsofJoin(ln, rn, "k", "bk", "t", "bt", Some(-1L))
+    }
+  }
+
   test("independent-sides variant: native equals composed (probe=events, build=orders)") {
     val native = AsofQueries.joinAsofOrdersNative(spark, sfDir).collect().toSeq
     val composed = AsofQueries.joinAsofOrdersComposed(spark, sfDir).collect().toSeq

@@ -238,6 +238,54 @@ class MultimodalSpec extends SparkTestBase {
     frames.foreach(f => assert(f.content.length == 12)) // metadata dims
   }
 
+  test("dHash is invariant to uniform brightness and resize, far for unrelated") {
+    val rnd = new scala.util.Random(11)
+    def gradient(w: Int, h: Int, boost: Int): Array[Array[Int]] =
+      Array.tabulate(h, w) { (y, x) =>
+        // normalized-coordinate scene, never clipping (max 140+46+8=194),
+        // so a uniform boost shifts every cell equally (gradients intact)
+        val v = 140 * x / (w - 1) + 46 * y / (h - 1) + boost
+        (v << 16) | (v << 8) | v
+      }
+    val base = png(gradient(36, 24, 0))
+    val brighter = png(gradient(36, 24, 8))     // uniform shift: same gradients
+    val larger = png(gradient(72, 48, 0))       // 2× resample of the same scene
+    val noise = png(Array.tabulate(24, 36) { (_, _) =>
+      val v = rnd.nextInt(256); (v << 16) | (v << 8) | v })
+    def hashOf(bytes: Array[Byte]): Long = {
+      val Some((w, h, px)) = decodeImage(bytes)
+      dHash64(w, h, px)
+    }
+    assert(hashOf(base) == hashOf(brighter))
+    assert(java.lang.Long.bitCount(hashOf(base) ^ hashOf(larger)) <= 3)
+    assert(java.lang.Long.bitCount(hashOf(base) ^ hashOf(noise)) > 10)
+  }
+
+  test("phashNearDups pairs only the perceptual near-dups via block join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    def gradient(w: Int, h: Int, boost: Int): Array[Array[Int]] =
+      Array.tabulate(h, w) { (y, x) =>
+        // normalized-coordinate scene, never clipping (max 140+46+8=194),
+        // so a uniform boost shifts every cell equally (gradients intact)
+        val v = 140 * x / (w - 1) + 46 * y / (h - 1) + boost
+        (v << 16) | (v << 8) | v
+      }
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("image", 0, 0, 1, 0), png(gradient(36, 24, 0))),
+      MediaRow(2L, MediaMeta("image", 0, 0, 1, 0), png(gradient(36, 24, 8))),
+      MediaRow(3L, MediaMeta("image", 0, 0, 1, 0), png(Array.tabulate(24, 36) {
+        (_, _) => val v = rnd.nextInt(256); (v << 16) | (v << 8) | v })))
+    val pairs = phashNearDups(spark.createDataset(rows).repartition(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 == 0) // uniform brightness: identical dHash
+    // rejection path: maxHamming beyond the lossless pigeonhole bound
+    intercept[IllegalArgumentException] {
+      phashNearDups(spark.createDataset(rows), maxHamming = 4)
+    }
+  }
+
   test("binaryMeta stays codegen (no decode) and matches byte lengths") {
     import spark.implicits._
     val df = Seq((1L, "abc"), (2L, "")).toDF("id", "txt")
