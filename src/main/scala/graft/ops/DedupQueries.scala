@@ -257,13 +257,16 @@ object DedupQueries {
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     val labels0 = edges.select(col("a_id").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
+    // one propagation round = ONE join, not two: a node's next label is
+    // min(own, neighbors'), and "own" rides in through the union branch
+    // instead of a second self-join of the label frame — per round this
+    // drops one full exchange of the label frame vs the textbook
+    // labels⋈edges⋈labels form (identical fixpoint and per-round values)
     def propagate(lbl: DataFrame): DataFrame =
-      lbl.as("l")
-        .join(edges.as("e"), col("l.id") === col("e.a_id"))
-        .join(lbl.select(col("id").as("nb_id"), col("lbl").as("nb_lbl")).as("n"),
-          col("e.b_id") === col("n.nb_id"))
-        .groupBy(col("l.id").as("id"))
-        .agg(least(min(col("n.nb_lbl")), min(col("l.lbl"))).as("lbl"))
+      edges.join(lbl, col("b_id") === col("id"))
+        .select(col("a_id").as("id"), col("lbl"))
+        .union(lbl)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
     propagate(propagate(labels0))
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
@@ -317,12 +320,13 @@ object DedupQueries {
     var changed = true
     var rounds = 0
     while (changed && rounds < maxRounds) {
-      val next = labels.as("l")
-        .join(edges.as("e"), col("l.id") === col("e.a_id"))
-        .join(labels.select(col("id").as("nb_id"), col("lbl").as("nb_lbl")).as("n"),
-          col("e.b_id") === col("n.nb_id"))
-        .groupBy(col("l.id").as("id"))
-        .agg(least(min(col("n.nb_lbl")), min(col("l.lbl"))).as("lbl"))
+      // same one-join propagate as dedupClusterLabels: neighbor labels
+      // via the single edges⋈labels join, own label via the union branch
+      val next = labels
+        .join(edges, col("id") === col("b_id"))
+        .select(col("a_id").as("id"), col("lbl"))
+        .union(labels)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
       next.persist()
       val s = lblSum(next)
       changed = s != prevSum

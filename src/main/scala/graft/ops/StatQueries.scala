@@ -1,0 +1,269 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistical / CDC operators round 4: snapshot diffing, per-group
+  * linear regression, robust (MAD) outlier detection, and linear
+  * time-series interpolation. All follow the determinism recipe: exact
+  * DECIMAL accumulation (order-insensitive) with doubles only in final
+  * per-row arithmetic that both engines evaluate with the identical
+  * IEEE expression tree.
+  */
+object StatQueries {
+
+  /** Snapshot DIFF — the change-data-capture primitive the reference's
+    * nightly full-reload pattern (`etl_process.py` truncate-and-insert)
+    * is a degenerate case of: given yesterday's and today's snapshot of
+    * a keyed table, classify every key as added / deleted / changed.
+    * The two snapshots are deterministic derivations of `orders` (drop
+    * keys ≡0 mod 10 from "old", ≡0 mod 7 from "new", bump price on keys
+    * ≡0 mod 3) so the oracle sees the same inputs.
+    *
+    * Scale posture: ONE full-outer shuffle join on the snapshot key —
+    * the minimal plan for a diff; the unchanged majority is filtered
+    * post-join by an exact DECIMAL compare (no row hashing needed when
+    * the payload is narrow; a wide table would xxhash the payload into
+    * one compare column first, same join shape). */
+  def etlSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val price = col("o_totalprice").cast(DecimalType(18, 2))
+    val base = Tables.orders(s, d)
+    val old = base.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("k_old"), col("o_orderstatus").as("st_old"),
+        price.as("pr_old"))
+    val nw = base.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k_new"), col("o_orderstatus").as("st_new"),
+        (price + when(col("o_orderkey") % 3 === 0, lit(BigDecimal("1.00")))
+          .otherwise(lit(BigDecimal("0.00")))).as("pr_new"))
+    old.join(nw, col("k_old") === col("k_new"), "full_outer")
+      .withColumn("change",
+        when(col("k_old").isNull, lit("added"))
+          .when(col("k_new").isNull, lit("deleted"))
+          .when(col("pr_old") =!= col("pr_new") ||
+            col("st_old") =!= col("st_new"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col("k_old"), col("k_new")).as("o_orderkey"), col("change"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Per-group LINEAR REGRESSION (the `regr_slope`/`regr_intercept`/
+    * `regr_r2` surface) of extendedprice on discount, per
+    * (returnflag, linestatus). The built-ins stream Welford-style and
+    * are NOT bit-stable across engines/partition orders, so the
+    * portable form accumulates Σx, Σy, Σxx, Σyy, Σxy as exact decimals
+    * (one partial-aggregated shuffle, same plan the built-ins compile
+    * to) and derives the closed-form coefficients in double from
+    * identical operands — same recipe as `agg_stats_moments`. */
+  def aggRegressionPack(s: SparkSession, d: String): DataFrame = {
+    val xd = col("l_discount").cast(DecimalType(18, 2))
+    val yd = col("l_extendedprice").cast(DecimalType(18, 2))
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = sum(xd).cast(DoubleType)
+    val sy = sum(yd).cast(DoubleType)
+    val sxx = sum(xd * xd).cast(DoubleType)
+    val syy = sum(yd * yd).cast(DoubleType)
+    val sxy = sum(xd * yd).cast(DoubleType)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    val r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), slope.as("slope"), icept.as("intercept"),
+        r2.as("r2"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Robust outlier detection per group — MEDIAN + MAD (median absolute
+    * deviation), the quality-filter form that survives the heavy-tailed
+    * distributions mean±3σ chokes on. Both medians are the LOWER
+    * median (element at rank ⌈n/2⌉ of the sorted group) — an actual
+    * member of the multiset, so no interpolation arithmetic exists to
+    * drift between engines; values are exact DECIMAL(18,2) throughout.
+    * An outlier is |x − med| > 3·mad (exact decimal compare).
+    *
+    * Scale posture: two ranking windows + the final rollup all key on
+    * the same group column, so the ONE hash exchange is reused end to
+    * end (subset rule); rank-within-group is a sort within partitions,
+    * not a global sort. */
+  def aggMadOutliers(s: SparkSession, d: String): DataFrame = {
+    val x = col("o_totalprice").cast(DecimalType(18, 2))
+    val base = Tables.orders(s, d)
+      .select(col("o_orderstatus").as("g"), col("o_orderkey").as("k"), x.as("x"))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy("g").orderBy(col(v), col("k"))
+      val wc = Window.partitionBy("g")
+      df.select(col("g"), col(v),
+          row_number().over(w).as("r"), count(lit(1)).over(wc).as("n"))
+        .filter(col("r") * 2 <= col("n") + 1)
+        .groupBy("g").agg(max(col(v)).as(out))
+    }
+    val med = lowerMedian(base, "x", "med")
+    val dev = base.join(med, "g")
+      .select(col("g"), col("k"), col("x"), col("med"),
+        abs(col("x") - col("med")).as("ad"))
+    val mad = lowerMedian(dev.select(col("g"), col("k"), col("ad")), "ad", "mad")
+    dev.join(mad, "g")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).cast(DoubleType).as("med"),
+        max(col("mad")).cast(DoubleType).as("mad"),
+        count(when(col("ad") > col("mad") * 3, 1)).as("n_outliers"))
+      .select(col("g").as("o_orderstatus"), col("n"), col("med"), col("mad"),
+        col("n_outliers"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Linear INTERPOLATION over time-series gaps — the numeric upgrade
+    * of `window_gap_fill`'s forward fill: per user, the daily value sum
+    * on the observed-day spine, with missing days filled by linear
+    * interpolation between the surrounding observations
+    * (v = v₀ + (v₁−v₀)·(t−t₀)/(t₁−t₀), evaluated with the identical
+    * IEEE double tree in both engines; the daily sums themselves are
+    * exact decimals). First/last spine days are observed by
+    * construction, so both neighbors always exist.
+    *
+    * Scale posture: same single-exchange shape as gap_fill — the spine
+    * explode, the observation join, and all four neighbor windows key
+    * on user_id, so one hash shuffle serves the whole query. */
+  def windowInterpolateLinear(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      dayofmonth(col("ts")).cast(LongType).as("day"),
+      col("value").cast(DecimalType(18, 6)).as("v"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(sum(col("v")).cast(DoubleType).as("v"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val back = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("v").isNotNull, col("day"))
+    val joined = spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("v"),
+        last(col("v"), ignoreNulls = true).over(back).as("pv"),
+        last(obsDay, ignoreNulls = true).over(back).as("pd"),
+        first(col("v"), ignoreNulls = true).over(fwd).as("nv"),
+        first(obsDay, ignoreNulls = true).over(fwd).as("nd"))
+    joined.select(col("user_id"), col("day"), col("v").isNotNull.as("observed"),
+        when(col("v").isNotNull, col("v")).otherwise(
+          col("pv") + (col("nv") - col("pv")) *
+            ((col("day") - col("pd")).cast(DoubleType) /
+             (col("nd") - col("pd")).cast(DoubleType))).as("v_interp"))
+      .orderBy("user_id", "day")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_snapshot_diff"         -> etlSnapshotDiff _,
+    "agg_regression_pack"       -> aggRegressionPack _,
+    "agg_mad_outliers"          -> aggMadOutliers _,
+    "window_interpolate_linear" -> windowInterpolateLinear _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "etl_snapshot_diff" ->
+      """WITH snap_a AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS pr
+        |  FROM orders WHERE o_orderkey % 10 <> 0),
+        |snap_b AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) +
+        |      CASE WHEN o_orderkey % 3 = 0 THEN CAST('1.00' AS DECIMAL(18,2))
+        |           ELSE CAST('0.00' AS DECIMAL(18,2)) END AS pr
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT COALESCE(snap_a.k, snap_b.k) AS o_orderkey,
+        |  CASE WHEN snap_a.k IS NULL THEN 'added'
+        |       WHEN snap_b.k IS NULL THEN 'deleted'
+        |       ELSE 'changed' END AS change
+        |FROM snap_a FULL JOIN snap_b ON snap_a.k = snap_b.k
+        |WHERE snap_a.k IS NULL OR snap_b.k IS NULL
+        |   OR snap_a.pr <> snap_b.pr OR snap_a.st <> snap_b.st
+        |ORDER BY o_orderkey""".stripMargin,
+    // NOTE the VARCHAR hop on every decimal→double: DuckDB's direct
+    // DECIMAL→DOUBLE divides the int128 payload by 10^scale in double
+    // arithmetic (double-rounds — measured off by 1 ulp on Σy² here),
+    // while its string→double parse and Spark's BigDecimal.doubleValue
+    // are both correctly rounded.
+    "agg_regression_pack" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS cnt,
+        |    CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(x*x) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(y*y) AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(SUM(x*y) AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM (SELECT l_returnflag, l_linestatus,
+        |          CAST(l_discount AS DECIMAL(18,2)) AS x,
+        |          CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem)
+        |  GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, cnt AS n,
+        |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+        |  (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept,
+        |  ((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+        |    ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2
+        |FROM s ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_mad_outliers" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS g, o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        |  FROM orders),
+        |med AS (
+        |  SELECT g, MAX(x) AS med FROM (
+        |    SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x, k) AS r,
+        |      COUNT(*) OVER (PARTITION BY g) AS n
+        |    FROM base)
+        |  WHERE r * 2 <= n + 1 GROUP BY g),
+        |dev AS (
+        |  SELECT base.g, base.k, base.x, med.med, ABS(base.x - med.med) AS ad
+        |  FROM base JOIN med ON base.g = med.g),
+        |mad AS (
+        |  SELECT g, MAX(ad) AS mad FROM (
+        |    SELECT g, ad, row_number() OVER (PARTITION BY g ORDER BY ad, k) AS r,
+        |      COUNT(*) OVER (PARTITION BY g) AS n
+        |    FROM dev)
+        |  WHERE r * 2 <= n + 1 GROUP BY g)
+        |SELECT dev.g AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(CAST(MAX(dev.med) AS VARCHAR) AS DOUBLE) AS med,
+        |  CAST(CAST(MAX(mad.mad) AS VARCHAR) AS DOUBLE) AS mad,
+        |  COUNT(CASE WHEN dev.ad > mad.mad * 3 THEN 1 END) AS n_outliers
+        |FROM dev JOIN mad ON dev.g = mad.g
+        |GROUP BY dev.g ORDER BY o_orderstatus""".stripMargin,
+    "window_interpolate_linear" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(day(ts) AS BIGINT) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM (
+        |    SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+        |    FROM daily GROUP BY user_id)),
+        |j AS (
+        |  SELECT spine.user_id, spine.day, daily.v,
+        |    LAST_VALUE(daily.v IGNORE NULLS) OVER
+        |      (PARTITION BY spine.user_id ORDER BY spine.day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    LAST_VALUE(CASE WHEN daily.v IS NOT NULL THEN spine.day END
+        |      IGNORE NULLS) OVER
+        |      (PARTITION BY spine.user_id ORDER BY spine.day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    FIRST_VALUE(daily.v IGNORE NULLS) OVER
+        |      (PARTITION BY spine.user_id ORDER BY spine.day
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(CASE WHEN daily.v IS NOT NULL THEN spine.day END
+        |      IGNORE NULLS) OVER
+        |      (PARTITION BY spine.user_id ORDER BY spine.day
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM spine LEFT JOIN daily
+        |    ON spine.user_id = daily.user_id AND spine.day = daily.day)
+        |SELECT user_id, day, v IS NOT NULL AS observed,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE) /
+        |                              CAST(nd - pd AS DOUBLE)) END AS v_interp
+        |FROM j ORDER BY user_id, day""".stripMargin,
+  )
+}

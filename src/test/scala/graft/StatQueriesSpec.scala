@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{StatQueries, Tables}
+
+class StatQueriesSpec extends SparkTestBase {
+
+  test("snapshot diff classifies every key consistently with the derivations") {
+    val rows = StatQueries.etlSnapshotDiff(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, change) =>
+      val inOld = k % 10 != 0
+      val inNew = k % 7 != 0
+      change match {
+        case "added"   => assert(!inOld && inNew, s"key $k")
+        case "deleted" => assert(inOld && !inNew, s"key $k")
+        // price bumps only on keys ≡0 mod 3; status never changes
+        case "changed" => assert(inOld && inNew && k % 3 == 0, s"key $k")
+      }
+    }
+    // completeness: every key in exactly one snapshot must be reported
+    val keys = Tables.orders(spark, sfDir).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val expected = keys.count(k => (k % 10 == 0) != (k % 7 == 0))
+    assert(rows.count { case (_, c) => c == "added" || c == "deleted" } == expected)
+  }
+
+  test("regression pack agrees with Spark's built-in regr_slope/intercept") {
+    val got = StatQueries.aggRegressionPack(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val ref = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(regr_slope(col("l_extendedprice"), col("l_discount")).as("slope"),
+        regr_intercept(col("l_extendedprice"), col("l_discount")).as("icept"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getDouble(2), r.getDouble(3))))
+      .toMap
+    got.foreach { r =>
+      val (slope, icept, r2) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val (rs, ri) = ref((r.getString(0), r.getString(1)))
+      assert(math.abs(slope - rs) <= 1e-6 * math.abs(rs), s"slope $slope vs $rs")
+      assert(math.abs(icept - ri) <= 1e-6 * math.abs(ri), s"icept $icept vs $ri")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2 out of range")
+    }
+  }
+
+  test("MAD medians are members of their group's multiset and bounds hold") {
+    val out = StatQueries.aggMadOutliers(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byGroup = Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { r =>
+      val (g, n, med, mad, outliers) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      val xs = byGroup(g)
+      assert(n == xs.length)
+      // lower median = element at rank ⌈n/2⌉ (1-based) of the sorted group
+      val expMed = xs((xs.length + 1) / 2 - 1)
+      assert(math.round(med * 100) == expMed, s"$g: med $med vs ${expMed / 100.0}")
+      assert(mad >= 0.0 && outliers >= 0 && outliers < n)
+      // MAD-based outliers must be a minority by construction of the median
+      assert(outliers * 2 < n, s"$g: $outliers outliers of $n")
+    }
+  }
+
+  test("linear interpolation is exact on observed days and bounded on gaps") {
+    val rows = StatQueries.windowInterpolateLinear(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    var gaps = 0
+    byUser.foreach { case (_, rs) =>
+      val seq = rs.sortBy(_.getLong(1))
+      // spine endpoints are observed by construction
+      assert(seq.head.getBoolean(2) && seq.last.getBoolean(2))
+      seq.filter(!_.getBoolean(2)).foreach { r =>
+        gaps += 1
+        val day = r.getLong(1)
+        val prev = seq.filter(x => x.getBoolean(2) && x.getLong(1) < day).last
+        val next = seq.filter(x => x.getBoolean(2) && x.getLong(1) > day).head
+        val (v0, v1, v) = (prev.getDouble(3), next.getDouble(3), r.getDouble(3))
+        assert(v >= math.min(v0, v1) - 1e-9 && v <= math.max(v0, v1) + 1e-9,
+          s"interp $v outside [$v0, $v1]")
+      }
+    }
+    assert(gaps > 0, "fixture exercised no interpolated day")
+  }
+}
