@@ -266,7 +266,53 @@ object SimilarityQueries {
       .orderBy("pid")
   }
 
+  /** SemDeDup cell count. SIZING RULE: cells exist to BOUND the intra-
+    * cell pair quadratic — nCells ≈ N / targetCellSize with targetCellSize
+    * a few hundred keeps per-cell pair counts ~10^5 regardless of N; at
+    * ~1e9 vectors that's ~4M trained centroids sharded as a second-level
+    * quantizer (the assignment stays a broadcast-free map pass). The
+    * fixture uses 64 seed centroids (~N/100 at sf0.01). */
+  private[graft] val SemCells = 64
+  private[graft] val SemTau = 0.35
+
+  /** SEMANTIC dedup (the SemDeDup recipe): cluster embeddings around
+    * coarse centroids, then call any intra-cell pair with cosine ≥ τ a
+    * duplicate. APPROXIMATE by design — cross-cell near-dups are missed
+    * (that's the recall/cost trade; `dedup_embedding_cosine` is the
+    * exact in-label variant) but the pair join is bounded to cells, so
+    * cost is Σ|cell|²/2 ≈ N·targetCellSize/2, LINEAR in N under the
+    * sizing rule — the property that lets this run at 100 TB where the
+    * exact all-pairs quadratic cannot.
+    *
+    * Centroids are the first [[SemCells]] vectors (deterministic seed,
+    * same rationale as the IVF quantizer above); assignment is the same
+    * bit-stable argmin. Output: intra-cell near-dup pairs + the cell. */
+  def dedupSemanticCells(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = broadcast(e.filter(col("vec_id") <= SemCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("nsq").as("cnsq")))
+    val assigned = e.crossJoin(cents)
+      .select(col("vec_id"), col("cid"),
+        (col("nsq") + col("cnsq") - lit(2.0) * dot(col("embedding"), col("cemb")))
+          .as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    val rep = e.join(assigned, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nsq"))
+    rep.as("a").join(rep.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+        col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        (dot(col("a.embedding"), col("b.embedding")) /
+          sqrt(col("a.nsq") * col("b.nsq"))).as("cos"))
+      .filter(col("cos") >= SemTau)
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic_cells" -> dedupSemanticCells _,
     "sim_ann_recall_eval" -> simAnnRecallEval _,
     "sim_cosine_topk"     -> simCosineTopk _,
     "sim_lsh_bucket_topk" -> simLshBucketTopk _,
@@ -346,6 +392,32 @@ object SimilarityQueries {
          |  FROM embeddings e CROSS JOIN ($probeCte) p
          |  WHERE e.vec_id <> $ProbeId)
          |WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
+    "dedup_semantic_cells" ->
+      // same assignment CTE as the IVF oracle (argmin by (d2, cid)),
+      // then the intra-cell pair join with the identical cosine fold
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id <= $SemCells),
+         |d2all AS (SELECT e.vec_id, c.cid,
+         |    ${dotSql("e.embedding", "e.embedding")} +
+         |    ${dotSql("c.cemb", "c.cemb")} -
+         |    2.0 * ${dotSql("e.embedding", "c.cemb")} AS d2
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asgn AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d2all) WHERE rn = 1)
+         |SELECT aa.cid AS cell, a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${dotSql("a.embedding", "b.embedding")} / sqrt(
+         |    ${dotSql("a.embedding", "a.embedding")} *
+         |    ${dotSql("b.embedding", "b.embedding")}) AS cos
+         |FROM embeddings a
+         |JOIN asgn aa ON a.vec_id = aa.vec_id
+         |JOIN asgn ab ON aa.cid = ab.cid AND a.vec_id < ab.vec_id
+         |JOIN embeddings b ON b.vec_id = ab.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / sqrt(
+         |    ${dotSql("a.embedding", "a.embedding")} *
+         |    ${dotSql("b.embedding", "b.embedding")}) >= $SemTau
+         |ORDER BY a_id, b_id""".stripMargin,
     "sim_ivf_coarse_topk" ->
       // d2 = (nsq_v + nsq_c) - (2.0 * dot): same association order as the
       // Spark expression; nsq/dot are the identical left-fold fragments

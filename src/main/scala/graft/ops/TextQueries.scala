@@ -189,7 +189,64 @@ object TextQueries {
       .limit(40)
   }
 
+  /** Per-language quality-score CALIBRATION — the step that turns a raw
+    * quality score into a keep/drop threshold that is FAIR across
+    * languages (a fixed global cutoff over-prunes whichever language
+    * the scorer is biased against): ntile(10) deciles of the stopword
+    * ratio within each language, rolled up to (lang, decile) bands with
+    * their score ranges. Docs with no tokens (NULL ratio) are excluded
+    * BEFORE ranking — also sidesteps the Spark-NULLS-FIRST vs
+    * DuckDB-NULLS-LAST sort divergence.
+    *
+    * Scale posture: the window partitions by lang — a within-partition
+    * sort after ONE hash exchange that the rollup then reuses (subset
+    * rule); nothing is globally sorted. ntile is deterministic given
+    * the (score, doc_id) total order. */
+  def textQualityCalibrate(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("score"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        stopwordRatio(col("text"), stopwords).as("score"))
+      .filter(col("score").isNotNull)
+      .select(col("lang"), col("score"), ntile(10).over(w).as("decile"))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n"), min(col("score")).as("lo"),
+        max(col("score")).as("hi"))
+      .orderBy("lang", "decile")
+  }
+
+  /** HTML/markup STRIP — the boilerplate-removal front gate of a crawl
+    * pipeline: drop tags, decode the common entities, collapse the
+    * whitespace runs the removals leave behind. The corpus text is
+    * plain, so the markup is SYNTHESIZED deterministically around it
+    * (per-doc tag id, entity-escaped ampersand footer) — the transform
+    * under test is the strip, which must recover exactly the original
+    * text plus the decoded footer. Pure per-row projection: zero
+    * shuffle at any corpus size, codegen'd regexp over each row.
+    *
+    * Both engines apply the same Java-compatible regex subset
+    * (`<[^>]*>` has identical semantics in java.util.regex and RE2);
+    * DuckDB needs the explicit 'g' flag to match Spark's replace-all. */
+  def textHtmlStrip(s: SparkSession, d: String): DataFrame = {
+    val html = concat(lit("<html><body><p id=\""), col("doc_id"),
+      lit("\">"), col("text"), lit("</p><br/>&amp;sect;</body></html>"))
+    val stripped = regexp_replace(html, "<[^>]*>", " ")
+    val decoded = regexp_replace(
+      regexp_replace(regexp_replace(stripped, "&amp;", "&"), "&lt;", "<"),
+      "&gt;", ">")
+    val cleaned = trim(regexp_replace(decoded, "\\s+", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(html).as("raw_len"),
+        cleaned.as("cleaned"),
+        (length(html) - length(cleaned)).as("n_stripped"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_calibrate" -> textQualityCalibrate _,
+    "text_html_strip"       -> textHtmlStrip _,
     "text_repetition_score" -> textRepetitionScore _,
     "text_doc_frequency"   -> textDocFrequency _,
     "sample_hash_split"    -> sampleHashSplit _,
@@ -237,7 +294,40 @@ object TextQueries {
 
   private def fold32Sql(arg: String): String = OracleSql.fold32(arg)
 
+  /** Mirrors `stopwordRatio(text, stopwords)`. */
+  private val ratioSql =
+    s"""CAST(${markSql(stopwords)} AS DOUBLE) /
+       |    CAST(NULLIF(len($tokensSql), 0) AS DOUBLE)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_quality_calibrate" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang, $ratioSql AS score FROM documents),
+         |r AS (
+         |  SELECT lang, score,
+         |    CAST(ntile(10) OVER (PARTITION BY lang ORDER BY score, doc_id)
+         |      AS INTEGER) AS decile
+         |  FROM sc WHERE score IS NOT NULL)
+         |SELECT lang, decile, COUNT(*) AS n, MIN(score) AS lo, MAX(score) AS hi
+         |FROM r GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
+    "text_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body><p id="' || doc_id || '">' || text ||
+        |      '</p><br/>&amp;sect;</body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id, length(html) AS raw_len,
+        |  trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |    '\s+', ' ', 'g')) AS cleaned,
+        |  length(html) - length(trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |    '\s+', ' ', 'g'))) AS n_stripped
+        |FROM h ORDER BY doc_id""".stripMargin,
     "text_repetition_score" ->
       s"""SELECT doc_id,
          |  CAST(SUM(n) AS BIGINT) AS n_tokens,
