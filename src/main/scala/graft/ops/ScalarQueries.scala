@@ -113,7 +113,45 @@ object ScalarQueries {
         moneyOut(sum(money(col("value")))).as("sum_value"))
       .orderBy("hour_bucket")
 
+  /** Z-ORDER (Morton) layout keys — the data-layout primitive behind
+    * multi-dimensional data skipping (Delta/Iceberg OPTIMIZE ZORDER):
+    * interleave the bits of two 16-bit coordinates so that sorting by
+    * the single zkey co-locates rows that are close in BOTH dimensions,
+    * letting min/max file stats prune either predicate. The
+    * interleave is the classic 4-step magic-mask bit spread — pure
+    * integer projection, zero shuffle; the layout rewrite itself is
+    * `repartitionByRange(zkey)` + sortWithinPartitions at write time.
+    *
+    * Output is the per-coarse-bucket locality evidence: each zkey
+    * bucket covers a BOUNDED rectangle in (custkey, price) space —
+    * exactly the property file-level min/max stats exploit. Coords:
+    * x = custkey low 16 bits, y = floor(price)/32 (≤16 bits by data
+    * contract; floor() keeps the double→int step identical across
+    * engines — a raw CAST truncates in Spark but rounds in DuckDB). */
+  def scalarZorderPack(s: SparkSession, d: String): DataFrame = {
+    def spread(v: Column): Column = {
+      val a = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+      c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val x = col("o_custkey").bitwiseAND(lit(0xFFFFL))
+    val y = shiftright(floor(col("o_totalprice")).cast(LongType), 5)
+      .bitwiseAND(lit(0xFFFFL))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), x.as("x"), y.as("y"))
+      .select(col("x"), col("y"),
+        spread(col("x")).bitwiseOR(shiftleft(spread(col("y")), 1)).as("zkey"))
+      .groupBy(shiftright(col("zkey"), 20).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("zkey")).as("z_lo"), max(col("zkey")).as("z_hi"),
+        min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+        min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
+      .orderBy("zbucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_zorder_pack"   -> scalarZorderPack _,
     "scalar_string_pack"   -> scalarStringPack _,
     "scalar_date_pack"     -> scalarDatePack _,
     "scalar_math_pack"     -> scalarMathPack _,
@@ -124,6 +162,32 @@ object ScalarQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "scalar_zorder_pack" ->
+      // same 4-step magic-mask spread, staged through CTEs like the
+      // Spark withColumn chain; floor() before the int cast on BOTH
+      // sides (CAST alone truncates in Spark but rounds in DuckDB)
+      """WITH c0 AS (
+        |  SELECT o_custkey & 65535 AS x,
+        |    (CAST(floor(o_totalprice) AS BIGINT) >> 5) & 65535 AS y
+        |  FROM orders),
+        |l1 AS (SELECT x, y,
+        |  (x | (x << 8)) & 16711935 AS sx, (y | (y << 8)) & 16711935 AS sy
+        |  FROM c0),
+        |l2 AS (SELECT x, y,
+        |  (sx | (sx << 4)) & 252645135 AS sx, (sy | (sy << 4)) & 252645135 AS sy
+        |  FROM l1),
+        |l3 AS (SELECT x, y,
+        |  (sx | (sx << 2)) & 858993459 AS sx, (sy | (sy << 2)) & 858993459 AS sy
+        |  FROM l2),
+        |l4 AS (SELECT x, y,
+        |  (sx | (sx << 1)) & 1431655765 AS sx, (sy | (sy << 1)) & 1431655765 AS sy
+        |  FROM l3),
+        |z AS (SELECT x, y, sx | (sy << 1) AS zkey FROM l4)
+        |SELECT zkey >> 20 AS zbucket, COUNT(*) AS n,
+        |  MIN(zkey) AS z_lo, MAX(zkey) AS z_hi,
+        |  MIN(x) AS x_lo, MAX(x) AS x_hi,
+        |  MIN(y) AS y_lo, MAX(y) AS y_hi
+        |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin,
     "scalar_bitwise_pack" ->
       """SELECT o_orderkey,
         |  o_orderkey & 255 AS low_byte,

@@ -311,7 +311,52 @@ object SimilarityQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Embedding dimensionality of the fixture corpus (checked at run
+    * time — the deterministic v0 literal below is built for it). */
+  private val Dim = 64
+
+  /** One PCA POWER-ITERATION step — the dominant-eigenvector primitive
+    * behind embedding whitening/compression: w = Σᵢ xᵢ·(xᵢ·v₀) (the
+    * Gram matvec; centering is one additional mean-subtraction pass,
+    * same shape), with v₀ a fixed deterministic probe direction.
+    *
+    * Determinism recipe — the FIXED-POINT SUPERACCUMULATOR (how
+    * reproducible distributed reductions are actually built): each
+    * per-row score xᵢ·v₀ is the index-order dot (bit-stable); each
+    * per-dim term is scaled by 2³² (an exponent shift — EXACT on any
+    * IEEE engine) and floored to an integer, and the big sum runs in
+    * exact integer arithmetic — ORDER-INSENSITIVE, so it's a plain
+    * partial-aggregated `sum()` with no collect_list and no per-group
+    * ordered reduction (the kmeans step's fold) and no double→decimal
+    * cast (whose rounding DuckDB does differently than the JVM —
+    * measured). w is reproduced to 2⁻³² absolute; headroom: |term|·2³²
+    * ≤ ~4e12 per row, so a 2⁶³ accumulator holds ~2M rows/group before
+    * a production run widens to a 128-bit or two-level accumulator.
+    *
+    * Scale posture: cost is one pass + one shuffle of N·d narrow
+    * integer rows; iterate K times for convergence with the same plan
+    * (K ≈ 10–30 for a separated spectrum), normalizing between rounds. */
+  def simPcaPowerIter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val Scale = 4294967296.0 // 2^32
+    val v0 = typedLit(Seq.tabulate(Dim)(j => ((j % 5) - 2).toFloat))
+    val e = Tables.embeddings(s, d)
+    val scored = e
+      .filter(size(col("embedding")) === Dim)
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), v0).as("sc"))
+    scored
+      .select(col("sc"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast(LongType).as("dim"),
+        floor(col("x").cast(DoubleType) * col("sc") * lit(Scale)).as("term"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("term")).cast(DoubleType) / lit(Scale)).as("w"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pca_power_iter"   -> simPcaPowerIter _,
     "dedup_semantic_cells" -> dedupSemanticCells _,
     "sim_ann_recall_eval" -> simAnnRecallEval _,
     "sim_cosine_topk"     -> simCosineTopk _,
@@ -392,6 +437,23 @@ object SimilarityQueries {
          |  FROM embeddings e CROSS JOIN ($probeCte) p
          |  WHERE e.vec_id <> $ProbeId)
          |WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
+    "sim_pca_power_iter" ->
+      // per-row score = the same index-order dot against the v0
+      // literal; per-dim accumulation in the same 2^32 fixed point
+      // (floor(term·2^32) is engine-identical; the integer sum is
+      // exact — DuckDB widens to HUGEINT, Spark stays in the audited
+      // 2^63 headroom)
+      s"""WITH sc AS (SELECT vec_id, embedding,
+         |    ${fold(s"list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST((i-1) % 5 - 2 AS DOUBLE))")} AS s
+         |  FROM embeddings WHERE len(embedding) = $Dim),
+         |ex AS (SELECT
+         |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         |    unnest(embedding) AS x, s
+         |  FROM sc)
+         |SELECT dim, COUNT(*) AS n,
+         |  CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * s * 4294967296.0)
+         |    AS BIGINT)) AS DOUBLE) / 4294967296.0 AS w
+         |FROM ex GROUP BY dim ORDER BY dim""".stripMargin,
     "dedup_semantic_cells" ->
       // same assignment CTE as the IVF oracle (argmin by (d2, cid)),
       // then the intra-cell pair join with the identical cosine fold

@@ -27,6 +27,27 @@ class CurationExtrasSpec extends SparkTestBase {
     }
   }
 
+  test("PCA power-iteration matvec matches a plain-double reference within 2^-32·n") {
+    val got = SimilarityQueries.simPcaPowerIter(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 64)
+    val v0 = Seq.tabulate(64)(j => ((j % 5) - 2).toDouble)
+    val vecs = Tables.embeddings(spark, sfDir).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    val ref = Array.fill(64)(0.0)
+    vecs.foreach { x =>
+      val s = x.indices.map(i => x(i) * v0(i)).sum
+      x.indices.foreach(i => ref(i) += x(i) * s)
+    }
+    got.foreach { case (dim, n, w) =>
+      assert(n == vecs.length)
+      // fixed-point floor loses < 2^-32 per row; reference is plain
+      // double so allow the quantization plus fp-reassociation slack
+      assert(math.abs(w - ref(dim.toInt - 1)) < n * math.pow(2, -32) + 1e-6,
+        s"dim $dim: $w vs ${ref(dim.toInt - 1)}")
+    }
+  }
+
   test("quality calibration deciles are contiguous, balanced, and ordered") {
     val rows = TextQueries.textQualityCalibrate(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
@@ -46,6 +67,36 @@ class CurationExtrasSpec extends SparkTestBase {
             s"$lang: decile ${lo._2} hi ${lo._5} > decile ${hi._2} lo ${hi._4}")
         case _ =>
       }
+    }
+  }
+
+  test("z-order buckets bound both coordinate ranges (the skipping property)") {
+    val rows = graft.ops.ScalarQueries.scalarZorderPack(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (zLo, zHi) = (r.getLong(2), r.getLong(3))
+      val (xLo, xHi, yLo, yHi) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(zLo <= zHi && (zLo >> 20) == (zHi >> 20))
+      // a 2^20 zkey range interleaves ≤10 low bits per axis → each
+      // bucket's rectangle spans at most 2^10 in x and in y
+      assert(xHi - xLo < 1024, s"x range ${xHi - xLo} not bounded")
+      assert(yHi - yLo < 1024, s"y range ${yHi - yLo} not bounded")
+    }
+    // interleave must be invertible: de-interleaving z_lo's even/odd
+    // bits reproduces coordinates inside the bucket's rectangle
+    def unspread(z: Long): Long = {
+      var v = z & 0x55555555L
+      v = (v | (v >> 1)) & 0x33333333L
+      v = (v | (v >> 2)) & 0x0F0F0F0FL
+      v = (v | (v >> 4)) & 0x00FF00FFL
+      (v | (v >> 8)) & 0xFFFFL
+    }
+    rows.foreach { r =>
+      val z = r.getLong(2)
+      val (x, y) = (unspread(z), unspread(z >> 1))
+      assert(x >= r.getLong(4) && x <= r.getLong(5))
+      assert(y >= r.getLong(6) && y <= r.getLong(7))
     }
   }
 
