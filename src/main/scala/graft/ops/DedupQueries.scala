@@ -255,8 +255,13 @@ object DedupQueries {
       dedupMinhashLsh(s, d).select(col("a_id"), col("b_id")))
     val edges = pairs.union(
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // localCheckpoint between rounds: each propagate references its
+    // input TWICE (join + union branch), so un-truncated lineage
+    // doubles per round and driver planning goes exponential — see
+    // ccConvergedWithStats' scaladoc for the measurement
     val labels0 = edges.select(col("a_id").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
     // one propagation round = ONE join, not two: a node's next label is
     // min(own, neighbors'), and "own" rides in through the union branch
     // instead of a second self-join of the label frame — per round this
@@ -267,7 +272,7 @@ object DedupQueries {
         .select(col("a_id").as("id"), col("lbl"))
         .union(lbl)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
-    propagate(propagate(labels0))
+    propagate(propagate(labels0).localCheckpoint())
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
   }
@@ -279,15 +284,18 @@ object DedupQueries {
     * runs; the driver-side loop is control flow only — each round is
     * the same one-shuffle propagate plan, materialized per round.
     *
-    * Scale posture: per-round frames are persisted (breaking recompute;
-    * the previous round is unpersisted as soon as its successor is
-    * materialized) and the loop is capped at [[CcMaxRounds]] — near-dup
-    * graphs have tiny diameters, and the cap also bounds logical-plan
-    * growth (each round's plan references its predecessor's twice; at a
-    * 100 TB run with hundreds of rounds one would `checkpoint` per
-    * round to truncate lineage — same loop, one extra call). The
-    * convergence test (`changed == 0`) rides the same action that
-    * materializes the round, costing one count against cached data.
+    * Scale posture: per-round frames are `localCheckpoint`ed — this is
+    * load-bearing, not optional. Each round's logical plan references
+    * its predecessor's twice (join branch + own-label branch), so
+    * without lineage truncation the plan DOUBLES per round and the
+    * driver's analyze/canonicalize/cache-lookup passes go exponential:
+    * measured on the sf0.1 fixture, round 3 planning alone took 8–34 s
+    * (either propagate form) vs <100 ms execution. The eager local
+    * checkpoint pins each round as a materialized RDD with an O(1)
+    * plan; a multi-executor production run would use reliable
+    * `checkpoint()` (HDFS/object store) for fault tolerance — same
+    * loop, same truncation. The convergence test (`changed == 0`) is
+    * one cheap agg against the checkpointed round.
     *
     * Oracle: DuckDB recursive CTE — min reachable node over the
     * symmetric edge set, a genuinely different algorithm (BFS closure
@@ -305,15 +313,16 @@ object DedupQueries {
       dedupMinhashLsh(s, d).select(col("a_id"), col("b_id")))
     val edges = PipelineCache.getOrPersist(s"dedup:ccEdges:$d")(
       pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+    // eager localCheckpoint: materializes AND truncates lineage (see
+    // scaladoc — without it planning goes exponential in rounds)
     var labels = edges.select(col("a_id").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-    labels.persist()
+      .localCheckpoint()
     // convergence check: labels are MONOTONICALLY non-increasing under
     // min-propagation, so the label sum strictly decreases until the
-    // fixpoint — one cheap agg on the (cached) round result replaces a
-    // join-with-previous diff. The agg is also the action that
-    // materializes the round's persist. coalesce guards the zero-row
-    // corpus (no verified near-dup pair → empty label frame → sum NULL).
+    // fixpoint — one cheap agg on the checkpointed round result replaces
+    // a join-with-previous diff. coalesce guards the zero-row corpus
+    // (no verified near-dup pair → empty label frame → sum NULL).
     def lblSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
     var prevSum = lblSum(labels)
@@ -327,11 +336,10 @@ object DedupQueries {
         .select(col("a_id").as("id"), col("lbl"))
         .union(labels)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
-      next.persist()
+        .localCheckpoint() // eager: the materializing action per round
       val s = lblSum(next)
       changed = s != prevSum
       prevSum = s
-      labels.unpersist(blocking = false)
       labels = next
       rounds += 1
     }
