@@ -126,12 +126,37 @@ object GraphQueries {
       .orderBy("l_partkey")
   }
 
+  /** Degree DISTRIBUTION of the co-purchase graph — the first health
+    * metric a graph pipeline reads (hub detection, power-law check,
+    * and the input to the skew defenses the triangle/pagerank queries
+    * deploy). Two partial-aggregated shuffles over the shared
+    * support-edge base: vertex degrees, then the degree histogram. */
+  def graphDegreeHist(s: SparkSession, d: String): DataFrame = {
+    val edges = supportEdges(s, d)
+    edges.select(col("u").as("x"))
+      .unionAll(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
+      .orderBy("deg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangle_count" -> graphTriangleCount _,
-    "graph_pagerank_iter"  -> graphPagerankIter _
+    "graph_pagerank_iter"  -> graphPagerankIter _,
+    "graph_degree_hist"    -> graphDegreeHist _
   )
 
   val oracle: Map[String, String] = Map(
+    "graph_degree_hist" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |verts AS (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges),
+        |degs AS (SELECT x, COUNT(*) AS deg FROM verts GROUP BY x)
+        |SELECT deg, COUNT(*) AS n_vertices FROM degs GROUP BY deg
+        |ORDER BY deg""".stripMargin,
     "graph_triangle_count" ->
       """WITH pairs AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v

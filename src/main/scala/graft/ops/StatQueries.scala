@@ -156,7 +156,99 @@ object StatQueries {
       .orderBy("user_id", "day")
   }
 
+  /** Generic DATA-QUALITY PROFILE — the "profile before load" audit the
+    * reference's manual sheet-preview (`importador.py`) approximates by
+    * eyeball: per column, row count, null count, exact distinct count,
+    * and min/max. The table is melted to (column, value-as-string)
+    * rows with `stack`, so ONE generic aggregation profiles any width —
+    * the shape a profiler needs when schemas drift. Doubles go through
+    * DECIMAL(18,2) before stringification (raw double→string formatting
+    * is engine-specific); min/max are therefore lexicographic on the
+    * string form — documented profiler semantics, identical everywhere.
+    *
+    * Scale posture: the melt fans W columns per row, then partial
+    * aggregation collapses to (column, value) before the one shuffle;
+    * count_distinct adds Spark's standard two-phase expand. A 100 TB
+    * profile would swap exact distinct for HLL partials — same melt. */
+  def etlDqProfile(s: SparkSession, d: String): DataFrame = {
+    val melted = Tables.orders(s, d).select(
+      expr("""stack(5,
+        'o_orderkey',      cast(o_orderkey as string),
+        'o_custkey',       cast(o_custkey as string),
+        'o_orderstatus',   o_orderstatus,
+        'o_orderpriority', o_orderpriority,
+        'o_totalprice',    cast(cast(o_totalprice as decimal(18,2)) as string)
+      ) as (col_name, val)"""))
+    melted.groupBy("col_name")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("val").isNull, 1)).as("n_null"),
+        count_distinct(col("val")).as("n_distinct"),
+        min(col("val")).as("vmin"), max(col("val")).as("vmax"))
+      .orderBy("col_name")
+  }
+
+  /** Referential-integrity ORPHAN audit — the join-validate step the
+    * reference runs row-by-row (`etl_process.py`'s per-row FK lookups),
+    * as three set-level anti-joins: orders→customer, lineitem→orders,
+    * lineitem→part. Anti-join against a broadcast key projection reads
+    * each fact table once; output is one row per relation with total
+    * and orphan counts (0 orphans = the fixture's integrity holds —
+    * the query's value is the plan, exercised by the reject-channel
+    * tests with synthetic orphans). */
+  def etlFkOrphanCheck(s: SparkSession, d: String): DataFrame = {
+    def audit(rel: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame = {
+      val orphans = fact.select(col(fk))
+        .join(broadcast(dim.select(col(pk))), col(fk) === col(pk), "left_anti")
+      fact.select(count(lit(1)).as("n_rows")).crossJoin(
+        orphans.select(count(lit(1)).as("n_orphans")))
+        .select(lit(rel).as("relation"), col("n_rows"), col("n_orphans"))
+    }
+    audit("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey")
+      .unionAll(audit("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"))
+      .unionAll(audit("orders->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .orderBy("relation")
+  }
+
+  /** Rolling z-score ANOMALY detection — per user, each event's value
+    * against the mean/stddev of its previous-5-event window (the
+    * trailing frame excludes the current row: self-inclusion dampens
+    * the very outliers being hunted). Moments come from exact DECIMAL
+    * frame sums — window aggregation order differs across engines
+    * (Spark folds the frame, DuckDB uses segment trees), which makes
+    * double frame-sums diverge; decimal is order-free. Events are
+    * sequenced per user by event_id (unique, so no tie ambiguity and
+    * no ns-vs-µs timestamp hazard in the ORDER BY).
+    *
+    * Scale posture: one hash exchange on user_id + an in-partition
+    * sort; the frame is O(1) per row. */
+  def windowRollingAnomaly(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(-5, -1)
+    val vd = col("value").cast(DecimalType(18, 6))
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value").as("v"), vd.as("vd"))
+      .select(col("user_id"), col("event_id"), col("v"),
+        count(col("vd")).over(w).as("n_w"),
+        sum(col("vd")).over(w).cast(DoubleType).as("s_w"),
+        sum(col("vd") * col("vd")).over(w).cast(DoubleType).as("ss_w"))
+      .filter(col("n_w") === 5)
+    val nD = col("n_w").cast(DoubleType)
+    val mu = col("s_w") / nD
+    val variance = (col("ss_w") - col("s_w") * col("s_w") / nD) / (nD - lit(1.0))
+    base.select(col("user_id"), col("event_id"), col("v"),
+        mu.as("mu"), sqrt(variance).as("sd"),
+        (abs(col("v") - mu) > sqrt(variance) * 2).as("is_anomaly"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_dq_profile"            -> etlDqProfile _,
+    "etl_fk_orphan_check"       -> etlFkOrphanCheck _,
+    "window_rolling_anomaly"    -> windowRollingAnomaly _,
     "etl_snapshot_diff"         -> etlSnapshotDiff _,
     "agg_regression_pack"       -> aggRegressionPack _,
     "agg_mad_outliers"          -> aggMadOutliers _,
@@ -164,6 +256,61 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_dq_profile" ->
+      """WITH m AS (
+        |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS val
+        |    FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_totalprice',
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) FROM orders)
+        |SELECT col_name, COUNT(*) AS n,
+        |  COUNT(CASE WHEN val IS NULL THEN 1 END) AS n_null,
+        |  COUNT(DISTINCT val) AS n_distinct,
+        |  MIN(val) AS vmin, MAX(val) AS vmax
+        |FROM m GROUP BY col_name ORDER BY col_name""".stripMargin,
+    "etl_fk_orphan_check" ->
+      """SELECT 'lineitem->orders' AS relation,
+        |  (SELECT COUNT(*) FROM lineitem) AS n_rows,
+        |  (SELECT COUNT(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                     WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY relation""".stripMargin,
+    "window_rolling_anomaly" ->
+      // identical moment arithmetic from the same exact decimal frame
+      // sums; VARCHAR-hop casts (sum-of-squares exceeds 2^53 scaled
+      // units, where DuckDB's direct decimal→double cast double-rounds)
+      """WITH b AS (
+        |  SELECT user_id, event_id, value AS v,
+        |    COUNT(vd) OVER w AS n_w,
+        |    CAST(CAST(SUM(vd) OVER w AS VARCHAR) AS DOUBLE) AS s_w,
+        |    CAST(CAST(SUM(vd * vd) OVER w AS VARCHAR) AS DOUBLE) AS ss_w
+        |  FROM (SELECT user_id, event_id, value,
+        |          CAST(value AS DECIMAL(18,6)) AS vd FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
+        |c AS (
+        |  SELECT user_id, event_id, v,
+        |    s_w / CAST(n_w AS DOUBLE) AS mu,
+        |    sqrt((ss_w - s_w * s_w / CAST(n_w AS DOUBLE)) /
+        |         (CAST(n_w AS DOUBLE) - 1.0)) AS sd
+        |  FROM b WHERE n_w = 5)
+        |SELECT user_id, event_id, v, mu, sd,
+        |  ABS(v - mu) > sd * 2 AS is_anomaly
+        |FROM c ORDER BY user_id, event_id""".stripMargin,
     "etl_snapshot_diff" ->
       """WITH snap_a AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st,

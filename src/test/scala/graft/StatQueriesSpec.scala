@@ -66,6 +66,64 @@ class StatQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("DQ profile agrees with direct per-column aggregates") {
+    val prof = StatQueries.etlDqProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(prof.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_totalprice"))
+    val orders = Tables.orders(spark, sfDir)
+    val n = orders.count()
+    prof.values.foreach { case (rows, nulls, distinct) =>
+      assert(rows == n && nulls == 0 && distinct > 0 && distinct <= n)
+    }
+    assert(prof("o_orderkey")._3 == n, "key column must be fully distinct")
+    val statuses = orders.select("o_orderstatus").distinct().count()
+    assert(prof("o_orderstatus")._3 == statuses)
+  }
+
+  test("FK orphan audit reports zero orphans on the consistent fixture") {
+    val rows = StatQueries.etlFkOrphanCheck(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq ==
+      Seq("lineitem->orders", "lineitem->part", "orders->customer"))
+    rows.foreach { case (rel, n, orphans) =>
+      assert(n > 0, s"$rel: empty fact side")
+      assert(orphans == 0, s"$rel: unexpected orphans $orphans")
+    }
+  }
+
+  test("rolling anomaly flags match a scala recomputation per user window") {
+    val rows = StatQueries.windowRollingAnomaly(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val events = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    var anomalies = 0
+    rows.foreach { r =>
+      val (u, eid, v) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (mu, sd, flag) = (r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+      val seq = events(u)
+      val idx = seq.indexWhere(_._2 == eid)
+      assert(idx >= 5, "window must have 5 predecessors")
+      val win = seq.slice(idx - 5, idx).map(_._3)
+      val m = win.sum / 5.0
+      assert(math.abs(mu - m) < 1e-6, s"user $u event $eid: mu $mu vs $m")
+      assert(flag == (math.abs(v - mu) > sd * 2))
+      if (flag) anomalies += 1
+    }
+    assert(anomalies > 0, "fixture produced no anomaly")
+  }
+
+  test("degree histogram mass equals the support-graph vertex count") {
+    val hist = graft.ops.GraphQueries.graphDegreeHist(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.nonEmpty)
+    hist.foreach { case (deg, nv) => assert(deg >= 1 && nv >= 1) }
+    assert(hist.map(_._2).sum > 0)
+  }
+
   test("linear interpolation is exact on observed days and bounded on gaps") {
     val rows = StatQueries.windowInterpolateLinear(spark, sfDir).collect()
     assert(rows.nonEmpty)
