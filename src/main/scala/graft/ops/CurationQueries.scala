@@ -140,7 +140,46 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** Flagship v2 — the CRAWL-SHAPED curation pipeline, composing the
+    * round-4 operators the way a web-corpus build chains them:
+    *
+    *   markup STRIP (boilerplate removal on the synthesized-HTML view)
+    *   → per-LANGUAGE quality CALIBRATION (ntile deciles of the
+    *     stopword ratio on the cleaned text; drop the worst two
+    *     deciles per language — the adaptive gate that replaces v1's
+    *     fixed threshold) → shared-PASSAGE dedup (drop the higher id
+    *     of every ≥10-shared-shingle pair) → per-(source, lang) corpus
+    *     rollup (docs + tokens).
+    *
+    * Scale shape: the strip is a codegen'd projection on the scan; the
+    * calibration window is one hash exchange on lang; the passage-loser
+    * id set is SMALL (only pair losers) so the dedup is a broadcast
+    * anti-join; the rollup partial-aggregates. One window exchange +
+    * one broadcast over a bare scan, independent of corpus size. */
+  def pipelineCurationV2(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextAnalysis.{stopwordRatio, tokenCount}
+    import org.apache.spark.sql.expressions.Window
+    val losers = DedupQueries.dedupSharedPassage(s, d)
+      .select(col("b_id").as("doc_id")).distinct()
+    val cleaned = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextQueries.cleanedCol.as("ctext"))
+    val w = Window.partitionBy("lang").orderBy(col("score"), col("doc_id"))
+    cleaned
+      .select(col("doc_id"), col("lang"), col("source"), col("ctext"),
+        stopwordRatio(col("ctext"), TextQueries.stopwords).as("score"))
+      .select(col("doc_id"), col("lang"), col("source"), col("ctext"),
+        ntile(10).over(w).as("decile"))
+      .filter(col("decile") <= 8)
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("ctext"))).as("n_tokens"))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curation_v2"     -> pipelineCurationV2 _,
     "pipeline_pretrain_corpus" -> pipelinePretrainCorpus _,
     "text_pii_redact"        -> textPiiRedact _,
     "sample_stratified_lang" -> sampleStratifiedLang _,
@@ -149,8 +188,35 @@ object CurationQueries {
 
   import OracleSql.fold32
   import TextQueries.{bpeSql, langCaseSql, qualityGateSql, survivorFromSql}
+  import TextQueries.{cleanedSql, ratioSqlOf, tokensSqlOf}
 
   val oracle: Map[String, String] = Map(
+    // assembled from the same shared fragments as its component
+    // queries: the passage-dedup CTE chain (DedupQueries.baseCte), the
+    // clean chain (cleanedSql), and the calibration ratio/ntile
+    "pipeline_curation_v2" ->
+      s"""${DedupQueries.baseCte},
+         |g AS (SELECT doc_id, unnest(sh) AS g FROM base),
+         |dfg AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
+         |kept AS (SELECT g.doc_id, g.g FROM g JOIN dfg ON g.g = dfg.g
+         |         WHERE dfg.df >= 2 AND dfg.df <= ${DedupQueries.PassageDfCap}),
+         |losers AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT b.doc_id
+         |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING COUNT(*) >= ${DedupQueries.PassageMinShared})),
+         |cl AS (SELECT doc_id, lang, source, $cleanedSql AS ctext
+         |       FROM documents),
+         |scq AS (SELECT doc_id, lang, source, ctext,
+         |    ${ratioSqlOf("ctext")} AS score FROM cl),
+         |dq AS (SELECT doc_id, lang, source, ctext,
+         |    CAST(ntile(10) OVER (PARTITION BY lang ORDER BY score, doc_id)
+         |      AS INTEGER) AS decile FROM scq),
+         |k2 AS (SELECT * FROM dq WHERE decile <= 8
+         |  AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = dq.doc_id))
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(${tokensSqlOf("ctext")})) AS BIGINT) AS n_tokens
+         |FROM k2 GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     // composed from the SAME fragments as text_curation_funnel's oracle
     // plus the split predicate and the nested contamination subquery —
     // the gate thresholds live once, in TextQueries

@@ -469,7 +469,7 @@ object DedupQueries {
     s"""WITH t0 AS (SELECT doc_id, $toksSql AS tok FROM documents),
        |th0 AS (SELECT doc_id, len(tok) AS n,
        |  list_transform(tok, t -> $tokenHash32Sql) AS th FROM t0)""".stripMargin
-  private val baseCte =
+  private[ops] val baseCte =
     s"""$thCte,
        |base AS (SELECT doc_id, $shSql AS sh FROM th0 WHERE n >= 3)""".stripMargin
 

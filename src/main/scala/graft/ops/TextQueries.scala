@@ -229,19 +229,28 @@ object TextQueries {
     * (`<[^>]*>` has identical semantics in java.util.regex and RE2);
     * DuckDB needs the explicit 'g' flag to match Spark's replace-all. */
   def textHtmlStrip(s: SparkSession, d: String): DataFrame = {
-    val html = concat(lit("<html><body><p id=\""), col("doc_id"),
-      lit("\">"), col("text"), lit("</p><br/>&amp;sect;</body></html>"))
-    val stripped = regexp_replace(html, "<[^>]*>", " ")
-    val decoded = regexp_replace(
-      regexp_replace(regexp_replace(stripped, "&amp;", "&"), "&lt;", "<"),
-      "&gt;", ">")
-    val cleaned = trim(regexp_replace(decoded, "\\s+", " "))
+    val html = htmlCol
+    val cleaned = cleanedCol
     Tables.documents(s, d)
       .select(col("doc_id"),
         length(html).as("raw_len"),
         cleaned.as("cleaned"),
         (length(html) - length(cleaned)).as("n_stripped"))
       .orderBy("doc_id")
+  }
+
+  /** The synthesized-markup wrap (see [[textHtmlStrip]]'s scaladoc). */
+  private[ops] def htmlCol =
+    concat(lit("<html><body><p id=\""), col("doc_id"),
+      lit("\">"), col("text"), lit("</p><br/>&amp;sect;</body></html>"))
+
+  /** Spark side of the clean chain mirrored by `cleanedSql`. */
+  private[ops] def cleanedCol = {
+    val stripped = regexp_replace(htmlCol, "<[^>]*>", " ")
+    val decoded = regexp_replace(
+      regexp_replace(regexp_replace(stripped, "&amp;", "&"), "&lt;", "<"),
+      "&gt;", ">")
+    trim(regexp_replace(decoded, "\\s+", " "))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -259,9 +268,26 @@ object TextQueries {
     "text_curation_funnel" -> textCurationFunnel _,
   )
 
-  private[ops] val tokensSql = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
-  private[ops] def markSql(words: Seq[String]) =
-    s"len(list_filter($tokensSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+  private[ops] def tokensSqlOf(c: String) =
+    s"list_filter(string_split_regex(lower($c), '\\s+'), t -> t <> '')"
+  private[ops] val tokensSql = tokensSqlOf("text")
+  private[ops] def markSqlOf(c: String, words: Seq[String]) =
+    s"len(list_filter(${tokensSqlOf(c)}, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+  private[ops] def markSql(words: Seq[String]) = markSqlOf("text", words)
+
+  /** Mirrors `stopwordRatio($c, stopwords)` on an arbitrary column. */
+  private[ops] def ratioSqlOf(c: String) =
+    s"""CAST(${markSqlOf(c, stopwords)} AS DOUBLE) /
+       |    CAST(NULLIF(len(${tokensSqlOf(c)}), 0) AS DOUBLE)""".stripMargin
+
+  /** Mirrors [[textHtmlStrip]]'s synthesized-markup clean chain. */
+  private[ops] val cleanedSql =
+    """trim(regexp_replace(
+      |    regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace('<html><body><p id="' || doc_id || '">' || text ||
+      |          '</p><br/>&amp;sect;</body></html>', '<[^>]*>', ' ', 'g'),
+      |      '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+      |    '\s+', ' ', 'g'))""".stripMargin
 
   // ---- shared oracle fragments mirroring [[curationGate]] / bpe count —
   // the single source of truth for the thresholds on the SQL side ----
@@ -295,9 +321,7 @@ object TextQueries {
   private def fold32Sql(arg: String): String = OracleSql.fold32(arg)
 
   /** Mirrors `stopwordRatio(text, stopwords)`. */
-  private val ratioSql =
-    s"""CAST(${markSql(stopwords)} AS DOUBLE) /
-       |    CAST(NULLIF(len($tokensSql), 0) AS DOUBLE)""".stripMargin
+  private val ratioSql = ratioSqlOf("text")
 
   val oracle: Map[String, String] = Map(
     "text_quality_calibrate" ->
@@ -311,23 +335,15 @@ object TextQueries {
          |SELECT lang, decile, COUNT(*) AS n, MIN(score) AS lo, MAX(score) AS hi
          |FROM r GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
     "text_html_strip" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    '<html><body><p id="' || doc_id || '">' || text ||
-        |      '</p><br/>&amp;sect;</body></html>' AS html
-        |  FROM documents)
-        |SELECT doc_id, length(html) AS raw_len,
-        |  trim(regexp_replace(
-        |    regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
-        |      '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-        |    '\s+', ' ', 'g')) AS cleaned,
-        |  length(html) - length(trim(regexp_replace(
-        |    regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
-        |      '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-        |    '\s+', ' ', 'g'))) AS n_stripped
-        |FROM h ORDER BY doc_id""".stripMargin,
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<html><body><p id="' || doc_id || '">' || text ||
+         |      '</p><br/>&amp;sect;</body></html>' AS html,
+         |    $cleanedSql AS cleaned
+         |  FROM documents)
+         |SELECT doc_id, length(html) AS raw_len, cleaned,
+         |  length(html) - length(cleaned) AS n_stripped
+         |FROM h ORDER BY doc_id""".stripMargin,
     "text_repetition_score" ->
       s"""SELECT doc_id,
          |  CAST(SUM(n) AS BIGINT) AS n_tokens,

@@ -100,6 +100,23 @@ class CurationExtrasSpec extends SparkTestBase {
     }
   }
 
+  test("curation v2 pipeline composes its stages consistently") {
+    val out = graft.ops.CurationQueries.pipelineCurationV2(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    assert(out.nonEmpty)
+    out.foreach { case (_, (n, toks)) => assert(n > 0 && toks > n) }
+    val total = Tables.documents(spark, sfDir).count()
+    val kept = out.map(_._2._1).sum
+    assert(kept < total, "pipeline must drop something")
+    // the decile gate alone caps retention at ~80% per language (+1 for
+    // ntile remainder rounding); passage dedup only removes more
+    assert(kept <= total * 0.8 + 20, s"kept $kept of $total")
+    // losers from the passage stage must not be counted anywhere
+    val losers = graft.ops.DedupQueries.dedupSharedPassage(spark, sfDir)
+      .select("b_id").distinct().count()
+    assert(kept + losers <= total + 20)
+  }
+
   test("html strip recovers the original text plus the decoded footer") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
