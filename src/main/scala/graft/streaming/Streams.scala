@@ -191,6 +191,49 @@ object Streams {
       }
   }
 
+  final case class AnomalyOut(user_id: Long, event_id: Long, v: Double,
+      mu: Double, sd: Double, is_anomaly: Boolean)
+
+  final case class RollBuf(vals: List[Double])
+
+  /** Streaming rolling z-score anomaly detection — the online
+    * counterpart of the batch `window_rolling_anomaly` query: per user,
+    * each event is scored against the mean/stddev of its previous 5
+    * values (self-exclusive trailing window), held as per-user state.
+    *
+    * State is O(1) per user (exactly 5 doubles) with NO watermark
+    * needed to bound it — the buffer never grows, which is the property
+    * that lets this run on an infinite stream where windowed aggs need
+    * watermark-driven eviction. Ordering contract: events must arrive
+    * per-user in event_id order ACROSS micro-batches (a
+    * partition-per-key source guarantee); within a batch the group
+    * iterator is sorted here. The batch differential replays the corpus
+    * as one batch, where the contract holds trivially. */
+  def rollingAnomaly(events: Dataset[Event]): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RollBuf, AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[RollBuf]) =>
+          var buf = state.getOption.map(_.vals).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer[AnomalyOut]()
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            if (buf.length == 5) {
+              val s = buf.sum
+              val ss = buf.iterator.map(x => x * x).sum
+              val mu = s / 5.0
+              val sd = math.sqrt((ss - s * s / 5.0) / 4.0)
+              out += AnomalyOut(uid, e.event_id, e.value, mu, sd,
+                math.abs(e.value - mu) > sd * 2)
+            }
+            buf = (buf :+ e.value).takeRight(5)
+          }
+          state.update(RollBuf(buf))
+          out.iterator
+      }
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState: a
     * session closes after 30 minutes of inactivity (event-time timeout
     * keyed per user). Emits one row per closed session — the

@@ -417,6 +417,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch-equivalence: streamed rolling anomaly matches the oracle-checked " +
+      "window_rolling_anomaly on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val beqSf = "/root/testdata/sf0.01"
+    val events = graft.ops.Tables.events(spark, beqSf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-beq-anom").toString
+    // ONE file → one micro-batch → the per-user event_id ordering
+    // contract holds trivially (see rollingAnomaly's scaladoc)
+    events.coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    import spark.implicits._
+    val name = s"beq_anom_${System.nanoTime()}"
+    val q = Streams.rollingAnomaly(
+        spark.readStream.schema(schema).parquet(srcDir).as[Streams.Event])
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+      val batch = graft.ops.StatQueries.windowRollingAnomaly(spark, beqSf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+      assert(streamed.nonEmpty && streamed.keySet == batch.keySet,
+        s"${streamed.size} streamed vs ${batch.size} batch rows")
+      streamed.foreach { case (k, (mu, sd, flag)) =>
+        val (bmu, bsd, bflag) = batch(k)
+        // stream folds doubles, batch folds exact decimals → ulp slack;
+        // flags must agree except within the slack band of the boundary
+        assert(math.abs(mu - bmu) < 1e-6 && math.abs(sd - bsd) < 1e-6, s"$k")
+        if (flag != bflag) {
+          val margin = math.abs(math.abs(mu - bmu) - 2 * bsd)
+          assert(margin < 1e-6, s"$k: flag $flag vs $bflag, margin $margin")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("custom flatMapGroupsWithState sessionizer closes on inactivity timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
