@@ -241,7 +241,58 @@ object AggWindowQueries {
         moneyOut(sum(col("v"))).as("volume"))
       .orderBy("event_type", "bucket")
 
+  /** Distribution-rank window pack — rank, dense_rank, percent_rank and
+    * cume_dist in one window (one sort, four functions): order totalprice
+    * within order-priority. Deliberately NO tiebreak column: all four
+    * functions are tie-stable (tied rows get identical values), which is
+    * exactly what distinguishes them from row_number — this query pins
+    * that semantic. percent_rank = (rank−1)/(N−1) and cume_dist =
+    * rank_from_end/N are the same double arithmetic on both engines.
+    * Output sampled deterministically by key residue to keep the
+    * verification payload bounded (the window still computes every row).
+    *
+    * Scale: one hash exchange on the partition key + in-partition sort;
+    * all four functions share the single window traversal. */
+  def windowRankStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cd"))
+      .filter(col("o_orderkey") % 37 === 0)
+      .orderBy("o_orderkey")
+  }
+
+  /** Cohort RETENTION matrix — the standard product-analytics rollup:
+    * users grouped by first-active DAY (cohort), counted distinct on
+    * every later day they return, keyed by (cohort, day offset). Day
+    * granularity because the fixture's users all start inside one week;
+    * a production run swaps `day` for `week` with no other change.
+    *
+    * Scale posture: first-seen and the activity grid both shuffle on
+    * user_id — the SAME key, so the join between them reuses the
+    * exchange; the final matrix is a partial-aggregated distinct-count
+    * over a bounded (cohorts × offsets) grid. No windows, no self-join
+    * of the raw event log. */
+  def windowRetentionCohort(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("dy"))
+    val firstDy = ev.groupBy("user_id").agg(min("dy").as("cohort"))
+    val activity = ev.distinct()
+    activity.join(firstDy, "user_id")
+      .select(col("user_id"),
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        expr("datediff(dy, cohort)").cast(IntegerType).as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_retention_cohort" -> windowRetentionCohort _,
+    "window_rank_stats"      -> windowRankStats _,
     "time_resample_ohlc"     -> timeResampleOhlc _,
     "agg_argminmax"          -> aggArgMinMax _,
     "agg_conditional_pack"   -> aggConditionalPack _,
@@ -260,6 +311,27 @@ object AggWindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "window_retention_cohort" ->
+      """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS dy FROM events),
+        |fw AS (SELECT user_id, MIN(dy) AS cohort FROM ev GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, dy FROM ev)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(datediff('day', CAST(cohort AS DATE), CAST(dy AS DATE))
+        |    AS INTEGER) AS day_offset,
+        |  COUNT(DISTINCT act.user_id) AS n_active
+        |FROM act JOIN fw ON act.user_id = fw.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "window_rank_stats" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, rnk, drnk, prk, cd
+        |FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    CAST(rank() OVER w AS INTEGER) AS rnk,
+        |    CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |    percent_rank() OVER w AS prk,
+        |    cume_dist() OVER w AS cd
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice))
+        |WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin,
     "time_resample_ohlc" ->
       """SELECT event_type,
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,

@@ -178,7 +178,86 @@ object CurationQueries {
       .orderBy("source", "lang")
   }
 
+  /** Token budget per packed training sequence ([[curationPackSequences]]).
+    * Sized so the fixture's ~15–90-bpe-token docs pack several to a
+    * sequence; production uses the model context length. */
+  private[graft] val PackBudget = 256L
+
+  /** Training-sequence PACKING accounting — the concat-and-chunk step
+    * that turns a curated corpus into fixed-length model sequences:
+    * docs are concatenated in a deterministic pseudo-random order
+    * (md5 shuffle key — reshuffling without an RNG, same trick as
+    * [[mixWeightedSources]]) and cut every [[PackBudget]] tokens. Output
+    * per source: sequences produced, docs that STRADDLE a chunk
+    * boundary (split across training sequences — the packing-quality
+    * metric that drives "best-fit" packer designs), and total boundary
+    * crossings.
+    *
+    * A doc occupying token interval [cum−tok, cum) crosses
+    * ⌊(cum−1)/B⌋ − ⌊(cum−tok)/B⌋ boundaries — integer DIV on both
+    * engines (operands are non-negative, so trunc-vs-floor division
+    * semantics agree).
+    *
+    * Scale posture: the running sum is a window per SOURCE — one hash
+    * exchange + in-partition sort, never a global sort; the rollup
+    * reuses the same partitioning (subset rule). A source so large its
+    * token stream overflows one partition's sort spills gracefully; the
+    * production refinement is a two-level pack (per-split prefix sums +
+    * broadcast split offsets), same outputs. */
+  def curationPackSequences(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextAnalysis.approxBpeCount
+    val B = PackBudget
+    val key = md5(concat(lit("pack:"), col("doc_id").cast(StringType)))
+    val w = Window.partitionBy("source").orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), key.as("key"),
+        approxBpeCount(col("text")).as("tok"))
+      .filter(col("tok") > 0)
+      .withColumn("cum", sum("tok").over(w))
+      .withColumn("crossings", expr(s"(cum - 1) DIV $B - (cum - tok) DIV $B"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok").as("total_tok"),
+        max("cum").as("max_cum"),
+        count(when(col("crossings") > 0, 1)).as("n_split_docs"),
+        sum("crossings").as("n_crossings"))
+      .select(col("source"), col("n_docs"), col("total_tok"),
+        expr(s"(max_cum - 1) DIV $B + 1").as("n_seqs"),
+        col("n_split_docs"), col("n_crossings"))
+      .orderBy("source")
+  }
+
+  /** Sequence-LENGTH bucketING — the padding-efficiency profile a
+    * batching pipeline reads before choosing bucket boundaries: docs
+    * binned to the next power-of-two token count, with the padding
+    * waste a pad-to-bucket batcher would pay. The power-of-two cap is
+    * pure integer/bit arithmetic (`1 << len(bin(n))`, halved when n is
+    * exactly a power) — no libm log2, so both engines agree exactly.
+    * Zero-token docs are excluded (no bucket is defined for them).
+    *
+    * Scale: one codegen'd projection + a partial-aggregated rollup of
+    * ~10 bucket rows — embarrassingly parallel at any corpus size. */
+  def curationLengthBuckets(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextAnalysis.tokenCount
+    Tables.documents(s, d)
+      .select(tokenCount(col("text")).cast(LongType).as("n"))
+      .filter(col("n") > 0)
+      .withColumn("cap", expr(
+        "CASE WHEN n = shiftleft(1L, length(bin(n)) - 1) THEN n " +
+        "ELSE shiftleft(1L, length(bin(n))) END"))
+      .groupBy(col("cap").as("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("sum_tokens"),
+        sum(col("cap") - col("n")).as("padding"))
+      .withColumn("fill_frac", col("sum_tokens").cast(DoubleType) /
+        (col("n_docs") * col("bucket_cap")).cast(DoubleType))
+      .orderBy("bucket_cap")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_pack_sequences"  -> curationPackSequences _,
+    "curation_length_buckets"  -> curationLengthBuckets _,
     "pipeline_curation_v2"     -> pipelineCurationV2 _,
     "pipeline_pretrain_corpus" -> pipelinePretrainCorpus _,
     "text_pii_redact"        -> textPiiRedact _,
@@ -191,6 +270,37 @@ object CurationQueries {
   import TextQueries.{cleanedSql, ratioSqlOf, tokensSqlOf}
 
   val oracle: Map[String, String] = Map(
+    "curation_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    md5('pack:' || CAST(doc_id AS VARCHAR)) AS key,
+         |    $bpeSql AS tok
+         |  FROM documents),
+         |f AS (SELECT * FROM t WHERE tok > 0),
+         |c AS (SELECT source, tok,
+         |    SUM(tok) OVER (PARTITION BY source ORDER BY key, doc_id
+         |                   ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM f),
+         |x AS (SELECT source, tok, cum,
+         |    (cum - 1) // $PackBudget - (cum - tok) // $PackBudget AS crossings
+         |  FROM c)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS total_tok,
+         |  CAST((MAX(cum) - 1) // $PackBudget + 1 AS BIGINT) AS n_seqs,
+         |  COUNT(CASE WHEN crossings > 0 THEN 1 END) AS n_split_docs,
+         |  CAST(SUM(crossings) AS BIGINT) AS n_crossings
+         |FROM x GROUP BY source ORDER BY source""".stripMargin,
+    "curation_length_buckets" ->
+      s"""WITH t AS (SELECT CAST(len(${tokensSqlOf("text")}) AS BIGINT) AS n
+         |  FROM documents),
+         |b AS (SELECT n,
+         |    CASE WHEN n = (CAST(1 AS BIGINT) << (length(bin(n)) - 1)) THEN n
+         |         ELSE (CAST(1 AS BIGINT) << length(bin(n))) END AS cap
+         |  FROM t WHERE n > 0)
+         |SELECT cap AS bucket_cap, COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(cap - n) AS BIGINT) AS padding,
+         |  CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) * cap AS DOUBLE) AS fill_frac
+         |FROM b GROUP BY cap ORDER BY bucket_cap""".stripMargin,
     // assembled from the same shared fragments as its component
     // queries: the passage-dedup CTE chain (DedupQueries.baseCte), the
     // clean chain (cleanedSql), and the calibration ratio/ntile

@@ -435,7 +435,122 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Near-dup PRUNE — the step the whole dedup suite exists to feed:
+    * drop every non-representative member of each converged near-dup
+    * cluster (representative = the cluster's min doc id, which IS the
+    * min-label the CC loop propagates — no second election pass) and
+    * report the surviving corpus per source, in docs and BPE tokens.
+    * This is the "after" row of a dedup report: how much corpus is left
+    * once boilerplate families collapse to one exemplar each.
+    *
+    * Scale posture: the loser set is SMALL at any corpus scale (only
+    * non-representative cluster members — bounded by the duplicate
+    * fraction, not the corpus), so membership rides as a broadcast
+    * left-outer probe over the bare documents scan: no shuffle of the
+    * corpus, one partial-aggregated rollup. The CC loop's cost is
+    * shared with `dedup_cluster_converged` via [[PipelineCache]]. */
+  def dedupNeardupPrune(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextAnalysis.approxBpeCount
+    val losers = dedupClusterConverged(s, d)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"), lit(true).as("pruned"))
+    Tables.documents(s, d)
+      .join(broadcast(losers), Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("pruned").isNull, 1)).as("n_kept"),
+        sum(when(col("pruned").isNull, approxBpeCount(col("text")))
+          .otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  /** Incremental-INGEST dedup — the production shape for a continuously
+    * crawled corpus: classify each NEW batch document (here: a
+    * hash-derived 10% "arrival" slice) against the standing corpus as
+    * `exact_dup` (content hash already present), `near_dup` (≥ 5
+    * distinct shingles shared with corpus docs), or `novel`. The batch
+    * pipeline runs per ingest tick; only the verdicts change per tick.
+    *
+    * Scale posture — the asymmetric-sides pattern, applied twice: the
+    * new batch is SMALL at any corpus size (a crawl tick, not the
+    * crawl), so its fingerprint and shingle sets ride as broadcasts and
+    * the 100 TB corpus side is consumed by MAP-SIDE semi-probes only:
+    *   1. corpus fps ⋉ broadcast(new fp set)        → matched fps (tiny)
+    *   2. corpus grams ⋉ broadcast(new gram set)    → shared grams, THEN
+    *      distinct'd (the distinct runs on the post-prune survivor set,
+    *      never on the corpus's full gram table)
+    *   3. both tiny result sets broadcast back onto the new batch.
+    * The corpus is never shuffled; the only exchanges carry
+    * batch-bounded data. Same role-flip as [[dedupContaminationNgram]]
+    * (there the SMALL side is the benchmark; here it's the arrivals). */
+  def dedupIncrementalBatch(s: SparkSession, d: String): DataFrame = {
+    val isNew = pmod(hexFold32(md5(concat(lit("inc:"),
+      col("doc_id").cast("string")))), lit(100L)) >= 90
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), isNew.as("is_new"), md5(col("text")).as("fp"))
+    val newFpSet = fps.filter(col("is_new")).select("fp").distinct()
+    val exactDup = fps.filter(!col("is_new"))
+      .join(broadcast(newFpSet), "fp").select("fp").distinct()
+    val grams = shingled(s, d)
+      .select(col("doc_id"), isNew.as("is_new"), explode(col("sh")).as("g"))
+    val newGrams = grams.filter(col("is_new"))
+    val newGramSet = newGrams.select("g").distinct()
+    val oldShared = grams.filter(!col("is_new"))
+      .join(broadcast(newGramSet), "g").select("g").distinct()
+    val nearCounts = newGrams.join(broadcast(oldShared), "g")
+      .groupBy("doc_id").agg(count_distinct(col("g")).as("n_shared"))
+    // near-dup gate is shingle CONTAINMENT ≥ 0.7 — shared fraction of the
+    // NEW doc's own shingles, compared in exact integer arithmetic
+    // (n_shared·10 ≥ n_sh·7), the asymmetric-containment metric
+    // incremental dedup actually uses (a doc wholly contained in the
+    // corpus is a dup even when the corpus doc is much longer)
+    val newSizes = shingled(s, d).filter(isNew)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"))
+    fps.filter(col("is_new"))
+      .join(broadcast(exactDup.withColumn("is_exact", lit(true))),
+        Seq("fp"), "left_outer")
+      .join(broadcast(nearCounts), Seq("doc_id"), "left_outer")
+      .join(broadcast(newSizes), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("is_exact"), "exact_dup")
+          .when(col("n_shared") * 10 >= col("n_sh") * 7, "near_dup")
+          .otherwise("novel").as("verdict"))
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("verdict")
+  }
+
+  /** Per-document shingle NOVELTY — the inter-document complement of
+    * `text_repetition_score`'s intra-document signal: what fraction of
+    * a doc's distinct 3-gram shingles appear NOWHERE else in the corpus
+    * (corpus df = 1). Low novelty marks boilerplate families before
+    * pairwise dedup even runs; rank-by-novelty is the cheap first
+    * filter of a near-dup budget.
+    *
+    * Scale posture: one partial-aggregated shuffle for the corpus df
+    * table, then the (doc, gram) table joins it ON THE SAME KEY — the
+    * exchange is reused, not repeated — and rolls up per doc. No pair
+    * joins anywhere: novelty is linear in corpus shingle count. */
+  def textShingleNovelty(s: SparkSession, d: String): DataFrame = {
+    val grams = PipelineCache.getOrPersist(s"dedup:noveltyGrams:$d")(
+      shingled(s, d).select(col("doc_id"), explode(col("sh")).as("g")))
+    val dfg = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val uniq = grams.join(dfg.filter(col("df") === 1), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_unique"))
+    shingled(s, d).select(col("doc_id"), size(col("sh")).as("n_shingles"))
+      .join(uniq, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        (coalesce(col("n_unique"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("novelty_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental_batch"   -> dedupIncrementalBatch _,
+    "text_shingle_novelty"      -> textShingleNovelty _,
+    "dedup_neardup_prune"       -> dedupNeardupPrune _,
     "dedup_cluster_converged"   -> dedupClusterConverged _,
     "dedup_cluster_sizes"       -> dedupClusterSizes _,
     "dedup_shared_passage"      -> dedupSharedPassage _,
@@ -523,6 +638,70 @@ object DedupQueries {
          |  UNION
          |  SELECT t.id, e.b_id FROM reach t JOIN edges e ON e.a_id = t.r)
          |SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_incremental_batch" ->
+      s"""$baseCte,
+         |fps AS (SELECT doc_id,
+         |    (${OracleSql.fold32("'inc:' || CAST(doc_id AS VARCHAR)")}) % 100 >= 90 AS is_new,
+         |    md5(text) AS fp
+         |  FROM documents),
+         |exactdup AS (SELECT DISTINCT f.fp FROM fps f
+         |  JOIN (SELECT DISTINCT fp FROM fps WHERE is_new) n ON f.fp = n.fp
+         |  WHERE NOT f.is_new),
+         |g AS (SELECT doc_id,
+         |    (${OracleSql.fold32("'inc:' || CAST(doc_id AS VARCHAR)")}) % 100 >= 90 AS is_new,
+         |    unnest(sh) AS g FROM base),
+         |newg AS (SELECT doc_id, g FROM g WHERE is_new),
+         |oldshared AS (SELECT DISTINCT g.g FROM g
+         |  JOIN (SELECT DISTINCT g FROM newg) n ON g.g = n.g
+         |  WHERE NOT is_new),
+         |near AS (SELECT doc_id, COUNT(DISTINCT newg.g) AS n_shared
+         |  FROM newg JOIN oldshared ON newg.g = oldshared.g GROUP BY doc_id),
+         |sz AS (SELECT doc_id, len(sh) AS n_sh FROM base)
+         |SELECT verdict, COUNT(*) AS n_docs,
+         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM (
+         |  SELECT f.doc_id,
+         |    CASE WHEN e.fp IS NOT NULL THEN 'exact_dup'
+         |         WHEN near.n_shared * 10 >= sz.n_sh * 7 THEN 'near_dup'
+         |         ELSE 'novel' END AS verdict
+         |  FROM fps f LEFT JOIN exactdup e ON f.fp = e.fp
+         |  LEFT JOIN near ON f.doc_id = near.doc_id
+         |  LEFT JOIN sz ON f.doc_id = sz.doc_id
+         |  WHERE f.is_new)
+         |GROUP BY verdict ORDER BY verdict""".stripMargin,
+    "text_shingle_novelty" ->
+      s"""$baseCte,
+         |g AS (SELECT doc_id, unnest(sh) AS g FROM base),
+         |dfg AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
+         |u AS (SELECT doc_id, COUNT(*) AS n_unique
+         |  FROM g JOIN dfg ON g.g = dfg.g WHERE df = 1 GROUP BY doc_id)
+         |SELECT b.doc_id AS doc_id, len(sh) AS n_shingles,
+         |  COALESCE(u.n_unique, 0) AS n_unique,
+         |  CAST(COALESCE(u.n_unique, 0) AS DOUBLE) /
+         |    CAST(len(sh) AS DOUBLE) AS novelty_frac
+         |FROM base b LEFT JOIN u ON b.doc_id = u.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+    // same recursive closure as dedup_cluster_converged, consumed as a
+    // pruning mask over the full corpus
+    "dedup_neardup_prune" ->
+      s"""${minhashCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT a_id, b_id
+         |  FROM cand JOIN base x ON x.doc_id = a_id JOIN base y ON y.doc_id = b_id
+         |  WHERE $jaccardSql >= $J),
+         |edges AS (SELECT a_id, b_id FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT a_id AS id, a_id AS r FROM edges
+         |  UNION
+         |  SELECT t.id, e.b_id FROM reach t JOIN edges e ON e.a_id = t.r),
+         |labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |losers AS (SELECT id AS doc_id FROM labels WHERE id <> cluster)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(CASE WHEN l.doc_id IS NULL THEN 1 END) AS n_kept,
+         |  CAST(SUM(CASE WHEN l.doc_id IS NULL THEN ${graft.ops.TextQueries.bpeSql}
+         |    ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM documents dd LEFT JOIN losers l ON dd.doc_id = l.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
     "dedup_shared_passage" ->
       s"""$baseCte,
          |g AS (SELECT doc_id, unnest(sh) AS g FROM base),

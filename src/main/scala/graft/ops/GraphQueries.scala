@@ -140,10 +140,84 @@ object GraphQueries {
       .orderBy("deg")
   }
 
+  /** Multi-source BFS reachability profile — depth-of-reach histogram
+    * from a deterministic seed set (every 20th part id), 3 rounds deep:
+    * how much of the co-purchase graph is within k hops of the seeds,
+    * plus the unreachable remainder (depth −1). The fleet-health shape
+    * behind "is the graph one giant component or many islands?" that a
+    * label-propagation consumer asks before paying for full CC.
+    *
+    * Algorithm: min-depth propagation — each round joins the previous
+    * FRONTIER (exactly the vertices first labeled last round) to the
+    * adjacency and folds with `min(depth)`, so a vertex keeps the round
+    * number of its FIRST discovery (textbook layered BFS, expressed
+    * relationally). 3 rounds = 3 self-joins with bounded lineage; an
+    * unbounded variant is this loop + per-round `localCheckpoint`
+    * exactly like [[DedupQueries.dedupClusterConverged]].
+    *
+    * Scale posture: each round shuffles only the frontier×adjacency join
+    * (partial-aggregated min), never the full depth map re-keyed; the
+    * final histogram is two tiny rollups. The oracle reaches the same
+    * layers by set algebra (neighbors EXCEPT already-seen) — a different
+    * construction that must agree exactly. */
+  def graphBfsReach(s: SparkSession, d: String): DataFrame = {
+    val edges = supportEdges(s, d)
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val verts = dir.select(col("src").as("x")).distinct()
+    var depth = verts.filter(col("x") % 20 === 0)
+      .select(col("x"), lit(0).as("depth"))
+    for (r <- 1 to 3) {
+      val frontier = depth.filter(col("depth") === r - 1)
+      val nbrs = frontier.join(dir, col("x") === col("src"))
+        .select(col("dst").as("x"), lit(r).as("depth"))
+      depth = depth.union(nbrs).groupBy("x").agg(min("depth").as("depth"))
+    }
+    verts.join(depth, Seq("x"), "left_outer")
+      .select(coalesce(col("depth"), lit(-1)).as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_vertices"))
+      .orderBy("depth")
+  }
+
+  /** Common-neighbor Jaccard similarity — the classic link-prediction /
+    * node-similarity score: for every co-purchase pair sharing at least
+    * one neighbor, |N(u)∩N(v)| / |N(u)∪N(v)|, top-20. Two shuffles over
+    * the shared edge base: the wedge self-join on the shared neighbor
+    * (partial-aggregated pair counts) and the degree rollup; the union
+    * size is degree arithmetic, not a second set operation.
+    *
+    * Scale hazard — the wedge join is quadratic in hub degree: a shared
+    * neighbor of degree h emits h·(h−1)/2 pairs. At 100 TB apply the
+    * same defenses the triangle query demonstrates (degree-ordered
+    * orientation) or the shared-passage df-cap (drop hub MIDDLES above
+    * a degree percentile — they dominate cost and carry the least
+    * similarity signal); here the support-filtered graph is hub-free so
+    * the exact form is the honest baseline. */
+  def graphJaccardNeighbors(s: SparkSession, d: String): DataFrame = {
+    val edges = supportEdges(s, d)
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    val common = dir.as("a").join(dir.as("b"),
+        col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("u"), col("b.src").as("v"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("src").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("src").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("common"), col("du"), col("dv"),
+        (col("common").cast("double") /
+          (col("du") + col("dv") - col("common")).cast("double")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_triangle_count" -> graphTriangleCount _,
-    "graph_pagerank_iter"  -> graphPagerankIter _,
-    "graph_degree_hist"    -> graphDegreeHist _
+    "graph_triangle_count"    -> graphTriangleCount _,
+    "graph_pagerank_iter"     -> graphPagerankIter _,
+    "graph_degree_hist"       -> graphDegreeHist _,
+    "graph_bfs_reach"         -> graphBfsReach _,
+    "graph_jaccard_neighbors" -> graphJaccardNeighbors _
   )
 
   val oracle: Map[String, String] = Map(
@@ -172,6 +246,51 @@ object GraphQueries {
         |  UNION ALL SELECT c FROM tris)
         |SELECT v AS l_partkey, COUNT(*) AS n_tri FROM verts GROUP BY 1
         |ORDER BY n_tri DESC, l_partkey LIMIT 20""".stripMargin,
+    "graph_bfs_reach" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dir AS (SELECT u AS src, v AS dst FROM edges
+        |        UNION ALL SELECT v AS src, u AS dst FROM edges),
+        |verts AS (SELECT DISTINCT src AS x FROM dir),
+        |d0 AS (SELECT x FROM verts WHERE x % 20 = 0),
+        |d1 AS (SELECT DISTINCT dst AS x FROM dir JOIN d0 ON src = d0.x
+        |       EXCEPT SELECT x FROM d0),
+        |d2 AS (SELECT DISTINCT dst AS x FROM dir JOIN d1 ON src = d1.x
+        |       EXCEPT (SELECT x FROM d0 UNION SELECT x FROM d1)),
+        |d3 AS (SELECT DISTINCT dst AS x FROM dir JOIN d2 ON src = d2.x
+        |       EXCEPT (SELECT x FROM d0 UNION SELECT x FROM d1
+        |               UNION SELECT x FROM d2)),
+        |lab AS (SELECT x, 0 AS depth FROM d0
+        |  UNION ALL SELECT x, 1 FROM d1
+        |  UNION ALL SELECT x, 2 FROM d2
+        |  UNION ALL SELECT x, 3 FROM d3)
+        |SELECT CAST(COALESCE(lab.depth, -1) AS INTEGER) AS depth,
+        |  COUNT(*) AS n_vertices
+        |FROM verts LEFT JOIN lab ON verts.x = lab.x
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_jaccard_neighbors" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dir AS (SELECT u AS src, v AS dst FROM edges
+        |        UNION ALL SELECT v AS src, u AS dst FROM edges),
+        |degs AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),
+        |common AS (
+        |  SELECT a.src AS u, b.src AS v, COUNT(*) AS common
+        |  FROM dir a JOIN dir b ON a.dst = b.dst AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT c.u, c.v, c.common, du.deg AS du, dv.deg AS dv,
+        |  CAST(c.common AS DOUBLE) /
+        |    CAST(du.deg + dv.deg - c.common AS DOUBLE) AS jaccard
+        |FROM common c
+        |JOIN degs du ON c.u = du.src
+        |JOIN degs dv ON c.v = dv.src
+        |ORDER BY jaccard DESC, c.u, c.v LIMIT 20""".stripMargin,
     "graph_pagerank_iter" ->
       """WITH pairs AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v

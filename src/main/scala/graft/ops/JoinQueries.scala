@@ -197,7 +197,47 @@ object JoinQueries {
       .orderBy("k")
   }
 
+  /** Blocked FUZZY join (record linkage) — match deliberately corrupted
+    * names back to the master table with an edit-distance verify,
+    * without the all-pairs comparison naive fuzzy matching implies.
+    * The probe side is synthesized deterministically: each customer
+    * name loses ONE character at a hash-derived position constrained to
+    * [3, len−4], so the last four characters survive — that invariant
+    * is the BLOCKING key (`right(name, 4)`), turning the quadratic
+    * fuzzy match into an equi-join on the block plus a
+    * `levenshtein ≤ 1` verify inside each block. Output: the match-
+    * ambiguity histogram (how many probes resolve to exactly one
+    * master row vs several) — the first thing a linkage pipeline QAs.
+    *
+    * Scale posture: standard blocking — candidate pairs are bounded by
+    * block size, not corpus², and the block key is hashable so the
+    * join shuffles like any equi-join (the edit-distance only runs on
+    * in-block pairs). A production linker unions several complementary
+    * block keys (prefix, suffix, phonetic) to cover unconstrained edit
+    * positions; one suffix block suffices here because the corruption
+    * provably preserves it. */
+  def joinFuzzyBlocked(s: SparkSession, d: String): DataFrame = {
+    import graft.dedup.Dedup.hexFold32
+    val c = Tables.customer(s, d).filter(length(col("c_name")) >= 8)
+    val probes = c
+      .withColumn("pos", (pmod(hexFold32(
+          md5(concat(lit("del:"), col("c_custkey").cast(StringType)))),
+          (length(col("c_name")) - 6).cast(LongType)) + 3L).cast(IntegerType))
+      .select(col("c_custkey").as("probe_key"),
+        expr("concat(substring(c_name, 1, pos - 1), substring(c_name, pos + 1))")
+          .as("pert"))
+      .withColumn("bk", expr("right(pert, 4)"))
+    val names = c.select(col("c_custkey").as("cand_key"),
+      col("c_name").as("cand_name"), expr("right(c_name, 4)").as("bk"))
+    probes.join(names, Seq("bk"))
+      .filter(levenshtein(col("pert"), col("cand_name")) <= 1)
+      .groupBy("probe_key").agg(count(lit(1)).as("n_matches"))
+      .groupBy("n_matches").agg(count(lit(1)).as("n_probes"))
+      .orderBy("n_matches")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy_blocked"   -> joinFuzzyBlocked _,
     "join_null_safe_eq"    -> joinNullSafeEq _,
     "join_inner_broadcast" -> joinInnerBroadcast _,
     "join_shuffle_large"   -> joinShuffleLarge _,
@@ -210,6 +250,25 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_fuzzy_blocked" ->
+      s"""WITH c AS (SELECT c_custkey, c_name FROM customer
+         |  WHERE length(c_name) >= 8),
+         |p AS (SELECT c_custkey AS probe_key, c_name,
+         |    CAST((${OracleSql.fold32("'del:' || CAST(c_custkey AS VARCHAR)")})
+         |      % (length(c_name) - 6) + 3 AS INTEGER) AS pos
+         |  FROM c),
+         |pb AS (SELECT probe_key,
+         |    substring(c_name, 1, pos - 1) || substring(c_name, pos + 1) AS pert
+         |  FROM p),
+         |pk AS (SELECT probe_key, pert, right(pert, 4) AS bk FROM pb),
+         |nb AS (SELECT c_custkey AS cand_key, c_name AS cand_name,
+         |    right(c_name, 4) AS bk FROM c),
+         |m AS (SELECT probe_key, COUNT(*) AS n_matches
+         |  FROM pk JOIN nb ON pk.bk = nb.bk
+         |  WHERE levenshtein(pert, cand_name) <= 1
+         |  GROUP BY probe_key)
+         |SELECT n_matches, COUNT(*) AS n_probes
+         |FROM m GROUP BY n_matches ORDER BY n_matches""".stripMargin,
     "join_null_safe_eq" ->
       """WITH cu AS (SELECT c_custkey,
         |    CASE WHEN c_nationkey % 5 = 0 THEN NULL ELSE c_nationkey END AS k

@@ -134,4 +134,137 @@ class CurationExtrasSpec extends SparkTestBase {
       assert(rawLen > text.length && nStripped > 0)
     }
   }
+
+  test("sequence packing agrees with a scalar replay of the running sum") {
+    import graft.ops.CurationQueries
+    val B = CurationQueries.PackBudget
+    // replay: same deterministic order (md5 key, doc_id), same budget,
+    // folded in plain Scala per source
+    val base = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        md5(concat(lit("pack:"), col("doc_id").cast("string"))).as("key"),
+        col("doc_id"),
+        graft.text.TextAnalysis.approxBpeCount(col("text")).as("tok"))
+      .filter(col("tok") > 0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = base.groupBy(_._1).map { case (src, rows) =>
+      val toks = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      val cums = toks.scanLeft(0L)(_ + _).tail
+      val crossings = toks.zip(cums).map { case (tok, cum) =>
+        (cum - 1) / B - (cum - tok) / B }
+      src -> (rows.length.toLong, toks.sum, (toks.sum - 1) / B + 1,
+        crossings.count(_ > 0).toLong, crossings.sum)
+    }
+    val prod = CurationQueries.curationPackSequences(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(prod.nonEmpty && prod == expected)
+    // split docs are impossible unless a source exceeds one sequence
+    prod.values.foreach { case (nDocs, tot, nSeqs, nSplit, nCross) =>
+      assert(nSeqs == (tot - 1) / B + 1)
+      assert(nSplit <= nSeqs - 1, "at most one straddler per boundary")
+      assert(nCross >= nSplit)
+      assert(nDocs > 0 && tot > 0)
+    }
+  }
+
+  test("length buckets: power-of-two caps, conservation, fill > 1/2") {
+    import graft.ops.CurationQueries
+    val rows = CurationQueries.curationLengthBuckets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cap, nDocs, sumTok, padding, fill) =>
+      assert((cap & (cap - 1)) == 0 && cap > 0, s"cap $cap not a power of two")
+      // every member n satisfies cap/2 < n <= cap, so the aggregates obey:
+      assert(padding >= 0 && padding < nDocs * cap / 2, s"cap $cap padding")
+      assert(sumTok + padding == nDocs * cap, s"cap $cap conservation")
+      assert(fill > 0.5 && fill <= 1.0, s"cap $cap fill $fill")
+      assert(fill == sumTok.toDouble / (nDocs * cap), s"cap $cap fill formula")
+    }
+    // bucketed docs = docs with at least one token
+    val nTokenful = Tables.documents(spark, sfDir)
+      .filter(graft.text.TextAnalysis.tokenCount(col("text")) > 0).count()
+    assert(rows.map(_._2).sum == nTokenful)
+  }
+
+  test("incremental batch verdicts partition the arrival slice") {
+    import graft.ops.{DedupQueries, PipelineCache}
+    val rows = DedupQueries.dedupIncrementalBatch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSet.subsetOf(Set("exact_dup", "near_dup", "novel")))
+    // the verdicts must partition EXACTLY the hash-derived new slice
+    val nNew = Tables.documents(spark, sfDir)
+      .filter(pmod(graft.dedup.Dedup.hexFold32(
+        md5(concat(lit("inc:"), col("doc_id").cast("string")))), lit(100L)) >= 90)
+      .count()
+    assert(rows.map(_._2).sum == nNew, s"verdict counts must sum to $nNew")
+    // the corpus has no exact duplicates, so that class must be absent
+    assert(!rows.exists(_._1 == "exact_dup"))
+    // the containment gate must actually split the batch on this corpus
+    assert(rows.exists(_._1 == "near_dup") && rows.exists(_._1 == "novel"))
+    PipelineCache.releaseAll()
+  }
+
+  test("shingle novelty: unique shingles are counted once, bounds hold") {
+    import graft.ops.{DedupQueries, PipelineCache}
+    val rows = DedupQueries.textShingleNovelty(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nSh, nUniq, frac) =>
+      assert(nSh > 0 && nUniq >= 0 && nUniq <= nSh, s"doc $id bounds")
+      assert(frac == nUniq.toDouble / nSh, s"doc $id fraction")
+    }
+    // a df=1 shingle belongs to exactly one doc, so Σ n_unique must equal
+    // the corpus-wide count of singleton shingles (independent recompute)
+    val singletons = graft.ops.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokens(col("text")).as("tok"))
+      .select(col("doc_id"), graft.dedup.Dedup.shingleHashes(
+        graft.dedup.Dedup.tokenHashes(col("tok"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(explode(col("sh")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") === 1).count()
+    assert(rows.map(_._3).sum == singletons)
+    PipelineCache.releaseAll()
+  }
+
+  test("retention cohort: day-0 row equals the cohort size and bounds every offset") {
+    val rows = graft.ops.AggWindowQueries.windowRetentionCohort(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val day0 = rs.find(_._2 == 0)
+      assert(day0.isDefined, s"cohort $c must have an offset-0 row")
+      // every user is active on their first day, so offset 0 carries the
+      // full cohort and no later offset can exceed it
+      assert(rs.forall(_._3 <= day0.get._3), s"cohort $c monotone bound")
+      assert(rs.forall(_._2 >= 0), s"cohort $c offsets non-negative")
+    }
+    // cohort sizes must partition the user population
+    val nUsers = Tables.documents(spark, sfDir).sparkSession
+      .read.parquet(s"$sfDir/events.parquet").select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum == nUsers)
+  }
+
+  test("near-dup prune drops exactly the non-representative cluster members") {
+    import graft.ops.{DedupQueries, PipelineCache}
+    val labels = DedupQueries.dedupClusterConverged(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val losers = labels.count { case (id, cl) => id != cl }
+    val perSource = DedupQueries.dedupNeardupPrune(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.documents(spark, sfDir).count()
+    assert(perSource.map(_._2).sum == total)
+    assert(perSource.map(r => r._2 - r._3).sum == losers,
+      "pruned total must equal the loser count")
+    perSource.foreach { case (src, nDocs, nKept, keptTok) =>
+      assert(nKept <= nDocs && nKept > 0, src)
+      assert(keptTok > nKept, s"$src: bpe tokens must exceed doc count")
+    }
+    PipelineCache.releaseAll()
+  }
 }

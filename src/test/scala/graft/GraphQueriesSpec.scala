@@ -111,6 +111,65 @@ class GraphQueriesSpec extends SparkTestBase {
     assert(rows.length == cur.size + nInserted + nUpdated)
   }
 
+  test("bfs reach matches an in-memory BFS over the collected graph") {
+    // independent third implementation: collect the small support graph
+    // and run textbook queue BFS in Scala, then compare layer sizes
+    val li = ops.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= ops.GraphQueries.MinSupport)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    edges.foreach { case (u, v) => adj(u) ::= v; adj(v) ::= u }
+    val verts = adj.keySet
+    val depth = scala.collection.mutable.Map.empty[Long, Int]
+    var frontier = verts.filter(_ % 20 == 0).toList
+    frontier.foreach(x => depth(x) = 0)
+    for (r <- 1 to 3) {
+      frontier = frontier.flatMap(adj).distinct.filterNot(depth.contains)
+      frontier.foreach(x => depth(x) = r)
+    }
+    val expected = (verts.toSeq.map(x => depth.getOrElse(x, -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    val prod = SparkEntry.queries("graph_bfs_reach")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(prod.nonEmpty)
+    assert(prod == expected, s"prod=$prod expected=$expected")
+    ops.PipelineCache.releaseAll()
+  }
+
+  test("neighbor jaccard matches naive set arithmetic on the collected graph") {
+    val li = ops.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= ops.GraphQueries.MinSupport)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbr = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => nbr(u) += v; nbr(v) += u }
+    val prod = SparkEntry.queries("graph_jaccard_neighbors")(spark, sfDir)
+      .collect()
+    assert(prod.length == 20)
+    prod.foreach { r =>
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      val inter = (nbr(u) & nbr(v)).size
+      val union = (nbr(u) | nbr(v)).size
+      assert(r.getLong(2) == inter, s"($u,$v) common")
+      assert(r.getLong(3) == nbr(u).size && r.getLong(4) == nbr(v).size,
+        s"($u,$v) degrees")
+      assert(r.getDouble(5) == inter.toDouble / union, s"($u,$v) jaccard")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+    ops.PipelineCache.releaseAll()
+  }
+
   test("ohlc open/close match a window first/last reformulation") {
     val ev = ops.Tables.events(spark, sfDir).select(col("event_type"),
       date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")

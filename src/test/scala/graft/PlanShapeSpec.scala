@@ -101,6 +101,46 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("fuzzy blocked join is a hash equi-join on the block key, no cartesian") {
+    val p = plan("join_fuzzy_blocked")
+    // the levenshtein verify must ride INSIDE an equi-join on the block
+    // key — an unblocked fuzzy match would plan as BNLJ/cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("near-dup prune probes the loser set as a broadcast, corpus side unshuffled") {
+    val p = plan("dedup_neardup_prune")
+    assert(p.contains("BroadcastHashJoin"), p)
+    graft.ops.PipelineCache.releaseAll()
+  }
+
+  test("sequence packing windows once per source: one hash exchange, no global sort") {
+    val p = plan("curation_pack_sequences")
+    assert(p.contains("Window"), p)
+    // source-partitioned window + reused partitioning for the rollup →
+    // a single hash exchange; output order is the only range exchange
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("rank stats share one window traversal: a single window node, one exchange") {
+    val p = plan("window_rank_stats")
+    assert(p.linesIterator.count(_.contains("Window [")) == 1, p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("incremental batch consumes the corpus through broadcast semi-probes only") {
+    val p = plan("dedup_incremental_batch")
+    // every corpus-touching join must probe a broadcast batch-side set —
+    // a sort-merge/shuffled-hash join here would shuffle the 100 TB side
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    graft.ops.PipelineCache.releaseAll()
+  }
+
   test("partitioned layout prunes at the directory level, not the row level") {
     val p = plan("parquet_partitioned_prune")
     val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
