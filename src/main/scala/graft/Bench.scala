@@ -15,6 +15,14 @@ object Bench {
       // 6.0 s evicted vs 1.1 s cached — THE round-2 variance source,
       // the spike landing on whichever dedup query lost the cache race).
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // Shuffle/spill dirs on tmpfs: this box's root disk shows transient
+      // multi-second IO stalls from host co-tenants (measured: the same
+      // graph query 2.4 s vs 62 s across runs, CPU 97% idle throughout),
+      // and at sf0.1 the entire shuffle working set is a few MB — RAM-disk
+      // isolates ENGINE time from host disk weather. A production cluster
+      // provisions fast local NVMe for the same reason; correctness paths
+      // (Verify) keep the default dirs.
+      .config("spark.local.dir", "/dev/shm/graft-bench-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Consume every query through a CONTENT-DEPENDENT checksum, not

@@ -290,7 +290,36 @@ object AggWindowQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Trailing 7-day DISTINCT active users per day — the rolling-distinct
+    * metric (WAU-style) that frame windows cannot express (COUNT
+    * DISTINCT over a sliding frame isn't a frame aggregate in either
+    * engine). Relational reformulation: each (user, active-day) pair
+    * CONTRIBUTES to the 7 report days it falls inside — a constant ×7
+    * explode — then one partial-aggregated distinct count per report
+    * day. Days are integer offsets from the epoch date so the window
+    * arithmetic is exact on both engines.
+    *
+    * Scale posture: fan-out is a fixed ×7 of the (user, day) DISTINCT
+    * grid (already ≪ the event log), and countDistinct partial-
+    * aggregates; compare the stateful streaming alternative which must
+    * hold per-user last-seen state. Report days trailing past the last
+    * active day are retained (the window still covers them) — mirrored
+    * exactly by the oracle. */
+  def windowRollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")),
+          to_date(lit("2024-01-01"))).as("day"))
+      .distinct()
+    ev.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("rday"))
+      .groupBy("rday")
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      .orderBy("rday")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_rolling_distinct" -> windowRollingDistinct _,
     "window_retention_cohort" -> windowRetentionCohort _,
     "window_rank_stats"      -> windowRankStats _,
     "time_resample_ohlc"     -> timeResampleOhlc _,
@@ -311,6 +340,16 @@ object AggWindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "window_rolling_distinct" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    datediff('day', DATE '2024-01-01',
+        |      CAST(date_trunc('day', ts) AS DATE)) AS day
+        |  FROM events),
+        |x AS (SELECT user_id, day + o AS rday
+        |  FROM act CROSS JOIN (SELECT unnest(range(0, 7)) AS o) t)
+        |SELECT CAST(rday AS INTEGER) AS rday,
+        |  COUNT(DISTINCT user_id) AS n_users_7d
+        |FROM x GROUP BY rday ORDER BY rday""".stripMargin,
     "window_retention_cohort" ->
       """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS dy FROM events),
         |fw AS (SELECT user_id, MIN(dy) AS cohort FROM ev GROUP BY user_id),

@@ -28,17 +28,44 @@ object GraphQueries {
   /** Canonical (u < v) support-filtered edge list, persisted for the
     * round of self-joins that consumes it (triangle closure reads it
     * three times; recomputing means re-running the quadratic pair
-    * generator per read). */
+    * generator per read).
+    *
+    * Pair generation is basket-local: ONE exchange groups line items
+    * into their order's basket, and the i<j pair expansion runs inside
+    * the partition (sorted array + nested transform, equal values
+    * skipped to match the strict `<`) — vs the textbook self-join form
+    * (li ⋈ li on orderkey), which scans the fact table twice and pays
+    * two join exchanges before the same aggregation. Identical pair
+    * multiset (the DuckDB oracles keep the self-join formulation — a
+    * different construction that must agree). Basket width is bounded
+    * (TPC-H ≤ 7 items); on a power-law dataset cap the basket before
+    * expanding — the explode is quadratic in basket size. */
   private def supportEdges(s: SparkSession, d: String): DataFrame =
     PipelineCache.getOrPersist(s"graph_support_edges:$d") {
-      val li = Tables.lineitem(s, d)
+      val basket = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .groupBy("o").agg(sort_array(collect_list(col("p"))).as("ps"))
+      basket
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  filter(transform(slice(ps, i + 2, size(ps)),
+            |                   y -> struct(x AS u, y AS v)),
+            |         s -> s.v > s.u)))""".stripMargin)).as("e"))
+        .select(col("e.u"), col("e.v"))
         .groupBy("u", "v").agg(count(lit(1)).as("w"))
         .filter(col("w") >= MinSupport)
         .select("u", "v")
+    }
+
+  /** Symmetric (src, dst) adjacency over [[supportEdges]], persisted:
+    * every graph query derives degrees/wedges/frontiers from this one
+    * materialization instead of re-deriving (and under AQE racing) the
+    * basket expansion per branch. */
+  private def supportDir(s: SparkSession, d: String): DataFrame =
+    PipelineCache.getOrPersist(s"graph_dir_edges:$d") {
+      val edges = supportEdges(s, d)
+      edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
     }
 
   /** Triangle participation counts — top-20 parts by the number of
@@ -107,9 +134,7 @@ object GraphQueries {
     * vertex makes wide — another reason plain `sum` is the production
     * form at 100 TB. */
   def graphPagerankIter(s: SparkSession, d: String): DataFrame = {
-    val edges = supportEdges(s, d)
-    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val dir = supportDir(s, d)
     val outdeg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
     val nV = outdeg.agg(count(lit(1)).as("n_vertices"))
     dir.join(outdeg, "src")
@@ -131,14 +156,11 @@ object GraphQueries {
     * and the input to the skew defenses the triangle/pagerank queries
     * deploy). Two partial-aggregated shuffles over the shared
     * support-edge base: vertex degrees, then the degree histogram. */
-  def graphDegreeHist(s: SparkSession, d: String): DataFrame = {
-    val edges = supportEdges(s, d)
-    edges.select(col("u").as("x"))
-      .unionAll(edges.select(col("v").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("deg"))
+  def graphDegreeHist(s: SparkSession, d: String): DataFrame =
+    supportDir(s, d)
+      .groupBy(col("src").as("x")).agg(count(lit(1)).as("deg"))
       .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
       .orderBy("deg")
-  }
 
   /** Multi-source BFS reachability profile — depth-of-reach histogram
     * from a deterministic seed set (every 20th part id), 3 rounds deep:
@@ -151,9 +173,16 @@ object GraphQueries {
     * FRONTIER (exactly the vertices first labeled last round) to the
     * adjacency and folds with `min(depth)`, so a vertex keeps the round
     * number of its FIRST discovery (textbook layered BFS, expressed
-    * relationally). 3 rounds = 3 self-joins with bounded lineage; an
-    * unbounded variant is this loop + per-round `localCheckpoint`
-    * exactly like [[DedupQueries.dedupClusterConverged]].
+    * relationally).
+    *
+    * Each round's result is `localCheckpoint`ed — load-bearing, exactly
+    * as in [[DedupQueries.ccConvergedWithStats]]: every round references
+    * its predecessor TWICE (frontier filter + union branch), so without
+    * lineage truncation the plan doubles per round and the adjacency's
+    * quadratic pair generator is re-planned and RE-EXECUTED at every
+    * occurrence (measured at sf0.1: 248 s untruncated vs ~1 s
+    * truncated — the recompute, not the BFS, was the cost). Production
+    * multi-executor runs swap in reliable `checkpoint()`.
     *
     * Scale posture: each round shuffles only the frontier×adjacency join
     * (partial-aggregated min), never the full depth map re-keyed; the
@@ -161,17 +190,18 @@ object GraphQueries {
     * layers by set algebra (neighbors EXCEPT already-seen) — a different
     * construction that must agree exactly. */
   def graphBfsReach(s: SparkSession, d: String): DataFrame = {
-    val edges = supportEdges(s, d)
-    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-    val verts = dir.select(col("src").as("x")).distinct()
+    val dir = supportDir(s, d)
+    val verts = PipelineCache.getOrPersist(s"graph_verts:$d")(
+      dir.select(col("src").as("x")).distinct())
     var depth = verts.filter(col("x") % 20 === 0)
       .select(col("x"), lit(0).as("depth"))
+      .localCheckpoint()
     for (r <- 1 to 3) {
       val frontier = depth.filter(col("depth") === r - 1)
       val nbrs = frontier.join(dir, col("x") === col("src"))
         .select(col("dst").as("x"), lit(r).as("depth"))
       depth = depth.union(nbrs).groupBy("x").agg(min("depth").as("depth"))
+        .localCheckpoint()
     }
     verts.join(depth, Seq("x"), "left_outer")
       .select(coalesce(col("depth"), lit(-1)).as("depth"))
@@ -194,9 +224,7 @@ object GraphQueries {
     * similarity signal); here the support-filtered graph is hub-free so
     * the exact form is the honest baseline. */
   def graphJaccardNeighbors(s: SparkSession, d: String): DataFrame = {
-    val edges = supportEdges(s, d)
-    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val dir = supportDir(s, d)
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
     val common = dir.as("a").join(dir.as("b"),
         col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))

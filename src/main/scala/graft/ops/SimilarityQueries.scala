@@ -355,7 +355,51 @@ object SimilarityQueries {
       .orderBy("dim")
   }
 
+  /** Batch kNN self-join (IVF-celled) — EVERY vector's top-3 cosine
+    * neighbors within its coarse cell, the all-rows counterpart of the
+    * single-probe queries: the shape of hard-negative mining and
+    * "nearest duplicate" report generation, where the query set IS the
+    * corpus. Approximate by construction (cross-cell neighbors are
+    * missed — the IVF recall trade, measured by `sim_ann_recall_eval`).
+    *
+    * Scale posture: the pair join is an equi-join on the cell id, so
+    * pair count is Σ cell² ≈ N²/nCells — with the sqrt sizing rule
+    * (nCells ≈ √N) that is N^1.5 dot products, vs N² brute force; at
+    * 1e9 vectors a production run also caps the per-cell candidate list
+    * (IVF-PQ or a per-cell pre-rank) before the exact distance. The
+    * top-3 rank is a window INSIDE the same cell partitioning — the
+    * q_id window repartitions only (q, neighbor, cos) triples, never
+    * embeddings. */
+  def simKnnBatchIvf(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = broadcast(e.filter(col("vec_id") <= NCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("nsq").as("cnsq")))
+    val assigned = e.crossJoin(cents)
+      .select(col("vec_id"), col("cid"),
+        (col("nsq") + col("cnsq") - lit(2.0) * dot(col("embedding"), col("cemb")))
+          .as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    val full = PipelineCache.getOrPersist(s"sim:knnBatchCells:$d")(
+      e.join(assigned, "vec_id")
+        .select(col("vec_id"), col("cell"), col("embedding"), col("nsq")))
+    val pairs = full.as("a").join(full.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("nbr_id"),
+        (dot(col("a.embedding"), col("b.embedding")) /
+          sqrt(col("a.nsq") * col("b.nsq"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("nbr_id"), col("cos"))
+      .orderBy("q_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_batch_ivf"    -> simKnnBatchIvf _,
     "sim_pca_power_iter"   -> simPcaPowerIter _,
     "dedup_semantic_cells" -> dedupSemanticCells _,
     "sim_ann_recall_eval" -> simAnnRecallEval _,
@@ -383,7 +427,32 @@ object SimilarityQueries {
     (0 until 4).map(i => s"(CASE WHEN EMB[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
+  private val knnBatchCos =
+    s"""${dotSql("x.embedding", "y.embedding")} / sqrt(
+       |  ${dotSql("x.embedding", "x.embedding")} * ${dotSql("y.embedding", "y.embedding")})""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sim_knn_batch_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id <= $NCells),
+         |d2all AS (SELECT e.vec_id, c.cid,
+         |    ${dotSql("e.embedding", "e.embedding")} +
+         |    ${dotSql("c.cemb", "c.cemb")} -
+         |    2.0 * ${dotSql("e.embedding", "c.cemb")} AS d2
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asgn AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d2all) WHERE rn = 1),
+         |f AS (SELECT e.vec_id, a.cid, e.embedding
+         |  FROM embeddings e JOIN asgn a ON a.vec_id = e.vec_id)
+         |SELECT q_id, rk, nbr_id, cos FROM (
+         |  SELECT x.vec_id AS q_id, y.vec_id AS nbr_id,
+         |    $knnBatchCos AS cos,
+         |    CAST(row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY $knnBatchCos DESC, y.vec_id) AS INTEGER) AS rk
+         |  FROM f x JOIN f y ON x.cid = y.cid AND x.vec_id <> y.vec_id)
+         |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
     "sim_ann_recall_eval" ->
       s"""WITH p AS (SELECT vec_id AS pid, embedding AS q
          |  FROM embeddings WHERE vec_id BETWEEN 11 AND 20),

@@ -245,9 +245,50 @@ class CurationExtrasSpec extends SparkTestBase {
       assert(rs.forall(_._2 >= 0), s"cohort $c offsets non-negative")
     }
     // cohort sizes must partition the user population
-    val nUsers = Tables.documents(spark, sfDir).sparkSession
-      .read.parquet(s"$sfDir/events.parquet").select("user_id").distinct().count()
+    val nUsers = graft.ops.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
     assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum == nUsers)
+  }
+
+  test("rolling distinct equals a naive per-day window recount") {
+    import graft.ops.AggWindowQueries
+    val act = graft.ops.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")), to_date(lit("2024-01-01"))).as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
+    val prod = AggWindowQueries.windowRollingDistinct(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(prod.nonEmpty)
+    // naive recount: for each report day, distinct users with an active
+    // day inside [rday-6, rday]
+    prod.foreach { case (rday, n) =>
+      val expect = act.filter { case (_, d) => d >= rday - 6 && d <= rday }
+        .map(_._1).distinct.length
+      assert(n == expect, s"rday $rday")
+    }
+    // every day in the contribution range must be present
+    val days = act.map(_._2)
+    assert(prod.keySet == (days.min to days.max + 6).toSet)
+  }
+
+  test("batch knn ranks are cell-consistent and ordered") {
+    import graft.ops.{PipelineCache, SimilarityQueries}
+    val rows = SimilarityQueries.simKnnBatchIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length), s"q $q ranks")
+      assert(byRank.length <= 3, s"q $q at most 3")
+      // scores non-increasing with rank; self never its own neighbor
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4; case _ => true }, s"q $q order")
+      assert(rs.forall(_._3 != q), s"q $q self-match")
+    }
+    // every vector with at least one cell-mate must appear as a query
+    val nQ = rows.map(_._1).distinct.length
+    assert(nQ > 100, s"expected most vectors ranked, got $nQ")
+    PipelineCache.releaseAll()
   }
 
   test("near-dup prune drops exactly the non-representative cluster members") {

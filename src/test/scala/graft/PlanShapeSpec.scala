@@ -141,6 +141,34 @@ class PlanShapeSpec extends SparkTestBase {
     graft.ops.PipelineCache.releaseAll()
   }
 
+  test("batch knn pairs join equi on the cell id, never cross-cell") {
+    val p = plan("sim_knn_batch_ivf")
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair join hashes on the cell id — the N²/nCells bound lives here
+    assert("""(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cell""".r
+      .findFirstIn(p).isDefined, p)
+    // nested-loop only inside the persisted centroid assignment (its cached
+    // plan echoes per reference); never ABOVE the cache, where the pairs form
+    val abovecache = p.linesIterator.takeWhile(!_.contains("InMemoryRelation"))
+    assert(!abovecache.exists(_.contains("BroadcastNestedLoopJoin")), p)
+    graft.ops.PipelineCache.releaseAll()
+  }
+
+  test("graph family: frontier/wedge joins are equi-joins, no cartesian") {
+    Seq("graph_bfs_reach", "graph_jaccard_neighbors", "graph_degree_hist")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+        graft.ops.PipelineCache.releaseAll()
+      }
+  }
+
+  test("rolling distinct partial-aggregates the constant fan-out, no window") {
+    val p = plan("window_rolling_distinct")
+    assert(!p.contains("Window"), p) // contribution explode, not a frame
+    assert(p.contains("partial_count") || p.contains("count(distinct"), p)
+  }
+
   test("partitioned layout prunes at the directory level, not the row level") {
     val p = plan("parquet_partitioned_prune")
     val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
