@@ -393,6 +393,50 @@ object DedupQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Minimum df-banded shared shingles before a containment ratio is
+    * meaningful (below this, one boilerplate phrase dominates). */
+  private[graft] val ContainMinShared = 5L
+  private[graft] val ContainTau = 0.8
+
+  /** Directed shingle CONTAINMENT — |A∩B| / |A| over the df-banded
+    * shingle universe: the asymmetric near-dup metric Jaccard cannot
+    * see. A short doc quoted inside a long one has tiny Jaccard (the
+    * union is dominated by the long doc) but containment ≈ 1 from the
+    * short side — the quote-inclusion / doc-subsumption detector a
+    * dedup pipeline runs AFTER symmetric near-dup, to drop subsumed
+    * fragments while keeping their containers.
+    *
+    * Both the numerator (shared) and denominator (n_kept) count within
+    * the SAME df-band (2 ≤ df ≤ [[PassageDfCap]]) — self-consistent,
+    * and the band is load-bearing at scale: it is the stop-ngram prune
+    * that bounds every shingle's pair fan-out ([[dedupSharedPassage]]'s
+    * analysis applies verbatim; the DIRECTED emission is exactly 2× the
+    * undirected pair set). The denominator join probes per-doc counts —
+    * one extra partial-aggregated shuffle over the kept grams, shared
+    * with the pair branch through the persisted gram frame. */
+  def dedupShingleContainment(s: SparkSession, d: String): DataFrame = {
+    val grams = PipelineCache.getOrPersist(s"dedup:passageGrams:$d")(
+      shingled(s, d).select(col("doc_id"), explode(col("sh")).as("g")))
+    val dfg = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= PassageDfCap)
+    val kept = PipelineCache.getOrPersist(s"dedup:containKept:$d")(
+      grams.join(dfg.select("g"), "g"))
+    val na = kept.groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("contained_id"),
+        col("b.doc_id").as("container_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= ContainMinShared)
+      .join(na.withColumnRenamed("doc_id", "contained_id"), "contained_id")
+      .withColumn("containment",
+        col("shared").cast("double") / col("n_kept").cast("double"))
+      .filter(col("containment") >= ContainTau)
+      .select("contained_id", "container_id", "shared", "containment")
+      .orderBy("contained_id", "container_id")
+  }
+
   /** Cluster-size histogram over the CONVERGED components — the dedup
     * health metric a pipeline owner actually reads ("how many pairs vs
     * how many 50-doc boilerplate families?"): cluster_size → number of
@@ -548,6 +592,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_shingle_containment" -> dedupShingleContainment _,
     "dedup_incremental_batch"   -> dedupIncrementalBatch _,
     "text_shingle_novelty"      -> textShingleNovelty _,
     "dedup_neardup_prune"       -> dedupNeardupPrune _,
@@ -702,6 +747,22 @@ object DedupQueries {
          |    ELSE 0 END) AS BIGINT) AS kept_tokens
          |FROM documents dd LEFT JOIN losers l ON dd.doc_id = l.doc_id
          |GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_shingle_containment" ->
+      s"""$baseCte,
+         |g AS (SELECT doc_id, unnest(sh) AS g FROM base),
+         |dfg AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
+         |kept AS (SELECT g.doc_id, g.g FROM g JOIN dfg ON g.g = dfg.g
+         |         WHERE dfg.df >= 2 AND dfg.df <= $PassageDfCap),
+         |na AS (SELECT doc_id, COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         |    COUNT(*) AS shared
+         |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $ContainMinShared)
+         |SELECT contained_id, container_id, shared,
+         |  CAST(shared AS DOUBLE) / CAST(n_kept AS DOUBLE) AS containment
+         |FROM pairs JOIN na ON na.doc_id = contained_id
+         |WHERE CAST(shared AS DOUBLE) / CAST(n_kept AS DOUBLE) >= $ContainTau
+         |ORDER BY contained_id, container_id""".stripMargin,
     "dedup_shared_passage" ->
       s"""$baseCte,
          |g AS (SELECT doc_id, unnest(sh) AS g FROM base),

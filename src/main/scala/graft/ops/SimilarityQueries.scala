@@ -398,7 +398,70 @@ object SimilarityQueries {
       .orderBy("q_id", "rk")
   }
 
+  /** ±1 component (p, j) of SRP hyperplane p: parity of a fixed LCG
+    * step — deterministic and engine-portable (the oracle embeds the
+    * same literal vectors). Dense ±1 planes are the standard cheap SRP
+    * family (Charikar '02 hyperplane rounding; Achlioptas-style ±1
+    * entries keep the projection exact integer-weighted double math —
+    * no gaussian RNG needed). */
+  private[graft] def srpSign(p: Int, j: Int): Double = {
+    val x = p.toLong * Dim + j
+    if (((x * 1103515245L + 12345L) / 65536L) % 2L == 1L) 1.0 else -1.0
+  }
+  private val SrpTau = 0.35
+
+  /** Embedding near-dup via SIGNED RANDOM PROJECTIONS — the cosine-LSH
+    * counterpart of the token-side minhash/simhash family: 16 fixed ±1
+    * hyperplanes → 16 sign bits → two 8-bit band keys; candidates share
+    * a band (equi-join), then the exact cosine verifies at τ=0.35.
+    * Unlike [[dedupSemanticCells]] (which needs a label/quantizer), SRP
+    * needs NO trained structure — the go-to first pass on an unlabeled
+    * embedding corpus.
+    *
+    * Scale posture: per-row signature work is 16 codegen'd [[dot]]s
+    * against LITERAL sign vectors (no broadcast, folded into the
+    * projection); the candidate join carries (vec_id, band, key)
+    * triples — never embeddings — and random collisions bound fan-out
+    * at N²/2⁸ per band (tune bits-per-band to corpus size exactly like
+    * the minhash band arithmetic). Recall at τ follows the SRP collision
+    * law P = 1 − θ/π per bit; production stacks more bands for recall —
+    * same plan, more union branches (measure with `sim_ann_recall_eval`'s
+    * harness). Verify joins rehydrate embeddings by vec_id — the
+    * candidate set is ~N·k rows, so the rehydration is two hash joins on
+    * the id, not an embedding shuffle. */
+  def dedupSrpLsh(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    def proj(p: Int): Column =
+      dot(col("embedding"), typedLit(Seq.tabulate(Dim)(srpSign(p, _))))
+    def band(lo: Int): Column =
+      (lo until lo + 8).map(p =>
+        when(proj(p) >= 0.0, lit(1 << (p - lo))).otherwise(lit(0))).reduce(_ + _)
+    val sig = PipelineCache.getOrPersist(s"sim:srpSig:$d")(
+      e.filter(size(col("embedding")) === Dim)
+        .select(col("vec_id"), col("embedding"), col("nsq"),
+          band(0).as("b0"), band(8).as("b1")))
+    val bands = sig.select(col("vec_id"), explode(array(
+        struct(lit(0).as("b"), col("b0").as("k")),
+        struct(lit(1).as("b"), col("b1").as("k")))).as("bk"))
+      .select(col("vec_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sig.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("nsq").as("na")), "a_id")
+      .join(sig.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nsq").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= SrpTau)
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_srp_lsh"        -> dedupSrpLsh _,
     "sim_knn_batch_ivf"    -> simKnnBatchIvf _,
     "sim_pca_power_iter"   -> simPcaPowerIter _,
     "dedup_semantic_cells" -> dedupSemanticCells _,
@@ -431,7 +494,35 @@ object SimilarityQueries {
     s"""${dotSql("x.embedding", "y.embedding")} / sqrt(
        |  ${dotSql("x.embedding", "x.embedding")} * ${dotSql("y.embedding", "y.embedding")})""".stripMargin
 
+  /** SRP plane literals for the oracle — the SAME Scala-computed ±1
+    * vectors the engine folds into its projection, rendered as DuckDB
+    * list literals: (plane_id, [s1..s64]). */
+  private val srpPlanesSql = (0 until 16).map { p =>
+    val s = (0 until Dim).map(j => if (srpSign(p, j) > 0) "1.0" else "-1.0")
+    s"($p, [${s.mkString(", ")}]::DOUBLE[])"
+  }.mkString(",\n  ")
+
   val oracle: Map[String, String] = Map(
+    "dedup_srp_lsh" ->
+      s"""WITH planes(pl, s) AS (VALUES
+         |  $srpPlanesSql),
+         |proj AS (SELECT e.vec_id, p.pl,
+         |    ${fold("list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * p.s[i])")} AS pr
+         |  FROM embeddings e CROSS JOIN planes p),
+         |sig AS (SELECT vec_id,
+         |    SUM(CASE WHEN pl < 8 AND pr >= 0 THEN (1 << pl) ELSE 0 END) AS b0,
+         |    SUM(CASE WHEN pl >= 8 AND pr >= 0 THEN (1 << (pl - 8)) ELSE 0 END) AS b1
+         |  FROM proj GROUP BY vec_id),
+         |bands AS (SELECT vec_id, 0 AS b, b0 AS k FROM sig
+         |  UNION ALL SELECT vec_id, 1, b1 FROM sig),
+         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.k = y.k AND x.vec_id < y.vec_id)
+         |SELECT a_id, b_id, $knnBatchCos AS cos
+         |FROM cand JOIN embeddings x ON x.vec_id = a_id
+         |          JOIN embeddings y ON y.vec_id = b_id
+         |WHERE $knnBatchCos >= $SrpTau
+         |ORDER BY a_id, b_id""".stripMargin,
     "sim_knn_batch_ivf" ->
       s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
          |  FROM embeddings WHERE vec_id <= $NCells),
