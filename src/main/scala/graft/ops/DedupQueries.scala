@@ -577,7 +577,10 @@ object DedupQueries {
     * exchange is reused, not repeated — and rolls up per doc. No pair
     * joins anywhere: novelty is linear in corpus shingle count. */
   def textShingleNovelty(s: SparkSession, d: String): DataFrame = {
-    val grams = PipelineCache.getOrPersist(s"dedup:noveltyGrams:$d")(
+    // same cache key as dedupSharedPassage/dedupShingleContainment: the
+    // exploded gram frame is byte-identical, so a session running both
+    // materializes it once (advice r4)
+    val grams = PipelineCache.getOrPersist(s"dedup:passageGrams:$d")(
       shingled(s, d).select(col("doc_id"), explode(col("sh")).as("g")))
     val dfg = grams.groupBy("g").agg(count(lit(1)).as("df"))
     val uniq = grams.join(dfg.filter(col("df") === 1), "g")

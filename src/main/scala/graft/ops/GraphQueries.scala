@@ -25,6 +25,38 @@ object GraphQueries {
   /** Minimum co-occurrence count for an edge to enter the graph. */
   val MinSupport = 2
 
+  /** Hub cap for the Jaccard wedge join: shared-neighbor MIDDLES with
+    * degree above this are dropped before pair generation (the wedge
+    * fan-out is h·(h−1)/2 in middle degree h — the scale-killer on
+    * power-law graphs; hub middles also carry the least similarity
+    * signal, exactly the shared-passage df-cap argument). 1024 is far
+    * above any support-filtered co-purchase degree at the verified
+    * fixtures (max observed < 40), so the registered query's output is
+    * IDENTICAL to the exact form there — the oracle keeps the uncapped
+    * formulation; the capped path is exercised on a synthetic hub graph
+    * in GraphQueriesSpec. On power-law data derive the cap from
+    * [[graphDegreeHist]] (e.g. the p99.9 degree). */
+  val JaccardMiddleDegreeCap = 1024
+
+  /** PageRank convergence loop: stop when max|Δrank| < [[PrRelTol]]/N
+    * (relative to the uniform rank 1/N — scale-free across corpus
+    * sizes; 5% of uniform mass) or after [[PrMaxRounds]] rounds. */
+  val PrRelTol = 0.05
+  val PrMaxRounds = 45
+
+  /** K-core parameters: the k of the peel and the round cap (= the
+    * oracle's fixed unroll depth — layers past the true fixpoint are
+    * no-ops on both sides). Peeling converges in O(diameter)-ish rounds
+    * on support-filtered graphs; the fixtures need < 6. */
+  val KCoreK = 3
+  val KCoreMaxRounds = 16
+
+  /** BFS frontier-exhaustion cap — also the unroll depth of the layered
+    * DuckDB oracle, so engine and oracle label EXACTLY the same depth
+    * range by construction (depths beyond it are `-1` on both sides).
+    * Verified fixture eccentricity from the seed set is 10 (sf0.1). */
+  val BfsMaxDepth = 16
+
   /** Canonical (u < v) support-filtered edge list, persisted for the
     * round of self-joins that consumes it (triangle closure reads it
     * three times; recomputing means re-running the quadratic pair
@@ -67,6 +99,12 @@ object GraphQueries {
       edges.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
     }
+
+  /** Distinct vertex set of the support graph, persisted (shared by the
+    * BFS variants and the PageRank loop's size/seed computations). */
+  private def supportVerts(s: SparkSession, d: String): DataFrame =
+    PipelineCache.getOrPersist(s"graph_verts:$d")(
+      supportDir(s, d).select(col("src").as("x")).distinct())
 
   /** Triangle participation counts — top-20 parts by the number of
     * co-purchase triangles they close.
@@ -123,17 +161,41 @@ object GraphQueries {
     *
     * Posture: one shuffle for out-degrees, one shuffle of contributions
     * on dst; N arrives as a broadcast single-row frame (no driver-side
-    * scalar read). Full PageRank is this plan iterated with per-round
-    * persist + round cap, exactly like [[DedupQueries]]' CC loop.
+    * scalar read). Full PageRank is this plan iterated —
+    * [[graphPagerankConverged]].
     *
-    * Bit-stability: the per-vertex contribution sum is an ordered
-    * left-fold (in-neighbors sorted by id, seed 0.0) so both engines add
-    * in the same order — cross-engine testing needs it; production would
-    * use a plain partial-aggregated `sum` and tolerate last-ulp drift.
-    * The fold materializes each vertex's in-neighbor list, which a hub
-    * vertex makes wide — another reason plain `sum` is the production
-    * form at 100 TB. */
+    * The contribution sum is the PRODUCTION form: a plain
+    * partial-aggregated `sum` (map-side combine, constant-width rows —
+    * a hub vertex costs nothing extra). Cross-engine float agreement is
+    * handled by rounding the final score to 12 decimals on both sides:
+    * the sum-order drift between engines is ~1e−16 relative while the
+    * rounding granularity is 5e−13 — verified at all three fixture
+    * scales. The bit-stable ordered-fold formulation (in-neighbor lists
+    * collected and folded in id order — hub-wide rows, NOT a 100 TB
+    * plan) survives as [[graphPagerankIterFold]] purely as the
+    * differential-spec bridge. */
   def graphPagerankIter(s: SparkSession, d: String): DataFrame = {
+    val dir = supportDir(s, d)
+    val outdeg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nV = outdeg.agg(count(lit(1)).as("n_vertices"))
+    dir.join(outdeg, "src")
+      .crossJoin(broadcast(nV))
+      .select(col("dst"), col("n_vertices"),
+        (lit(1.0) / col("n_vertices") / col("deg")).as("c"))
+      .groupBy("dst", "n_vertices")
+      .agg(count(lit(1)).as("deg"), sum(col("c")).as("sc"))
+      .select(col("dst").as("l_partkey"), col("deg"),
+        round(lit(0.15) / col("n_vertices") + lit(0.85) * col("sc"), 12)
+          .as("pr"))
+      .orderBy("l_partkey")
+  }
+
+  /** Ordered-fold (bit-stable) formulation of [[graphPagerankIter]],
+    * UNREGISTERED: collect_list materializes per-vertex in-neighbor
+    * lists, which a hub makes arbitrarily wide — kept only as the
+    * deterministic reference the differential spec compares the
+    * production `sum` against (agreement within ulps). */
+  private[graft] def graphPagerankIterFold(s: SparkSession, d: String): DataFrame = {
     val dir = supportDir(s, d)
     val outdeg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
     val nV = outdeg.agg(count(lit(1)).as("n_vertices"))
@@ -149,6 +211,82 @@ object GraphQueries {
           lit(0.85) * aggregate(array_sort(col("cs")), lit(0.0),
             (acc, x) => acc + x.getField("c"))).as("pr"))
       .orderBy("l_partkey")
+  }
+
+  /** PageRank iterated TO CONVERGENCE (damping 0.85, uniform start):
+    * loop the one-step plan until max|Δrank| < relTol/N or the round
+    * cap trips (loud stderr warning, the CC-loop discipline). Output:
+    * (l_partkey, pr rounded to 9 decimals, n_rounds actually run).
+    *
+    * Loop mechanics — the hard-won iterative-DataFrame rules from the
+    * CC/BFS loops apply verbatim:
+    *   - every round's result is `localCheckpoint`ed: each round
+    *     references its predecessor twice (contribution join + delta
+    *     join), so without lineage truncation the plan doubles per
+    *     round and the basket pair generator re-executes per occurrence
+    *     (measured 248 s → ~4 s on the BFS loop). Production
+    *     multi-executor runs swap in reliable `checkpoint()`.
+    *   - the convergence test reads ONE scalar (max|Δ|) per round on
+    *     the driver — loop control, not data movement.
+    *   - per-round work is one contribution shuffle (partial-aggregated
+    *     `sum` keyed on dst) + one join with the previous ranks; the
+    *     adjacency-with-degree frame is persisted once. Rank rows are
+    *     constant-width — no per-vertex lists anywhere.
+    *
+    * The DuckDB oracle is a recursive CTE implementing the IDENTICAL
+    * dynamic stopping rule (DuckDB evaluates the recursive term against
+    * the previous iteration's working table, so `max(delta)` gates each
+    * round exactly like the driver-side check); both sides round to 9
+    * decimals — the cross-engine drift after ~30 contraction-mapping
+    * rounds is ~1e−15, six orders under the rounding granularity.
+    * Convergence at the fixtures: 5 rounds (sf0.001) / 27 (sf0.01) /
+    * 39 (sf0.1), all under the cap; the early-exit and cap paths are
+    * additionally spec-exercised on synthetic graphs. */
+  def graphPagerankConverged(s: SparkSession, d: String): DataFrame = {
+    val adj = PipelineCache.getOrPersist(s"graph_adj_deg:$d") {
+      val dir = supportDir(s, d)
+      dir.join(dir.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    }
+    pagerankConvergedOnAdjacency(adj, supportVerts(s, d), PrRelTol, PrMaxRounds)
+      .select(col("x").as("l_partkey"), col("pr"), col("n_rounds"))
+      .orderBy("l_partkey")
+  }
+
+  /** Core convergence loop over an explicit adjacency — factored out so
+    * the spec can drive it with synthetic graphs (uniform graph → early
+    * exit round 1; tiny cap → cap-trip warning).
+    *
+    * @param adj   symmetric adjacency with out-degree: (src, dst, deg)
+    * @param verts distinct vertex frame: (x)
+    */
+  private[graft] def pagerankConvergedOnAdjacency(adj: DataFrame,
+      verts: DataFrame, relTol: Double, maxRounds: Int): DataFrame = {
+    val n = verts.count()
+    val tol = relTol / n
+    var ranks = verts.select(col("x"), lit(1.0 / n).as("pr")).localCheckpoint()
+    var rounds = 0
+    var delta = Double.MaxValue
+    while (delta >= tol && rounds < maxRounds) {
+      rounds += 1
+      val sums = ranks.join(adj, col("x") === col("src"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+      val next = ranks.select(col("x"), col("pr").as("prev"))
+        .join(sums.select(col("dst").as("x"), col("sc")), Seq("x"), "left_outer")
+        .select(col("x"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"),
+          col("prev"))
+        .localCheckpoint()
+      delta = next.agg(max(abs(col("pr") - col("prev")))).head.getDouble(0)
+      ranks = next.select("x", "pr")
+    }
+    if (delta >= tol)
+      // scale-debug visibility, the ccConverged discipline: a silent cap
+      // would report a non-converged ranking as final
+      System.err.println(s"[graft] pagerank: round cap $maxRounds reached " +
+        s"before convergence (max delta $delta >= tol $tol)")
+    ranks.select(col("x"), round(col("pr"), 9).as("pr"),
+      lit(rounds).as("n_rounds"))
   }
 
   /** Degree DISTRIBUTION of the co-purchase graph — the first health
@@ -191,8 +329,7 @@ object GraphQueries {
     * construction that must agree exactly. */
   def graphBfsReach(s: SparkSession, d: String): DataFrame = {
     val dir = supportDir(s, d)
-    val verts = PipelineCache.getOrPersist(s"graph_verts:$d")(
-      dir.select(col("src").as("x")).distinct())
+    val verts = supportVerts(s, d)
     var depth = verts.filter(col("x") % 20 === 0)
       .select(col("x"), lit(0).as("depth"))
       .localCheckpoint()
@@ -209,6 +346,94 @@ object GraphQueries {
       .orderBy("depth")
   }
 
+  /** [[graphBfsReach]] run to FRONTIER EXHAUSTION — the converged form:
+    * loop while the last round discovered at least one new vertex, cap
+    * [[BfsMaxDepth]] (loud warning if tripped). The convergence test
+    * reads one scalar (new-frontier count) per round; everything else
+    * is identical to the 3-round profile, per-round `localCheckpoint`
+    * included. The cap doubles as the oracle's unroll depth, so both
+    * sides label exactly depths 0..[[BfsMaxDepth]] and leave anything
+    * deeper at −1 — semantics aligned by construction, with the
+    * fixture eccentricity (10 at sf0.1) comfortably inside. */
+  def graphBfsConverged(s: SparkSession, d: String): DataFrame = {
+    val dir = supportDir(s, d)
+    val verts = supportVerts(s, d)
+    var depth = verts.filter(col("x") % 20 === 0)
+      .select(col("x"), lit(0).as("depth"))
+      .localCheckpoint()
+    var newly = depth.count()
+    var r = 0
+    while (newly > 0 && r < BfsMaxDepth) {
+      r += 1
+      val frontier = depth.filter(col("depth") === r - 1)
+      val nbrs = frontier.join(dir, col("x") === col("src"))
+        .select(col("dst").as("x"), lit(r).as("depth"))
+      depth = depth.union(nbrs).groupBy("x").agg(min("depth").as("depth"))
+        .localCheckpoint()
+      newly = depth.filter(col("depth") === r).count()
+    }
+    if (newly > 0)
+      System.err.println(s"[graft] bfs: depth cap $BfsMaxDepth reached with " +
+        s"a non-empty frontier ($newly vertices) — deeper layers report -1")
+    verts.join(depth, Seq("x"), "left_outer")
+      .select(coalesce(col("depth"), lit(-1)).as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_vertices"))
+      .orderBy("depth")
+  }
+
+  /** K-core decomposition (k = [[KCoreK]]) by iterative peeling: drop
+    * every vertex whose degree WITHIN THE SURVIVING SUBGRAPH is < k,
+    * recompute degrees, repeat to fixpoint — the standard dense-region
+    * extractor (community seeds, spam-farm detection, the "is this
+    * cluster load-bearing" filter over the co-purchase graph). Output:
+    * every 3-core vertex with its within-core degree + rounds to
+    * converge.
+    *
+    * Loop mechanics — the CC/BFS/PageRank discipline verbatim:
+    * per-round `localCheckpoint` (each round references its predecessor
+    * twice — the src- and dst-side semi filters), one driver scalar
+    * (surviving count) per round for convergence, cap
+    * [[KCoreMaxRounds]] with a loud warning. Since each round's
+    * survivor set is a subset of the previous one, count equality IS
+    * set equality — the cheapest possible fixpoint test.
+    *
+    * Scale posture: per round, two semi-join filters of the adjacency
+    * against the (shrinking) survivor set + one partial-aggregated
+    * degree count — all keyed shuffles, no pair blowup anywhere; the
+    * survivor set only shrinks, so rounds get cheaper. The oracle peels
+    * the same layers by fixed unroll (MATERIALIZED, the BFS lesson) and
+    * derives n_rounds as the first round whose survivor count repeats. */
+  def graphKcore(s: SparkSession, d: String): DataFrame = {
+    val dir = supportDir(s, d)
+    var active = supportVerts(s, d).localCheckpoint()
+    var nActive = active.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < KCoreMaxRounds) {
+      rounds += 1
+      val keep = dir
+        .join(active.select(col("x").as("src")), "src")
+        .join(active.select(col("x").as("dst")), "dst")
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK)
+        .select(col("src").as("x"))
+        .localCheckpoint()
+      val n = keep.count()
+      converged = n == nActive
+      nActive = n
+      active = keep
+    }
+    if (!converged)
+      System.err.println(s"[graft] kcore: round cap $KCoreMaxRounds reached " +
+        s"before fixpoint ($nActive vertices still active)")
+    dir
+      .join(active.select(col("x").as("src")), "src")
+      .join(active.select(col("x").as("dst")), "dst")
+      .groupBy(col("src").as("l_partkey")).agg(count(lit(1)).as("core_deg"))
+      .select(col("l_partkey"), col("core_deg"), lit(rounds).as("n_rounds"))
+      .orderBy("l_partkey")
+  }
+
   /** Common-neighbor Jaccard similarity — the classic link-prediction /
     * node-similarity score: for every co-purchase pair sharing at least
     * one neighbor, |N(u)∩N(v)| / |N(u)∪N(v)|, top-20. Two shuffles over
@@ -217,16 +442,34 @@ object GraphQueries {
     * size is degree arithmetic, not a second set operation.
     *
     * Scale hazard — the wedge join is quadratic in hub degree: a shared
-    * neighbor of degree h emits h·(h−1)/2 pairs. At 100 TB apply the
-    * same defenses the triangle query demonstrates (degree-ordered
-    * orientation) or the shared-passage df-cap (drop hub MIDDLES above
-    * a degree percentile — they dominate cost and carry the least
-    * similarity signal); here the support-filtered graph is hub-free so
-    * the exact form is the honest baseline. */
-  def graphJaccardNeighbors(s: SparkSession, d: String): DataFrame = {
-    val dir = supportDir(s, d)
+    * neighbor of degree h emits h·(h−1)/2 pairs. Defense (APPLIED, not
+    * just documented): middles with degree > [[JaccardMiddleDegreeCap]]
+    * are dropped before the wedge join — hub middles dominate cost and
+    * carry the least similarity signal (the shared-passage df-cap
+    * argument; Jaccard weights every common neighbor equally, so the
+    * highest-degree middles are the natural sacrifice). The cap is a
+    * no-op on the support-filtered fixtures (max degree < 40 ≪ 1024) —
+    * the registered output equals the exact form and the oracle keeps
+    * the uncapped formulation; the cap path is spec-exercised on a
+    * synthetic hub graph. Full degrees (du, dv) are computed BEFORE the
+    * cap, so reported degrees stay exact. */
+  def graphJaccardNeighbors(s: SparkSession, d: String): DataFrame =
+    jaccardOnAdjacency(supportDir(s, d), JaccardMiddleDegreeCap)
+
+  /** Core wedge-join Jaccard over an explicit symmetric adjacency —
+    * factored so the spec can drive the middle-degree cap with a
+    * synthetic hub graph. */
+  private[graft] def jaccardOnAdjacency(dir: DataFrame,
+      middleCap: Int): DataFrame = {
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
-    val common = dir.as("a").join(dir.as("b"),
+    // semi-filter the wedge base to capped middles: (src, dst) edges
+    // whose DST (the shared-neighbor position in the self-join) is a
+    // sub-hub vertex. One extra shuffle of the small degree frame; the
+    // wedge join needed the dst partitioning anyway.
+    val okMiddles = deg.filter(col("deg") <= middleCap)
+      .select(col("src").as("dst"))
+    val wedgeBase = dir.join(okMiddles, "dst")
+    val common = wedgeBase.as("a").join(wedgeBase.as("b"),
         col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("u"), col("b.src").as("v"))
       .agg(count(lit(1)).as("common"))
@@ -241,101 +484,204 @@ object GraphQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_triangle_count"    -> graphTriangleCount _,
-    "graph_pagerank_iter"     -> graphPagerankIter _,
-    "graph_degree_hist"       -> graphDegreeHist _,
-    "graph_bfs_reach"         -> graphBfsReach _,
-    "graph_jaccard_neighbors" -> graphJaccardNeighbors _
+    "graph_triangle_count"      -> graphTriangleCount _,
+    "graph_pagerank_iter"       -> graphPagerankIter _,
+    "graph_pagerank_converged"  -> graphPagerankConverged _,
+    "graph_degree_hist"         -> graphDegreeHist _,
+    "graph_bfs_reach"           -> graphBfsReach _,
+    "graph_bfs_converged"       -> graphBfsConverged _,
+    "graph_kcore"               -> graphKcore _,
+    "graph_jaccard_neighbors"   -> graphJaccardNeighbors _
   )
+
+  /** Unrolled peel oracle for [[graphKcore]]: a_i = vertices of a_{i-1}
+    * with ≥ k neighbors inside a_{i-1}; since a_i ⊆ a_{i-1}, the first
+    * repeated layer SIZE marks the fixpoint round — the engine's count
+    * test, recomputed independently from the layer chain. MATERIALIZED
+    * throughout (the BFS fd-exhaustion lesson). */
+  private def kcoreLayeredSql(k: Int, maxRounds: Int): String = {
+    val layers = (1 to maxRounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT d.src AS x FROM dir d
+         |  JOIN a${i - 1} p ON d.src = p.x
+         |  JOIN a${i - 1} q ON d.dst = q.x
+         |  GROUP BY d.src HAVING COUNT(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    val sizes = (0 to maxRounds)
+      .map(i => s"SELECT $i AS i, COUNT(*) AS c FROM a$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |edges AS MATERIALIZED (
+       |  SELECT u, v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |dir AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
+       |        UNION ALL SELECT v AS src, u AS dst FROM edges),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS x FROM dir),
+       |$layers,
+       |sizes AS ($sizes),
+       |nr AS (SELECT MIN(s1.i) AS n_rounds FROM sizes s1
+       |       JOIN sizes s0 ON s0.i = s1.i - 1 AND s0.c = s1.c),
+       |core AS (
+       |  SELECT d.src AS l_partkey, COUNT(*) AS core_deg FROM dir d
+       |  JOIN a$maxRounds p ON d.src = p.x
+       |  JOIN a$maxRounds q ON d.dst = q.x
+       |  GROUP BY d.src)
+       |SELECT core.l_partkey, core.core_deg,
+       |  CAST(nr.n_rounds AS INTEGER) AS n_rounds
+       |FROM core CROSS JOIN nr ORDER BY core.l_partkey""".stripMargin
+  }
+
+  /** Shared oracle prelude: support edges + symmetric adjacency from
+    * the textbook lineitem self-join (the INDEPENDENT construction the
+    * engine's basket-local pair generator must agree with). */
+  private val edgesCte =
+    """pairs AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |edges AS (SELECT u, v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |dir AS (SELECT u AS src, v AS dst FROM edges
+      |        UNION ALL SELECT v AS src, u AS dst FROM edges)""".stripMargin
+
+  /** Layered BFS oracle to a fixed unroll depth: d_i = neighbors of
+    * d_{i-1} minus everything already seen, with a cumulative `seen_i`
+    * chain (linear SQL size in depth). Layers past the true
+    * eccentricity are empty and harmless, which is what aligns the
+    * fixed unroll with the engine's frontier-exhaustion loop.
+    *
+    * Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    * seen_i chain re-expands seen_{i-1} ∪ d_i recursively — d_16
+    * inlines to an exponentially-sized tree whose leaf scans exhausted
+    * the process fd limit ("Too many open files" re-opening
+    * lineitem.parquet). Materialization makes the chain linear. */
+  private def bfsLayeredSql(maxDepth: Int): String = {
+    val layers = (1 to maxDepth).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT DISTINCT dst AS x FROM dir JOIN d${i - 1} ON src = d${i - 1}.x
+         |  EXCEPT SELECT x FROM seen${i - 1}),
+         |seen$i AS MATERIALIZED (
+         |  SELECT x FROM seen${i - 1} UNION SELECT x FROM d$i)""".stripMargin
+    }.mkString(",\n")
+    val lab = (0 to maxDepth)
+      .map(i => s"SELECT x, $i AS depth FROM d$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |edges AS MATERIALIZED (
+       |  SELECT u, v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |dir AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
+       |        UNION ALL SELECT v AS src, u AS dst FROM edges),
+       |verts AS MATERIALIZED (SELECT DISTINCT src AS x FROM dir),
+       |d0 AS MATERIALIZED (SELECT x FROM verts WHERE x % 20 = 0),
+       |seen0 AS MATERIALIZED (SELECT x FROM d0),
+       |$layers,
+       |lab AS ($lab)
+       |SELECT CAST(COALESCE(lab.depth, -1) AS INTEGER) AS depth,
+       |  COUNT(*) AS n_vertices
+       |FROM verts LEFT JOIN lab ON verts.x = lab.x
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "graph_degree_hist" ->
-      """WITH pairs AS (
-        |  SELECT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |edges AS (SELECT u, v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |verts AS (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges),
-        |degs AS (SELECT x, COUNT(*) AS deg FROM verts GROUP BY x)
-        |SELECT deg, COUNT(*) AS n_vertices FROM degs GROUP BY deg
-        |ORDER BY deg""".stripMargin,
+      s"""WITH $edgesCte,
+         |verts AS (SELECT src AS x FROM dir),
+         |degs AS (SELECT x, COUNT(*) AS deg FROM verts GROUP BY x)
+         |SELECT deg, COUNT(*) AS n_vertices FROM degs GROUP BY deg
+         |ORDER BY deg""".stripMargin,
     "graph_triangle_count" ->
-      """WITH pairs AS (
-        |  SELECT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |edges AS (SELECT u, v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |tris AS (
-        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
-        |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
-        |verts AS (
-        |  SELECT a AS v FROM tris UNION ALL SELECT b FROM tris
-        |  UNION ALL SELECT c FROM tris)
-        |SELECT v AS l_partkey, COUNT(*) AS n_tri FROM verts GROUP BY 1
-        |ORDER BY n_tri DESC, l_partkey LIMIT 20""".stripMargin,
+      s"""WITH $edgesCte,
+         |tris AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+         |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |tverts AS (
+         |  SELECT a AS v FROM tris UNION ALL SELECT b FROM tris
+         |  UNION ALL SELECT c FROM tris)
+         |SELECT v AS l_partkey, COUNT(*) AS n_tri FROM tverts GROUP BY 1
+         |ORDER BY n_tri DESC, l_partkey LIMIT 20""".stripMargin,
     "graph_bfs_reach" ->
-      """WITH pairs AS (
-        |  SELECT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |edges AS (SELECT u, v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |dir AS (SELECT u AS src, v AS dst FROM edges
-        |        UNION ALL SELECT v AS src, u AS dst FROM edges),
-        |verts AS (SELECT DISTINCT src AS x FROM dir),
-        |d0 AS (SELECT x FROM verts WHERE x % 20 = 0),
-        |d1 AS (SELECT DISTINCT dst AS x FROM dir JOIN d0 ON src = d0.x
-        |       EXCEPT SELECT x FROM d0),
-        |d2 AS (SELECT DISTINCT dst AS x FROM dir JOIN d1 ON src = d1.x
-        |       EXCEPT (SELECT x FROM d0 UNION SELECT x FROM d1)),
-        |d3 AS (SELECT DISTINCT dst AS x FROM dir JOIN d2 ON src = d2.x
-        |       EXCEPT (SELECT x FROM d0 UNION SELECT x FROM d1
-        |               UNION SELECT x FROM d2)),
-        |lab AS (SELECT x, 0 AS depth FROM d0
-        |  UNION ALL SELECT x, 1 FROM d1
-        |  UNION ALL SELECT x, 2 FROM d2
-        |  UNION ALL SELECT x, 3 FROM d3)
-        |SELECT CAST(COALESCE(lab.depth, -1) AS INTEGER) AS depth,
-        |  COUNT(*) AS n_vertices
-        |FROM verts LEFT JOIN lab ON verts.x = lab.x
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $edgesCte,
+         |verts AS (SELECT DISTINCT src AS x FROM dir),
+         |d0 AS (SELECT x FROM verts WHERE x % 20 = 0),
+         |d1 AS (SELECT DISTINCT dst AS x FROM dir JOIN d0 ON src = d0.x
+         |       EXCEPT SELECT x FROM d0),
+         |d2 AS (SELECT DISTINCT dst AS x FROM dir JOIN d1 ON src = d1.x
+         |       EXCEPT (SELECT x FROM d0 UNION SELECT x FROM d1)),
+         |d3 AS (SELECT DISTINCT dst AS x FROM dir JOIN d2 ON src = d2.x
+         |       EXCEPT (SELECT x FROM d0 UNION SELECT x FROM d1
+         |               UNION SELECT x FROM d2)),
+         |lab AS (SELECT x, 0 AS depth FROM d0
+         |  UNION ALL SELECT x, 1 FROM d1
+         |  UNION ALL SELECT x, 2 FROM d2
+         |  UNION ALL SELECT x, 3 FROM d3)
+         |SELECT CAST(COALESCE(lab.depth, -1) AS INTEGER) AS depth,
+         |  COUNT(*) AS n_vertices
+         |FROM verts LEFT JOIN lab ON verts.x = lab.x
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_bfs_converged" -> bfsLayeredSql(BfsMaxDepth),
+    "graph_kcore" -> kcoreLayeredSql(KCoreK, KCoreMaxRounds),
     "graph_jaccard_neighbors" ->
-      """WITH pairs AS (
-        |  SELECT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |edges AS (SELECT u, v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |dir AS (SELECT u AS src, v AS dst FROM edges
-        |        UNION ALL SELECT v AS src, u AS dst FROM edges),
-        |degs AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),
-        |common AS (
-        |  SELECT a.src AS u, b.src AS v, COUNT(*) AS common
-        |  FROM dir a JOIN dir b ON a.dst = b.dst AND a.src < b.src
-        |  GROUP BY 1, 2)
-        |SELECT c.u, c.v, c.common, du.deg AS du, dv.deg AS dv,
-        |  CAST(c.common AS DOUBLE) /
-        |    CAST(du.deg + dv.deg - c.common AS DOUBLE) AS jaccard
-        |FROM common c
-        |JOIN degs du ON c.u = du.src
-        |JOIN degs dv ON c.v = dv.src
-        |ORDER BY jaccard DESC, c.u, c.v LIMIT 20""".stripMargin,
+      s"""WITH $edgesCte,
+         |degs AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),
+         |common AS (
+         |  SELECT a.src AS u, b.src AS v, COUNT(*) AS common
+         |  FROM dir a JOIN dir b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT c.u, c.v, c.common, du.deg AS du, dv.deg AS dv,
+         |  CAST(c.common AS DOUBLE) /
+         |    CAST(du.deg + dv.deg - c.common AS DOUBLE) AS jaccard
+         |FROM common c
+         |JOIN degs du ON c.u = du.src
+         |JOIN degs dv ON c.v = dv.src
+         |ORDER BY jaccard DESC, c.u, c.v LIMIT 20""".stripMargin,
     "graph_pagerank_iter" ->
-      """WITH pairs AS (
-        |  SELECT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |edges AS (SELECT u, v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |dir AS (SELECT u AS src, v AS dst FROM edges
-        |        UNION ALL SELECT v AS src, u AS dst FROM edges),
-        |outdeg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY 1),
-        |nv AS (SELECT COUNT(*) AS n FROM outdeg),
-        |contrib AS (SELECT d.dst, d.src,
-        |    CAST(1.0 AS DOUBLE) / nv.n / od.deg AS c
-        |  FROM dir d JOIN outdeg od ON d.src = od.src CROSS JOIN nv)
-        |SELECT dst AS l_partkey, COUNT(*) AS deg,
-        |  CAST(0.15 AS DOUBLE) / (SELECT n FROM nv) + CAST(0.85 AS DOUBLE) *
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list(c ORDER BY src)), (a, b) -> a + b) AS pr
-        |FROM contrib GROUP BY dst ORDER BY l_partkey""".stripMargin
+      // production sum on both sides; round(12) absorbs the sum-order
+      // ulp drift between engines (see graphPagerankIter scaladoc)
+      s"""WITH $edgesCte,
+         |outdeg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY 1),
+         |nv AS (SELECT COUNT(*) AS n FROM outdeg),
+         |contrib AS (SELECT d.dst, d.src,
+         |    CAST(1.0 AS DOUBLE) / nv.n / od.deg AS c
+         |  FROM dir d JOIN outdeg od ON d.src = od.src CROSS JOIN nv)
+         |SELECT dst AS l_partkey, COUNT(*) AS deg,
+         |  round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nv)
+         |    + CAST(0.85 AS DOUBLE) * SUM(c), 12) AS pr
+         |FROM contrib GROUP BY dst ORDER BY l_partkey""".stripMargin,
+    "graph_pagerank_converged" ->
+      // recursive CTE with the engine's EXACT stopping rule: DuckDB's
+      // recursive term sees the previous iteration's working table, so
+      // (SELECT max(delta) FROM t) >= tol gates round r+1 on round r's
+      // max|Δ| — precisely the driver-side while-condition; r < cap is
+      // the round cap. Base round r=0 carries delta=1 so round 1 always
+      // runs. Output rounds to 9 decimals on both sides.
+      s"""WITH RECURSIVE $edgesCte,
+         |od AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY 1),
+         |nv AS (SELECT COUNT(*) AS n FROM od),
+         |t AS (
+         |  SELECT 0 AS r, src AS x,
+         |         CAST(1.0 AS DOUBLE) / (SELECT n FROM nv) AS pr,
+         |         CAST(1.0 AS DOUBLE) AS delta
+         |  FROM od
+         |  UNION ALL
+         |  SELECT nr.r, nr.x, nr.pr, abs(nr.pr - prev.pr) AS delta
+         |  FROM (
+         |    SELECT a.r + 1 AS r, d.dst AS x,
+         |           CAST(0.15 AS DOUBLE) / (SELECT n FROM nv)
+         |             + CAST(0.85 AS DOUBLE) * sum(a.pr / od.deg) AS pr
+         |    FROM t a JOIN dir d ON a.x = d.src JOIN od ON a.x = od.src
+         |    WHERE a.r < $PrMaxRounds
+         |      AND (SELECT max(delta) FROM t) >=
+         |          CAST($PrRelTol AS DOUBLE) / (SELECT n FROM nv)
+         |    GROUP BY a.r, d.dst
+         |  ) nr JOIN t prev ON prev.x = nr.x
+         |)
+         |SELECT x AS l_partkey, round(pr, 9) AS pr,
+         |       CAST((SELECT max(r) FROM t) AS INTEGER) AS n_rounds
+         |FROM t WHERE r = (SELECT max(r) FROM t) ORDER BY l_partkey""".stripMargin
   )
 }

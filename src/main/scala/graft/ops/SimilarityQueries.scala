@@ -142,20 +142,51 @@ object SimilarityQueries {
       .orderBy("label", "rk")
   }
 
-  /** One k-means TRAINING iteration with exact cross-engine arithmetic:
-    * assign every vector to its nearest seed centroid (the IVF
-    * assignment), then recompute each centroid dimension as the mean of
-    * its members. The mean is an ORDERED left-fold over members sorted
-    * by vec_id (collect→sort→fold, seeded 0.0) because a parallel
-    * double sum is order-nondeterministic — the one place the engine
-    * trades associativity for bit-stability against the oracle; a
-    * production trainer would use plain `avg` (and tolerate ±ulp).
+  /** One k-means TRAINING iteration: assign every vector to its nearest
+    * seed centroid (the IVF assignment), then recompute each centroid
+    * dimension as the mean of its members.
+    *
+    * The mean is the PRODUCTION form — a plain partial-aggregated
+    * `sum(x)/n` (map-side combine, constant-width aggregation rows; a
+    * mega-cell costs nothing extra). Cross-engine float agreement is
+    * handled by rounding the centroid to 12 decimals on both sides:
+    * sum-order drift between engines is ~1e−16 relative vs 5e−13
+    * rounding granularity — verified at all three fixture scales. The
+    * bit-stable ordered-fold formulation (members collected and folded
+    * in vec_id order — per-group lists, NOT a 100 TB plan) survives as
+    * [[simKmeansStepFold]] purely as the differential-spec bridge.
     *
     * Scale posture: posexplode fans each vector to 64 (cell, dim) rows;
-    * the groupBy shuffles one row per (vector, dim) — with k·d cells ≈
-    * 512 groups the reduce side is trivial; collect_list per group is
-    * bounded by cell membership (the quantity IVF already balances). */
+    * the groupBy shuffles one row per (vector, dim) partial-aggregated
+    * down to k·d cells ≈ 512 groups — the reduce side is trivial. */
   def simKmeansStep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val e = emb(s, d)
+    val cents = broadcast(e.filter(col("vec_id") <= NCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("nsq").as("cnsq")))
+    val assigned = e.crossJoin(cents)
+      .select(col("vec_id"), col("cid"),
+        (col("nsq") + col("cnsq") - lit(2.0) * dot(col("embedding"), col("cemb")))
+          .as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    e.join(assigned, "vec_id")
+      .select(col("vec_id"), col("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), (col("pos") + 1).cast(LongType).as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(DoubleType)).as("sx"))
+      .select(col("cell"), col("dim"),
+        round(col("sx") / col("n").cast(DoubleType), 12).as("centroid"),
+        col("n"))
+      .orderBy("cell", "dim")
+  }
+
+  /** Ordered-fold (bit-stable) formulation of [[simKmeansStep]],
+    * UNREGISTERED: kept only as the deterministic reference the
+    * differential spec compares the production `sum` against. */
+  private[graft] def simKmeansStepFold(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val e = emb(s, d)
     val cents = broadcast(e.filter(col("vec_id") <= NCells)
@@ -508,7 +539,8 @@ object SimilarityQueries {
          |  $srpPlanesSql),
          |proj AS (SELECT e.vec_id, p.pl,
          |    ${fold("list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * p.s[i])")} AS pr
-         |  FROM embeddings e CROSS JOIN planes p),
+         |  FROM embeddings e CROSS JOIN planes p
+         |  WHERE len(e.embedding) = $Dim),
          |sig AS (SELECT vec_id,
          |    SUM(CASE WHEN pl < 8 AND pr >= 0 THEN (1 << pl) ELSE 0 END) AS b0,
          |    SUM(CASE WHEN pl >= 8 AND pr >= 0 THEN (1 << (pl - 8)) ELSE 0 END) AS b1
@@ -665,8 +697,8 @@ object SimilarityQueries {
          |WHERE e.vec_id <> $ProbeId
          |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
     "sim_kmeans_step" ->
-      // same assignment CTE as IVF; the mean is the same ordered
-      // left-fold (members sorted by vec_id, seed 0.0) as the engine
+      // same assignment CTE as IVF; the mean is the engine's production
+      // sum(x)/n, round(12) absorbing sum-order ulp drift on both sides
       s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
          |  FROM embeddings WHERE vec_id <= 8),
          |d2all AS (SELECT e.vec_id, c.cid,
@@ -683,9 +715,8 @@ object SimilarityQueries {
          |    unnest(e.embedding) AS x
          |  FROM embeddings e JOIN asgn a ON a.vec_id = e.vec_id)
          |SELECT cell, dim,
-         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list(CAST(x AS DOUBLE) ORDER BY vec_id)), (a, b) -> a + b) /
-         |    CAST(COUNT(*) AS DOUBLE) AS centroid,
+         |  round(SUM(CAST(x AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE), 12)
+         |    AS centroid,
          |  COUNT(*) AS n
          |FROM ex GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
     "sim_quantize_int8" ->

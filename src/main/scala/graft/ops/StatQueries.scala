@@ -245,10 +245,46 @@ object StatQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** EWMA smoothing with half-life 1 over the trailing 8-event window —
+    * the exponential counterpart of [[AdvancedQueries]]' flat moving
+    * average (trend extraction that weights recency). Decay α = 1/2 is
+    * chosen deliberately: the weights 2^{7−k} for lag k are INTEGERS,
+    * so numerator (Σ 2^{7−k}·x_{i−k} in DECIMAL) and denominator
+    * (Σ 2^{7−k} over present lags — truncation-normalized, so early
+    * rows are a proper weighted mean of what exists) are both EXACT;
+    * the only float op is one final division of identical operands —
+    * bit-stable across engines with zero rounding slop. An arbitrary-α
+    * EWMA needs pow(1−α, k), whose libm is not cross-engine stable —
+    * the engineering reason half-life decay is the portable default.
+    *
+    * Scale posture: all 8 lags share ONE user_id exchange + sort (a
+    * single Window physical operator); per-row work is O(window). The
+    * unbounded-history EWMA (y_i = αx + (1−α)y_{i−1}) is inherently
+    * sequential per key — the 8-term truncation (weight tail < 1/128)
+    * is what makes it a frame computation a cluster can parallelize. */
+  def windowEwmaHalflife(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val base = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      col("value").cast(DecimalType(18, 6)).as("vd"))
+    val lags = (0 to 7).map(k => lag(col("vd"), k).over(w).as(s"l$k"))
+    val zero = lit(BigDecimal(0)).cast(DecimalType(18, 6))
+    val num = (0 to 7).map(k => coalesce(col(s"l$k") * lit(1 << (7 - k)), zero))
+      .reduce(_ + _)
+    val den = (0 to 7).map(k =>
+        when(col(s"l$k").isNotNull, lit(1 << (7 - k))).otherwise(lit(0)))
+      .reduce(_ + _)
+    base.select(Seq(col("user_id"), col("event_id"), col("vd")) ++ lags: _*)
+      .filter(col("vd").isNotNull) // den ≥ 128 whenever the current value exists
+      .select(col("user_id"), col("event_id"),
+        (num.cast(DoubleType) / den.cast(DoubleType)).as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_dq_profile"            -> etlDqProfile _,
     "etl_fk_orphan_check"       -> etlFkOrphanCheck _,
     "window_rolling_anomaly"    -> windowRollingAnomaly _,
+    "window_ewma_halflife"      -> windowEwmaHalflife _,
     "etl_snapshot_diff"         -> etlSnapshotDiff _,
     "agg_regression_pack"       -> aggRegressionPack _,
     "agg_mad_outliers"          -> aggMadOutliers _,
@@ -311,6 +347,28 @@ object StatQueries {
         |SELECT user_id, event_id, v, mu, sd,
         |  ABS(v - mu) > sd * 2 AS is_anomaly
         |FROM c ORDER BY user_id, event_id""".stripMargin,
+    "window_ewma_halflife" ->
+      // identical integer-weighted exact-decimal numerator/denominator;
+      // VARCHAR-hop on the decimal→double cast (DuckDB's direct cast
+      // double-rounds), then ONE IEEE division of identical operands
+      {
+        val num = (0 to 7)
+          .map(k => s"COALESCE(l$k * ${1 << (7 - k)}, 0)").mkString(" + ")
+        val den = (0 to 7)
+          .map(k => s"CASE WHEN l$k IS NOT NULL THEN ${1 << (7 - k)} ELSE 0 END")
+          .mkString(" + ")
+        val lags = (0 to 7).map(k => s"LAG(vd, $k) OVER w AS l$k").mkString(", ")
+        s"""WITH b AS (
+           |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,6)) AS vd
+           |  FROM events),
+           |l AS (
+           |  SELECT user_id, event_id, vd, $lags
+           |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+           |SELECT user_id, event_id,
+           |  CAST(CAST($num AS VARCHAR) AS DOUBLE) /
+           |    CAST($den AS DOUBLE) AS ewma
+           |FROM l WHERE vd IS NOT NULL ORDER BY user_id, event_id""".stripMargin
+      },
     "etl_snapshot_diff" ->
       """WITH snap_a AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st,

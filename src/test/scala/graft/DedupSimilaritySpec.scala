@@ -185,6 +185,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(rows.forall(r => !r._3.isNaN && !r._3.isInfinite))
   }
 
+  test("k-means production sum agrees with the bit-stable ordered fold within ulps") {
+    // registered query: plain partial-aggregated sum (the 100 TB plan);
+    // fold: members sorted by vec_id, seeded 0.0 — deterministic bridge.
+    // Agreement must be far tighter than the registered round(12).
+    val sums = SparkEntry.queries("sim_kmeans_step")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val folds = graft.ops.SimilarityQueries.simKmeansStepFold(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sums.nonEmpty && sums.keySet == folds.keySet)
+    sums.foreach { case (k, c) =>
+      assert(math.abs(c - folds(k)) < 1e-12, s"cell/dim $k: $c vs ${folds(k)}")
+    }
+  }
+
   test("int8 quantization: codes bounded, zero clipping only when |x| <= 1") {
     val rows = SparkEntry.queries("sim_quantize_int8")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getLong(4), r.getDouble(5)))

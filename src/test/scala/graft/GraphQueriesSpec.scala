@@ -170,6 +170,165 @@ class GraphQueriesSpec extends SparkTestBase {
     ops.PipelineCache.releaseAll()
   }
 
+  test("pagerank sum form agrees with the bit-stable ordered fold within ulps") {
+    // the registered query is the production partial-aggregated sum;
+    // the ordered fold is the deterministic reference — they must agree
+    // to far tighter than the registered round(12) granularity
+    val sumForm = SparkEntry.queries("graph_pagerank_iter")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val foldForm = ops.GraphQueries.graphPagerankIterFold(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sumForm.nonEmpty && sumForm.keySet == foldForm.keySet)
+    sumForm.foreach { case (k, pr) =>
+      assert(math.abs(pr - foldForm(k)) < 1e-12, s"vertex $k: $pr vs ${foldForm(k)}")
+    }
+    ops.PipelineCache.releaseAll()
+  }
+
+  test("converged pagerank: fixpoint property, mass conservation, round count") {
+    val rows = SparkEntry.queries("graph_pagerank_converged")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    val nRounds = rows.head._3
+    assert(rows.forall(_._3 == nRounds) && nRounds >= 2,
+      s"expected a uniform multi-round count, got $nRounds")
+    assert(nRounds < ops.GraphQueries.PrMaxRounds, "fixture must converge under the cap")
+    val mass = rows.map(_._2).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass $mass")
+    // fixpoint check: one more plain-Scala iteration over the collected
+    // graph moves every rank by less than the convergence tolerance
+    val li = ops.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= ops.GraphQueries.MinSupport)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    edges.foreach { case (u, v) => adj(u) ::= v; adj(v) ::= u }
+    val n = adj.size
+    val pr = rows.map(r => r._1 -> r._2).toMap
+    val tol = ops.GraphQueries.PrRelTol / n
+    adj.keys.foreach { v =>
+      val next = 0.15 / n + 0.85 * adj(v).map(u => pr(u) / adj(u).size).sum
+      // the collected ranks are rounded to 9 decimals, so allow that on
+      // top of the loop's own tolerance
+      assert(math.abs(next - pr(v)) < tol + 1e-8, s"vertex $v not at fixpoint")
+    }
+    ops.PipelineCache.releaseAll()
+  }
+
+  test("converged pagerank early-exits on a uniform graph and warns at the cap") {
+    import spark.implicits._
+    // 4-cycle: every vertex has degree 2 — uniform ranks are already the
+    // fixpoint, so round 1's delta is 0 and the loop exits immediately
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val dir = cyc.toDF("src", "dst")
+      .unionAll(cyc.map(_.swap).toDF("src", "dst"))
+    val adj = dir.join(dir.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val verts = dir.select(col("src").as("x")).distinct()
+    val fast = ops.GraphQueries.pagerankConvergedOnAdjacency(
+      adj, verts, relTol = 0.05, maxRounds = 45).collect()
+    assert(fast.forall(_.getInt(2) == 1), "uniform graph must converge in 1 round")
+    assert(fast.forall(r => math.abs(r.getDouble(1) - 0.25) < 1e-9))
+    // path graph (unequal degrees): rank moves every round, so a cap of
+    // 1 must trip the loud warning
+    val path = Seq((1L, 2L), (2L, 3L))
+    val pdir = path.toDF("src", "dst")
+      .unionAll(path.map(_.swap).toDF("src", "dst"))
+    val padj = pdir.join(pdir.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val pverts = pdir.select(col("src").as("x")).distinct()
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    val capped = try {
+      System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+      ops.GraphQueries.pagerankConvergedOnAdjacency(
+        padj, pverts, relTol = 0.0001, maxRounds = 1).collect()
+    } finally System.setErr(realErr)
+    assert(capped.forall(_.getInt(2) == 1))
+    assert(errBuf.toString("UTF-8").contains("reached before convergence"),
+      s"expected the cap-trip warning, got: ${errBuf.toString("UTF-8").take(200)}")
+    // rank mass is conserved even when capped (each reported rank is
+    // rounded to 9 decimals, so allow n x 5e-10 of rounding slack)
+    assert(math.abs(capped.map(_.getDouble(1)).sum - 1.0) < 1e-8)
+  }
+
+  test("bfs run to exhaustion matches an in-memory BFS and labels all reachable depths") {
+    val li = ops.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= ops.GraphQueries.MinSupport)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    edges.foreach { case (u, v) => adj(u) ::= v; adj(v) ::= u }
+    val depth = scala.collection.mutable.Map.empty[Long, Int]
+    var frontier = adj.keySet.filter(_ % 20 == 0).toList
+    frontier.foreach(x => depth(x) = 0)
+    var r = 0
+    while (frontier.nonEmpty) {
+      r += 1
+      frontier = frontier.flatMap(adj).distinct.filterNot(depth.contains)
+      frontier.foreach(x => depth(x) = r)
+    }
+    val expected = adj.keySet.toSeq.map(x => depth.getOrElse(x, -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val prod = SparkEntry.queries("graph_bfs_converged")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(prod.nonEmpty)
+    assert(prod == expected, s"prod=$prod expected=$expected")
+    ops.PipelineCache.releaseAll()
+  }
+
+  test("jaccard middle-degree cap drops hub wedges and is exact when inactive") {
+    import spark.implicits._
+    // hub vertex 100 neighbors 1..30; plus an isolated triangle 201-202-203.
+    // With the cap below 30 the hub cannot serve as a wedge middle, so no
+    // pair among 1..30 survives; the triangle's pairs (middle degree 2) do.
+    val hubEdges = (1L to 30L).map(i => (100L, i)) ++
+      Seq((201L, 202L), (202L, 203L), (201L, 203L))
+    val dir = hubEdges.toDF("src", "dst")
+      .unionAll(hubEdges.map(_.swap).toDF("src", "dst"))
+    val capped = ops.GraphQueries.jaccardOnAdjacency(dir, middleCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.nonEmpty)
+    assert(capped.forall { case (u, v) => u >= 200L && v >= 200L },
+      s"hub-middled pairs must be pruned, got $capped")
+    // with the cap above the hub degree the exact wedge set returns
+    val exact = ops.GraphQueries.jaccardOnAdjacency(dir, middleCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.exists { case (u, v) => u < 100L && v < 100L },
+      "uncapped run must include hub-middled pairs")
+    // and on the hub-free fixture graph the registered cap is a no-op:
+    // capped output == fully uncapped output
+    val reg = SparkEntry.queries("graph_jaccard_neighbors")(spark, sfDir)
+      .collect().map(_.toSeq)
+    ops.PipelineCache.releaseAll()
+    val uncapped = ops.GraphQueries.jaccardOnAdjacency(
+      graftTestAdjacency(), Int.MaxValue).collect().map(_.toSeq)
+    assert(reg.toSeq == uncapped.toSeq, "cap must be a no-op on the fixture")
+    ops.PipelineCache.releaseAll()
+  }
+
+  /** Fixture support adjacency rebuilt independently for the no-op check. */
+  private def graftTestAdjacency() = {
+    val li = ops.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= ops.GraphQueries.MinSupport)
+      .select("u", "v")
+    edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+  }
+
   test("ohlc open/close match a window first/last reformulation") {
     val ev = ops.Tables.events(spark, sfDir).select(col("event_type"),
       date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
