@@ -58,12 +58,15 @@ object Dedup {
     * plain extra projection does NOT protect it: CollapseProject inlines
     * multi-referenced aliases; only a cache/shuffle boundary pins the
     * attribute. */
-  private[graft] def shingleHashesHof(th: Column, n: Int = 3): Column = {
+  private[graft] def shingleHashesHof(th: Column, n: Int = 3,
+      distinct: Boolean = true): Column = {
     val nt = size(th)
     def at(i: Column, off: Int) = element_at(th, (i + lit(off)).cast(IntegerType))
-    when(nt >= n,
-      array_distinct(transform(sequence(lit(1), nt - lit(n - 1)), i =>
-        (((at(i, 0) * 8191L + at(i, 1)) % MinhashP) * 8191L + at(i, 2)) % MinhashP)))
+    // distinct=false keeps the occurrence MULTISET — tf-idf weighting
+    // needs per-doc shingle counts, not membership
+    val raw = transform(sequence(lit(1), nt - lit(n - 1)), i =>
+      (((at(i, 0) * 8191L + at(i, 1)) % MinhashP) * 8191L + at(i, 2)) % MinhashP)
+    when(nt >= n, if (distinct) array_distinct(raw) else raw)
       .otherwise(array().cast(ArrayType(LongType)))
   }
 

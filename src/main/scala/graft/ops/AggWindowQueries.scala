@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.dedup.Dedup.hexFold32
+
 /** Aggregation + window operator inventory (SURVEY §2.2).
   *
   * The reference's only aggregations are a distinct projection and counts
@@ -117,6 +119,60 @@ object AggWindowQueries {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+
+  // Count–min sketch geometry. W=256 buckets × D=4 rows: under-dense at
+  // sf0.01 (150 users → most estimates exact, a few hash collisions
+  // overcount) and visibly over-dense at sf0.1 (~1500 users → real
+  // overcounts), so the error column exercises both regimes.
+  private val CmRows = 4
+  private val CmBuckets = 256L
+
+  /** Count–min sketch heavy hitters WITH exact-count error QA — the
+    * third sketch next to HLL/GK, and unlike those two it is fully
+    * DuckDB-oracle-checkable because the hash rows are md5+integer
+    * arithmetic (the suite's determinism recipe), not an engine
+    * built-in.
+    *
+    * Build: each event fans out to its [[CmRows]] (row, bucket) cells —
+    * bucket r = fold32(md5("cm&lt;r&gt;:" + key)) mod [[CmBuckets]] —
+    * and ONE partial-aggregated groupBy produces the D·W counter grid.
+    * That grid IS the sketch: constant size (1024 rows) regardless of
+    * corpus scale, mergeable by addition — the property that lets a
+    * 1000-executor run sketch 100 TB with a constant-width shuffle.
+    * Estimates: each key probes its D cells against the
+    * broadcast-small grid; est = min over rows ≥ true count ALWAYS
+    * (CMS one-sided guarantee — `overcount` is provably ≥ 0, and the
+    * spec asserts it).
+    *
+    * Output: top-20 keys by exact count with estimate and overcount —
+    * the sketch-vs-truth QA a pipeline runs at small scale before
+    * trusting the sketch alone at large scale (the minhash-error
+    * pattern, applied to frequency). */
+  def sketchCountminError(s: SparkSession, d: String): DataFrame = {
+    val key = col("user_id").cast(StringType)
+    def bucket(r: Int): Column =
+      pmod(hexFold32(md5(concat(lit(s"cm$r:"), key))), lit(CmBuckets))
+    val ev = Tables.events(s, d)
+    val grid = ev
+      .select(explode(array((0 until CmRows).map(r =>
+        struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+    exact
+      .select(col("user_id"), col("n_exact"),
+        explode(array((0 until CmRows).map(r =>
+          struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("c"))
+      .select(col("user_id"), col("n_exact"),
+        col("c.r").as("r"), col("c.b").as("b"))
+      .join(broadcast(grid), Seq("r", "b"))
+      .groupBy("user_id")
+      .agg(min("n_exact").as("n_exact"), min("cnt").as("est"))
+      .select(col("user_id"), col("n_exact"), col("est"),
+        (col("est") - col("n_exact")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+      .limit(20)
+  }
 
   /** UDAF surface #2: bounded-buffer group top-k (Aggregator with a ≤k
     * element buffer → map-side combine ships k values per group, not
@@ -331,6 +387,7 @@ object AggWindowQueries {
     "custom_agg_topk"        -> customAggTopk _,
     "approx_distinct_hll"    -> approxDistinctHll _,
     "approx_quantile_sketch" -> approxQuantileSketch _,
+    "sketch_countmin_error"  -> sketchCountminError _,
     "agg_count_distinct"     -> aggCountDistinct _,
     "agg_rollup"             -> aggRollup _,
     "window_rank_topk_group" -> windowRankTopkGroup _,
@@ -339,7 +396,27 @@ object AggWindowQueries {
     "custom_agg_sumsq"       -> customAggSumsq _,
   )
 
+  // the engine's bucket hash, re-derived in DuckDB integer arithmetic
+  private def cmBucketSql(keyExpr: String) =
+    s"(${OracleSql.fold32(s"'cm' || CAST(rr.r AS VARCHAR) || ':' || $keyExpr")}) % $CmBuckets"
+
   val oracle: Map[String, String] = Map(
+    "sketch_countmin_error" ->
+      s"""WITH rows4(r) AS (VALUES (0), (1), (2), (3)),
+         |cells AS (
+         |  SELECT r, b, COUNT(*) AS cnt FROM (
+         |    SELECT rr.r AS r, ${cmBucketSql("CAST(user_id AS VARCHAR)")} AS b
+         |    FROM events CROSS JOIN rows4 rr) GROUP BY 1, 2),
+         |ex AS (SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1),
+         |probe AS (
+         |  SELECT e.user_id, e.n_exact, rr.r AS r,
+         |         ${cmBucketSql("CAST(e.user_id AS VARCHAR)")} AS b
+         |  FROM ex e CROSS JOIN rows4 rr),
+         |est AS (
+         |  SELECT p.user_id, MIN(p.n_exact) AS n_exact, MIN(c.cnt) AS est
+         |  FROM probe p JOIN cells c ON p.r = c.r AND p.b = c.b GROUP BY 1)
+         |SELECT user_id, n_exact, est, est - n_exact AS overcount
+         |FROM est ORDER BY n_exact DESC, user_id LIMIT 20""".stripMargin,
     "window_rolling_distinct" ->
       """WITH act AS (SELECT DISTINCT user_id,
         |    datediff('day', DATE '2024-01-01',

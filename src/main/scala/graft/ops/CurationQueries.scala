@@ -255,7 +255,44 @@ object CurationQueries {
       .orderBy("bucket_cap")
   }
 
+  private val DomainQuota = 40
+
+  /** Per-domain document quota — the web-corpus balancing stage: no
+    * source (domain) may contribute more than [[DomainQuota]] docs, and
+    * when a source exceeds it, the HIGHEST-quality docs win the slots.
+    * (CommonCrawl-style pipelines do exactly this so a handful of
+    * boilerplate-heavy mega-domains can't dominate the corpus mix.)
+    * Quality proxy here = chars capped at 2000 (favor substantial docs,
+    * don't reward unbounded length), doc_id tiebreak for determinism.
+    *
+    * Output: per-source rollup (n_docs, n_kept, kept_chars) — kept_chars
+    * pins WHICH docs won the slots, not just how many.
+    *
+    * Scale posture: one window shuffle partitioned by source; the quota
+    * cut is a rank filter inside the partition — no global sort. Skew
+    * hazard: a mega-domain serializes its own partition's rank; the
+    * defense at 100 TB is the two-phase cut (per-bucket pre-rank on
+    * (source, hash-bucket), keep only rows with local rank ≤ quota,
+    * THEN the exact window over the ≤ quota·buckets survivors) — the
+    * same pre-filter shape as `sort_limit_topk`'s TakeOrdered. At the
+    * fixture's 20 sources × ≤600 docs the single window is the right
+    * plan. */
+  def curationDomainQuota(s: SparkSession, d: String): DataFrame = {
+    val rn = row_number().over(Window.partitionBy("source")
+      .orderBy(col("q").desc, col("doc_id")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        least(col("n_chars"), lit(2000L)).as("q"))
+      .withColumn("rn", rn)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("rn") <= DomainQuota, 1)).as("n_kept"),
+        sum(when(col("rn") <= DomainQuota, col("n_chars"))).as("kept_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_domain_quota"    -> curationDomainQuota _,
     "curation_pack_sequences"  -> curationPackSequences _,
     "curation_length_buckets"  -> curationLengthBuckets _,
     "pipeline_curation_v2"     -> pipelineCurationV2 _,
@@ -270,6 +307,17 @@ object CurationQueries {
   import TextQueries.{cleanedSql, ratioSqlOf, tokensSqlOf}
 
   val oracle: Map[String, String] = Map(
+    "curation_domain_quota" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY LEAST(n_chars, 2000) DESC, doc_id) AS rn
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(CASE WHEN rn <= $DomainQuota THEN 1 END) AS n_kept,
+         |  CAST(SUM(CASE WHEN rn <= $DomainQuota THEN n_chars END) AS BIGINT)
+         |    AS kept_chars
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "curation_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source,
          |    md5('pack:' || CAST(doc_id AS VARCHAR)) AS key,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.dedup.Dedup._
 import graft.similarity.Vectors
@@ -437,6 +438,70 @@ object DedupQueries {
       .orderBy("contained_id", "container_id")
   }
 
+  private[graft] val TfidfDfCap = PassageDfCap // same df band as passages
+  private[graft] val TfidfTau = 0.35
+
+  /** WEIGHTED document similarity: tf·idf sparse cosine via a df-capped
+    * postings (inverted-index) join — the complement of the suite's
+    * SET-based measures (minhash/PPJoin Jaccard weight every term
+    * equally; tf·idf cosine up-weights rare terms and repeated use, the
+    * measure retrieval-style near-dup mining uses).
+    *
+    * Terms are 3-gram shingle OCCURRENCES (the multiset, not the
+    * distinct set the Jaccard ops use): the fixture's word vocabulary
+    * is ~31 tokens — word-level tf·idf would be degenerate (nearly
+    * every word lands outside any useful df band) — while the shingle
+    * space is combinatorially rich, the same reason every other text
+    * pipeline here shingles first.
+    *
+    * Pipeline: term frequencies from the shared [[hashedBase]] token
+    * hashes → document frequencies → idf weight N/df (a plain rational
+    * — no log: one exact integer-derived division, bit-identical
+    * cross-engine, monotone in rarity just like log(N/df)) → L2 norms
+    * per doc → postings self-join on the term, Σ w_a·w_b partial-
+    * aggregated per pair → cosine = dot/(‖a‖·‖b‖), rounded to 9
+    * decimals BEFORE the τ cut so both engines threshold the identical
+    * value (sum-order drift ~1e−15 ≪ rounding granularity; sqrt is
+    * IEEE-correctly-rounded in both engines).
+    *
+    * Scale posture: the ONLY pair generator is the postings join, and
+    * it is bounded by the df band (2 ≤ df ≤ [[TfidfDfCap]]): a term
+    * contributes ≤ df²/2 pairs, so candidates are linear in corpus
+    * size × cap — stop-word-like terms (the quadratic hazard AND the
+    * lowest idf weight) never enter the join, the same argument as the
+    * shared-passage df cap. Norms are computed over the SAME capped
+    * vocabulary, so dropped terms are consistently absent from both
+    * numerator and denominator. */
+  def textTfidfCosine(s: SparkSession, d: String): DataFrame = {
+    val tf = PipelineCache.getOrPersist(s"dedup:tfidfTf:$d")(
+      hashedBase(s, d).filter(col("n") >= 3)
+        .select(col("doc_id"),
+          explode(shingleHashesHof(col("th"), 3, distinct = false)).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tfv")))
+    val dfc = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= TfidfDfCap)
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = PipelineCache.getOrPersist(s"dedup:tfidfW:$d")(
+      tf.join(dfc, "t").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("t"),
+          (col("tfv").cast(DoubleType) *
+            (col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
+            .as("w")))
+    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    w.as("a")
+      .join(w.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"),
+        count(lit(1)).as("shared_terms"))
+      .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("na")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("shared_terms"),
+        round(col("dot") / (col("na") * col("nb")), 9).as("cos_sim"))
+      .filter(col("cos_sim") >= TfidfTau)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Cluster-size histogram over the CONVERGED components — the dedup
     * health metric a pipeline owner actually reads ("how many pairs vs
     * how many 50-doc boilerplate families?"): cluster_size → number of
@@ -595,6 +660,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_cosine"         -> textTfidfCosine _,
     "dedup_shingle_containment" -> dedupShingleContainment _,
     "dedup_incremental_batch"   -> dedupIncrementalBatch _,
     "text_shingle_novelty"      -> textShingleNovelty _,
@@ -626,8 +692,11 @@ object DedupQueries {
   /** Distinct 3-gram shingle hashes from the token-hash list `th`;
     * range(1, n-1) ≡ start positions 1..n-2, matching Spark's
     * sequence(1, n-2); combine formula mirrors Dedup.shingleHashes. */
-  private val shSql =
-    "list_distinct(list_transform(range(1, len(th)-1), i -> (((th[i]*8191 + th[i+1]) % 4294967311) * 8191 + th[i+2]) % 4294967311))"
+  /** 3-gram shingle hashes as an occurrence MULTISET (tf-idf needs
+    * counts); [[shSql]] is its distinct-set form. */
+  private val shMultiSql =
+    "list_transform(range(1, len(th)-1), i -> (((th[i]*8191 + th[i+1]) % 4294967311) * 8191 + th[i+2]) % 4294967311)"
+  private val shSql = s"list_distinct($shMultiSql)"
   private val thCte =
     s"""WITH t0 AS (SELECT doc_id, $toksSql AS tok FROM documents),
        |th0 AS (SELECT doc_id, len(tok) AS n,
@@ -750,6 +819,32 @@ object DedupQueries {
          |    ELSE 0 END) AS BIGINT) AS kept_tokens
          |FROM documents dd LEFT JOIN losers l ON dd.doc_id = l.doc_id
          |GROUP BY source ORDER BY source""".stripMargin,
+    "text_tfidf_cosine" ->
+      // identical arithmetic: rational idf N/df (no log), sqrt norms
+      // over the SAME df-band vocabulary, 9-decimal rounding BEFORE the
+      // tau comparison so both engines threshold the identical value
+      s"""$thCte,
+         |tf AS (SELECT doc_id, t, COUNT(*) AS tfv
+         |  FROM (SELECT doc_id, unnest($shMultiSql) AS t
+         |        FROM th0 WHERE n >= 3) GROUP BY 1, 2),
+         |dfc AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1
+         |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $TfidfDfCap),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |wt AS (SELECT tf.doc_id, tf.t,
+         |    CAST(tf.tfv AS DOUBLE) *
+         |      (CAST((SELECT n_docs FROM nd) AS DOUBLE) /
+         |       CAST(dfc.df AS DOUBLE)) AS wv
+         |  FROM tf JOIN dfc ON tf.t = dfc.t),
+         |nrm AS (SELECT doc_id, sqrt(SUM(wv * wv)) AS nrm FROM wt GROUP BY 1),
+         |dt AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    SUM(a.wv * b.wv) AS dot, COUNT(*) AS shared_terms
+         |  FROM wt a JOIN wt b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, shared_terms,
+         |  round(dot / (x.nrm * y.nrm), 9) AS cos_sim
+         |FROM dt JOIN nrm x ON x.doc_id = a_id JOIN nrm y ON y.doc_id = b_id
+         |WHERE round(dot / (x.nrm * y.nrm), 9) >= $TfidfTau
+         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_shingle_containment" ->
       s"""$baseCte,
          |g AS (SELECT doc_id, unnest(sh) AS g FROM base),

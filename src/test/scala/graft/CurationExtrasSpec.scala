@@ -308,4 +308,25 @@ class CurationExtrasSpec extends SparkTestBase {
     }
     PipelineCache.releaseAll()
   }
+
+  test("domain quota keeps exactly the top-quality docs of each source") {
+    val got = SparkEntry.queries("curation_domain_quota")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // scalar replay: per source, sort by (min(chars,2000) desc, doc_id),
+    // keep 40, and the kept-chars sum must pin the SAME winners
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = docs.groupBy(_._2)
+    got.foreach { case (src, nDocs, nKept, keptChars) =>
+      val all = bySource(src)
+      assert(nDocs == all.length, src)
+      val kept = all.sortBy { case (id, _, ch) => (-math.min(ch, 2000L), id) }
+        .take(40)
+      assert(nKept == kept.length, src)
+      assert(keptChars == kept.map(_._3).sum,
+        s"$src: quota admitted different docs than the quality order")
+    }
+  }
 }

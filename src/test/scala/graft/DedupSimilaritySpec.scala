@@ -257,4 +257,17 @@ class DedupSimilaritySpec extends SparkTestBase {
       assert(nDocs > 0 && bpe > 0)
     }
   }
+
+  test("tf-idf cosine: bounded, planted near-dup found, weighted measure ranks it top") {
+    val rows = SparkEntry.queries("text_tfidf_cosine")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(rows.nonEmpty)
+    // cosine of nonnegative-weight vectors: (0, 1] up to rounding slop
+    rows.values.foreach(c => assert(c > 0.0 && c <= 1.0 + 1e-9, c))
+    // the planted 0.989-Jaccard pair must also be a tf-idf near-dup
+    // (exact-duplicate pairs may outrank it at exactly 1.0)
+    assert(rows.contains((474L, 498L)), "planted pair missing")
+    assert(rows((474L, 498L)) >= 0.9,
+      s"planted near-identical pair scored low: ${rows((474L, 498L))}")
+  }
 }

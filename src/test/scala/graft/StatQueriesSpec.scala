@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{StatQueries, Tables}
+import graft.ops.{PipelineCache, StatQueries, Tables}
 
 class StatQueriesSpec extends SparkTestBase {
 
@@ -144,5 +144,24 @@ class StatQueriesSpec extends SparkTestBase {
       }
     }
     assert(gaps > 0, "fixture exercised no interpolated day")
+  }
+
+  test("count-min sketch never undercounts and is exact absent collisions") {
+    val rows = SparkEntry.queries("sketch_countmin_error")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // the CMS one-sided guarantee: est = min over rows of bucket sums,
+    // and every bucket sum includes the key's own contribution
+    rows.foreach { case (uid, exact, est, over) =>
+      assert(est >= exact, s"user $uid: est $est < exact $exact")
+      assert(over == est - exact, s"user $uid: overcount column inconsistent")
+    }
+    // the exact counts must agree with a direct groupBy
+    val direct = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (uid, exact, _, _) =>
+      assert(direct(uid) == exact, s"user $uid exact mismatch")
+    }
+    PipelineCache.releaseAll()
   }
 }
