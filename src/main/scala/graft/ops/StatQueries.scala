@@ -280,7 +280,98 @@ object StatQueries {
       .orderBy("user_id", "event_id")
   }
 
+  private val CusumRef = "50.000000"   // reference level k (≈ global mean)
+  private val CusumThreshold = "400.000000" // drift alarm h
+
+  /** One-sided CUSUM drift detection per user — the sequential
+    * change-point statistic (Page 1954): s_i = max(0, s_{i−1} + x_i − k)
+    * alarms when a stream's level shifts above reference k faster than
+    * single-point outlier rules notice. The recursion looks inherently
+    * sequential, but the classic prefix transformation makes it a
+    * WINDOW computation: with C_i = Σ_{j≤i}(x_j − k),
+    * s_i = C_i − min(0, min_{j≤i} C_j) — one running sum + one running
+    * min over the same (user, event order) window, so Spark evaluates
+    * it with a single exchange + sort and the cluster parallelizes
+    * across users while each user's math stays exact.
+    *
+    * All accumulation in DECIMAL(18,6): sums/mins of decimals are
+    * order-insensitive and engine-exact; the only double is the final
+    * display cast. Output: per user, peak CUSUM + where it peaked +
+    * the drift flag (peak > h). */
+  def windowCusumDrift(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val zero = lit(BigDecimal(0)).cast(DecimalType(18, 6))
+    val cum = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        (col("value").cast(DecimalType(18, 6)) -
+          lit(BigDecimal(CusumRef)).cast(DecimalType(18, 6))).as("y"))
+      .withColumn("c", sum("y").over(w))
+    val wu = Window.partitionBy("user_id")
+    cum
+      .withColumn("s", col("c") - least(zero, min("c").over(w)))
+      // peak row = highest s, earliest event on ties — a rank, not an
+      // argmax aggregate, so the oracle states the identical rule
+      .withColumn("rk", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("s").desc, col("event_id"))))
+      .withColumn("n_events", count(lit(1)).over(wu))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n_events"),
+        col("s").cast(DoubleType).as("peak_cusum"),
+        col("event_id").as("peak_event_id"),
+        (col("s") > lit(BigDecimal(CusumThreshold)).cast(DecimalType(18, 6)))
+          .as("drifted"))
+      .orderBy("user_id")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic per event type —
+    * the distribution-shift gate a pipeline runs between a reference
+    * slice and a fresh slice before trusting new data. The two samples
+    * here are the deterministic md5 halves of each event type (salt
+    * "ks:", parity of fold32), so under no drift D_n should be small —
+    * and being hash-halves of one population, it is: the column doubles
+    * as a split-quality audit.
+    *
+    * D = max over the merged support of |F_a(x) − F_b(x)|: group by
+    * (type, value) with per-half counts — ties collapse BEFORE the CDF
+    * so both CDFs step at whole tie groups — then running sums over
+    * the value order. The max is taken over the INTEGER cross-products
+    * |ca·nb − cb·na| (max is invariant under the positive scaling
+    * 1/(na·nb)), so every comparison is exact integer arithmetic and
+    * the statistic itself is ONE final division — zero FP drift
+    * anywhere, no rounding needed.
+    *
+    * Scale posture: one shuffle to (type, value) granularity, one
+    * window over value within type (types are few — the same
+    * skew-defense notes as `curation_domain_quota` apply if one type
+    * dominates), one partial-aggregated max. No sort of raw rows, no
+    * pair joins — the textbook KS-at-scale plan. */
+  def aggKsDrift(s: SparkSession, d: String): DataFrame = {
+    val grp = pmod(graft.dedup.Dedup.hexFold32(
+      md5(concat(lit("ks:"), col("event_id").cast(StringType)))), lit(2L))
+    val perValue = Tables.events(s, d)
+      .select(col("event_type"), col("value"), grp.as("g"))
+      .groupBy("event_type", "value")
+      .agg(count(when(col("g") === 0, 1)).as("a_at"),
+        count(when(col("g") === 1, 1)).as("b_at"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+    val tot = Window.partitionBy("event_type")
+    perValue
+      .withColumn("ca", sum("a_at").over(w))
+      .withColumn("cb", sum("b_at").over(w))
+      .withColumn("na", sum("a_at").over(tot))
+      .withColumn("nb", sum("b_at").over(tot))
+      .groupBy("event_type")
+      .agg(min("na").as("n_a"), min("nb").as("n_b"),
+        max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("dmax"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        (col("dmax").cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType)).as("ks_stat"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_cusum_drift"        -> windowCusumDrift _,
+    "agg_ks_drift"              -> aggKsDrift _,
     "etl_dq_profile"            -> etlDqProfile _,
     "etl_fk_orphan_check"       -> etlFkOrphanCheck _,
     "window_rolling_anomaly"    -> windowRollingAnomaly _,
@@ -292,6 +383,62 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "window_cusum_drift" ->
+      // identical prefix transformation; DECIMAL throughout, one final
+      // display cast; event_id is unique per user so the default RANGE
+      // frame equals ROWS on both engines
+      s"""WITH y AS (
+         |  SELECT user_id, event_id,
+         |    CAST(value AS DECIMAL(18,6)) -
+         |      CAST('$CusumRef' AS DECIMAL(18,6)) AS y
+         |  FROM events),
+         |c AS (SELECT user_id, event_id, y,
+         |    SUM(y) OVER (PARTITION BY user_id ORDER BY event_id) AS c
+         |  FROM y),
+         |m0 AS (SELECT user_id, event_id, c,
+         |    MIN(c) OVER (PARTITION BY user_id ORDER BY event_id) AS m
+         |  FROM c),
+         |-- NOT least(): DuckDB's LEAST on DECIMAL(38,6) operands
+         |-- promotes to DOUBLE, silently breaking the exact-decimal
+         |-- chain; CASE keeps the decimal type
+         |sdf AS (SELECT user_id, event_id,
+         |    c - (CASE WHEN m < 0 THEN m ELSE CAST(0 AS DECIMAL(38,6)) END)
+         |      AS s
+         |  FROM m0),
+         |r AS (SELECT user_id, event_id, s,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s DESC, event_id)
+         |      AS rk,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+         |  FROM sdf)
+         |SELECT user_id, n_events,
+         |  CAST(CAST(s AS VARCHAR) AS DOUBLE) AS peak_cusum,
+         |  event_id AS peak_event_id,
+         |  s > CAST('$CusumThreshold' AS DECIMAL(18,6)) AS drifted
+         |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    "agg_ks_drift" ->
+      // same integer cross-product form; SUM(BIGINT) is HUGEINT in
+      // DuckDB -> cast back before the products
+      s"""WITH g AS (
+         |  SELECT event_type, value,
+         |    (${OracleSql.fold32("'ks:' || CAST(event_id AS VARCHAR)")}) % 2
+         |      AS g
+         |  FROM events),
+         |pv AS (SELECT event_type, value,
+         |    COUNT(CASE WHEN g = 0 THEN 1 END) AS a_at,
+         |    COUNT(CASE WHEN g = 1 THEN 1 END) AS b_at
+         |  FROM g GROUP BY 1, 2),
+         |cum AS (SELECT event_type,
+         |    CAST(SUM(a_at) OVER w AS BIGINT) AS ca,
+         |    CAST(SUM(b_at) OVER w AS BIGINT) AS cb,
+         |    CAST(SUM(a_at) OVER t AS BIGINT) AS na,
+         |    CAST(SUM(b_at) OVER t AS BIGINT) AS nb
+         |  FROM pv
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY value),
+         |         t AS (PARTITION BY event_type))
+         |SELECT event_type, MIN(na) AS n_a, MIN(nb) AS n_b,
+         |  CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE) /
+         |    CAST(MIN(na) * MIN(nb) AS DOUBLE) AS ks_stat
+         |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
     "etl_dq_profile" ->
       """WITH m AS (
         |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS val

@@ -296,4 +296,24 @@ class PlanShapeSpec extends SparkTestBase {
     // agg must NOT add a third hash exchange (repartition reuse)
     assert(hashExchanges(p).size == 2, p)
   }
+
+  test("tf-idf cosine: only equi pair joins, partial-aggregated dot products") {
+    val p = plan("text_tfidf_cosine")
+    noCartesian(p, "text_tfidf_cosine")
+    // the pair dot-product aggregation combines map-side
+    assert(partialAggs(p).nonEmpty, p)
+    graft.ops.PipelineCache.releaseAll()
+  }
+
+  test("count-min probes join the sketch grid as a broadcast, never a shuffle") {
+    val p = plan("sketch_countmin_error")
+    noCartesian(p, "sketch_countmin_error")
+    assert(ops(p).exists(_.isInstanceOf[BroadcastExchangeExec]), p)
+  }
+
+  test("CUSUM runs on a single per-user exchange (both windows share it)") {
+    val p = plan("window_cusum_drift")
+    // prefix sum + running min + peak rank + count: ONE hash exchange
+    assert(hashExchanges(p).size == 1, p)
+  }
 }

@@ -146,6 +146,48 @@ class StatQueriesSpec extends SparkTestBase {
     assert(gaps > 0, "fixture exercised no interpolated day")
   }
 
+  test("CUSUM peak matches a sequential scalar replay of the recursion") {
+    val got = SparkEntry.queries("window_cusum_drift")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.nonEmpty)
+    // replay the ORIGINAL recursion s_i = max(0, s_{i-1} + x_i - k) —
+    // the window form must agree with the sequential definition
+    val events = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    got.foreach { case (uid, (n, peak, peakId, drifted)) =>
+      val seq = events(uid).sortBy(_._2)
+      assert(n == seq.length, s"user $uid event count")
+      var s = BigDecimal(0)
+      var best = BigDecimal(-1); var bestId = -1L
+      seq.foreach { case (_, eid, v) =>
+        val y = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP) - 50
+        s = (s + y).max(BigDecimal(0))
+        if (s > best) { best = s; bestId = eid }
+      }
+      assert(math.abs(best.toDouble - peak) < 1e-9, s"user $uid peak")
+      assert(bestId == peakId, s"user $uid peak position")
+      assert(drifted == (best > 400), s"user $uid drift flag")
+    }
+  }
+
+  test("KS statistic on hash-halves is small, bounded, and balanced") {
+    val rows = SparkEntry.queries("agg_ks_drift")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val totals = Tables.events(spark, sfDir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (et, na, nb, ks) =>
+      assert(na + nb == totals(et), s"$et: halves must partition the type")
+      // md5 halves of one population: balanced and distributionally close
+      assert(math.abs(na - nb) <= (na + nb) / 5, s"$et: lopsided split")
+      assert(ks >= 0.0 && ks <= 1.0, s"$et: KS out of range")
+      assert(ks < 0.25, s"$et: hash halves should not drift (ks=$ks)")
+    }
+  }
+
   test("count-min sketch never undercounts and is exact absent collisions") {
     val rows = SparkEntry.queries("sketch_countmin_error")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
