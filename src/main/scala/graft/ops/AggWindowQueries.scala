@@ -133,9 +133,14 @@ object AggWindowQueries {
     * arithmetic (the suite's determinism recipe), not an engine
     * built-in.
     *
-    * Build: each event fans out to its [[CmRows]] (row, bucket) cells —
-    * bucket r = fold32(md5("cm&lt;r&gt;:" + key)) mod [[CmBuckets]] —
-    * and ONE partial-aggregated groupBy produces the D·W counter grid.
+    * Build: each event is hashed ONCE (base = fold32(md5("cm:" + key)))
+    * and its [[CmRows]] row-buckets derive from the base by the affine
+    * family ((2r+3)·h + r·2654435761) mod P mod [[CmBuckets]] — the
+    * textbook pairwise-independent row construction, and 4× less
+    * digest work than salting the md5 per row (the digest is the whole
+    * per-row cost; the affine step is three integer ops). Each event
+    * fans out to its (row, bucket) cells and ONE partial-aggregated
+    * groupBy produces the D·W counter grid.
     * That grid IS the sketch: constant size (1024 rows) regardless of
     * corpus scale, mergeable by addition — the property that lets a
     * 1000-executor run sketch 100 TB with a constant-width shuffle.
@@ -149,20 +154,24 @@ object AggWindowQueries {
     * trusting the sketch alone at large scale (the minhash-error
     * pattern, applied to frequency). */
   def sketchCountminError(s: SparkSession, d: String): DataFrame = {
-    val key = col("user_id").cast(StringType)
-    def bucket(r: Int): Column =
-      pmod(hexFold32(md5(concat(lit(s"cm$r:"), key))), lit(CmBuckets))
+    import graft.dedup.Dedup.MinhashP
+    def base(key: Column): Column =
+      hexFold32(md5(concat(lit("cm:"), key.cast(StringType))))
+    def cells(h: Column): Column =
+      explode(array((0 until CmRows).map { r =>
+        val perm = (lit(2L * r + 3) * h + lit(r * 2654435761L)) % lit(MinhashP)
+        struct(lit(r).as("r"), pmod(perm, lit(CmBuckets)).as("b"))
+      }: _*))
     val ev = Tables.events(s, d)
     val grid = ev
-      .select(explode(array((0 until CmRows).map(r =>
-        struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("c"))
+      .select(base(col("user_id")).as("h"))
+      .select(cells(col("h")).as("c"))
       .groupBy(col("c.r").as("r"), col("c.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
     val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
     exact
-      .select(col("user_id"), col("n_exact"),
-        explode(array((0 until CmRows).map(r =>
-          struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("c"))
+      .select(col("user_id"), col("n_exact"), base(col("user_id")).as("h"))
+      .select(col("user_id"), col("n_exact"), cells(col("h")).as("c"))
       .select(col("user_id"), col("n_exact"),
         col("c.r").as("r"), col("c.b").as("b"))
       .join(broadcast(grid), Seq("r", "b"))
@@ -396,22 +405,28 @@ object AggWindowQueries {
     "custom_agg_sumsq"       -> customAggSumsq _,
   )
 
-  // the engine's bucket hash, re-derived in DuckDB integer arithmetic
-  private def cmBucketSql(keyExpr: String) =
-    s"(${OracleSql.fold32(s"'cm' || CAST(rr.r AS VARCHAR) || ':' || $keyExpr")}) % $CmBuckets"
+  // the engine's affine row-bucket derivation from the one base digest,
+  // in DuckDB integer arithmetic (P = MinhashP, rr.r = the sketch row)
+  private val cmBucketSql =
+    s"(((2*rr.r + 3)*h + rr.r*2654435761) % 4294967311) % $CmBuckets"
 
   val oracle: Map[String, String] = Map(
     "sketch_countmin_error" ->
       s"""WITH rows4(r) AS (VALUES (0), (1), (2), (3)),
+         |hb AS (SELECT user_id,
+         |    (${OracleSql.fold32("'cm:' || CAST(user_id AS VARCHAR)")}) AS h
+         |  FROM events),
          |cells AS (
          |  SELECT r, b, COUNT(*) AS cnt FROM (
-         |    SELECT rr.r AS r, ${cmBucketSql("CAST(user_id AS VARCHAR)")} AS b
-         |    FROM events CROSS JOIN rows4 rr) GROUP BY 1, 2),
+         |    SELECT rr.r AS r, $cmBucketSql AS b
+         |    FROM hb CROSS JOIN rows4 rr) GROUP BY 1, 2),
          |ex AS (SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1),
          |probe AS (
-         |  SELECT e.user_id, e.n_exact, rr.r AS r,
-         |         ${cmBucketSql("CAST(e.user_id AS VARCHAR)")} AS b
-         |  FROM ex e CROSS JOIN rows4 rr),
+         |  SELECT e.user_id, e.n_exact, rr.r AS r, $cmBucketSql AS b
+         |  FROM ex e
+         |    JOIN (SELECT DISTINCT user_id, h FROM hb) hh
+         |      ON hh.user_id = e.user_id
+         |    CROSS JOIN rows4 rr),
          |est AS (
          |  SELECT p.user_id, MIN(p.n_exact) AS n_exact, MIN(c.cnt) AS est
          |  FROM probe p JOIN cells c ON p.r = c.r AND p.b = c.b GROUP BY 1)

@@ -291,7 +291,54 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  private val MaxEpochs = 4L
+
+  /** Epoch-mixing plan — the "how many times do we repeat each source"
+    * computation a pretraining data mix runs AFTER curation: given
+    * per-source sampling weights (hash-derived here, same "wt:" salt as
+    * [[mixWeightedSources]] so the two queries describe ONE mixture)
+    * and a global token budget (half the corpus: forces real
+    * up/down-sampling on the fixture), each source's token target is
+    * budget·w/Σw and it ships ⌈target/available⌉ epochs of its data,
+    * capped at [[MaxEpochs]] (the repeat ceiling after which more
+    * epochs of a small source hurt more than help — the standard
+    * practice). A source whose cap binds is flagged undersupplied: the
+    * mix designer's signal to go collect more of it.
+    *
+    * Every quantity is INTEGER arithmetic (floor-div target, ceil-div
+    * epochs (t+a−1)//a) — exact on both engines, no FP anywhere.
+    *
+    * Scale posture: one partial-aggregated rollup of the corpus to
+    * per-source token counts (the only pass over the data), then all
+    * mixing math happens on the ≤#sources-row frame with the global
+    * budget/Σw joined as a broadcast 1-row aggregate — the corpus is
+    * never rescanned or shuffled for the plan itself. */
+  def curationEpochMix(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextAnalysis.tokenCount
+    val w = pmod(hexFold32(md5(concat(lit("wt:"), col("source")))), lit(3L)) + 1L
+    val perSource = Tables.documents(s, d)
+      .select(col("source"), tokenCount(col("text")).cast(LongType).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("avail_tok"))
+      .withColumn("w", w)
+    val globals = perSource.agg(
+      expr("sum(avail_tok) div 2").as("budget"), // integer div, not FP
+      sum("w").as("sum_w"))
+    perSource.crossJoin(broadcast(globals))
+      .withColumn("target_tok", expr("budget * w div sum_w"))
+      .withColumn("n_epochs",
+        least(expr("(target_tok + avail_tok - 1) div avail_tok"),
+          lit(MaxEpochs)))
+      .withColumn("shipped_tok",
+        least(col("target_tok"), col("avail_tok") * lit(MaxEpochs)))
+      .withColumn("undersupplied", col("avail_tok") * lit(MaxEpochs) < col("target_tok"))
+      .select("source", "n_docs", "avail_tok", "w", "target_tok",
+        "n_epochs", "shipped_tok", "undersupplied")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_epoch_mix"       -> curationEpochMix _,
     "curation_domain_quota"    -> curationDomainQuota _,
     "curation_pack_sequences"  -> curationPackSequences _,
     "curation_length_buckets"  -> curationLengthBuckets _,
@@ -307,6 +354,26 @@ object CurationQueries {
   import TextQueries.{cleanedSql, ratioSqlOf, tokensSqlOf}
 
   val oracle: Map[String, String] = Map(
+    "curation_epoch_mix" ->
+      // pure integer arithmetic mirror; SUM(BIGINT) is HUGEINT in
+      // DuckDB — cast back before the div chain
+      s"""WITH t AS (SELECT source,
+         |    CAST(len(${tokensSqlOf("text")}) AS BIGINT) AS tok
+         |  FROM documents),
+         |ps AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(tok) AS BIGINT) AS avail_tok,
+         |    (${fold32("'wt:' || source")}) % 3 + 1 AS w
+         |  FROM t GROUP BY source),
+         |g AS (SELECT CAST(SUM(avail_tok) AS BIGINT) // 2 AS budget,
+         |    CAST(SUM(w) AS BIGINT) AS sum_w FROM ps),
+         |m AS (SELECT ps.*, g.budget * ps.w // g.sum_w AS target_tok
+         |  FROM ps CROSS JOIN g)
+         |SELECT source, n_docs, avail_tok, w, target_tok,
+         |  LEAST((target_tok + avail_tok - 1) // avail_tok, $MaxEpochs)
+         |    AS n_epochs,
+         |  LEAST(target_tok, avail_tok * $MaxEpochs) AS shipped_tok,
+         |  avail_tok * $MaxEpochs < target_tok AS undersupplied
+         |FROM m ORDER BY source""".stripMargin,
     "curation_domain_quota" ->
       s"""WITH r AS (
          |  SELECT doc_id, source, n_chars,

@@ -309,6 +309,25 @@ class CurationExtrasSpec extends SparkTestBase {
     PipelineCache.releaseAll()
   }
 
+  test("epoch mix: integer replay, budget conservation, cap semantics") {
+    val rows = SparkEntry.queries("curation_epoch_mix")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(rows.nonEmpty)
+    val sumAvail = rows.map(_._3).sum
+    val budget = sumAvail / 2
+    val sumW = rows.map(_._4).sum
+    rows.foreach { case (src, _, avail, w, target, epochs, shipped, under) =>
+      assert(target == budget * w / sumW, s"$src target")
+      assert(epochs == math.min((target + avail - 1) / avail, 4L), s"$src epochs")
+      assert(shipped == math.min(target, avail * 4), s"$src shipped")
+      assert(under == (avail * 4 < target), s"$src undersupplied flag")
+      assert(epochs >= 1 && epochs <= 4, s"$src epoch range")
+    }
+    // floor-div targets never overshoot the budget in aggregate
+    assert(rows.map(_._5).sum <= budget)
+  }
+
   test("domain quota keeps exactly the top-quality docs of each source") {
     val got = SparkEntry.queries("curation_domain_quota")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
