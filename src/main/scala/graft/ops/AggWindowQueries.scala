@@ -153,21 +153,32 @@ object AggWindowQueries {
     * the sketch-vs-truth QA a pipeline runs at small scale before
     * trusting the sketch alone at large scale (the minhash-error
     * pattern, applied to frequency). */
-  def sketchCountminError(s: SparkSession, d: String): DataFrame = {
+  private[graft] def cmBase(key: Column): Column =
+    hexFold32(md5(concat(lit("cm:"), key.cast(StringType))))
+  private[graft] def cmCells(h: Column): Column = {
     import graft.dedup.Dedup.MinhashP
-    def base(key: Column): Column =
-      hexFold32(md5(concat(lit("cm:"), key.cast(StringType))))
-    def cells(h: Column): Column =
-      explode(array((0 until CmRows).map { r =>
-        val perm = (lit(2L * r + 3) * h + lit(r * 2654435761L)) % lit(MinhashP)
-        struct(lit(r).as("r"), pmod(perm, lit(CmBuckets)).as("b"))
-      }: _*))
-    val ev = Tables.events(s, d)
-    val grid = ev
-      .select(base(col("user_id")).as("h"))
-      .select(cells(col("h")).as("c"))
+    explode(array((0 until CmRows).map { r =>
+      val perm = (lit(2L * r + 3) * h + lit(r * 2654435761L)) % lit(MinhashP)
+      struct(lit(r).as("r"), pmod(perm, lit(CmBuckets)).as("b"))
+    }: _*))
+  }
+  /** The D·W counter grid from a (batch or streaming) keyed frame —
+    * shared by the batch QA query and [[graft.streaming.Streams]]'
+    * streaming-maintenance counterpart (the grid build is a plain
+    * groupBy aggregation, so Structured Streaming maintains it
+    * incrementally with no custom state). */
+  private[graft] def cmGrid(keyed: DataFrame): DataFrame =
+    keyed
+      .select(cmBase(col("user_id")).as("h"))
+      .select(cmCells(col("h")).as("c"))
       .groupBy(col("c.r").as("r"), col("c.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
+
+  def sketchCountminError(s: SparkSession, d: String): DataFrame = {
+    def base(key: Column): Column = cmBase(key)
+    def cells(h: Column): Column = cmCells(h)
+    val ev = Tables.events(s, d)
+    val grid = cmGrid(ev)
     val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
     exact
       .select(col("user_id"), col("n_exact"), base(col("user_id")).as("h"))

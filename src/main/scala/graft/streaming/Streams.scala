@@ -196,6 +196,60 @@ object Streams {
 
   final case class RollBuf(vals: List[Double])
 
+  /** Streaming count–min sketch maintenance: the D·W counter grid of
+    * `sketch_countmin_error` kept incrementally over an event stream.
+    * The grid build is a plain hash aggregation, so this is PURE
+    * Structured Streaming — no custom state, Spark's aggregation state
+    * IS the sketch (constant D·W rows per the CMS property), queried in
+    * Complete mode. The batch-equivalence spec asserts the streamed
+    * grid equals the batch grid cell-for-cell — integer counts and the
+    * same digest arithmetic, so equality is exact, not approximate. */
+  def countminGrid(events: DataFrame): DataFrame =
+    graft.ops.AggWindowQueries.cmGrid(events)
+
+  final case class CusumAlarm(user_id: Long, event_id: Long, s: Double)
+
+  final case class CusumState(s: Double, alarmed: Boolean)
+
+  /** Streaming CUSUM drift alarm — the ONLINE counterpart of the batch
+    * `window_cusum_drift` query, and the shape the statistic was
+    * invented for (Page 1954 monitors a live process): per user, run
+    * s = max(0, s + (x − k)) as O(1) state and emit ONE alarm row the
+    * first time s crosses the threshold. The batch query reports the
+    * retrospective peak; this reports the moment a drift became
+    * detectable — first crossing precedes (≤) the batch peak position
+    * by construction, which the batch-equivalence spec asserts.
+    *
+    * Same state/ordering contract as [[rollingAnomaly]]: O(1) per-user
+    * state, no watermark needed to bound it, per-user event_id order
+    * across micro-batches. Arithmetic note: state accumulates in
+    * DOUBLE (streaming state wants fixed-width primitives); the batch
+    * side is exact DECIMAL — the differential allows ulp slack only
+    * within a hair of the threshold, like the anomaly differential. */
+  def cusumDrift(events: Dataset[Event], k: Double = 50.0,
+      threshold: Double = 400.0): Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0.0, alarmed = false))
+          val out = scala.collection.mutable.ListBuffer[CusumAlarm]()
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            // mirror the batch side's DECIMAL(18,6) input rounding
+            val x = BigDecimal(e.value)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val s = math.max(0.0, st.s + (x - k))
+            if (s > threshold && !st.alarmed)
+              out += CusumAlarm(uid, e.event_id, s)
+            st = CusumState(s, st.alarmed || s > threshold)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming rolling z-score anomaly detection — the online
     * counterpart of the batch `window_rolling_anomaly` query: per user,
     * each event is scored against the mean/stddev of its previous 5

@@ -459,6 +459,79 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch-equivalence: streamed CUSUM alarms exactly the users the " +
+      "oracle-checked window_cusum_drift marks drifted, never after the peak") {
+    import org.apache.spark.sql.functions._
+    val beqSf = "/root/testdata/sf0.01"
+    val events = graft.ops.Tables.events(spark, beqSf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-beq-cusum").toString
+    events.coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    import spark.implicits._
+    val name = s"beq_cusum_${System.nanoTime()}"
+    val q = Streams.cusumDrift(
+        spark.readStream.schema(schema).parquet(srcDir).as[Streams.Event])
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val alarms = spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = SparkEntry.queries("window_cusum_drift")(spark, beqSf)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+        .toMap
+      // alarm set == drifted set (double-vs-decimal slack only at the
+      // threshold hairline), and the first crossing cannot postdate the
+      // retrospective peak
+      batch.foreach { case (uid, (peak, peakId, drifted)) =>
+        (alarms.get(uid), drifted) match {
+          case (Some(alarmId), true) =>
+            assert(alarmId <= peakId, s"user $uid: alarm $alarmId after peak $peakId")
+          case (None, false) => ()
+          case _ =>
+            assert(math.abs(peak - 400.0) < 1e-6,
+              s"user $uid: alarm/drift disagree away from the boundary (peak $peak)")
+        }
+      }
+      assert(alarms.nonEmpty, "fixture produced no drift alarms")
+    } finally q.stop()
+  }
+
+  test("batch-equivalence: streamed count-min grid equals the batch sketch " +
+      "cell-for-cell (exact integer parity)") {
+    import org.apache.spark.sql.functions._
+    val beqSf = "/root/testdata/sf0.01"
+    val events = graft.ops.Tables.events(spark, beqSf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-beq-cm").toString
+    // two files → two micro-batches: the grid must accumulate across
+    // batches (the incremental-maintenance property under test)
+    events.filter(col("event_id") % 2 === 0).write.mode("append").parquet(srcDir)
+    events.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val name = s"beq_cm_${System.nanoTime()}"
+    val q = Streams.countminGrid(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(srcDir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(name).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = Streams.countminGrid(events).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"${streamed.size} streamed cells vs ${batch.size} batch cells")
+      assert(batch.values.sum == events.count() * 4,
+        "grid mass must be 4 cells per event")
+    } finally q.stop()
+  }
+
   test("custom flatMapGroupsWithState sessionizer closes on inactivity timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
