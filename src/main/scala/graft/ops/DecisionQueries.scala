@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Decision-support suite: the four classic TPC-H plan shapes the v1
+  * registry did not yet exercise — distribution-of-counts over an outer
+  * join (Q13), a multi-dimension market-share ratio over a 7-table star
+  * (Q8), a correlated per-group threshold (Q17), and the exists /
+  * not-exists "sole blame" pattern (Q21). The reference's query surface
+  * is CRUD-ish ETL; these are the analytic shapes a warehouse user runs
+  * on the loaded star schema afterwards (SURVEY §2.3 joins/aggregation
+  * categories), so they are part of "same query capabilities".
+  *
+  * All follow the determinism recipe (SURVEY §2.2 preamble): DECIMAL
+  * money, integer counts, stable ORDER BY with full tiebreaks; the one
+  * ratio (market share) divides two doubles that both engines obtain by
+  * casting the SAME exact decimals, so the IEEE quotient is bit-equal.
+  *
+  * Scale posture notes are per-query; the common theme is that every
+  * correlated subquery is rewritten as ONE aggregation + ONE equi-join
+  * on the correlation key (the textbook decorrelation Spark's planner
+  * would also pick) while the DuckDB oracles keep the literal
+  * EXISTS/NOT-EXISTS form — different algorithm, same rows.
+  */
+object DecisionQueries {
+
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def moneyOut(c: Column): Column = c.cast(DoubleType)
+  private def rev: Column =
+    money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+
+  private val ShareRegion = "ASIA"
+  private val ShareType   = "PROMO"
+  private val ShareNation = "NATION_9" // largest supplier nation in the corpus
+  private val LateDays    = 60
+
+  /** Q13 shape — customer order-count distribution INCLUDING the
+    * zero-order customers an inner join would drop: left outer join with
+    * a pushed-into-the-join filter on the right side, count per customer,
+    * then count-of-counts.
+    *
+    * Scale posture: both the join and the per-customer count key on
+    * c_custkey, so the first aggregation reuses the join's exchange
+    * (one shuffle does both); the count-of-counts input is |customers|
+    * rows collapsed to a handful of distinct counts — partial aggregation
+    * makes the second exchange bytes-trivial. No window, no distinct. */
+  def dsqCustdist(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderstatus") =!= "F")
+      .select("o_custkey", "o_orderkey")
+    val perCust = c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q8 shape — market share: of all PROMO-part revenue sold to ASIA
+    * customers, the fraction supplied from one nation, per order year.
+    *
+    * Scale posture: the single large⋈large join is lineitem⋈orders on
+    * orderkey; every other input (customer at 1.5 % of lineitem, part,
+    * supplier, nation, region) broadcasts, so the star resolves in ONE
+    * shuffle + map-side hash probes. The share is a conditional decimal
+    * sum over the same pass as the total — no second scan, no self-join.
+    * Both sums partial-aggregate map-side; the final divide is per-year
+    * scalar arithmetic on exact operands. */
+  def dsqMarketShare(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    val su = Tables.supplier(s, d)
+    val p  = Tables.part(s, d).filter(col("p_type") === ShareType)
+    val cn = Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_rkey"))
+    val sn = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val r  = Tables.region(s, d).filter(col("r_name") === ShareRegion)
+
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("cn_rkey") === r("r_regionkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(sn), su("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === ShareNation, rev)
+          .otherwise(lit(BigDecimal("0.00")))).as("nat_rev_dec"),
+        sum(rev).as("tot_rev_dec"),
+        count(lit(1)).as("n_items"))
+      .select(col("o_year"),
+        (moneyOut(col("nat_rev_dec")) / moneyOut(col("tot_rev_dec")))
+          .as("mkt_share"),
+        moneyOut(col("tot_rev_dec")).as("total_rev"),
+        col("n_items"))
+      .orderBy("o_year")
+  }
+
+  /** Q17 shape — small-quantity-order revenue: lines whose quantity is
+    * below HALF their part's average quantity, revenue rolled up by
+    * brand. The correlated scalar subquery (per-part average) becomes a
+    * per-part aggregation joined back on partkey; the average itself is
+    * never divided — the predicate `qty < sum/(2n)` is cross-multiplied
+    * to `2·qty·n < sum`, keeping the whole chain in exact DECIMAL×INT
+    * arithmetic (a double average would round differently per engine).
+    *
+    * Scale posture: the per-part aggregate and the join back both key on
+    * l_partkey — one exchange feeds both (Spark reuses the partitioning);
+    * part broadcasts for the brand rollup, which partial-aggregates to
+    * |brands| rows. */
+  def dsqSmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(money(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n_lines"))
+    val p = Tables.part(s, d).select("p_partkey", "p_brand")
+    li.join(perPart, li("l_partkey") === col("pk"))
+      .filter(money(col("l_quantity")) * lit(2) * col("n_lines") < col("sum_qty"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(moneyOut(sum(rev)).as("small_qty_rev"), count(lit(1)).as("n_small"))
+      .orderBy("p_brand")
+  }
+
+  /** Q21 shape — "sole late supplier": for finished orders with lines
+    * from MORE than one supplier where EXACTLY one supplier shipped late
+    * (> 60 days after the order date), count the blame per supplier.
+    * The reference pattern is EXISTS(other supplier) AND NOT EXISTS
+    * (other LATE supplier); the registered plan is the classic rewrite —
+    * per-order supplier counts (total and late, both countDistinct) +
+    * one equi-join — which replaces two correlated self-joins of the
+    * fact table with aggregations on the SAME orderkey the late-line
+    * frame already shuffles on.
+    *
+    * Scale posture: lineitem⋈orders on orderkey (orders' status filter
+    * pushed to its scan), then every aggregation and join keys on
+    * orderkey — AQE/exchange-reuse runs the whole qualification in that
+    * one partitioning; supplier broadcasts for naming. A hub order (one
+    * key with millions of lines) bounds at the order's line count, not
+    * the corpus. The oracle keeps the EXISTS / NOT EXISTS formulation:
+    * different algorithm, same rows. */
+  def dsqWaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val late = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val nSupp = li.groupBy(col("l_orderkey").as("ok2"))
+      .agg(countDistinct(col("l_suppkey")).as("ns"))
+    val nLate = late.groupBy(col("ok").as("ok3"))
+      .agg(countDistinct(col("sk")).as("nls"))
+    val su = Tables.supplier(s, d).select("s_suppkey", "s_name")
+    late
+      .join(nSupp, col("ok") === col("ok2")).filter(col("ns") > 1)
+      .join(nLate, col("ok") === col("ok3")).filter(col("nls") === 1)
+      .join(broadcast(su), col("sk") === su("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsq_custdist"          -> dsqCustdist _,
+    "dsq_market_share"      -> dsqMarketShare _,
+    "dsq_small_qty_revenue" -> dsqSmallQtyRevenue _,
+    "dsq_waiting_supplier"  -> dsqWaitingSupplier _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dsq_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "dsq_market_share" ->
+      s"""WITH flat AS (
+         |  SELECT year(o_orderdate) AS o_year,
+         |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |      (1 - CAST(l_discount AS DECIMAL(18,2))) AS r,
+         |    sn.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN orders    ON l_orderkey = o_orderkey
+         |  JOIN customer  ON o_custkey = c_custkey
+         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |  JOIN region    ON cn.n_regionkey = r_regionkey
+         |  JOIN part      ON l_partkey = p_partkey
+         |  JOIN supplier  ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  WHERE r_name = '$ShareRegion' AND p_type = '$ShareType')
+         |SELECT o_year,
+         |  CAST(SUM(CASE WHEN supp_nation = '$ShareNation'
+         |      THEN r ELSE CAST('0.00' AS DECIMAL(18,2)) END) AS DOUBLE)
+         |    / CAST(SUM(r) AS DOUBLE) AS mkt_share,
+         |  CAST(SUM(r) AS DOUBLE) AS total_rev,
+         |  COUNT(*) AS n_items
+         |FROM flat GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "dsq_small_qty_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    COUNT(*) AS n_lines
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS small_qty_rev,
+        |  COUNT(*) AS n_small
+        |FROM lineitem JOIN pa ON l_partkey = pk
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * n_lines < sum_qty
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "dsq_waiting_supplier" ->
+      // the literal EXISTS / NOT-EXISTS formulation — independent
+      // construction of the same qualification the engine computes via
+      // per-order countDistinct aggregates
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND o3.o_orderkey = l3.l_orderkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+  )
+}
