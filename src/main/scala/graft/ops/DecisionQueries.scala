@@ -162,11 +162,94 @@ object DecisionQueries {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** Q11 shape — important nations: supplier nations whose revenue share
+    * exceeds 2 % of the global total. The HAVING-against-a-global-scalar
+    * pattern: the per-nation aggregate is compared to a 1-row global
+    * aggregate. The predicate is cross-multiplied (`rev·50 > total`) so
+    * the qualification happens in exact DECIMAL×INT arithmetic; only the
+    * reported share divides (both engines from the same exact operands).
+    *
+    * Scale posture: one lineitem aggregation keyed on s_nationkey after a
+    * broadcast supplier probe (map-side partial agg reduces to ≤ |nations|
+    * rows per task); the global total re-aggregates those few rows — not a
+    * second scan — and joins back as a broadcast single row. */
+  def dsqImportantNations(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val n  = Tables.nation(s, d).select("n_nationkey", "n_name")
+    val perNation = li
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .groupBy("s_nationkey").agg(sum(rev).as("rev_dec"))
+    val total = perNation.agg(sum(col("rev_dec")).as("tot_dec"))
+    perNation.crossJoin(broadcast(total))
+      .filter(col("rev_dec") * lit(50) > col("tot_dec"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        (moneyOut(col("rev_dec")) / moneyOut(col("tot_dec"))).as("share"),
+        moneyOut(col("rev_dec")).as("nation_rev"))
+      .orderBy("n_name")
+  }
+
+  /** Q15 shape — top supplier(s): the supplier(s) with the global maximum
+    * revenue, ties preserved. The scalar-subquery-on-an-aggregate pattern:
+    * max over a derived aggregate, equality back against it. The equality
+    * is on exact DECIMAL sums, so "tie" is well-defined identically in
+    * both engines (a double max would make tie-ness platform-dependent).
+    *
+    * Scale posture: one per-supplier aggregation (map-side partial), the
+    * 1-row max re-aggregates its output and broadcasts back; supplier
+    * names broadcast. No window, no sort of the full aggregate. */
+  def dsqTopSupplier(s: SparkSession, d: String): DataFrame = {
+    val perSupp = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey")).agg(sum(rev).as("rev_dec"))
+    val maxRev = perSupp.agg(max(col("rev_dec")).as("max_dec"))
+    val su = Tables.supplier(s, d).select("s_suppkey", "s_name")
+    perSupp.crossJoin(broadcast(maxRev))
+      .filter(col("rev_dec") === col("max_dec"))
+      .join(broadcast(su), col("l_suppkey") === su("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        moneyOut(col("rev_dec")).as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q22 shape — sales opportunity: customers with above-average (positive)
+    * account balance who have never placed an URGENT-priority order,
+    * rolled up by market segment. Combines the scalar-average subquery
+    * and NOT EXISTS anti-join. The average is never computed: `bal >
+    * sum/n` is cross-multiplied to `bal·n > sum` (DECIMAL×BIGINT, exact);
+    * the anti-join replaces the correlated NOT EXISTS. (The fixture has
+    * no order-less customers at any SF, so the "never ordered" literal of
+    * Q22 would be vacuously empty — the priority restriction keeps the
+    * same plan shape with a non-trivial answer.)
+    *
+    * Scale posture: the positive-balance aggregate is a 1-row broadcast;
+    * the anti-join keys on custkey against orders' filtered custkey
+    * projection (filter + 1-column pruning reach the scan); segment
+    * rollup partial-aggregates to |segments| rows. */
+  def dsqSalesOpportunity(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        money(col("c_acctbal")).as("bal"))
+    val pos = c.filter(col("bal") > lit(0))
+      .agg(sum(col("bal")).as("pos_sum"), count(lit(1)).as("pos_n"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    c.crossJoin(broadcast(pos))
+      .filter(col("bal") * col("pos_n") > col("pos_sum"))
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), moneyOut(sum(col("bal"))).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsq_custdist"          -> dsqCustdist _,
     "dsq_market_share"      -> dsqMarketShare _,
     "dsq_small_qty_revenue" -> dsqSmallQtyRevenue _,
     "dsq_waiting_supplier"  -> dsqWaitingSupplier _,
+    "dsq_important_nations" -> dsqImportantNations _,
+    "dsq_top_supplier"      -> dsqTopSupplier _,
+    "dsq_sales_opportunity" -> dsqSalesOpportunity _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -234,5 +317,43 @@ object DecisionQueries {
         |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
+    "dsq_important_nations" ->
+      """WITH per AS (
+        |  SELECT s_nationkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_nationkey),
+        |tot AS (SELECT SUM(rev_dec) AS tot_dec FROM per)
+        |SELECT n_name,
+        |  CAST(rev_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) AS share,
+        |  CAST(rev_dec AS DOUBLE) AS nation_rev
+        |FROM per, tot
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE rev_dec * 50 > tot_dec
+        |ORDER BY n_name""".stripMargin,
+    "dsq_top_supplier" ->
+      """WITH per AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_rev
+        |FROM per JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT MAX(rev_dec) FROM per)
+        |ORDER BY s_suppkey""".stripMargin,
+    "dsq_sales_opportunity" ->
+      """WITH pos AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS pos_sum,
+        |    COUNT(*) AS pos_n
+        |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+        |SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos_n > pos_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
   )
 }

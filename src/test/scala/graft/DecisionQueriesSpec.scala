@@ -154,4 +154,70 @@ class DecisionQueriesSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == expected)
   }
+
+  // shared exact revenue tally in 1e-4 currency units, per lineitem row
+  private def revUnits(r: org.apache.spark.sql.Row): Long =
+    cents(r.getDouble(1)) * (100L - cents(r.getDouble(2)))
+
+  test("important nations: share qualification matches the integer tally at 2%") {
+    val suppNationKey = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val nameOfNation = Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    val perNation = Tables.lineitem(spark, sfDir)
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+      .collect().map(r => (suppNationKey(r.getLong(0)), revUnits(r)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = perNation.values.sum
+    val expected = perNation.filter { case (_, rev) => rev * 50L > total }
+      .map { case (nk, rev) => nameOfNation(nk) -> rev }
+
+    val got = DecisionQueries.dsqImportantNations(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet == expected.keySet)
+    got.foreach { r =>
+      val rev = expected(r.getString(0))
+      assert(r.getDouble(1) == (rev.toDouble / 10000.0) / (total.toDouble / 10000.0))
+      assert(r.getDouble(1) > 0.02 * 0.999) // the cross-multiplied cut is the 2% rule
+    }
+  }
+
+  test("top supplier: equals the exact-revenue argmax with all ties") {
+    val perSupp = Tables.lineitem(spark, sfDir)
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+      .collect().map(r => (r.getLong(0), revUnits(r)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val maxRev = perSupp.values.max
+    val expected = perSupp.filter(_._2 == maxRev).keySet
+
+    val got = DecisionQueries.dsqTopSupplier(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSet == expected)
+    got.foreach(r => assert(math.abs(r.getDouble(2) - maxRev.toDouble / 10000.0) < 1e-6))
+  }
+
+  test("sales opportunity: above-average no-URGENT customers match the literal scan") {
+    val custs = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .collect().map(r => (r.getLong(0), r.getString(1), cents(r.getDouble(2))))
+    val pos = custs.map(_._3).filter(_ > 0)
+    val (posSum, posN) = (pos.sum, pos.length.toLong)
+    val urgentCusts = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val qualifying = custs.filter { case (ck, _, bal) =>
+      bal * posN > posSum && !urgentCusts(ck) }
+    assert(qualifying.nonEmpty, "fixture lost its no-URGENT qualifiers")
+    val expected = qualifying.groupBy(_._2).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._3).sum)).toMap
+
+    val got = DecisionQueries.dsqSalesOpportunity(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (seg, (n, bal)) =>
+      val (en, ebal) = expected(seg)
+      assert(n == en, s"segment $seg count")
+      assert(math.abs(bal - ebal.toDouble / 100.0) < 1e-9, s"segment $seg balance")
+    }
+  }
 }
