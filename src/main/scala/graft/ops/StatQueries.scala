@@ -369,7 +369,79 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** Incremental materialized-view maintenance — the merge step a nightly
+    * pipeline runs instead of the reference's truncate-and-reload
+    * (`etl_process.py`'s full reload is the degenerate "recompute
+    * everything" case): the history partition exists only as
+    * already-aggregated per-(type, day) STATE rows, the delta days arrive
+    * as raw rows, and the final answer merges the two state sets —
+    * counts add, sums add (exact DECIMAL — order-insensitive), mins/maxs
+    * re-min/re-max, day counts come off the state rows. The oracle
+    * recomputes from all raw rows in one pass: state-merge and
+    * full-recompute must be indistinguishable, which is precisely the
+    * mergeability contract that lets a 100 TB MV update by touching only
+    * the delta partition.
+    *
+    * Scale posture: the base aggregation shuffles each partition once on
+    * (type, day) — in production those state rows are READ, not computed,
+    * so the only work proportional to data size is the delta scan; the
+    * final merge aggregates |types|·|days| state rows — bytes-trivial. */
+  def etlIncrementalMv(s: SparkSession, d: String): DataFrame = {
+    val split = java.sql.Date.valueOf(MvSplitDay)
+    val ev = Tables.events(s, d).select(col("event_type"),
+      to_date(col("ts")).as("day"),
+      col("value").cast(DecimalType(18, 2)).as("v"))
+    def state(df: DataFrame): DataFrame = df.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        min("v").as("mn"), max("v").as("mx"))
+    val base  = state(ev.filter(col("day") <  lit(split)))
+    val delta = state(ev.filter(col("day") >= lit(split)))
+    base.unionByName(delta).groupBy("event_type")
+      .agg(sum("n").as("n_events"),
+        sum("sv").cast(DoubleType).as("total_value"),
+        min("mn").cast(DoubleType).as("min_value"),
+        max("mx").cast(DoubleType).as("max_value"),
+        countDistinct("day").as("n_days"))
+      .orderBy("event_type")
+  }
+  private val MvSplitDay = "2024-01-25"
+
+  /** Last-touch marketing attribution: every purchase is credited to the
+    * user's most recent click/view within a 7-day lookback, else "none".
+    * The carry-forward is ONE window pass (`last(..., ignoreNulls)` over
+    * UNBOUNDED PRECEDING‥1 PRECEDING) — no self-join of conversions
+    * against touches. Ordering is (whole second, event_id): the parquet
+    * timestamps are nanos that the two engines truncate to different
+    * precisions, so sub-second order must never decide a tie.
+    *
+    * Scale posture: one hash exchange on user_id serves the whole query;
+    * the rollup input is |purchases| rows partial-aggregated to ≤
+    * |touch types|+1 groups. State per row is one small struct —
+    * no per-user history materializes anywhere. */
+  def windowAttributionLasttouch(s: SparkSession, d: String): DataFrame = {
+    val lookbackSec = 7L * 86400
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value").cast(DecimalType(18, 2)).as("v"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"),
+      struct(col("sec").as("tsec"), col("event_type").as("ttype")))
+    ev.withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(
+        when(col("lt.tsec") >= col("sec") - lit(lookbackSec), col("lt.ttype")),
+        lit("none")).as("touch_type"), col("v"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_conv"),
+        sum("v").cast(DoubleType).as("attributed_value"))
+      .orderBy("touch_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_incremental_mv"        -> etlIncrementalMv _,
+    "window_attribution_lasttouch" -> windowAttributionLasttouch _,
     "window_cusum_drift"        -> windowCusumDrift _,
     "agg_ks_drift"              -> aggKsDrift _,
     "etl_dq_profile"            -> etlDqProfile _,
@@ -383,6 +455,39 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_incremental_mv" ->
+      // full recompute in one pass — the state-merge must be
+      // indistinguishable from it (the mergeability contract)
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+        |  CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+        |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "window_attribution_lasttouch" ->
+      // two LAST_VALUE IGNORE NULLS columns instead of the engine's one
+      // struct: both expressions are null on exactly the same rows, so
+      // the same touch row feeds both
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |tagged AS (
+        |  SELECT *,
+        |    LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN sec END
+        |      IGNORE NULLS) OVER lw AS tsec,
+        |    LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN event_type END
+        |      IGNORE NULLS) OVER lw AS ttype
+        |  FROM ev
+        |  WINDOW lw AS (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT COALESCE(CASE WHEN tsec >= sec - 604800 THEN ttype END, 'none')
+        |    AS touch_type,
+        |  COUNT(*) AS n_conv,
+        |  CAST(SUM(v) AS DOUBLE) AS attributed_value
+        |FROM tagged WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "window_cusum_drift" ->
       // identical prefix transformation; DECIMAL throughout, one final
       // display cast; event_id is unique per user so the default RANGE
