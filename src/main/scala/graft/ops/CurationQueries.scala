@@ -337,7 +337,79 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** Temperature-based source mixing (α = 1/2) — the mC4/multilingual
+    * rebalancing rule: sampling weight ∝ (source share)^α flattens the
+    * natural distribution so long-tail sources are up-sampled and
+    * mega-sources down-sampled, without going all the way to uniform.
+    * α = 1/2 makes the weight a SQUARE ROOT, the one non-rational
+    * function that is cross-engine safe: IEEE 754 requires sqrt
+    * correctly rounded, so Spark and DuckDB compute the identical
+    * double, and the weight is floor-scaled to an integer
+    * (⌊√(tok·10⁶)⌋) so everything downstream — shares, token targets,
+    * the ×1000 boost factor vs the natural share — is exact BIGINT
+    * arithmetic.
+    *
+    * Output per source: natural vs temperature token target and the
+    * boost factor; boost > 1000 ⇔ the source is smaller than the mix
+    * average — the up-sampling signal a mix designer reads.
+    *
+    * Scale posture: identical to [[curationEpochMix]] — one partial-
+    * aggregated rollup of the corpus to per-source token counts, then
+    * all mixing math on the ≤#sources-row frame with a broadcast 1-row
+    * global; the corpus is scanned once and never reshuffled. */
+  def curationTemperatureMix(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextAnalysis.tokenCount
+    val perSource = Tables.documents(s, d)
+      .select(col("source"), tokenCount(col("text")).cast(LongType).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("avail_tok"))
+      .withColumn("w",
+        floor(sqrt((col("avail_tok") * lit(1000000L)).cast(DoubleType)))
+          .cast(LongType))
+    val globals = perSource.agg(
+      sum("avail_tok").as("total_tok"), sum("w").as("sum_w"))
+    perSource.crossJoin(broadcast(globals))
+      .withColumn("budget", expr("total_tok div 2"))
+      .withColumn("target_tok", expr("budget * w div sum_w"))
+      .withColumn("natural_tok", expr("budget * avail_tok div total_tok"))
+      .withColumn("boost_x1000",
+        expr("target_tok * 1000 div greatest(natural_tok, CAST(1 AS BIGINT))"))
+      .select("source", "n_docs", "avail_tok", "w", "target_tok",
+        "natural_tok", "boost_x1000")
+      .orderBy("source")
+  }
+
+  /** Cross-source quality quantile normalization: a raw quality score is
+    * only comparable WITHIN a source (different domains have different
+    * length/boilerplate profiles), so pipelines rank each doc against
+    * its own source (PERCENT_RANK — both engines define it as
+    * (rank−1)/(n−1) on identical operands, hence identical doubles) and
+    * bucket by normalized decile. The rollup pins the mapping: within a
+    * source the mean raw score must be non-decreasing across deciles
+    * (spec-asserted) while each decile holds ~1/10 of every source —
+    * the property that makes a single global "keep top 30 %" threshold
+    * fair across sources.
+    *
+    * Scale posture: one hash exchange on source for the rank window
+    * (mega-source skew → the two-phase pre-rank cut described at
+    * [[curationDomainQuota]]), then a partial-aggregated rollup to
+    * ≤ sources×10 rows. */
+  def curationQualityQnorm(s: SparkSession, d: String): DataFrame = {
+    val pr = percent_rank().over(
+      Window.partitionBy("source").orderBy(col("q"), col("doc_id")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        least(col("n_chars"), lit(2000L)).as("q"))
+      .withColumn("decile",
+        least(floor(pr * lit(10.0)).cast(LongType), lit(9L)))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"), sum("q").as("sum_q"))
+      .orderBy("source", "decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_temperature_mix" -> curationTemperatureMix _,
+    "curation_quality_qnorm"   -> curationQualityQnorm _,
     "curation_epoch_mix"       -> curationEpochMix _,
     "curation_domain_quota"    -> curationDomainQuota _,
     "curation_pack_sequences"  -> curationPackSequences _,
@@ -354,6 +426,38 @@ object CurationQueries {
   import TextQueries.{cleanedSql, ratioSqlOf, tokensSqlOf}
 
   val oracle: Map[String, String] = Map(
+    "curation_temperature_mix" ->
+      // sqrt is IEEE-correctly-rounded in both engines, then floor-scaled
+      // to BIGINT — everything after the weight is exact integer math
+      s"""WITH t AS (SELECT source,
+         |    CAST(len(${tokensSqlOf("text")}) AS BIGINT) AS tok
+         |  FROM documents),
+         |ps AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(tok) AS BIGINT) AS avail_tok
+         |  FROM t GROUP BY source),
+         |pw AS (SELECT *, CAST(FLOOR(SQRT(CAST(avail_tok * 1000000
+         |    AS DOUBLE))) AS BIGINT) AS w FROM ps),
+         |g AS (SELECT CAST(SUM(avail_tok) AS BIGINT) AS total_tok,
+         |    CAST(SUM(w) AS BIGINT) AS sum_w FROM pw),
+         |m AS (SELECT pw.*, g.total_tok // 2 AS budget, g.total_tok,
+         |    g.sum_w FROM pw CROSS JOIN g)
+         |SELECT source, n_docs, avail_tok, w,
+         |  budget * w // sum_w AS target_tok,
+         |  budget * avail_tok // total_tok AS natural_tok,
+         |  (budget * w // sum_w) * 1000
+         |    // GREATEST(budget * avail_tok // total_tok, 1) AS boost_x1000
+         |FROM m ORDER BY source""".stripMargin,
+    "curation_quality_qnorm" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(LEAST(n_chars, 2000) AS BIGINT) AS q FROM documents),
+        |r AS (SELECT source, q,
+        |    PERCENT_RANK() OVER (PARTITION BY source ORDER BY q, doc_id)
+        |      AS pr
+        |  FROM t)
+        |SELECT source,
+        |  CAST(LEAST(FLOOR(pr * 10), 9) AS BIGINT) AS decile,
+        |  COUNT(*) AS n_docs, CAST(SUM(q) AS BIGINT) AS sum_q
+        |FROM r GROUP BY 1, 2 ORDER BY source, decile""".stripMargin,
     "curation_epoch_mix" ->
       // pure integer arithmetic mirror; SUM(BIGINT) is HUGEINT in
       // DuckDB — cast back before the div chain
