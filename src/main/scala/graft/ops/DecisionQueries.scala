@@ -242,7 +242,108 @@ object DecisionQueries {
       .orderBy("c_mktsegment")
   }
 
+  private val Q3Cut = "1998-06-01"
+
+  /** Q3 shape — shipping priority: revenue of the not-yet-shipped part
+    * of BUILDING-segment orders placed before the cutoff, top 10 by
+    * revenue. The classic "3-table join, group on the fact key, global
+    * top-k" plan.
+    *
+    * Scale posture: both filters push into the parquet scans before the
+    * joins; the group keys on l_orderkey so the aggregation reuses the
+    * lineitem⋈orders exchange; the top-10 is TakeOrderedAndProject
+    * (per-partition heaps + driver merge of 10·partitions rows), never
+    * a global sort. Ordering ties break on exact DECIMAL revenue then
+    * the key, so the top-10 SET is deterministic. */
+  def dsqShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, d)
+      .filter(expr(s"o_orderdate < TIMESTAMP '$Q3Cut'"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, d)
+      .filter(expr(s"l_shipdate > TIMESTAMP '$Q3Cut'"))
+      .select(col("l_orderkey"), rev.as("r"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"), "left_semi")
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("r")).as("rev_x"))
+      .orderBy(col("rev_x").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), moneyOut(col("rev_x")).as("revenue"),
+        col("o_orderdate"))
+  }
+
+  /** Q10 shape — returned-item reporting: revenue lost to 'R'-flag
+    * returns per customer in one quarter, top 20 customers with their
+    * nation. Join pyramid fact→orders→customer→nation with the
+    * aggregation keyed on the customer attributes.
+    *
+    * Scale posture: quarter + returnflag filters reach the scans;
+    * nation broadcasts; the per-customer aggregate keys on c_custkey
+    * (the other group columns are functionally dependent, riding the
+    * same exchange); top-20 is TakeOrdered on the exact DECIMAL with a
+    * key tiebreak. */
+  def dsqReturnedCustomers(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(expr("o_orderdate >= TIMESTAMP '1997-10-01'") &&
+        expr("o_orderdate < TIMESTAMP '1998-01-01'"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), rev.as("r"))
+    val c = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sum(col("r")).as("rev_x"))
+      .orderBy(col("rev_x").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"),
+        moneyOut(col("rev_x")).as("revenue"), col("c_acctbal"),
+        col("n_name"))
+  }
+
+  /** Q5 shape — local supplier volume: revenue per nation in one region
+    * and year where the supplier is in the CUSTOMER's nation — the
+    * join-graph cycle (lineitem→orders→customer→nation plus
+    * lineitem→supplier with s_nationkey = c_nationkey) that makes Q5
+    * the classic join-order benchmark.
+    *
+    * Scale posture: the cycle closes with an equi-FILTER
+    * (s_nationkey = c_nationkey) after the supplier equi-join rather
+    * than a second join pass; nation/region broadcast; year filter
+    * pushes to the orders scan; final rollup is ≤ |nations| rows. */
+  def dsqLocalVolume(s: SparkSession, d: String): DataFrame = {
+    val rg = Tables.region(s, d).filter(col("r_name") === ShareRegion)
+    val n = Tables.nation(s, d)
+      .join(broadcast(rg), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val o = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1997)
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), rev.as("r"))
+      .join(o, col("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, col("l_suppkey") === su("s_suppkey"))
+      .filter(su("s_nationkey") === c("c_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(moneyOut(sum(col("r"))).as("revenue"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsq_shipping_priority"  -> dsqShippingPriority _,
+    "dsq_returned_customers" -> dsqReturnedCustomers _,
+    "dsq_local_volume"       -> dsqLocalVolume _,
     "dsq_custdist"          -> dsqCustdist _,
     "dsq_market_share"      -> dsqMarketShare _,
     "dsq_small_qty_revenue" -> dsqSmallQtyRevenue _,
@@ -253,6 +354,51 @@ object DecisionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dsq_shipping_priority" ->
+      s"""SELECT l_orderkey,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         |  o_orderdate
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_custkey IN (SELECT c_custkey FROM customer
+         |    WHERE c_mktsegment = 'BUILDING')
+         |  AND o_orderdate < TIMESTAMP '$Q3Cut'
+         |  AND l_shipdate > TIMESTAMP '$Q3Cut'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |    (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC,
+         |  o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "dsq_returned_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-10-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "dsq_local_volume" ->
+      s"""SELECT n_name,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE s_nationkey = c_nationkey AND r_name = '$ShareRegion'
+         |  AND year(o_orderdate) = 1997
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "dsq_custdist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

@@ -439,7 +439,69 @@ object StatQueries {
       .orderBy("touch_type")
   }
 
+  /** Weighted percentile (weighted lower median): the per-group value at
+    * which the running quantity-weight crosses half the total — the
+    * distributed form of "median price weighted by units sold". One
+    * pass: cumulative-weight window + total-weight window share the
+    * same per-group exchange, then `min(v | 2·cum ≥ tot)` picks the
+    * crossing value. All comparisons happen on exact DECIMAL, so the
+    * crossing row is engine-independent; ordering ties on `v` are
+    * harmless because every row of a tie carries the same `v` — the
+    * selected VALUE is order-invariant even though `cum` is not.
+    *
+    * Scale posture: one hash exchange on the group key; the window is a
+    * running sum (O(1) state per row, no buffering); the final
+    * aggregation rides the same partitioning. A group too large for one
+    * partition's sort would switch to the two-pass histogram form
+    * (`agg_histogram_buckets` + in-bucket scan) — same answer. */
+  def aggWeightedPercentile(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.lineitem(s, d).select(col("l_returnflag"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("v"),
+      col("l_quantity").cast(DecimalType(18, 2)).as("w"))
+    val grp = Window.partitionBy("l_returnflag")
+    val cum = grp.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum("w").over(cum))
+      .withColumn("tot", sum("w").over(grp))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min("v").cast(DoubleType).as("weighted_median"),
+        min("tot").cast(DoubleType).as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Gini concentration index per group over order value — the
+    * inequality rollup a marketplace runs on revenue distribution. Uses
+    * the rank identity G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) with xᵢ
+    * ascending: ranks come from one row_number window (ties on x break
+    * by key, and swapping ranks within an x-tie leaves Σi·xᵢ unchanged,
+    * so the statistic is deterministic), and both Σ terms accumulate in
+    * DECIMAL — order-insensitive — with ONE final double division. The
+    * oracle hops DECIMAL→VARCHAR→DOUBLE (DuckDB's direct decimal cast
+    * double-rounds; recipe from round 4).
+    *
+    * Scale posture: one hash exchange on the group key for the window,
+    * and the heavy sums are partial-aggregated on the same partitioning;
+    * nothing global. The rank window is the only per-group sort — the
+    * same cost class as any percentile. */
+  def aggGiniIndex(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderpriority"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("x"), col("o_orderkey"))
+    val rn = row_number().over(Window.partitionBy("o_orderpriority")
+      .orderBy(col("x"), col("o_orderkey")))
+    o.withColumn("i", rn.cast(DecimalType(18, 0)))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("x").as("s0"), sum(col("x") * col("i")).as("s1"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        ((col("s1") * 2 - col("s0") * (col("n_orders") + 1)).cast(DoubleType) /
+          (col("s0") * col("n_orders")).cast(DoubleType)).as("gini"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_percentile"   -> aggWeightedPercentile _,
+    "agg_gini_index"            -> aggGiniIndex _,
     "etl_incremental_mv"        -> etlIncrementalMv _,
     "window_attribution_lasttouch" -> windowAttributionLasttouch _,
     "window_cusum_drift"        -> windowCusumDrift _,
@@ -455,6 +517,37 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_weighted_percentile" ->
+      """WITH t AS (SELECT l_returnflag,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS w
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, v, w,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM t)
+        |SELECT l_returnflag,
+        |  CAST(MIN(v) AS DOUBLE) AS weighted_median,
+        |  CAST(CAST(MIN(tot) AS VARCHAR) AS DOUBLE) AS total_weight
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_gini_index" ->
+      // VARCHAR hop on both casts: DuckDB's direct DECIMAL→DOUBLE
+      // double-rounds (round-4 recipe)
+      """WITH r AS (SELECT o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+        |      AS DECIMAL(18,0)) AS i
+        |  FROM orders),
+        |a AS (SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |    SUM(x) AS s0, SUM(x * i) AS s1
+        |  FROM r GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n_orders,
+        |  CAST(CAST(s1 * 2 - s0 * (n_orders + 1) AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(s0 * n_orders AS VARCHAR) AS DOUBLE) AS gini
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
     "etl_incremental_mv" ->
       // full recompute in one pass — the state-merge must be
       // indistinguishable from it (the mergeability contract)

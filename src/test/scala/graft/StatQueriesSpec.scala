@@ -206,4 +206,41 @@ class StatQueriesSpec extends SparkTestBase {
     }
     PipelineCache.releaseAll()
   }
+
+  test("weighted median matches a driver-side replay and sits inside the value range") {
+    val data = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_extendedprice", "l_quantity")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val got = StatQueries.aggWeightedPercentile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == data.map(_._1).toSet)
+    data.groupBy(_._1).foreach { case (flag, xs) =>
+      // replay in cents/centi-units — exact integer arithmetic
+      val sorted = xs.map(t => (math.round(t._2 * 100), math.round(t._3 * 100)))
+        .sortBy(_._1)
+      val tot = sorted.map(_._2).sum
+      var cum = 0L
+      val med = sorted.find { case (_, w) => cum += w; 2 * cum >= tot }.get._1
+      assert(math.round(got(flag)._1 * 100) == med, s"flag $flag median")
+      assert(math.round(got(flag)._2 * 100) == tot, s"flag $flag total weight")
+    }
+  }
+
+  test("gini index is in [0,1) and matches a driver-side replay") {
+    val data = Tables.orders(spark, sfDir)
+      .select("o_orderpriority", "o_totalprice", "o_orderkey")
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2)))
+    val got = StatQueries.aggGiniIndex(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    data.groupBy(_._1).foreach { case (pri, xs) =>
+      val sorted = xs.sortBy(t => (t._2, t._3)).map(_._2)
+      val n = sorted.length.toLong
+      val s0 = sorted.map(BigInt(_)).sum
+      val s1 = sorted.zipWithIndex.map { case (x, i) => BigInt(x) * (i + 1) }.sum
+      val gini = (BigDecimal(2 * s1 - s0 * (n + 1)) / BigDecimal(s0 * n)).toDouble
+      assert(got(pri)._1 == n)
+      assert(math.abs(got(pri)._2 - gini) < 1e-12, s"$pri gini")
+      assert(got(pri)._2 >= 0.0 && got(pri)._2 < 1.0)
+    }
+  }
 }
