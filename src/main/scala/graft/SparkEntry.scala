@@ -25,7 +25,8 @@ object SparkEntry {
       MultimodalQueries.queries ++ AdvancedQueries.queries ++
       SourceSinkQueries.queries ++ AsofQueries.queries ++
       RangeTfQueries.queries ++ CurationQueries.queries ++
-      GraphQueries.queries ++ StatQueries.queries ++ DecisionQueries.queries
+      GraphQueries.queries ++ StatQueries.queries ++
+      DecisionQueries.queries ++ DecisionQueriesB.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       MultimodalQueries.oracle ++ AdvancedQueries.oracle ++
       SourceSinkQueries.oracle ++ AsofQueries.oracle ++
       RangeTfQueries.oracle ++ CurationQueries.oracle ++
-      GraphQueries.oracle ++ StatQueries.oracle ++ DecisionQueries.oracle
+      GraphQueries.oracle ++ StatQueries.oracle ++
+      DecisionQueries.oracle ++ DecisionQueriesB.oracle
 }

@@ -1,0 +1,405 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Decision-support suite B — the remaining classic TPC-H plan shapes
+  * not yet exercised by [[DecisionQueries]]: EXISTS-with-non-equi
+  * correlation (Q4), the bidirectional nation-pair volume query (Q7),
+  * a multi-dim profit rollup (Q9), conditional split counts (Q12), the
+  * promo-revenue ratio (Q14), distinct-count over an exclusion list
+  * (Q16), HAVING-on-fact-key with join-back (Q18), a disjunction of
+  * conjunctive range predicates (Q19), and nested aggregation feeding a
+  * semi-join (Q20's "dominant supplier" reshape). The corpus has no
+  * partsupp / commit-receipt dates / ship-mode columns, so each query
+  * keeps its reference plan SHAPE on the columns that exist (noted
+  * per-query).
+  *
+  * Determinism recipe as everywhere (SURVEY §2.2): money and quantity
+  * aggregate in DECIMAL (exact, order-insensitive), casts to DOUBLE
+  * only on final output, ratios divide two doubles both engines derive
+  * from the SAME exact decimal, total ORDER BY with tiebreaks.
+  *
+  * Scale posture theme: every correlated EXISTS decorrelates to one
+  * semi-join keyed on the correlation key; dimension sides broadcast;
+  * fact-side aggregates key on the fact's own key so they reuse (or
+  * avoid) the join exchange. The oracles keep DuckDB's literal
+  * correlated forms — different algorithm, same rows.
+  */
+object DecisionQueriesB {
+
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def moneyOut(c: Column): Column = c.cast(DoubleType)
+  private def rev: Column =
+    money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+
+  private val PairA = "NATION_9"
+  private val PairB = "NATION_3"
+  private val LargeQty = 250
+
+  /** Q4 shape — order-priority check: orders placed in one year that
+    * have at least one line item shipped more than 90 days after the
+    * order date (the corpus' stand-in for commit<receipt lateness),
+    * counted per priority.
+    *
+    * Scale posture: the EXISTS decorrelates to a LEFT SEMI join keyed
+    * on l_orderkey with the non-equi lateness residual evaluated inside
+    * the hash join (no second pass); the year filter reaches the orders
+    * scan, and the final count-by-priority is a 5-row rollup riding
+    * partial aggregation. The oracle keeps the literal correlated
+    * EXISTS. */
+  def dsqPriorityLateExists(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(expr("o_orderdate >= TIMESTAMP '1997-01-01'") &&
+        expr("o_orderdate < TIMESTAMP '1998-01-01'"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q7 shape — volume shipping between a nation pair, both directions:
+    * revenue where the supplier sits in one of two named nations and
+    * the customer in the other, by (supp_nation, cust_nation, year).
+    *
+    * Scale posture: both nation filters broadcast into the supplier and
+    * customer joins, so the fact stream shrinks to pair traffic BEFORE
+    * the orders join; the rollup output is 2·|years| rows. The join
+    * tree is the Q7 pyramid — lineitem⋈supplier (small, broadcast),
+    * then ⋈orders⋈customer on their keys. */
+  def dsqNationPairVolume(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(PairA, PairB))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cu = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(PairA, PairB))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"), rev.as("r"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(moneyOut(sum(col("r"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q9 shape — product-type profit by supplier nation and year for one
+    * part family (name contains 'widget'): profit per line = revenue
+    * minus a retail-price cost proxy (the corpus has no
+    * ps_supplycost), aggregated over the full history.
+    *
+    * Scale posture: the part-family filter broadcasts into the fact
+    * scan's first join and prunes ~95% of lines before anything
+    * shuffles; supplier→nation is a second broadcast hop; the rollup is
+    * |nations|·|years| rows. Profit stays exact DECIMAL until the final
+    * double cast — both engines' decimal multiply rules produce the
+    * same exact values at these precisions. */
+  def dsqProductProfit(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).filter(col("p_name").contains("widget"))
+      .select("p_partkey", "p_retailprice")
+    val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_quantity"), rev.as("r"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).as("o_year"))
+      .agg(moneyOut(sum(col("r") -
+        money(col("l_quantity")) * money(col("p_retailprice")))).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q12 shape — priority split counts: per line status (the corpus'
+    * stand-in for ship mode), how many slow-shipped lines (≥30 days
+    * after order) belong to critical-priority orders vs the rest, for
+    * one ship year.
+    *
+    * Scale posture: one equi-join lineitem⋈orders on the order key with
+    * the lateness residual inside the join; the conditional split is
+    * two codegen'd CASE sums in ONE aggregation pass over a 2-row
+    * group-by — no second scan, no pivot shuffle. */
+  def dsqPrioritySplit(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(expr("l_shipdate >= TIMESTAMP '1997-01-01'") &&
+        expr("l_shipdate < TIMESTAMP '1998-01-01'"))
+      .select("l_orderkey", "l_linestatus", "l_shipdate")
+      .join(o, col("l_orderkey") === o("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Q14 shape — promo revenue effect: the share of one month's revenue
+    * coming from PROMO-type parts, per ship month of one year. The
+    * classic conditional-aggregation ratio.
+    *
+    * Scale posture: part (a dimension) broadcasts; numerator and
+    * denominator are CASE branches of the SAME aggregation pass (one
+    * scan, one 12-row exchange); the ratio divides two doubles both
+    * engines cast from identical exact decimals, so it is bit-equal
+    * cross-engine. */
+  def dsqPromoEffect(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select("p_partkey", "p_type")
+    Tables.lineitem(s, d)
+      .filter(expr("l_shipdate >= TIMESTAMP '1997-01-01'") &&
+        expr("l_shipdate < TIMESTAMP '1998-01-01'"))
+      .select(col("l_partkey"), col("l_shipdate"), rev.as("r"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("r"))
+          .otherwise(money(lit(0)))).as("promo_dec"),
+        sum(col("r")).as("tot_dec"))
+      .select(col("ship_month"),
+        (moneyOut(col("promo_dec")) * 100.0 / moneyOut(col("tot_dec")))
+          .as("promo_pct"),
+        moneyOut(col("promo_dec")).as("promo_rev"),
+        moneyOut(col("tot_dec")).as("total_rev"))
+      .orderBy("ship_month")
+  }
+
+  /** Q16 shape — supplier variety per part profile: how many DISTINCT
+    * suppliers shipped each (brand, type, size) combination, excluding
+    * one brand, restricted to a size list, and excluding "complaint"
+    * suppliers (negative account balance — the corpus' stand-in for
+    * Q16's comment-pattern exclusion).
+    *
+    * Scale posture: the exclusion list is a broadcast ANTI join (a few
+    * suppliers), part broadcasts into the fact scan, and the
+    * distinct-count runs as Spark's two-phase partial-distinct
+    * aggregate — the (group, suppkey) de-dup happens map-side before
+    * the exchange, so the shuffle carries near-distinct rows only. */
+  def dsqSupplierVariety(s: SparkSession, d: String): DataFrame = {
+    val badSupp = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** Q18 shape — large-volume orders: orders whose total quantity
+    * exceeds a threshold, joined back to customer and order attributes,
+    * top 100 by quantity.
+    *
+    * Scale posture: the HAVING aggregation keys on the fact's own
+    * l_orderkey — ONE exchange produces the qualifying set (a few
+    * hundred keys), which then broadcasts into the joins against orders
+    * and customer; the big fact table is never re-shuffled for the
+    * join-back. Quantity aggregates in DECIMAL so the threshold and the
+    * ordering are exact. */
+  def dsqLargeOrders(s: SparkSession, d: String): DataFrame = {
+    val qual = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(money(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > LargeQty)
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.customer(s, d).select("c_custkey", "c_name")
+    o.join(broadcast(qual), o("o_orderkey") === qual("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        moneyOut(col("qty_dec")).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q19 shape — disjunctive range revenue: total discounted revenue
+    * over an OR of three (brand, size-range, quantity-range)
+    * conjunctions — the classic "can the optimizer keep a disjunction
+    * next to the join" shape.
+    *
+    * Scale posture: part broadcasts and the whole disjunction evaluates
+    * as one codegen'd residual inside the broadcast hash join (no union
+    * of three scans, no re-read of the fact); the result is a 1-row
+    * global sum, partial-aggregated. */
+  def dsqDisjunctiveRev(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#25" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), rev.as("r"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(moneyOut(sum(col("r"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q20 shape reshaped — dominant suppliers: suppliers that shipped
+    * more than 20% of some part's total shipped quantity (the corpus
+    * has no partsupp.availqty, so "excess share of a part's flow"
+    * replaces "excess stock"), listed with their nation.
+    *
+    * Scale posture: nested aggregation — per-(part,supplier) quantities
+    * in one exchange, per-part totals from re-aggregating that SMALL
+    * frame (not the fact), share test as exact integer-decimal
+    * cross-multiply (5·q > tot, no division), then the qualifying
+    * supplier ids (a handful) drive a broadcast SEMI join against the
+    * supplier dimension. The fact table is read once. */
+  def dsqDominantSupplier(s: SparkSession, d: String): DataFrame = {
+    val pq = Tables.lineitem(s, d)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(money(col("l_quantity"))).as("q"))
+    val tot = pq.groupBy("l_partkey").agg(sum(col("q")).as("tq"))
+    val qualIds = pq.join(tot, "l_partkey")
+      .filter(col("q") * 5 > col("tq"))
+      .select(col("l_suppkey")).distinct()
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    Tables.supplier(s, d)
+      .join(broadcast(qualIds), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsq_priority_late_exists" -> dsqPriorityLateExists _,
+    "dsq_nation_pair_volume"   -> dsqNationPairVolume _,
+    "dsq_product_profit"       -> dsqProductProfit _,
+    "dsq_priority_split"       -> dsqPrioritySplit _,
+    "dsq_promo_effect"         -> dsqPromoEffect _,
+    "dsq_supplier_variety"     -> dsqSupplierVariety _,
+    "dsq_large_orders"         -> dsqLargeOrders _,
+    "dsq_disjunctive_rev"      -> dsqDisjunctiveRev _,
+    "dsq_dominant_supplier"    -> dsqDominantSupplier _
+  )
+
+  private val revSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val oracle: Map[String, String] = Map(
+    "dsq_priority_late_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "dsq_nation_pair_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year,
+         |  CAST(SUM($revSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE ((sn.n_name = '$PairA' AND cn.n_name = '$PairB')
+         |    OR (sn.n_name = '$PairB' AND cn.n_name = '$PairA'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "dsq_product_profit" ->
+      s"""SELECT n_name AS nation, year(l_shipdate) AS o_year,
+         |  CAST(SUM($revSql -
+         |    CAST(l_quantity AS DECIMAL(18,2)) *
+         |    CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS profit
+         |FROM lineitem
+         |JOIN part     ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "dsq_priority_split" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "dsq_promo_effect" ->
+      s"""WITH m AS (SELECT date_trunc('month', l_shipdate) AS ship_month,
+         |    SUM(CASE WHEN p_type = 'PROMO' THEN $revSql
+         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_dec,
+         |    SUM($revSql) AS tot_dec
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+         |  GROUP BY 1)
+         |SELECT ship_month,
+         |  CAST(promo_dec AS DOUBLE) * 100.0 / CAST(tot_dec AS DOUBLE)
+         |    AS promo_pct,
+         |  CAST(promo_dec AS DOUBLE) AS promo_rev,
+         |  CAST(tot_dec AS DOUBLE) AS total_rev
+         |FROM m ORDER BY ship_month""".stripMargin,
+    "dsq_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "dsq_large_orders" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  CAST(qty_dec AS DOUBLE) AS total_qty
+         |FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2)))
+         |    AS qty_dec FROM lineitem GROUP BY l_orderkey
+         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > $LargeQty) q
+         |JOIN orders   ON o_orderkey = q.l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "dsq_disjunctive_rev" ->
+      s"""SELECT CAST(SUM($revSql) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "dsq_dominant_supplier" ->
+      """WITH pq AS (SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, SUM(q) AS tq FROM pq GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM pq
+        |  JOIN tot USING (l_partkey) WHERE q * 5 > tq)
+        |ORDER BY s_suppkey""".stripMargin
+  )
+}

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DecisionQueriesB, Tables}
+
+/** Brute-force re-derivations of decision-support suite B at sf0.001:
+  * literal per-row scans replace the engine's joins/aggregations and
+  * the results compare exactly (integer cents / integer counts). The
+  * DuckDB oracle is the cross-engine check; these pin semantics against
+  * an independent in-process construction.
+  */
+class DecisionQueriesBSpec extends SparkTestBase {
+
+  private def cents(d: Double): Long =
+    new java.math.BigDecimal(d).setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
+  // revenue in integer cents×100 (price cents × (100 - discount%·100)/100)
+  // — replay rev = price·(1-disc) exactly: cents(price)·(100-cents2(disc))
+  // where disc has 2 decimals ⇒ disc·100 integral
+  private def revMicro(price: Double, disc: Double): BigInt =
+    BigInt(cents(price)) * (100 - cents(disc))
+
+  test("priority-late-exists counts match a literal per-order EXISTS scan") {
+    // epoch-second casts keep the replay free of JVM date-API variance
+    val lines = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate").cast("timestamp").cast("long").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expected = Tables.orders(spark, sfDir)
+      .filter(expr("o_orderdate >= TIMESTAMP '1997-01-01'") &&
+        expr("o_orderdate < TIMESTAMP '1998-01-01'"))
+      .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").cast("long").as("t"),
+        col("o_orderpriority"))
+      .collect()
+      .filter { r =>
+        val cut = r.getLong(1) + 90L * 86400L
+        lines.getOrElse(r.getLong(0), Array.empty[Long]).exists(_ > cut)
+      }
+      .groupBy(_.getString(2)).view.mapValues(_.size.toLong).toMap
+    val got = DecisionQueriesB.dsqPriorityLateExists(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("nation-pair volume is symmetric-complete and matches an integer tally") {
+    val nation = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    val suppN = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .collect().map(r => (r.getLong(0), nation(r.getInt(1)))).toMap
+    val custN = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      .collect().map(r => (r.getLong(0), nation(r.getInt(1)))).toMap
+    val custOfOrder = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pair = Set("NATION_9", "NATION_3")
+    val tally = scala.collection.mutable.Map.empty[(String, String, Int), BigInt]
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("y"), col("l_extendedprice"), col("l_discount"))
+      .collect().foreach { r =>
+        val sn = suppN(r.getLong(1))
+        val cn = custN(custOfOrder(r.getLong(0)))
+        if (pair(sn) && pair(cn) && sn != cn) {
+          val k = (sn, cn, r.getInt(2))
+          tally(k) = tally.getOrElse(k, BigInt(0)) +
+            revMicro(r.getDouble(3), r.getDouble(4))
+        }
+      }
+    val got = DecisionQueriesB.dsqNationPairVolume(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getInt(2)),
+        BigInt(cents(r.getDouble(3))) * 100)).toMap
+    // the replay keeps rev in cents×100 (exact); engine output is cents
+    assert(got.keySet == tally.keySet)
+    tally.foreach { case (k, v) =>
+      // engine rounds the exact decimal sum to cents on output
+      val diff = (got(k) - v).abs
+      assert(diff <= 50, s"$k off by $diff micro-cents")
+    }
+    // directions only ever involve the two pair nations, never equal
+    assert(got.keySet.forall { case (sn, cn, _) =>
+      pair(sn) && pair(cn) && sn != cn })
+  }
+
+  test("large orders: every result exceeds the threshold and the top-100 cut is exact") {
+    val perOrder = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      .collect().map(r => (r.getLong(0), cents(r.getDouble(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val qualifying = perOrder.filter(_._2 > 250 * 100)
+    val got = DecisionQueriesB.dsqLargeOrders(spark, sfDir).collect()
+      .map(r => (r.getLong(2), cents(r.getDouble(5))))
+    assert(got.forall { case (_, q) => q > 250 * 100 })
+    assert(got.map(_._1).toSet.subsetOf(qualifying.keySet))
+    assert(got.length == math.min(100, qualifying.size))
+    got.foreach { case (ok, q) => assert(q == qualifying(ok)) }
+    // verify the DESC-by-qty cut: nothing excluded is strictly larger
+    // than the smallest included
+    if (got.nonEmpty && qualifying.size > got.length) {
+      val minIncluded = got.map(_._2).min
+      val excludedMax = (qualifying -- got.map(_._1)).values.max
+      assert(excludedMax <= minIncluded)
+    }
+  }
+
+  test("dominant supplier: qualifying set matches a literal share scan") {
+    val byPartSupp = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), cents(r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val totByPart = byPartSupp.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val expected = byPartSupp.collect {
+      case ((p, su), q) if 5 * q > totByPart(p) => su
+    }.toSet
+    val got = DecisionQueriesB.dsqDominantSupplier(spark, sfDir).collect()
+      .map(_.getLong(0))
+    assert(got.toSet == expected)
+    assert(got.sorted.sameElements(got), "output must be sorted by suppkey")
+  }
+
+  test("promo effect: ratio components are consistent and bounded") {
+    val rows = DecisionQueriesB.dsqPromoEffect(spark, sfDir).collect()
+    assert(rows.length == 12, "one row per 1997 ship month")
+    rows.foreach { r =>
+      val (pct, promo, tot) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(promo >= 0 && promo <= tot)
+      assert(math.abs(pct - promo * 100.0 / tot) < 1e-9)
+    }
+  }
+
+  test("disjunctive revenue equals the sum of the three disjoint-branch queries") {
+    // the three conjunctions hit disjoint part sets (distinct brands),
+    // so branch-wise totals must sum exactly to the disjunctive total
+    val branches = Seq(
+      ("Brand#12", (1, 15), (1.0, 11.0)),
+      ("Brand#23", (1, 25), (10.0, 20.0)),
+      ("Brand#25", (1, 35), (20.0, 30.0)))
+    val partMeta = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand", "p_size")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    var total = BigInt(0)
+    var nLines = 0L
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .collect().foreach { r =>
+        val (brand, size) = partMeta(r.getLong(0))
+        val qty = r.getDouble(1)
+        val hit = branches.exists { case (b, (s0, s1), (q0, q1)) =>
+          brand == b && size >= s0 && size <= s1 && qty >= q0 && qty <= q1 }
+        if (hit) { total += revMicro(r.getDouble(2), r.getDouble(3)); nLines += 1 }
+      }
+    val row = DecisionQueriesB.dsqDisjunctiveRev(spark, sfDir).collect().head
+    assert(row.getLong(1) == nLines)
+    assert((BigInt(cents(row.getDouble(0))) * 100 - total).abs <= 50)
+  }
+}
