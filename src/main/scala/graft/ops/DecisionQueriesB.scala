@@ -11,7 +11,9 @@ import org.apache.spark.sql.types._
   * promo-revenue ratio (Q14), distinct-count over an exclusion list
   * (Q16), HAVING-on-fact-key with join-back (Q18), a disjunction of
   * conjunctive range predicates (Q19), and nested aggregation feeding a
-  * semi-join (Q20's "dominant supplier" reshape). The corpus has no
+  * semi-join (Q20's "dominant supplier" reshape), the no-join
+  * scan-filter-sum (Q6), and the correlated-scalar-min join-back
+  * (Q2's minimum-cost supplier). The corpus has no
   * partsupp / commit-receipt dates / ship-mode columns, so each query
   * keeps its reference plan SHAPE on the columns that exist (noted
   * per-query).
@@ -259,6 +261,77 @@ object DecisionQueriesB {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Q6 shape — forecast-revenue change: one-row global sum of
+    * `extendedprice * discount` over a year of shipments in a discount
+    * band with small quantities — the canonical "pure scan + filter +
+    * partial agg" query; no join at all.
+    *
+    * Scale posture: all three predicates reach the parquet scan (the
+    * date range as pushed min/max filters, the quantity bound
+    * directly); the discount band compares in DECIMAL(18,2) after the
+    * cast both engines share. The sum partial-aggregates to one row per
+    * task before the single-row exchange — at 100 TB this is the
+    * cheapest shape in the suite. */
+  def dsqForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(expr("l_shipdate >= TIMESTAMP '1997-01-01'") &&
+        expr("l_shipdate < TIMESTAMP '1998-01-01'") &&
+        money(col("l_discount"))
+          .between(BigDecimal("0.05"), BigDecimal("0.07")) &&
+        col("l_quantity") < 24)
+      .agg(
+        moneyOut(sum(money(col("l_extendedprice")) * money(col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Q2 shape — minimum-cost supplier: for each qualifying part, the
+    * European supplier(s) achieving the minimum observed unit cost
+    * (the corpus has no partsupp.supplycost, so unit cost is the
+    * cheapest observed `l_extendedprice / l_quantity` for that
+    * (part, supplier) — same correlated-scalar-min plan shape on the
+    * columns that exist). Ties keep every minimal supplier, as Q2 does.
+    *
+    * Scale posture: region→nation→supplier reduces to a broadcast-able
+    * supplier id set that SEMI-joins the fact before any aggregation,
+    * and the part predicate broadcasts in at the same stage — the fact
+    * stream shrinks to qualifying (part, supplier) traffic before the
+    * one hash exchange. The correlated min decorrelates to a window
+    * min over the already-aggregated per-(part,supplier) frame (rows ≈
+    * |parts|·|suppliers|, tiny), so no second pass over the fact. The
+    * unit-cost division is the same IEEE double op in both engines, so
+    * the min and the equality join-back bit-match. The oracle keeps
+    * DuckDB's literal correlated form. */
+  def dsqMinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+      .select("r_regionkey")
+    val eur = Tables.supplier(s, d)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val p = Tables.part(s, d)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select("p_partkey", "p_name", "p_size")
+    val perSupp = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eur.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey", "p_name", "p_size")
+      .agg(min(col("unit")).as("unit_cost"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    perSupp
+      .withColumn("best", min(col("unit_cost")).over(w))
+      .filter(col("unit_cost") === col("best"))
+      .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("p_name"),
+        col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"),
+        col("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
   /** Q20 shape reshaped — dominant suppliers: suppliers that shipped
     * more than 20% of some part's total shipped quantity (the corpus
     * has no partsupp.availqty, so "excess share of a part's flow"
@@ -296,7 +369,9 @@ object DecisionQueriesB {
     "dsq_supplier_variety"     -> dsqSupplierVariety _,
     "dsq_large_orders"         -> dsqLargeOrders _,
     "dsq_disjunctive_rev"      -> dsqDisjunctiveRev _,
-    "dsq_dominant_supplier"    -> dsqDominantSupplier _
+    "dsq_dominant_supplier"    -> dsqDominantSupplier _,
+    "dsq_forecast_revenue"     -> dsqForecastRevenue _,
+    "dsq_min_cost_supplier"    -> dsqMinCostSupplier _
   )
 
   private val revSql =
@@ -400,6 +475,35 @@ object DecisionQueriesB {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT l_suppkey FROM pq
         |  JOIN tot USING (l_partkey) WHERE q * 5 > tq)
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+    "dsq_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "dsq_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |  GROUP BY 1, 2)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+        |  unit_cost
+        |FROM cost
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'LARGE' AND p_size <= 10
+        |  AND unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
+        |    WHERE c2.l_partkey = cost.l_partkey)
+        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100""".stripMargin
   )
 }

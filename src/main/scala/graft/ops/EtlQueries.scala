@@ -133,7 +133,36 @@ object EtlQueries {
       .orderBy("k", "valid_from")
   }
 
+  /** CDC CHANGELOG COMPACTION — collapse a keyed change stream to its
+    * final state: latest change per key wins (ordered by ts with
+    * event_id as the total-order tiebreak), and a key whose latest
+    * change is a delete disappears. The events table plays the
+    * changelog (`error` = delete marker, anything else = upsert
+    * carrying `value`). This is the log-structured ingest primitive —
+    * the reference's truncate-and-reload (`etl_process.py` full
+    * rewrite) is its degenerate "every row is an upsert, no history"
+    * case, and [[etlScd2Merge]] is its history-KEEPING sibling.
+    *
+    * Scale posture: both windows partition on the key, so the plan is
+    * ONE hash exchange + one within-partition sort (the subset rule);
+    * per-key change counts are bounded by changelog depth between
+    * compactions, which a production pipeline bounds by compacting on
+    * a schedule. `last_value` passes through untouched (parquet bits →
+    * output bits) — no arithmetic to drift. */
+  def etlCdcCompaction(s: SparkSession, d: String): DataFrame = {
+    val byKey = Window.partitionBy("user_id")
+    val latest = byKey.orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rk", row_number().over(latest))
+      .withColumn("n_changes", count(lit(1)).over(byKey))
+      .filter(col("rk") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_op"),
+        col("value").as("last_value"), col("n_changes"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_cdc_compaction"    -> etlCdcCompaction _,
     "etl_scd2_merge"        -> etlScd2Merge _,
     "custom_expr_cpfclean"  -> customExprCpfClean _,
     "clean_regexp_digits"   -> cleanRegexpDigits _,
@@ -147,6 +176,16 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_cdc_compaction" ->
+      """SELECT user_id, event_type AS last_op, value AS last_value,
+        |  n_changes
+        |FROM (SELECT user_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM events)
+        |WHERE rk = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "etl_scd2_merge" ->
       """WITH current AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status

@@ -499,6 +499,112 @@ object StatQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** MAX DRAWDOWN per customer — the peak-to-trough metric risk
+    * pipelines run over any monitored series (here each customer's
+    * order-price history in date order): running max minus current
+    * value, maximized. All arithmetic is exact DECIMAL(18,2); the
+    * trough row is picked by the same rank-not-argmax rule as
+    * [[windowCusumDrift]] (highest drawdown, earliest order on ties)
+    * so both engines state one deterministic rule.
+    *
+    * Scale posture: the running-max window, the trough rank, and the
+    * per-customer count all partition on o_custkey, so the plan is ONE
+    * hash exchange reused end to end (subset rule); within-partition
+    * sorts only. Per-key history length is bounded by orders-per-
+    * customer (tens) — no skew hazard. */
+  def windowDrawdown(s: SparkSession, d: String): DataFrame = {
+    val x = col("o_totalprice").cast(DecimalType(18, 2))
+    val wRun = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCust = Window.partitionBy("o_custkey")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), x.as("x"))
+      .withColumn("dd", max("x").over(wRun) - col("x"))
+      .withColumn("rk", row_number().over(Window.partitionBy("o_custkey")
+        .orderBy(col("dd").desc, col("o_orderkey"))))
+      .withColumn("n_orders", count(lit(1)).over(wCust))
+      .filter(col("rk") === 1)
+      .select(col("o_custkey"), col("n_orders"),
+        col("dd").cast(DoubleType).as("max_drawdown"),
+        col("o_orderkey").as("trough_orderkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** BOLLINGER-BAND breaches — each order tested against the mean ± 2σ
+    * band of the customer's 5 PRECEDING orders, emitting the orders
+    * that land outside it. The band deliberately EXCLUDES the current
+    * row: including it makes a 2σ breach impossible by Samuelson's
+    * inequality (|x−x̄| ≤ σ·(n−1)/√n < 2σ for n=5), and the
+    * prior-window form is the predictive band an anomaly monitor
+    * actually wants. The breach decision is EXACT: with prior-window
+    * sums s1=Σx, s2=Σx² and n kept in DECIMAL, "|x − s1/n| > 2σ"
+    * cross-multiplies to "(n·x − s1)² > 4·(n·s2 − s1²)" — pure decimal
+    * integer arithmetic, no FP anywhere in the predicate. The
+    * displayed mean/σ are doubles
+    * both engines derive from the SAME exact decimals (one division /
+    * one sqrt — both IEEE-correctly-rounded ops), with the VARCHAR hop
+    * on the oracle's DECIMAL→DOUBLE casts (round-4 recipe). Operand
+    * decimals are re-cast to DECIMAL(18,x) before squaring so neither
+    * engine's multiply exceeds width 38 (values are bounded by
+    * 5·max(o_totalprice), far inside 18 digits).
+    *
+    * Scale posture: both windows partition on o_custkey — one hash
+    * exchange total; the 5-row frame is O(1) state per row. At 100 TB
+    * the same plan holds (frame state is constant; no per-key
+    * materialization beyond the frame). */
+  def windowBollingerBands(s: SparkSession, d: String): DataFrame = {
+    val x = col("o_totalprice").cast(DecimalType(18, 2))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-5, -1)
+    val base = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), x.as("x"))
+      .withColumn("s1", sum("x").over(w).cast(DecimalType(18, 2)))
+      .withColumn("s2", sum(col("x") * col("x")).over(w).cast(DecimalType(18, 4)))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") === 5)
+    val diff = (col("n") * col("x") - col("s1")).cast(DecimalType(18, 2))
+    val varNum = (col("n") * col("s2") - col("s1") * col("s1"))
+      .cast(DecimalType(38, 4))
+    val nD = col("n").cast(DoubleType)
+    base
+      .withColumn("diff", diff)
+      .withColumn("var_num", varNum)
+      .filter(col("diff") * col("diff") > varNum * 4)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("x").cast(DoubleType).as("price"),
+        (col("s1").cast(DoubleType) / nD).as("mean5"),
+        (sqrt(col("var_num").cast(DoubleType)) / nD).as("sigma5"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** SIMPSON DIVERSITY index per source — 1 − Σ(n_lang²)/n², the
+    * collision-probability diversity measure a corpus-mix report uses
+    * where Shannon entropy would drag in libm logs: every term is
+    * exact integer arithmetic and the single final division happens in
+    * double on operands both engines compute identically. (Counts are
+    * DECIMAL(18,0), not BIGINT: n > 3·10⁹ rows per source would
+    * overflow a BIGINT square, while (18,0)² is a width-37 decimal —
+    * legal in both engines up to n ≈ 10¹⁸.)
+    *
+    * Scale posture: a two-level rollup — (source, lang) counts in one
+    * partial-aggregated exchange, then a per-source re-aggregate of
+    * that tiny frame. Nothing else moves. */
+  def aggSimpsonDiversity(s: SparkSession, d: String): DataFrame = {
+    val nl = count(lit(1)).cast(DecimalType(18, 0))
+    Tables.documents(s, d)
+      .groupBy("source", "lang").agg(nl.as("nl"))
+      .groupBy("source")
+      .agg(sum(col("nl")).cast(DecimalType(18, 0)).as("n"),
+        sum(col("nl") * col("nl")).as("sumsq"),
+        count(lit(1)).as("n_langs"))
+      .select(col("source"), col("n").cast(LongType).as("n_docs"), col("n_langs"),
+        ((col("n") * col("n") - col("sumsq")).cast(DoubleType) /
+          (col("n") * col("n")).cast(DoubleType)).as("simpson"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_weighted_percentile"   -> aggWeightedPercentile _,
     "agg_gini_index"            -> aggGiniIndex _,
@@ -514,6 +620,9 @@ object StatQueries {
     "agg_regression_pack"       -> aggRegressionPack _,
     "agg_mad_outliers"          -> aggMadOutliers _,
     "window_interpolate_linear" -> windowInterpolateLinear _,
+    "window_drawdown"           -> windowDrawdown _,
+    "window_bollinger_bands"    -> windowBollingerBands _,
+    "agg_simpson_diversity"     -> aggSimpsonDiversity _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -815,5 +924,57 @@ object StatQueries {
         |       ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE) /
         |                              CAST(nd - pd AS DOUBLE)) END AS v_interp
         |FROM j ORDER BY user_id, day""".stripMargin,
+    "window_drawdown" ->
+      """WITH s AS (SELECT o_custkey, o_orderkey,
+        |    MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - CAST(o_totalprice AS DECIMAL(18,2)) AS dd
+        |  FROM orders),
+        |r AS (SELECT o_custkey, o_orderkey, dd,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY dd DESC, o_orderkey) AS rk,
+        |    COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+        |  FROM s)
+        |SELECT o_custkey, n_orders, CAST(dd AS DOUBLE) AS max_drawdown,
+        |  o_orderkey AS trough_orderkey
+        |FROM r WHERE rk = 1 ORDER BY o_custkey""".stripMargin,
+    "window_bollinger_bands" ->
+      // exact cross-multiplied breach predicate; VARCHAR hop on the
+      // wide-decimal→double cast (round-4 recipe)
+      """WITH w AS (SELECT o_custkey, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER win
+        |      AS DECIMAL(18,2)) AS s1,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |             CAST(o_totalprice AS DECIMAL(18,2))) OVER win
+        |      AS DECIMAL(18,4)) AS s2,
+        |    COUNT(*) OVER win AS n
+        |  FROM orders
+        |  WINDOW win AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
+        |b AS (SELECT o_custkey, o_orderkey, x, s1, n,
+        |    CAST(n * x - s1 AS DECIMAL(18,2)) AS diff,
+        |    CAST(n * s2 - s1 * s1 AS DECIMAL(36,4)) AS var_num
+        |  FROM w WHERE n = 5)
+        |SELECT o_custkey, o_orderkey, CAST(x AS DOUBLE) AS price,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean5,
+        |  SQRT(CAST(CAST(var_num AS VARCHAR) AS DOUBLE)) /
+        |    CAST(n AS DOUBLE) AS sigma5
+        |FROM b WHERE diff * diff > var_num * CAST(4 AS DECIMAL(2,0))
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "agg_simpson_diversity" ->
+      """WITH c AS (SELECT source, lang,
+        |    CAST(COUNT(*) AS DECIMAL(18,0)) AS nl
+        |  FROM documents GROUP BY source, lang),
+        |a AS (SELECT source,
+        |    CAST(SUM(nl) AS DECIMAL(18,0)) AS n,
+        |    SUM(nl * nl) AS sumsq, COUNT(*) AS n_langs
+        |  FROM c GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs, n_langs,
+        |  CAST(CAST(n * n - sumsq AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(n * n AS VARCHAR) AS DOUBLE) AS simpson
+        |FROM a ORDER BY source""".stripMargin,
   )
 }

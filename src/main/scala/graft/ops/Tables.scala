@@ -21,15 +21,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    * default (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to
-    * Spark's µs timestamps — every declared query buckets with
-    * `date_trunc` ≥ seconds, so the lost sub-µs digits are unobservable. */
+  /** events.ts has shipped as TIMESTAMP(NANOS) in some corpus versions
+    * (Spark 4 rejects it by default — PARQUET_TYPE_ILLEGAL — so we read
+    * nanos as long and truncate to µs) and as plain TIMESTAMP(MICROS)
+    * in others (arrives as TIMESTAMP_NTZ; cast to the session-local
+    * type every query downstream expects — the session runs UTC, so
+    * the wall-clock values are the same instants the nanos path
+    * produced). Dispatch on the arrived type so both corpus layouts
+    * work; every declared query buckets with `date_trunc` ≥ seconds,
+    * so sub-µs digits are unobservable either way. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

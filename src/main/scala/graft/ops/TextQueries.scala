@@ -253,7 +253,51 @@ object TextQueries {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** COLLOCATION strength by LIFT — which adjacent word pairs co-occur
+    * far above chance: lift = P(w1,w2) / (P(w1)·P(w2)), the log-free
+    * monotone twin of PMI (same ranking, no libm). Every probability
+    * is a ratio of exact BIGINT counts cast to double, and the lift is
+    * the IDENTICAL ieee expression tree in both engines — counts stay
+    * exact in doubles to 2⁵³ (≈9·10¹⁵ tokens, beyond a 100 TB corpus),
+    * so the doubles bit-match without any decimal gymnastics. A min
+    * pair count ≥ 5 applies the standard collocation support floor.
+    *
+    * Scale posture: one pass tokenizes; unigram and bigram counts are
+    * two partial-aggregated shuffles over words/pairs (small keys, not
+    * documents); the two corpus totals ride in as broadcast single
+    * rows ([[textDocFrequency]]'s pattern); the final join keys on the
+    * bigram's words against the unigram frame — both sides are
+    * vocabulary-sized, tiny next to the corpus. */
+  def textCollocationLift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val toks = Tables.documents(s, d).select(tokens(col("text")).as("tok"))
+    val n = size(col("tok"))
+    val pairs = toks.filter(n >= 2)
+      .select(explode(zip_with(
+        slice(col("tok"), lit(1), n - 1), slice(col("tok"), lit(2), n - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = toks.select(explode(col("tok")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("nx"))
+    val tTotal = toks.select(explode(col("tok")).as("t"))
+      .agg(count(lit(1)).cast(DoubleType).as("t_total"))
+    val bTotal = pairs.agg(count(lit(1)).cast(DoubleType).as("b_total"))
+    val u1 = uni.select(col("t").as("w1"), col("nx").as("nx1"))
+    val u2 = uni.select(col("t").as("w2"), col("nx").as("nx2"))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 5)
+      .join(broadcast(u1), "w1").join(broadcast(u2), "w2")
+      .crossJoin(broadcast(tTotal)).crossJoin(broadcast(bTotal))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("n_xy"),
+        ((col("n_xy").cast(DoubleType) / col("b_total")) /
+          ((col("nx1").cast(DoubleType) / col("t_total")) *
+           (col("nx2").cast(DoubleType) / col("t_total")))).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(40)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_collocation_lift" -> textCollocationLift _,
     "text_quality_calibrate" -> textQualityCalibrate _,
     "text_html_strip"       -> textHtmlStrip _,
     "text_repetition_score" -> textRepetitionScore _,
@@ -324,6 +368,27 @@ object TextQueries {
   private val ratioSql = ratioSqlOf("text")
 
   val oracle: Map[String, String] = Map(
+    "text_collocation_lift" ->
+      s"""WITH tok AS (SELECT $tokensSql AS tok FROM documents),
+         |t AS (SELECT unnest(tok) AS t FROM tok),
+         |uni AS (SELECT t, COUNT(*) AS nx FROM t GROUP BY t),
+         |tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t_total FROM t),
+         |big AS (SELECT
+         |    unnest(list_transform(range(1, len(tok)), i -> tok[i])) AS w1,
+         |    unnest(list_transform(range(1, len(tok)), i -> tok[i+1])) AS w2
+         |  FROM tok WHERE len(tok) >= 2),
+         |bt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b_total FROM big),
+         |bc AS (SELECT w1, w2, COUNT(*) AS n_xy FROM big GROUP BY w1, w2)
+         |SELECT w1 || ' ' || w2 AS bigram, n_xy,
+         |  (CAST(n_xy AS DOUBLE) / b_total) /
+         |    ((CAST(u1.nx AS DOUBLE) / t_total) *
+         |     (CAST(u2.nx AS DOUBLE) / t_total)) AS lift
+         |FROM bc
+         |JOIN uni u1 ON bc.w1 = u1.t
+         |JOIN uni u2 ON bc.w2 = u2.t
+         |CROSS JOIN tt CROSS JOIN bt
+         |WHERE n_xy >= 5
+         |ORDER BY lift DESC, bigram LIMIT 40""".stripMargin,
     "text_quality_calibrate" ->
       s"""WITH sc AS (
          |  SELECT doc_id, lang, $ratioSql AS score FROM documents),

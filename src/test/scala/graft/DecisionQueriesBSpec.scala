@@ -152,4 +152,68 @@ class DecisionQueriesBSpec extends SparkTestBase {
     assert(row.getLong(1) == nLines)
     assert((BigInt(cents(row.getDouble(0))) * 100 - total).abs <= 50)
   }
+
+  test("forecast revenue matches a literal per-line replay in integer units") {
+    val cutLo = java.time.LocalDateTime.parse("1997-01-01T00:00:00")
+    val cutHi = java.time.LocalDateTime.parse("1998-01-01T00:00:00")
+    // l_shipdate arrives as java.sql.Timestamp (TIMESTAMP corpus) or
+    // java.time.LocalDateTime (TIMESTAMP_NTZ corpus) depending on the
+    // parquet layout version — compare wall-clock either way
+    def wall(v: Any): java.time.LocalDateTime = v match {
+      case ldt: java.time.LocalDateTime => ldt
+      case t: java.sql.Timestamp        => t.toLocalDateTime
+      case other => fail(s"unexpected l_shipdate type: ${other.getClass}")
+    }
+    var micro = BigInt(0)
+    var n = 0L
+    Tables.lineitem(spark, sfDir)
+      .select("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .collect().foreach { r =>
+        val t = wall(r.get(0))
+        val disc = cents(r.getDouble(1)) // discount in hundredths
+        if (!t.isBefore(cutLo) && t.isBefore(cutHi) && disc >= 5 && disc <= 7 &&
+            r.getDouble(2) < 24) {
+          // revenue term = price · discount: cents × hundredths = 10⁻⁴ units
+          micro += BigInt(cents(r.getDouble(3))) * disc
+          n += 1
+        }
+      }
+    val row = DecisionQueriesB.dsqForecastRevenue(spark, sfDir).collect().head
+    assert(row.getLong(1) == n)
+    // revenue carries 4 decimal places (cents × hundredths) — compare in
+    // 10⁻⁴ units, not cents, or the last two digits vanish
+    assert(BigInt(math.round(row.getDouble(0) * 10000)) == micro,
+      s"revenue ${row.getDouble(0)} vs replay $micro micro-units")
+  }
+
+  test("min-cost supplier rows achieve their part's true minimum over eligible suppliers") {
+    val out = DecisionQueriesB.dsqMinCostSupplier(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // replay: eligible = suppliers in EUROPE; min unit cost per part
+    val nations = Tables.nation(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    val eurRegion = Tables.region(spark, sfDir).collect()
+      .collectFirst { case r if r.getString(1) == "EUROPE" => r.getInt(0) }.get
+    val eurSupp = Tables.supplier(spark, sfDir).collect()
+      .filter(r => nations(r.getInt(2)) == eurRegion).map(_.getLong(0)).toSet
+    val minCost = scala.collection.mutable.Map.empty[Long, Double]
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .collect().foreach { r =>
+        if (eurSupp(r.getLong(1))) {
+          val u = r.getDouble(2) / r.getDouble(3)
+          val k = r.getLong(0)
+          if (!minCost.contains(k) || u < minCost(k)) minCost(k) = u
+        }
+      }
+    out.foreach { r =>
+      assert(r.getDouble(6) == minCost(r.getLong(0)),
+        s"part ${r.getLong(0)}: ${r.getDouble(6)} != min ${minCost(r.getLong(0))}")
+    }
+    // every result part qualifies (LARGE, size <= 10)
+    val qual = Tables.part(spark, sfDir).collect()
+      .filter(r => r.getString(3) == "LARGE" && r.getInt(4) <= 10)
+      .map(_.getLong(0)).toSet
+    out.foreach(r => assert(qual(r.getLong(0))))
+  }
 }
