@@ -113,6 +113,32 @@ object ScalarQueries {
         moneyOut(sum(money(col("value")))).as("sum_value"))
       .orderBy("hour_bucket")
 
+  /** HOPPING (sliding) window batch aggregation — 1-hour windows every
+    * 15 minutes, the batch twin of [[graft.streaming.Streams.slidingCounts]]:
+    * each event replicates into the size/hop = 4 windows that cover it,
+    * generated arithmetically (`sec DIV 900` re-bases to the 15-min
+    * grid, minus i·900 for i ∈ 0..3) so membership needs no range join
+    * and no window-table build. Window starts are integer epoch seconds
+    * — exact in both engines; sums aggregate in DECIMAL.
+    *
+    * Scale posture: the explode is a constant ×4 fan-out BEFORE the
+    * partial aggregate, so the shuffle carries ≤ 4·|grid| pre-combined
+    * rows, not 4·|events| — map-side combine absorbs the replication
+    * (same plan at 100 TB; the fan-out factor is size/hop, a config
+    * constant, never data-dependent). */
+  def timeBucketHopping(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("value"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .select(col("value"), col("sec"),
+        explode(sequence(lit(0), lit(3))).as("i"))
+      .select((expr("(sec DIV 900) * 900") - col("i") * 900).as("ws_sec"),
+        col("value"))
+      .groupBy("ws_sec")
+      .agg(count(lit(1)).as("n"),
+        moneyOut(sum(money(col("value")))).as("sum_value"))
+      .orderBy("ws_sec")
+
   /** Z-ORDER (Morton) layout keys — the data-layout primitive behind
     * multi-dimensional data skipping (Delta/Iceberg OPTIMIZE ZORDER):
     * interleave the bits of two 16-bit coordinates so that sorting by
@@ -159,6 +185,7 @@ object ScalarQueries {
     "array_basics"         -> arrayBasics _,
     "json_field_regex"     -> jsonFieldRegex _,
     "time_bucket_tumbling" -> timeBucketTumbling _,
+    "time_bucket_hopping"  -> timeBucketHopping _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -230,5 +257,12 @@ object ScalarQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY hour_bucket""".stripMargin,
+    "time_bucket_hopping" ->
+      """SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 900)
+        |    * 900 - i.i * 900 AS ws_sec,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+        |GROUP BY 1 ORDER BY ws_sec""".stripMargin,
   )
 }

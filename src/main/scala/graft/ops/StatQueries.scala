@@ -605,6 +605,109 @@ object StatQueries {
       .orderBy("source")
   }
 
+  /** U-SHAPED (position-based) ATTRIBUTION — the multi-touch sibling of
+    * [[windowAttributionLasttouch]]: each purchase's value splits 40%
+    * to the first touch, 40% to the last, 20% shared by the middles
+    * (degenerate cases: one touch takes 100%, two touches split the
+    * cents evenly). ALL credit arithmetic is integer cents — the 40%
+    * legs are `(cents*2) DIV 5`, the middle pool is the exact
+    * complement, the per-middle share is `pool DIV (n−2)` with the
+    * remainder cents assigned to the EARLIEST middle — so every
+    * purchase's credits sum to its cents EXACTLY (spec-asserted) and
+    * nothing depends on FP division order. A purchase with no touch in
+    * the 7-day lookback credits `none` in full, so the report total
+    * reconciles against raw purchase revenue. Touch order is total:
+    * (second, event_id).
+    *
+    * Scale posture: the touch↔purchase pairing is an equi-join on
+    * user_id with the lookback as a residual range predicate — one hash
+    * exchange per side, fan-out bounded by per-user touches within 7
+    * days (a retention-style bound, not corpus-size). The position
+    * windows re-key by purchase id — higher cardinality than user_id,
+    * so SMALLER groups (≤ touches-per-purchase) — and the final rollup
+    * partial-aggregates to ≤3 rows. No per-user history materializes
+    * beyond the joined window. */
+  def windowAttributionUshaped(s: SparkSession, d: String): DataFrame = {
+    val lookbackSec = 7L * 86400
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value").cast(DecimalType(18, 2)).as("v"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_user"), col("sec").as("tsec"),
+        col("event_id").as("tid"), col("event_type").as("ttype"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec").as("psec"), col("event_id").as("pid"),
+        (col("v") * 100).cast(LongType).as("cents"))
+    val j = purchases.join(touches,
+        col("user_id") === col("t_user") &&
+          col("tsec") >= col("psec") - lookbackSec && col("tsec") < col("psec"),
+        "left")
+    val wP = Window.partitionBy("pid")
+    val pos = j
+      .withColumn("rk", row_number().over(wP.orderBy(col("tsec"), col("tid"))))
+      .withColumn("n_t", count(lit(1)).over(wP))
+    // integer-cent credit: branches ordered identically in the oracle
+    val fortyPct = expr("(cents * 2) DIV 5")
+    val credit = when(col("ttype").isNull, col("cents"))
+      .when(col("n_t") === 1, col("cents"))
+      .when(col("n_t") === 2,
+        when(col("rk") === 1, expr("cents DIV 2 + cents % 2"))
+          .otherwise(expr("cents DIV 2")))
+      .when(col("rk") === 1, fortyPct)
+      .when(col("rk") === col("n_t"), fortyPct)
+      .when(col("rk") === 2,
+        expr("(cents - 2 * ((cents * 2) DIV 5)) DIV (n_t - 2) + " +
+          "(cents - 2 * ((cents * 2) DIV 5)) % (n_t - 2)"))
+      .otherwise(expr("(cents - 2 * ((cents * 2) DIV 5)) DIV (n_t - 2)"))
+    pos.withColumn("credit", credit)
+      .groupBy(coalesce(col("ttype"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_credits"),
+        (sum(col("credit")).cast(DoubleType) / 100.0).as("attributed_value"))
+      .orderBy("touch_type")
+  }
+
+  /** BENFORD FIRST-DIGIT profile — the fraud/DQ screen: the observed
+    * share of each leading significant digit of o_totalprice against
+    * Benford's log-law expectation. Counts are exact; each share is ONE
+    * double division of the same two longs in both engines, and the
+    * expected values are 17-significant-digit literals that parse to
+    * the identical double on both sides — no libm log anywhere at run
+    * time. `dev` (observed − expected) is the per-digit test statistic;
+    * a chi-square or max-|dev| rollup is one more tiny aggregate over
+    * these 9 rows.
+    *
+    * Scale posture: the digit projection is pure codegen string/int
+    * work on the scan; the groupBy partial-aggregates to ≤9 groups and
+    * the corpus total rides in as a broadcast single row. Cheapest
+    * possible shape — identical to [[Tables.documents]] rollups. */
+  def aggBenfordFirstDigit(s: SparkSession, d: String): DataFrame = {
+    // log10(1 + 1/d) to full double precision (shortest round-trip repr)
+    val benford = Seq(
+      1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+      3 -> "0.12493873660829992", 4 -> "0.09691001300805642",
+      5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+      7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+      9 -> "0.04575749056067514")
+    val expected = benford.tail.foldLeft(
+      when(col("digit") === 1, lit(benford.head._2.toDouble))) {
+      case (acc, (dgt, p)) => acc.when(col("digit") === dgt, lit(p.toDouble))
+    }
+    val t = Tables.orders(s, d)
+      .select(substring(floor(col("o_totalprice")).cast(LongType)
+        .cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+    val total = t.agg(count(lit(1)).as("total"))
+    t.groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("share"),
+        expected.as("benford_p"),
+        (col("n").cast(DoubleType) / col("total").cast(DoubleType) -
+          expected).as("dev"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_weighted_percentile"   -> aggWeightedPercentile _,
     "agg_gini_index"            -> aggGiniIndex _,
@@ -623,6 +726,8 @@ object StatQueries {
     "window_drawdown"           -> windowDrawdown _,
     "window_bollinger_bands"    -> windowBollingerBands _,
     "agg_simpson_diversity"     -> aggSimpsonDiversity _,
+    "window_attribution_ushaped" -> windowAttributionUshaped _,
+    "agg_benford_firstdigit"    -> aggBenfordFirstDigit _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -964,6 +1069,58 @@ object StatQueries {
         |    CAST(n AS DOUBLE) AS sigma5
         |FROM b WHERE diff * diff > var_num * CAST(4 AS DECIMAL(2,0))
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_attribution_ushaped" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |t AS (SELECT user_id AS t_user, sec AS tsec, event_id AS tid,
+        |    event_type AS ttype
+        |  FROM ev WHERE event_type IN ('click', 'view')),
+        |p AS (SELECT user_id, sec AS psec, event_id AS pid,
+        |    CAST(v * 100 AS BIGINT) AS cents
+        |  FROM ev WHERE event_type = 'purchase'),
+        |j AS (SELECT p.pid, p.cents, t.tid, t.ttype, t.tsec
+        |  FROM p LEFT JOIN t ON p.user_id = t.t_user
+        |    AND t.tsec >= p.psec - 604800 AND t.tsec < p.psec),
+        |r AS (SELECT pid, cents, ttype,
+        |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tsec, tid) AS rk,
+        |    COUNT(*) OVER (PARTITION BY pid) AS n_t
+        |  FROM j),
+        |c AS (SELECT ttype, CASE
+        |    WHEN ttype IS NULL THEN cents
+        |    WHEN n_t = 1 THEN cents
+        |    WHEN n_t = 2 THEN CASE WHEN rk = 1 THEN cents // 2 + cents % 2
+        |      ELSE cents // 2 END
+        |    WHEN rk = 1 THEN (cents * 2) // 5
+        |    WHEN rk = n_t THEN (cents * 2) // 5
+        |    WHEN rk = 2 THEN (cents - 2 * ((cents * 2) // 5)) // (n_t - 2)
+        |      + (cents - 2 * ((cents * 2) // 5)) % (n_t - 2)
+        |    ELSE (cents - 2 * ((cents * 2) // 5)) // (n_t - 2) END AS credit
+        |  FROM r)
+        |SELECT COALESCE(ttype, 'none') AS touch_type,
+        |  COUNT(*) AS n_credits,
+        |  CAST(SUM(credit) AS DOUBLE) / 100.0 AS attributed_value
+        |FROM c GROUP BY 1 ORDER BY touch_type""".stripMargin,
+    "agg_benford_firstdigit" ->
+      """WITH t AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |tot AS (SELECT COUNT(*) AS total FROM t),
+        |b(digit, benford_p) AS (VALUES
+        |  (1, 0.3010299956639812),  (2, 0.17609125905568124),
+        |  (3, 0.12493873660829992), (4, 0.09691001300805642),
+        |  (5, 0.07918124604762482), (6, 0.06694678963061322),
+        |  (7, 0.05799194697768673), (8, 0.05115252244738129),
+        |  (9, 0.04575749056067514))
+        |SELECT g.digit, g.n,
+        |  CAST(g.n AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share,
+        |  b.benford_p,
+        |  CAST(g.n AS DOUBLE) / CAST(tot.total AS DOUBLE) - b.benford_p
+        |    AS dev
+        |FROM (SELECT t.digit, COUNT(*) AS n FROM t GROUP BY t.digit) g
+        |JOIN b ON g.digit = b.digit CROSS JOIN tot
+        |ORDER BY g.digit""".stripMargin,
     "agg_simpson_diversity" ->
       """WITH c AS (SELECT source, lang,
         |    CAST(COUNT(*) AS DECIMAL(18,0)) AS nl

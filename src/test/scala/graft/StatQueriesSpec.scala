@@ -243,4 +243,130 @@ class StatQueriesSpec extends SparkTestBase {
       assert(got(pri)._2 >= 0.0 && got(pri)._2 < 1.0)
     }
   }
+
+  private def cents(d: Double): Long = math.round(d * 100)
+
+  /** orders collected as (custkey, orderkey, epochMillis, cents),
+    * tolerant of TIMESTAMP vs TIMESTAMP_NTZ parquet arrival. */
+  private def orderRows(): Array[(Long, Long, Long, Long)] =
+    Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .collect().map { r =>
+        val ms = r.get(2) match {
+          case t: java.sql.Timestamp => t.getTime
+          case l: java.time.LocalDateTime =>
+            l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+        (r.getLong(0), r.getLong(1), ms, cents(r.getDouble(3)))
+      }
+
+  test("max drawdown matches a per-customer scalar replay") {
+    val got = StatQueries.windowDrawdown(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), cents(r.getDouble(2)), r.getLong(3))))
+      .toMap
+    val byCust = orderRows().groupBy(_._1)
+    assert(got.size == byCust.size)
+    byCust.foreach { case (cust, rows) =>
+      val seq = rows.sortBy(r => (r._3, r._2))
+      var runMax = Long.MinValue
+      var bestDd = Long.MinValue
+      var bestKey = Long.MaxValue
+      seq.foreach { case (_, key, _, c) =>
+        runMax = math.max(runMax, c)
+        val dd = runMax - c
+        // rank rule: (dd DESC, o_orderkey ASC) — ties keep the SMALLEST key
+        if (dd > bestDd || (dd == bestDd && key < bestKey)) {
+          bestDd = dd; bestKey = key
+        }
+      }
+      val (nOrders, dd, trough) = got(cust)
+      assert(nOrders == seq.length, s"cust $cust n_orders")
+      assert(dd == bestDd, s"cust $cust drawdown")
+      assert(trough == bestKey, s"cust $cust trough key")
+    }
+  }
+
+  test("bollinger breaches equal the exact integer predicate replayed per window") {
+    val got = StatQueries.windowBollingerBands(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    val expected = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    orderRows().groupBy(_._1).foreach { case (cust, rows) =>
+      val seq = rows.sortBy(r => (r._3, r._2))
+      for (i <- 5 until seq.length) {
+        val win = seq.slice(i - 5, i).map(_._4)
+        val s1 = win.sum
+        val s2 = win.map(c => BigInt(c) * c).sum
+        val x = seq(i)._4
+        val diff = BigInt(5) * x - s1
+        val varNum = BigInt(5) * s2 - BigInt(s1) * s1
+        if (diff * diff > varNum * 4) expected((cust, seq(i)._2)) = (s1, x)
+      }
+    }
+    assert(got.keySet == expected.keySet,
+      s"breach sets differ: extra=${got.keySet -- expected.keySet} " +
+        s"missing=${expected.keySet -- got.keySet}")
+    got.foreach { case (k, (mean5, sigma5)) =>
+      val (s1, _) = expected(k)
+      assert(math.abs(mean5 - s1 / 500.0) < 1e-9, s"$k mean5")
+      assert(sigma5 >= 0.0)
+    }
+  }
+
+  test("simpson diversity matches the collision-probability replay per source") {
+    val docs = Tables.documents(spark, sfDir).select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val got = StatQueries.aggSimpsonDiversity(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val n = rows.length.toLong
+      val sumsq = rows.groupBy(_._2).values.map(g => g.size.toLong * g.size).sum
+      val (nDocs, nLangs, simpson) = got(src)
+      assert(nDocs == n && nLangs == rows.map(_._2).distinct.length)
+      assert(math.abs(simpson - (n * n - sumsq).toDouble / (n * n).toDouble) < 1e-15)
+      assert(simpson >= 0.0 && simpson < 1.0)
+    }
+  }
+
+  test("u-shaped attribution reconciles exactly against total purchase revenue") {
+    val out = StatQueries.windowAttributionUshaped(spark, sfDir).collect()
+    val types = out.map(_.getString(0)).toSet
+    assert(types.subsetOf(Set("click", "view", "none")))
+    val attributedCents = out.map(r => cents(r.getDouble(2))).sum
+    val totalCents = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select("value").collect().map(r => cents(r.getDouble(0))).sum
+    // integer-cent credits partition each purchase exactly — no epsilon
+    assert(attributedCents == totalCents,
+      s"attributed $attributedCents != purchases $totalCents")
+  }
+
+  test("benford digit profile: counts total, shares sum to 1, devs consistent") {
+    val out = StatQueries.aggBenfordFirstDigit(spark, sfDir).collect()
+    assert(out.map(_.getInt(0)).forall(d => d >= 1 && d <= 9))
+    val nOrders = Tables.orders(spark, sfDir).count()
+    assert(out.map(_.getLong(1)).sum == nOrders)
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(3) - math.log10(1 + 1.0 / r.getInt(0))) < 1e-15)
+      assert(math.abs(r.getDouble(4) - (r.getDouble(2) - r.getDouble(3))) < 1e-15)
+    }
+  }
+
+  test("hopping windows: 4x replication mass and per-window membership") {
+    val out = graft.ops.ScalarQueries.timeBucketHopping(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).forall(_ % 900 == 0))
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(out.map(_.getLong(1)).sum == 4 * nEvents)
+    // spot-check: every window's n equals a direct range-filter count
+    val ev = Tables.events(spark, sfDir)
+      .select(unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .collect().map(_.getLong(0))
+    out.sortBy(_.getLong(0)).take(8).foreach { r =>
+      val ws = r.getLong(0)
+      assert(r.getLong(1) == ev.count(s => s >= ws && s < ws + 3600),
+        s"window $ws count")
+    }
+  }
 }
