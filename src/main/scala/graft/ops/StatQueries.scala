@@ -643,7 +643,13 @@ object StatQueries {
         col("user_id") === col("t_user") &&
           col("tsec") >= col("psec") - lookbackSec && col("tsec") < col("psec"),
         "left")
-    val wP = Window.partitionBy("pid")
+    // partition the position windows by (user_id, pid), not pid alone:
+    // pid is unique so the frames are identical, but user_id in the
+    // clustering keys lets a shuffle-join plan's user_id exchange
+    // SATISFY the window's ClusteredDistribution — zero extra exchanges
+    // at scale (the subset rule; with a broadcast join the window pays
+    // its one exchange either way)
+    val wP = Window.partitionBy("user_id", "pid")
     val pos = j
       .withColumn("rk", row_number().over(wP.orderBy(col("tsec"), col("tid"))))
       .withColumn("n_t", count(lit(1)).over(wP))
