@@ -407,7 +407,41 @@ object CurationQueries {
       .orderBy("source", "decile")
   }
 
+  /** OVERLAPPING token-window CHUNKING — the context-window splitter a
+    * RAG index or fixed-length pretraining batcher runs over every
+    * document: windows of W=16 tokens every S=12 (4-token overlap so
+    * no phrase is ever cut without appearing whole in a neighbor).
+    * Chunk starts are pure integer-grid arithmetic (`i·S` for
+    * `i ≤ (n−1) DIV S`), so chunking is reproducible regardless of
+    * partitioning and needs no per-document state beyond the token
+    * array. Complements [[curationPackSequences]] (which PACKS short
+    * docs up to a budget; this SPLITS long ones down to a window).
+    *
+    * Scale posture: tokenize and explode are one codegen'd projection —
+    * fan-out is ⌈n/S⌉ per doc, bounded by document length over a
+    * CONSTANT, and each output row carries one W-token slice, not the
+    * whole document. No shuffle at all until the output sort (which a
+    * production writer would drop for a partitioned write). */
+  def curationChunkOverlap(s: SparkSession, d: String): DataFrame = {
+    val W = 16; val St = 12
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokens(col("text")).as("tok"))
+      .withColumn("n", size(col("tok")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"), col("tok"),
+        explode(sequence(lit(0L), expr(s"(n - 1) DIV $St"))).as("i"))
+      .select(col("doc_id"), col("i").as("chunk_idx"),
+        (col("i") * St).as("chunk_start"),
+        least(lit(W), col("n") - col("i") * St).cast(LongType)
+          .as("n_chunk_tokens"),
+        array_join(slice(col("tok"),
+          (col("i") * St + 1).cast(IntegerType), lit(W)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_chunk_overlap"   -> curationChunkOverlap _,
     "curation_temperature_mix" -> curationTemperatureMix _,
     "curation_quality_qnorm"   -> curationQualityQnorm _,
     "curation_epoch_mix"       -> curationEpochMix _,
@@ -426,6 +460,18 @@ object CurationQueries {
   import TextQueries.{cleanedSql, ratioSqlOf, tokensSqlOf}
 
   val oracle: Map[String, String] = Map(
+    "curation_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, ${TextQueries.tokensSql} AS tok
+         |  FROM documents),
+         |d AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) > 0),
+         |c AS (SELECT doc_id, n, tok,
+         |    unnest(range(0, ((n - 1) // 12) + 1)) AS i
+         |  FROM d)
+         |SELECT doc_id, i AS chunk_idx, i * 12 AS chunk_start,
+         |  LEAST(16, n - i * 12) AS n_chunk_tokens,
+         |  array_to_string(list_slice(tok, i * 12 + 1, i * 12 + 16), ' ')
+         |    AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "curation_temperature_mix" ->
       // sqrt is IEEE-correctly-rounded in both engines, then floor-scaled
       // to BIGINT — everything after the weight is exact integer math

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.Column
@@ -491,7 +492,76 @@ object SimilarityQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION — the two-tower
+    * search stack in one plan: a lexical ranker (distinct-token Jaccard
+    * against each probe document) and a vector ranker (embedding cosine
+    * against the probe's embedding — doc_id and vec_id are the same key
+    * space by fixture contract) each produce a per-probe top-20, and
+    * RRF fuses them: score = Σ 1/(60+rank) over the modalities that
+    * retrieved the candidate (the rank-only fusion of Cormack et al. —
+    * no score calibration between incomparable metrics needed, which is
+    * exactly why production hybrid search uses it). Ranks are integers,
+    * so the two reciprocal terms and their one addition are the
+    * identical IEEE doubles in both engines; all orderings carry doc_id
+    * tiebreaks.
+    *
+    * Scale posture: probes are a broadcast ≤3-row side on BOTH towers —
+    * each tower is ONE corpus scan with per-row codegen'd scoring (the
+    * [[dot]] native expression; set intersection on pre-distinct token
+    * arrays), a per-probe top-k window, then the fusion join runs on
+    * two ≤probes·20-row frames — negligible next to the scans. At real
+    * scale the towers swap in their indexed forms ([[simIvfCoarseTopk]]
+    * / minhash-LSH blocking) — the fusion stage is unchanged, which is
+    * the point of rank-only fusion. */
+  def simHybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val nProbes = 3; val topM = 20; val topOut = 5
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      array_distinct(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+    val probeT = broadcast(toks.filter(col("doc_id") < nProbes)
+      .select(col("doc_id").as("probe_id"), col("tok").as("ptok")))
+    val inter = size(array_intersect(col("tok"), col("ptok")))
+    val lex = toks.crossJoin(probeT)
+      .filter(col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("doc_id"), inter.as("i"),
+        size(col("tok")).as("na"), size(col("ptok")).as("nb"))
+      .filter(col("i") > 0)
+      .select(col("probe_id"), col("doc_id"),
+        (col("i").cast(DoubleType) /
+          (col("na") + col("nb") - col("i")).cast(DoubleType)).as("jacc"))
+    val lexTop = lex.withColumn("lex_rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("jacc").desc, col("doc_id")))
+        .cast(LongType))
+      .filter(col("lex_rank") <= topM)
+      .select("probe_id", "doc_id", "lex_rank")
+    val e = emb(s, d)
+    val probeV = broadcast(e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"),
+        col("nsq").as("pnsq")))
+    val vec = e.crossJoin(probeV)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("doc_id"),
+        (dot(col("embedding"), col("pemb")) /
+          sqrt(col("nsq") * col("pnsq"))).as("cos"))
+    val vecTop = vec.withColumn("vec_rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos").desc, col("doc_id")))
+        .cast(LongType))
+      .filter(col("vec_rank") <= topM)
+      .select("probe_id", "doc_id", "vec_rank")
+    val fused = lexTop.join(vecTop, Seq("probe_id", "doc_id"), "full_outer")
+      .select(col("probe_id"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (col("lex_rank") + 60), lit(0.0)) +
+          coalesce(lit(1.0) / (col("vec_rank") + 60), lit(0.0))).as("rrf"))
+    fused.withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("rrf").desc, col("doc_id")))
+        .cast(LongType))
+      .filter(col("rk") <= topOut)
+      .select("probe_id", "doc_id", "rk", "rrf", "lex_rank", "vec_rank")
+      .orderBy("probe_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hybrid_rrf"       -> simHybridRrf _,
     "dedup_srp_lsh"        -> dedupSrpLsh _,
     "sim_knn_batch_ivf"    -> simKnnBatchIvf _,
     "sim_pca_power_iter"   -> simPcaPowerIter _,
@@ -534,6 +604,51 @@ object SimilarityQueries {
   }.mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    "sim_hybrid_rrf" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    list_distinct(${TextQueries.tokensSql}) AS tok FROM documents),
+         |pt AS (SELECT doc_id AS probe_id, tok AS ptok FROM tok
+         |  WHERE doc_id < 3),
+         |lex AS (SELECT pt.probe_id, t.doc_id,
+         |    CAST(len(list_filter(t.tok, x -> list_contains(pt.ptok, x)))
+         |        AS DOUBLE) /
+         |      CAST(len(t.tok) + len(pt.ptok) -
+         |        len(list_filter(t.tok, x -> list_contains(pt.ptok, x)))
+         |        AS DOUBLE) AS jacc
+         |  FROM tok t CROSS JOIN pt
+         |  WHERE t.doc_id <> pt.probe_id
+         |    AND len(list_filter(t.tok, x -> list_contains(pt.ptok, x))) > 0),
+         |lt AS (SELECT probe_id, doc_id, lex_rank FROM (
+         |    SELECT probe_id, doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY probe_id ORDER BY jacc DESC, doc_id) AS lex_rank
+         |    FROM lex) WHERE lex_rank <= 20),
+         |pv AS (SELECT vec_id AS probe_id, embedding AS pemb
+         |  FROM embeddings WHERE vec_id < 3),
+         |vec AS (SELECT pv.probe_id, e.vec_id AS doc_id,
+         |    ${dotSql("e.embedding", "pv.pemb")} / sqrt(
+         |      ${dotSql("e.embedding", "e.embedding")} *
+         |      ${dotSql("pv.pemb", "pv.pemb")}) AS cos
+         |  FROM embeddings e CROSS JOIN pv
+         |  WHERE e.vec_id <> pv.probe_id),
+         |vt AS (SELECT probe_id, doc_id, vec_rank FROM (
+         |    SELECT probe_id, doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY probe_id ORDER BY cos DESC, doc_id) AS vec_rank
+         |    FROM vec) WHERE vec_rank <= 20),
+         |f AS (SELECT COALESCE(lt.probe_id, vt.probe_id) AS probe_id,
+         |    COALESCE(lt.doc_id, vt.doc_id) AS doc_id,
+         |    lt.lex_rank, vt.vec_rank,
+         |    COALESCE(CAST(1 AS DOUBLE) / (lt.lex_rank + 60),
+         |      CAST(0 AS DOUBLE)) +
+         |    COALESCE(CAST(1 AS DOUBLE) / (vt.vec_rank + 60),
+         |      CAST(0 AS DOUBLE)) AS rrf
+         |  FROM lt FULL OUTER JOIN vt
+         |    ON lt.probe_id = vt.probe_id AND lt.doc_id = vt.doc_id)
+         |SELECT probe_id, doc_id, rk, rrf, lex_rank, vec_rank FROM (
+         |  SELECT probe_id, doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rk,
+         |    rrf, lex_rank, vec_rank
+         |  FROM f) WHERE rk <= 5
+         |ORDER BY probe_id, rk""".stripMargin,
     "dedup_srp_lsh" ->
       s"""WITH planes(pl, s) AS (VALUES
          |  $srpPlanesSql),

@@ -250,6 +250,48 @@ object Streams {
       }
   }
 
+  final case class CdcState(tsMs: Long, tsNanos: Int, eventId: Long,
+      op: String, value: Double, nChanges: Long)
+  final case class CdcOut(user_id: Long, last_op: String,
+      last_value: Double, n_changes: Long, deleted: Boolean)
+
+  /** Streaming CHANGELOG COMPACTION — the online counterpart of the
+    * batch `etl_cdc_compaction` query: per key, keep only the LATEST
+    * change ((ts, event_id) total order, full timestamp resolution via
+    * the Timestamp nanos field), flagging keys whose latest change is a
+    * delete marker (`error`). Emits the compacted row per key on every
+    * update (Update semantics — a downstream upsert sink applies rows
+    * keyed by user_id; `n_changes` is monotone, so the freshest row is
+    * always identifiable).
+    *
+    * State is O(1) per key — one (ts, id, op, value, count) tuple, the
+    * materialized-view row itself — with NO watermark needed: unlike
+    * windowed aggs the state doesn't grow with time, only with key
+    * cardinality, exactly like the table it maintains. Late/out-of-order
+    * arrivals are handled by the comparison, not by ordering guarantees:
+    * an older change that arrives after a newer one only bumps the
+    * count. */
+  def latestStateCompaction(events: Dataset[Event]): Dataset[CdcOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CdcState, CdcOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[CdcState]) =>
+          var st = state.getOption.orNull
+          rows.foreach { e =>
+            val ms = e.ts.getTime; val ns = e.ts.getNanos
+            val newer = st == null ||
+              ms > st.tsMs || (ms == st.tsMs && (ns > st.tsNanos ||
+                (ns == st.tsNanos && e.event_id > st.eventId)))
+            val n = if (st == null) 1L else st.nChanges + 1
+            st = if (newer) CdcState(ms, ns, e.event_id, e.event_type, e.value, n)
+                 else st.copy(nChanges = n)
+          }
+          state.update(st)
+          CdcOut(uid, st.op, st.value, st.nChanges, st.op == "error")
+      }
+  }
+
   /** Streaming rolling z-score anomaly detection — the online
     * counterpart of the batch `window_rolling_anomaly` query: per user,
     * each event is scored against the mean/stddev of its previous 5

@@ -348,4 +348,31 @@ class CurationExtrasSpec extends SparkTestBase {
         s"$src: quota admitted different docs than the quality order")
     }
   }
+
+  test("overlapping chunks tile every document: grid starts, full coverage, " +
+      "exact reconstruction") {
+    import org.apache.spark.sql.functions._
+    val chunks = graft.ops.CurationQueries.curationChunkOverlap(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .filter(_._2.nonEmpty)
+    assert(chunks.map(_._1).toSet == docs.keySet)
+    chunks.groupBy(_._1).foreach { case (docId, cs) =>
+      val tok = docs(docId)
+      val sorted = cs.sortBy(_._2)
+      // starts are exactly the stride grid covering every token
+      assert(sorted.map(_._3).toSeq == (0L until tok.length by 12).toSeq)
+      sorted.foreach { case (_, _, start, nTok, text) =>
+        val want = tok.slice(start.toInt, start.toInt + 16)
+        assert(nTok == want.length, s"doc $docId start $start size")
+        assert(text == want.mkString(" "), s"doc $docId start $start text")
+      }
+      // consecutive chunks overlap by 4 tokens (except a short tail)
+      assert(sorted.last._3 < tok.length)
+    }
+  }
 }

@@ -270,4 +270,39 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(rows((474L, 498L)) >= 0.9,
       s"planted near-identical pair scored low: ${rows((474L, 498L))}")
   }
+
+  test("hybrid RRF: scores bounded and consistent with the member ranks, " +
+      "both modalities contribute, fusion order correct") {
+    val out = graft.ops.SimilarityQueries.simHybridRrf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(out.nonEmpty)
+    out.foreach { case (probe, cand, _, rrf, lexR, vecR) =>
+      assert(cand != probe)
+      // rrf must equal the reciprocal-rank recombination of its parts
+      val want = lexR.map(r => 1.0 / (r + 60)).getOrElse(0.0) +
+        vecR.map(r => 1.0 / (r + 60)).getOrElse(0.0)
+      assert(rrf == want, s"($probe,$cand) rrf $rrf != $want")
+      assert(rrf > 0.0 && rrf <= 2.0 / 61.0)
+      lexR.foreach(r => assert(r >= 1 && r <= 20))
+      vecR.foreach(r => assert(r >= 1 && r <= 20))
+    }
+    out.groupBy(_._1).foreach { case (probe, rs) =>
+      // rk is 1..5 and descending in score with doc_id tiebreak
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+      val byRk = rs.sortBy(_._3)
+      byRk.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._2 < b._2),
+            s"probe $probe fusion order broken at rk ${b._3}")
+        case _ =>
+      }
+      // a doc ranked by BOTH towers must outscore any single-tower doc
+      // at equal ranks — spot the top fused row has both contributions
+      // on this corpus (tokens and embeddings are correlated by id)
+      assert(rs.exists(r => r._5.isDefined && r._6.isDefined),
+        s"probe $probe: no candidate retrieved by both towers")
+    }
+  }
 }
