@@ -500,7 +500,39 @@ object GraphQueries {
       .limit(20)
   }
 
+  /** LABEL PROPAGATION communities (2 synchronous rounds) — the
+    * near-linear community detector (Raghavan et al. '07) that answers
+    * a DIFFERENT question than [[DedupQueries]]' connected components:
+    * CC finds "reachable at all", LPA finds "densely attached" — a
+    * vertex adopts the label that the MOST neighbors hold (ties → the
+    * smallest label, making the sync update fully deterministic, which
+    * asynchronous LPA famously is not). Two rounds are registered —
+    * enough for dense cores to collapse while staying an unrollable
+    * oracle; production iterates the same `step` under the CC loop
+    * discipline (localCheckpoint + cap) to convergence.
+    *
+    * Scale posture: each round is one adjacency join shuffling
+    * (vertex, label) pairs plus two partial-aggregated groupBys — the
+    * same per-round cost envelope as the PageRank loop, O(m) rows per
+    * round, never materializing neighbor LISTS (the count→argmin fold
+    * keeps rows constant-width; `min(struct(-cnt, lbl))` is the
+    * max-count-min-label rule as a single partial-aggregable min). */
+  def graphLabelPropagation(s: SparkSession, d: String): DataFrame = {
+    val dir = supportDir(s, d)
+    def step(lbl: DataFrame): DataFrame =
+      dir.join(lbl.select(col("x").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy("src")
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("src").as("x"), col("m.l").as("lbl"))
+    val init = supportVerts(s, d).select(col("x"), col("x").as("lbl"))
+    step(step(init))
+      .select(col("x").as("l_partkey"), col("lbl").as("community"))
+      .orderBy("l_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_propagation"   -> graphLabelPropagation _,
     "graph_triangle_count"      -> graphTriangleCount _,
     "graph_pagerank_iter"       -> graphPagerankIter _,
     "graph_pagerank_converged"  -> graphPagerankConverged _,
@@ -604,6 +636,24 @@ object GraphQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_label_propagation" ->
+      // two unrolled sync rounds; ROW_NUMBER (cnt DESC, lbl) = the
+      // engine's min(struct(-cnt, lbl)) max-count-min-label rule
+      s"""WITH $edgesCte,
+         |verts AS (SELECT DISTINCT src AS x FROM dir),
+         |l0 AS (SELECT x, x AS lbl FROM verts),
+         |c1 AS (SELECT d.src, l.lbl, COUNT(*) AS cnt
+         |  FROM dir d JOIN l0 l ON d.dst = l.x GROUP BY d.src, l.lbl),
+         |l1 AS (SELECT src AS x, lbl FROM (
+         |    SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY cnt DESC, lbl) AS rk FROM c1) WHERE rk = 1),
+         |c2 AS (SELECT d.src, l.lbl, COUNT(*) AS cnt
+         |  FROM dir d JOIN l1 l ON d.dst = l.x GROUP BY d.src, l.lbl),
+         |l2 AS (SELECT src AS x, lbl FROM (
+         |    SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY cnt DESC, lbl) AS rk FROM c2) WHERE rk = 1)
+         |SELECT x AS l_partkey, lbl AS community FROM l2
+         |ORDER BY l_partkey""".stripMargin,
     "graph_degree_hist" ->
       s"""WITH $edgesCte,
          |verts AS (SELECT src AS x FROM dir),

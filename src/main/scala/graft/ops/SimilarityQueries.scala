@@ -560,7 +560,46 @@ object SimilarityQueries {
       .orderBy("probe_id", "rk")
   }
 
+  /** MATRYOSHKA two-stage ANN — the MRL trick (Kusupati et al. '22:
+    * nested-prefix embeddings): a COARSE pass scores only the first 16
+    * dimensions (4× less arithmetic and 4× less memory traffic per
+    * candidate), keeps the top-50 by prefix cosine, and the exact
+    * full-dimension cosine reranks just those 50 to the final top-10.
+    * Both stages are `orderBy+limit` → TakeOrderedAndProject
+    * (per-partition heaps + driver merge of k·partitions rows — no
+    * global sort at any scale); full tiebreaks on vec_id.
+    *
+    * Scale posture: the corpus-wide pass touches 16 of 64 floats per
+    * row — on a 100 TB embedding store that is the difference between
+    * scanning 25 TB and 100 TB IF the head is stored as its own column
+    * (parquet column pruning; here the slice happens post-read, the
+    * plan shape is what carries over). Rerank cost is 50 rows — free.
+    * Recall is a fixture-measured property (spec), not a guess: prefix
+    * cosine ordering approximates full ordering exactly as well as the
+    * embedding family's MRL property holds. */
+  def simMatryoshkaTopk(s: SparkSession, d: String): DataFrame = {
+    val coarseDim = 16
+    val e = emb(s, d)
+    val probe = broadcast(e.filter(col("vec_id") === ProbeId)
+      .select(col("embedding").as("q"), col("nsq").as("qnsq"),
+        slice(col("embedding"), 1, coarseDim).as("qhead")))
+    val coarse = e.crossJoin(probe)
+      .filter(col("vec_id") =!= ProbeId)
+      .withColumn("head", slice(col("embedding"), 1, coarseDim))
+      .withColumn("coarse_cos", dot(col("head"), col("qhead")) /
+        sqrt(normSq(col("head")) * normSq(col("qhead"))))
+      .orderBy(col("coarse_cos").desc, col("vec_id"))
+      .limit(50)
+    coarse
+      .withColumn("cos", dot(col("embedding"), col("q")) /
+        sqrt(col("nsq") * col("qnsq")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("coarse_cos"), col("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_matryoshka_topk"  -> simMatryoshkaTopk _,
     "sim_hybrid_rrf"       -> simHybridRrf _,
     "dedup_srp_lsh"        -> dedupSrpLsh _,
     "sim_knn_batch_ivf"    -> simKnnBatchIvf _,
@@ -604,6 +643,22 @@ object SimilarityQueries {
   }.mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    "sim_matryoshka_topk" ->
+      s"""WITH p AS (SELECT embedding AS q,
+         |    list_slice(embedding, 1, 16) AS qhead
+         |  FROM embeddings WHERE vec_id = $ProbeId),
+         |c AS (SELECT e.vec_id, e.embedding, p.q, p.qhead,
+         |    list_slice(e.embedding, 1, 16) AS head
+         |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> $ProbeId),
+         |s AS (SELECT vec_id, embedding, q,
+         |    ${dotSql("head", "qhead")} / sqrt(
+         |      ${dotSql("head", "head")} * ${dotSql("qhead", "qhead")})
+         |      AS coarse_cos
+         |  FROM c ORDER BY coarse_cos DESC, vec_id LIMIT 50)
+         |SELECT vec_id, coarse_cos,
+         |  ${dotSql("embedding", "q")} / sqrt(
+         |    ${dotSql("embedding", "embedding")} * ${dotSql("q", "q")}) AS cos
+         |FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "sim_hybrid_rrf" ->
       s"""WITH tok AS (SELECT doc_id,
          |    list_distinct(${TextQueries.tokensSql}) AS tok FROM documents),

@@ -714,7 +714,41 @@ object StatQueries {
       .orderBy("digit")
   }
 
+  /** TIME-WEIGHTED AVERAGE (TWAP) per user — the metric that makes an
+    * irregular event series comparable: each observed value is weighted
+    * by how long it HELD (seconds until the next event; the final
+    * observation holds nothing and contributes no weight). Numerator
+    * Σ v·Δt accumulates in exact DECIMAL (value DECIMAL(18,2) × BIGINT
+    * seconds — order-insensitive), denominator Σ Δt in BIGINT; ONE
+    * final double division via the shared-literal recipe. Users with a
+    * single event have no held interval and are excluded (their TWAP is
+    * undefined, not zero).
+    *
+    * Scale posture: the lead window and the aggregation both key on
+    * user_id — one hash exchange total (the subset rule); O(1) window
+    * state (a 1-row lead). At 100 TB this is the cheapest per-key
+    * window shape there is. */
+  def windowTwap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        col("value").cast(DecimalType(18, 2)).as("v"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .withColumn("dt", lead(col("sec"), 1).over(w) - col("sec"))
+      .filter(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("held_sec"),
+        sum(col("v") * col("dt")).as("num"))
+      .filter(col("held_sec") > 0)
+      .select(col("user_id"), col("n_intervals"), col("held_sec"),
+        (col("num").cast(DoubleType) / col("held_sec").cast(DoubleType))
+          .as("twap"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_twap"               -> windowTwap _,
     "agg_weighted_percentile"   -> aggWeightedPercentile _,
     "agg_gini_index"            -> aggGiniIndex _,
     "etl_incremental_mv"        -> etlIncrementalMv _,
@@ -1075,6 +1109,24 @@ object StatQueries {
         |    CAST(n AS DOUBLE) AS sigma5
         |FROM b WHERE diff * diff > var_num * CAST(4 AS DECIMAL(2,0))
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_twap" ->
+      // VARCHAR hop on the wide-decimal numerator (DuckDB DECIMAL→DOUBLE
+      // double-rounds; both engines then divide the same doubles)
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |l AS (SELECT user_id, v,
+        |    LEAD(sec, 1) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) - sec AS dt
+        |  FROM e),
+        |a AS (SELECT user_id, COUNT(*) AS n_intervals,
+        |    CAST(SUM(dt) AS BIGINT) AS held_sec, SUM(v * dt) AS num
+        |  FROM l WHERE dt IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_intervals, held_sec,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(held_sec AS DOUBLE)
+        |    AS twap
+        |FROM a WHERE held_sec > 0 ORDER BY user_id""".stripMargin,
     "window_attribution_ushaped" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
         |    CAST(value AS DECIMAL(18,2)) AS v,

@@ -271,6 +271,27 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"planted near-identical pair scored low: ${rows((474L, 498L))}")
   }
 
+  test("matryoshka rerank: exact cosines, candidates from the coarse stage, " +
+      "recall vs brute force measured") {
+    val out = graft.ops.SimilarityQueries.simMatryoshkaTopk(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 10)
+    out.foreach { case (_, coarse, cos) =>
+      assert(coarse >= -1.0 - 1e-9 && coarse <= 1.0 + 1e-9)
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+    // the reranked cosines must agree with the brute-force ranker where
+    // the candidate overlaps (sim_cosine_topk uses the same probe)
+    val brute = graft.ops.SimilarityQueries.simCosineTopk(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hits = out.count { case (id, _, cos) =>
+      brute.get(id).exists(_ == cos)
+    }
+    // MRL-style recall on random fixtures is imperfect by design; the
+    // spec pins that the two-stage result is sane, not lossless
+    assert(hits >= 3, s"matryoshka recall@10 vs brute force: $hits/10")
+  }
+
   test("hybrid RRF: scores bounded and consistent with the member ranks, " +
       "both modalities contribute, fusion order correct") {
     val out = graft.ops.SimilarityQueries.simHybridRrf(spark, sfDir).collect()

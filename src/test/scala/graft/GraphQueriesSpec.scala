@@ -354,4 +354,33 @@ class GraphQueriesSpec extends SparkTestBase {
       assert(r.getDouble(4) <= math.min(open, close), s"$key low")
     }
   }
+
+  test("label propagation matches a scala replay of two sync max-count-min-label rounds") {
+    val out = graft.ops.GraphQueries.graphLabelPropagation(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the support adjacency naively from lineitem
+    val li = graft.ops.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCount = li.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val ps: Seq[Long] = basket.map(_._2).toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size)
+    val edges = pairCount.filter(_._2 >= 2).keys.toSeq
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(out.keySet == adj.keySet)
+    def step(lbl: Map[Long, Long]): Map[Long, Long] =
+      adj.map { case (v, ns) =>
+        val counts = ns.groupBy(lbl).view.mapValues(_.size)
+        // max count, then smallest label
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    val want = step(step(adj.keys.map(v => v -> v).toMap))
+    out.foreach { case (v, c) =>
+      assert(c == want(v), s"vertex $v: community $c != replay ${want(v)}")
+    }
+    // communities actually merge: strictly fewer labels than vertices
+    assert(out.values.toSet.size < out.size)
+  }
 }

@@ -354,6 +354,31 @@ class StatQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("TWAP matches an exact rational replay per user") {
+    val got = StatQueries.windowTwap(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), cents(r.getDouble(2)), r.getLong(3)))
+    rows.groupBy(_._2).foreach { case (uid, es) =>
+      val seq = es.sortBy(e => (e._4, e._1))
+      val intervals = seq.zip(seq.tail).map { case (a, b) => (a._3, b._4 - a._4) }
+      val held = intervals.map(_._2).sum
+      if (intervals.isEmpty || held == 0) assert(!got.contains(uid))
+      else {
+        val (n, h, twap) = got(uid)
+        assert(n == intervals.length && h == held, s"user $uid counts")
+        val numCents = intervals.map { case (c, dt) => BigInt(c) * dt }.sum
+        // engine: exact decimal num → double, / double(held)
+        val want = (BigDecimal(numCents) / 100).toDouble / held.toDouble
+        assert(twap == want, s"user $uid twap $twap != $want")
+      }
+    }
+  }
+
   test("hopping windows: 4x replication mass and per-window membership") {
     val out = graft.ops.ScalarQueries.timeBucketHopping(spark, sfDir).collect()
     assert(out.map(_.getLong(0)).forall(_ % 900 == 0))
