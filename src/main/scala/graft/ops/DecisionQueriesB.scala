@@ -332,6 +332,50 @@ object DecisionQueriesB {
       .limit(100)
   }
 
+  /** MARKET-BASKET ASSOCIATION RULES — support/confidence/lift for
+    * co-purchased part pairs, the retail-analytics classic (and the
+    * co-occurrence twin of `text_collocation_lift`, which does the same
+    * statistic over adjacent words). Counts are exact integers; lift =
+    * (n_both·n_baskets)/(n_a·n_b) and confidence = n_both/n_a are each
+    * ONE double expression evaluated identically in both engines.
+    * Support floor 3 applies the standard rule-mining cutoff.
+    *
+    * Scale posture: pair generation is BASKET-LOCAL (sorted distinct
+    * item list per order, i<j expansion — one exchange on the order
+    * key, quadratic only in basket width ≤7 here; cap the basket first
+    * on power-law data), NOT a fact self-join; item counts and the
+    * basket total are partial-aggregated side frames, the total a
+    * broadcast single row. The oracle keeps the self-join formulation —
+    * a different construction that must agree exactly. */
+  def dsqBasketLift(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nB = items.select("o").distinct().agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = items.groupBy("p").agg(count(lit(1)).as("cs"))
+    val pairs = items.groupBy("o")
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 3)
+    pairs
+      .join(itemCnt.select(col("p").as("a"), col("cs").as("ca")), "a")
+      .join(itemCnt.select(col("p").as("b"), col("cs").as("cb")), "b")
+      .crossJoin(broadcast(nB))
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("cab").as("n_both"), col("ca").as("n_a"), col("cb").as("n_b"),
+        (col("cab").cast(DoubleType) / col("ca").cast(DoubleType))
+          .as("confidence"),
+        ((col("cab").cast(DoubleType) * col("n_baskets").cast(DoubleType)) /
+          (col("ca").cast(DoubleType) * col("cb").cast(DoubleType)))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   /** Q20 shape reshaped — dominant suppliers: suppliers that shipped
     * more than 20% of some part's total shipped quantity (the corpus
     * has no partsupp.availqty, so "excess share of a part's flow"
@@ -371,7 +415,8 @@ object DecisionQueriesB {
     "dsq_disjunctive_rev"      -> dsqDisjunctiveRev _,
     "dsq_dominant_supplier"    -> dsqDominantSupplier _,
     "dsq_forecast_revenue"     -> dsqForecastRevenue _,
-    "dsq_min_cost_supplier"    -> dsqMinCostSupplier _
+    "dsq_min_cost_supplier"    -> dsqMinCostSupplier _,
+    "dsq_basket_lift"          -> dsqBasketLift _
   )
 
   private val revSql =
@@ -504,6 +549,22 @@ object DecisionQueriesB {
         |WHERE p_type = 'LARGE' AND p_size <= 10
         |  AND unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
         |    WHERE c2.l_partkey = cost.l_partkey)
-        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100""".stripMargin
+        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100""".stripMargin,
+    "dsq_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |nb AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM items),
+        |ic AS (SELECT p, COUNT(*) AS cs FROM items GROUP BY p),
+        |pr AS (SELECT x.p AS a, y.p AS b, COUNT(*) AS cab
+        |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT a AS part_a, b AS part_b, cab AS n_both,
+        |  ia.cs AS n_a, ib.cs AS n_b,
+        |  CAST(cab AS DOUBLE) / CAST(ia.cs AS DOUBLE) AS confidence,
+        |  (CAST(cab AS DOUBLE) * CAST(n_baskets AS DOUBLE)) /
+        |    (CAST(ia.cs AS DOUBLE) * CAST(ib.cs AS DOUBLE)) AS lift
+        |FROM pr JOIN ic ia ON pr.a = ia.p JOIN ic ib ON pr.b = ib.p
+        |CROSS JOIN nb
+        |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin
   )
 }

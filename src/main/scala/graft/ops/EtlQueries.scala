@@ -161,7 +161,60 @@ object EtlQueries {
       .orderBy("user_id")
   }
 
+  /** SURVIVORSHIP MERGE — the MDM golden-record build the reference's
+    * customer consolidation gestures at (its dedup keeps one arbitrary
+    * row; survivorship keeps the BEST value per FIELD, each under its
+    * own rule): per user, the most recent purchase amount (recency rule
+    * on a sparse attribute — `last(…, ignoreNulls)` carries it across
+    * non-purchase events), the most recent click's props.k (same rule,
+    * different source field), first/last seen, and the modal event type
+    * (frequency rule, ties → smallest type string). One row per user =
+    * the golden record.
+    *
+    * Scale posture: the carry windows and both aggregations all key on
+    * user_id — ONE hash exchange end to end (subset rule); the mode is
+    * the count→`min(struct(-cnt, type))` fold (constant-width rows, no
+    * per-user lists). */
+  def etlSurvivorshipMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value").cast(DecimalType(18, 2)).as("v"), col("props"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = ev
+      .withColumn("purch_v",
+        last(when(col("event_type") === "purchase", col("v")),
+          ignoreNulls = true).over(ord))
+      .withColumn("click_k",
+        last(when(col("event_type") === "click",
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+            .cast(IntegerType)), ignoreNulls = true).over(ord))
+      .withColumn("rk", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("sec").desc, col("event_id").desc)))
+    val golden = base.filter(col("rk") === 1)
+      .select(col("user_id"), col("purch_v"), col("click_k"))
+    val spans = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      min(col("sec")).as("first_seen_sec"),
+      max(col("sec")).as("last_seen_sec"))
+    val mode = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(min(struct((-col("cnt")).as("nc"), col("event_type").as("t")))
+        .as("m"))
+      .select(col("user_id"), col("m.t").as("preferred_type"))
+    golden.join(spans, "user_id").join(mode, "user_id")
+      .select(col("user_id"), col("n_events"),
+        col("first_seen_sec"), col("last_seen_sec"),
+        col("purch_v").cast(DoubleType).as("last_purchase_value"),
+        col("click_k").as("last_click_k"), col("preferred_type"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_survivorship_merge" -> etlSurvivorshipMerge _,
     "etl_cdc_compaction"    -> etlCdcCompaction _,
     "etl_scd2_merge"        -> etlScd2Merge _,
     "custom_expr_cpfclean"  -> customExprCpfClean _,
@@ -176,6 +229,42 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_survivorship_merge" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v, props,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |c AS (SELECT user_id, event_id, sec,
+        |    LAST_VALUE(CASE WHEN event_type = 'purchase' THEN v END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS purch_v,
+        |    LAST_VALUE(CASE WHEN event_type = 'click' THEN
+        |        CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)
+        |      END IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS click_k,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY sec DESC, event_id DESC) AS rk
+        |  FROM ev),
+        |g AS (SELECT user_id, purch_v, click_k FROM c WHERE rk = 1),
+        |sp AS (SELECT user_id, COUNT(*) AS n_events,
+        |    MIN(sec) AS first_seen_sec, MAX(sec) AS last_seen_sec
+        |  FROM ev GROUP BY user_id),
+        |mc AS (SELECT user_id, event_type, COUNT(*) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |m AS (SELECT user_id, event_type AS preferred_type FROM (
+        |    SELECT user_id, event_type, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rk
+        |    FROM mc) WHERE rk = 1)
+        |SELECT g.user_id, n_events, first_seen_sec, last_seen_sec,
+        |  CAST(CAST(purch_v AS VARCHAR) AS DOUBLE) AS last_purchase_value,
+        |  click_k AS last_click_k, preferred_type
+        |FROM g JOIN sp ON g.user_id = sp.user_id
+        |JOIN m ON g.user_id = m.user_id
+        |ORDER BY g.user_id""".stripMargin,
     "etl_cdc_compaction" ->
       """SELECT user_id, event_type AS last_op, value AS last_value,
         |  n_changes

@@ -747,7 +747,35 @@ object StatQueries {
       .orderBy("user_id")
   }
 
+  /** MONTH-OVER-MONTH change — the BI report staple: revenue per
+    * (priority, month) with the relative change vs the previous month.
+    * Monthly sums accumulate in exact DECIMAL; the change ratio is
+    * (rev − prev)/prev where numerator and denominator are each ONE
+    * decimal→double cast of exact values and the division is the same
+    * IEEE op in both engines. The first month of each group reports
+    * NULL (no prior month — not 0, which would read as "flat").
+    *
+    * Scale posture: the rollup partial-aggregates to |priorities|×
+    * |months| rows BEFORE its one exchange; the lag window runs on that
+    * tiny frame. The fact table never touches a window. */
+  def windowMomChange(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+          .as("month"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("rev"))
+    val w = Window.partitionBy("pri").orderBy("month")
+    m.withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("pri"), col("month"),
+        col("rev").cast(DoubleType).as("revenue"),
+        ((col("rev") - col("prev")).cast(DoubleType) /
+          col("prev").cast(DoubleType)).as("mom_change"))
+      .orderBy("pri", "month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_mom_change"         -> windowMomChange _,
     "window_twap"               -> windowTwap _,
     "agg_weighted_percentile"   -> aggWeightedPercentile _,
     "agg_gini_index"            -> aggGiniIndex _,
@@ -1109,6 +1137,21 @@ object StatQueries {
         |    CAST(n AS DOUBLE) AS sigma5
         |FROM b WHERE diff * diff > var_num * CAST(4 AS DECIMAL(2,0))
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_mom_change" ->
+      // VARCHAR hop on both decimal→double casts (the r4 recipe)
+      """WITH m AS (SELECT o_orderpriority AS pri,
+        |    strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT pri, month, rev,
+        |    LAG(rev, 1) OVER (PARTITION BY pri ORDER BY month) AS prev
+        |  FROM m)
+        |SELECT pri, month,
+        |  CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+        |  CAST(CAST(rev - prev AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(prev AS VARCHAR) AS DOUBLE) AS mom_change
+        |FROM l ORDER BY pri, month""".stripMargin,
     "window_twap" ->
       // VARCHAR hop on the wide-decimal numerator (DuckDB DECIMAL→DOUBLE
       // double-rounds; both engines then divide the same doubles)

@@ -186,6 +186,39 @@ class DecisionQueriesBSpec extends SparkTestBase {
       s"revenue ${row.getDouble(0)} vs replay $micro micro-units")
   }
 
+  test("basket lift agrees with a driver-side association-rule replay") {
+    val out = DecisionQueriesB.dsqBasketLift(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val items = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nB = items.map(_._1).distinct.length
+    val ic = items.groupBy(_._2).view.mapValues(_.length).toMap
+    val pairCnt = items.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val ps: Seq[Long] = basket.map(_._2).toSeq.sorted
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    out.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val cab = pairCnt((a, b))
+      assert(r.getLong(2) == cab && cab >= 3, s"pair ($a,$b) support")
+      assert(r.getLong(3) == ic(a) && r.getLong(4) == ic(b))
+      assert(r.getDouble(5) == cab.toDouble / ic(a), s"($a,$b) confidence")
+      assert(r.getDouble(6) ==
+        (cab.toDouble * nB.toDouble) / (ic(a).toDouble * ic(b).toDouble),
+        s"($a,$b) lift")
+    }
+    // descending lift with (a, b) tiebreaks
+    out.sliding(2).foreach {
+      case Array(x, y) =>
+        val tieOrdered = x.getLong(0) < y.getLong(0) ||
+          (x.getLong(0) == y.getLong(0) && x.getLong(1) < y.getLong(1))
+        assert(x.getDouble(6) > y.getDouble(6) ||
+          (x.getDouble(6) == y.getDouble(6) && tieOrdered))
+      case _ =>
+    }
+  }
+
   test("min-cost supplier rows achieve their part's true minimum over eligible suppliers") {
     val out = DecisionQueriesB.dsqMinCostSupplier(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -379,6 +379,62 @@ class StatQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("survivorship merge: every golden-record field matches its rule replayed") {
+    val out = graft.ops.EtlQueries.etlSurvivorshipMerge(spark, sfDir).collect()
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getString(4), r.getLong(5)))
+    val byUser = rows.groupBy(_._2)
+    assert(out.map(_.getLong(0)).toSet == byUser.keySet)
+    out.foreach { r =>
+      val uid = r.getLong(0)
+      val es = byUser(uid).sortBy(e => (e._6, e._1))
+      assert(r.getLong(1) == es.length)
+      assert(r.getLong(2) == es.map(_._6).min && r.getLong(3) == es.map(_._6).max)
+      val lastPurch = es.filter(_._3 == "purchase").lastOption.map(_._4)
+      if (lastPurch.isEmpty) assert(r.isNullAt(4))
+      else assert(cents(r.getDouble(4)) == cents(lastPurch.get), s"user $uid purchase")
+      val lastClick = es.filter(_._3 == "click").lastOption
+        .map(e => "\"k\":\\s*(\\d+)".r.findFirstMatchIn(e._5).get.group(1).toInt)
+      if (lastClick.isEmpty) assert(r.isNullAt(5))
+      else assert(r.getInt(5) == lastClick.get, s"user $uid click k")
+      val mode = es.groupBy(_._3).view.mapValues(_.size).toSeq
+        .minBy { case (t, c) => (-c, t) }._1
+      assert(r.getString(6) == mode, s"user $uid preferred type")
+    }
+  }
+
+  test("month-over-month change matches an exact-cents replay") {
+    val out = StatQueries.windowMomChange(spark, sfDir).collect()
+    val rev = orderRows().map { case (_, key, ms, c) => (key, ms, c) }
+    val pri = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val monthly = rev.groupBy { case (key, ms, _) =>
+      val ld = java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      (pri(key), f"${ld.getYear}%04d-${ld.getMonthValue}%02d")
+    }.view.mapValues(_.map(_._3).sum).toMap
+    assert(out.length == monthly.size)
+    val seen = scala.collection.mutable.Map.empty[String, Long] // pri -> prev cents
+    out.foreach { r =>
+      val (p, m) = (r.getString(0), r.getString(1))
+      val c = monthly((p, m))
+      assert(cents(r.getDouble(2)) == c, s"($p,$m) revenue")
+      seen.get(p) match {
+        case None => assert(r.isNullAt(3), s"($p,$m) first month must be null")
+        case Some(prev) =>
+          val want = ((c - prev) / 100.0) / (prev / 100.0)
+          assert(math.abs(r.getDouble(3) - want) < 1e-12, s"($p,$m) mom")
+      }
+      seen(p) = c
+    }
+  }
+
   test("hopping windows: 4x replication mass and per-window membership") {
     val out = graft.ops.ScalarQueries.timeBucketHopping(spark, sfDir).collect()
     assert(out.map(_.getLong(0)).forall(_ % 900 == 0))
