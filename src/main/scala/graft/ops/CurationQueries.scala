@@ -422,7 +422,11 @@ object CurationQueries {
     * CONSTANT, and each output row carries one W-token slice, not the
     * whole document. No shuffle at all until the output sort (which a
     * production writer would drop for a partitioned write). */
-  def curationChunkOverlap(s: SparkSession, d: String): DataFrame = {
+  /** Unsorted chunk frame shared by [[curationChunkOverlap]] (which
+    * adds the presentation sort) and [[pipelineRagIndex]] (whose
+    * aggregation would destroy any ordering — paying the sort there
+    * would be pure waste). */
+  private def chunksOf(s: SparkSession, d: String): DataFrame = {
     val W = 16; val St = 12
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -437,10 +441,42 @@ object CurationQueries {
           .as("n_chunk_tokens"),
         array_join(slice(col("tok"),
           (col("i") * St + 1).cast(IntegerType), lit(W)), " ").as("chunk_text"))
-      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def curationChunkOverlap(s: SparkSession, d: String): DataFrame =
+    chunksOf(s, d).orderBy("doc_id", "chunk_idx")
+
+  /** RAG-INDEX BUILD flagship — the chunk-level pipeline a retrieval
+    * index runs before embedding (embedding compute is priced per
+    * chunk, so chunk-level exact dedup is the single highest-ROI step):
+    * chunk ([[chunksOf]]) → content-hash each chunk → canonical-copy
+    * election per hash ((doc_id, chunk_idx) min — the dedup survivor
+    * rule) → per-document rollup of chunks owned vs deduplicated away.
+    * `n_canonical` is what the document would actually contribute to
+    * the index; `n_chunks − n_canonical` chunks ride on another doc's
+    * embedding.
+    *
+    * Scale posture: one shuffle on the 16-byte content hash (not the
+    * chunk text — the election ships (hash, doc_id, chunk_idx) triples
+    * and rejoins by hash), then a partial-aggregated rollup on doc_id.
+    * The chunk explode itself never shuffles. */
+  def pipelineRagIndex(s: SparkSession, d: String): DataFrame = {
+    val keyed = chunksOf(s, d).select(col("doc_id"), col("chunk_idx"),
+      md5(col("chunk_text")).as("h"))
+    val canon = keyed.groupBy("h").agg(
+      min(struct(col("doc_id"), col("chunk_idx"))).as("keep"))
+    keyed.join(canon, "h")
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("keep.doc_id") === col("doc_id") &&
+          col("keep.chunk_idx") === col("chunk_idx")).as("kept"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("n_canonical"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_rag_index"       -> pipelineRagIndex _,
     "curation_chunk_overlap"   -> curationChunkOverlap _,
     "curation_temperature_mix" -> curationTemperatureMix _,
     "curation_quality_qnorm"   -> curationQualityQnorm _,
@@ -460,6 +496,25 @@ object CurationQueries {
   import TextQueries.{cleanedSql, ratioSqlOf, tokensSqlOf}
 
   val oracle: Map[String, String] = Map(
+    "pipeline_rag_index" ->
+      s"""WITH t AS (SELECT doc_id, ${TextQueries.tokensSql} AS tok
+         |  FROM documents),
+         |d AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) > 0),
+         |c AS (SELECT doc_id, n, tok,
+         |    unnest(range(0, ((n - 1) // 12) + 1)) AS i
+         |  FROM d),
+         |k AS (SELECT doc_id, i AS chunk_idx,
+         |    md5(array_to_string(list_slice(tok, i * 12 + 1, i * 12 + 16),
+         |      ' ')) AS h
+         |  FROM c),
+         |e AS (SELECT doc_id, chunk_idx,
+         |    ROW_NUMBER() OVER (PARTITION BY h
+         |      ORDER BY doc_id, chunk_idx) AS rk
+         |  FROM k)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_canonical
+         |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "curation_chunk_overlap" ->
       s"""WITH t AS (SELECT doc_id, ${TextQueries.tokensSql} AS tok
          |  FROM documents),

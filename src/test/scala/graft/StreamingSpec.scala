@@ -588,6 +588,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch-equivalence: streamed sliding windows equal the oracle-checked " +
+      "time_bucket_hopping result on the real corpus") {
+    import org.apache.spark.sql.functions._
+    // slidingCounts (window 1h hop 15min) and the batch hopping query
+    // are the SAME operator in two execution models; their (start, n)
+    // sets must agree exactly
+    val beqSf = "/root/testdata/sf0.01"
+    val events = graft.ops.Tables.events(spark, beqSf)
+      .select(col("ts"), col("event_type"), col("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-beq-hop").toString
+    events.coalesce(2).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val name = s"beq_hop_${System.nanoTime()}"
+    val q = Streams.slidingCounts(spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(name)
+        .select(unix_timestamp(col("window_start")).as("ws"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val batch = graft.ops.ScalarQueries.timeBucketHopping(spark, beqSf)
+        .select(col("ws_sec"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"hopping differs: ${streamed.length} vs ${batch.length} windows")
+    } finally q.stop()
+  }
+
   test("batch-equivalence: streamed changelog compaction converges to the " +
       "oracle-checked etl_cdc_compaction result on the real corpus") {
     import spark.implicits._
