@@ -159,7 +159,49 @@ object AsofQueries {
       .orderBy("event_id")
   }
 
+  /** NEAREST-direction as-of: each event matches the daily-orders row
+    * with the smallest |day gap| in EITHER direction, ties preferring
+    * the backward (non-peeking) candidate — the pandas
+    * `merge_asof(direction='nearest')` semantics. Composed from TWO
+    * native [[graft.plans.AsofJoin]] passes: the backward pass as-is,
+    * the forward pass as the same operator on the NEGATED time axis
+    * (largest −r_day ≤ −day ⇔ smallest r_day ≥ day — direction is a
+    * coordinate flip, not new machinery). One CASE picks per row.
+    *
+    * Scale posture: both passes are the linear keyed merge with the
+    * same one-exchange-per-side layout ([[asofOrdersSides]] subset-rule
+    * repartition); the final pick joins two already-keyed single-row-
+    * per-event frames on event_id. Nothing quadratic anywhere. */
+  def joinAsofNearestComposed(s: SparkSession, d: String): DataFrame = {
+    val (ev, ord) = asofOrdersSides(s, d, repartitionBuild = true)
+    val back = graft.plans.AsofJoin(ev, ord, "user_id", "r_cust", "day", "r_day")
+      .select(col("event_id"), col("user_id"), col("day"),
+        col("r_day").as("b_day"), col("n_orders").as("b_n"),
+        col("best_price").as("b_p"))
+    val evN = ev.withColumn("nday", -col("day"))
+    val ordN = ord.withColumn("r_nday", -col("r_day"))
+    val fwd = graft.plans.AsofJoin(evN, ordN, "user_id", "r_cust", "nday", "r_nday")
+      .select(col("event_id").as("f_event_id"), col("r_day").as("f_day"),
+        col("n_orders").as("f_n"), col("best_price").as("f_p"))
+    val bGap = col("day") - col("b_day")
+    val fGap = col("f_day") - col("day")
+    val useBack = col("b_day").isNotNull &&
+      (col("f_day").isNull || bGap <= fGap)
+    back.join(fwd, col("event_id") === col("f_event_id"))
+      .select(col("event_id"), col("user_id"), col("day"),
+        when(useBack, lit("backward"))
+          .when(col("f_day").isNotNull, lit("forward"))
+          .otherwise(lit("none")).as("direction"),
+        coalesce(when(useBack, bGap).otherwise(fGap), lit(-1L)).as("gap_days"),
+        coalesce(when(useBack, col("b_n")).otherwise(col("f_n")), lit(-1L))
+          .as("n_orders"),
+        coalesce(when(useBack, col("b_p")).otherwise(col("f_p")), lit(-1.0))
+          .as("best_price"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_nearest_composed" -> joinAsofNearestComposed _,
     "join_asof_tolerance_native" -> joinAsofToleranceNative _,
     "join_asof_daily"           -> joinAsofDaily _,
     "join_asof_native"          -> joinAsofNative _,
@@ -213,7 +255,37 @@ object AsofQueries {
         |  ON e.user_id = o.r_cust AND e.day >= o.r_day
         |ORDER BY event_id""".stripMargin
 
+  /** Nearest oracle: generic ranked-candidate form (DuckDB's ASOF has
+    * no 'nearest' direction) — per event every same-user daily row is
+    * ranked by (|gap|, backward-first, r_day); rk=1 is the match. A
+    * different algorithm that must agree with the two-pass composition. */
+  private val asofNearestOracleSql =
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(day(ts) AS BIGINT) AS day FROM events),
+        |ord AS (
+        |  SELECT o_custkey % 150 AS r_cust, CAST(day(o_orderdate) AS BIGINT) AS r_day,
+        |         COUNT(*) AS n_orders, MAX(o_totalprice) AS best_price
+        |  FROM orders GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT e.event_id, e.user_id, e.day, o.r_day, o.n_orders,
+        |    o.best_price, abs(o.r_day - e.day) AS gap,
+        |    CASE WHEN o.r_day <= e.day THEN 0 ELSE 1 END AS fwd,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY
+        |      abs(o.r_day - e.day),
+        |      CASE WHEN o.r_day <= e.day THEN 0 ELSE 1 END, o.r_day) AS rk
+        |  FROM ev e JOIN ord o ON e.user_id = o.r_cust),
+        |best AS (SELECT * FROM cand WHERE rk = 1)
+        |SELECT e.event_id, e.user_id, e.day,
+        |  CASE WHEN b.event_id IS NULL THEN 'none'
+        |       WHEN b.fwd = 0 THEN 'backward' ELSE 'forward' END AS direction,
+        |  COALESCE(b.gap, -1) AS gap_days,
+        |  COALESCE(b.n_orders, -1) AS n_orders,
+        |  COALESCE(b.best_price, -1.0) AS best_price
+        |FROM ev e LEFT JOIN best b ON e.event_id = b.event_id
+        |ORDER BY e.event_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "join_asof_nearest_composed" -> asofNearestOracleSql,
     "join_asof_tolerance_native" -> asofToleranceOracleSql,
     "join_asof_daily"           -> asofOracleSql,
     "join_asof_native"          -> asofOracleSql,

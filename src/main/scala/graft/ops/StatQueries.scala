@@ -774,7 +774,52 @@ object StatQueries {
       .orderBy("pri", "month")
   }
 
+  /** EXACT INTERPOLATED PERCENTILES (p25/p50/p75 per group) — the
+    * PERCENTILE_CONT semantics done in pure integer arithmetic: with
+    * 0-based position (n−1)·p and p ∈ {¼,½,¾}, the position lands on
+    * the QUARTER grid, so value = v_lo·(4−f) + v_hi·f over integer
+    * cents (f = quarter remainder) is exact — one final double division
+    * by 400. No FP interpolation, no engine PERCENTILE_CONT semantics
+    * drift (the notorious cross-engine mismatch this construction
+    * sidesteps by never calling either engine's builtin). Ties in the
+    * rank order are harmless: equal values sort adjacent, so any rank
+    * inside a tie run carries the same cents.
+    *
+    * Scale posture: one rank window per group + a broadcast 15-row
+    * positions frame that SEMI-selects exactly ≤6 rows per group before
+    * a trivial aggregate. The two-pass histogram form replaces the rank
+    * window when a single group outgrows a partition — same answer.
+    * Complements [[aggWeightedPercentile]] (weighted, lower-median) and
+    * the t-digest-style `approx_quantile_sketch` (approximate). */
+  def aggPercentileInterp(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("cents"))
+    val ranked = t.withColumn("rk", row_number().over(
+      Window.partitionBy("flag").orderBy(col("cents"))))
+    val quarters = t.groupBy("flag").agg(count(lit(1)).as("n"))
+      .select(col("flag").as("qflag"), col("n"),
+        explode(typedLit(Seq(1, 2, 3))).as("q"))
+      .withColumn("pos4", (col("n") - 1) * col("q"))
+      .select(col("qflag"), col("q"),
+        expr("pos4 DIV 4 + 1").as("lo_rk"),
+        expr("pos4 DIV 4 + 1 + CASE WHEN pos4 % 4 > 0 THEN 1 ELSE 0 END")
+          .as("hi_rk"),
+        expr("pos4 % 4").as("frac4"))
+    ranked.join(broadcast(quarters),
+        col("flag") === col("qflag") &&
+          (col("rk") === col("lo_rk") || col("rk") === col("hi_rk")))
+      .groupBy("flag", "q", "frac4")
+      .agg(min(when(col("rk") === col("lo_rk"), col("cents"))).as("vlo"),
+        min(when(col("rk") === col("hi_rk"), col("cents"))).as("vhi"))
+      .select(col("flag"), (col("q") * 25).as("pct"),
+        ((col("vlo") * (lit(4L) - col("frac4")) + col("vhi") * col("frac4"))
+          .cast(DoubleType) / 400.0).as("value"))
+      .orderBy("flag", "pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_percentile_interp"     -> aggPercentileInterp _,
     "window_mom_change"         -> windowMomChange _,
     "window_twap"               -> windowTwap _,
     "agg_weighted_percentile"   -> aggWeightedPercentile _,
@@ -1137,6 +1182,31 @@ object StatQueries {
         |    CAST(n AS DOUBLE) AS sigma5
         |FROM b WHERE diff * diff > var_num * CAST(4 AS DECIMAL(2,0))
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "agg_percentile_interp" ->
+      """WITH t AS (SELECT l_returnflag AS flag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem),
+        |r AS (SELECT flag, cents, ROW_NUMBER() OVER (PARTITION BY flag
+        |    ORDER BY cents) AS rk FROM t),
+        |c AS (SELECT flag, COUNT(*) AS n FROM t GROUP BY flag),
+        |qs AS (SELECT flag, n, q
+        |  FROM c CROSS JOIN (SELECT unnest([1, 2, 3]) AS q)),
+        |p AS (SELECT flag, q,
+        |    ((n - 1) * q) // 4 + 1 AS lo_rk,
+        |    ((n - 1) * q) // 4 + 1 +
+        |      CASE WHEN ((n - 1) * q) % 4 > 0 THEN 1 ELSE 0 END AS hi_rk,
+        |    ((n - 1) * q) % 4 AS frac4
+        |  FROM qs),
+        |j AS (SELECT p.flag, p.q, p.frac4,
+        |    MIN(CASE WHEN r.rk = p.lo_rk THEN r.cents END) AS vlo,
+        |    MIN(CASE WHEN r.rk = p.hi_rk THEN r.cents END) AS vhi
+        |  FROM r JOIN p ON r.flag = p.flag
+        |    AND (r.rk = p.lo_rk OR r.rk = p.hi_rk)
+        |  GROUP BY 1, 2, 3)
+        |SELECT flag, q * 25 AS pct,
+        |  CAST(vlo * (4 - frac4) + vhi * frac4 AS DOUBLE) / 400.0 AS value
+        |FROM j ORDER BY flag, pct""".stripMargin,
     "window_mom_change" ->
       // VARCHAR hop on both decimal→double casts (the r4 recipe)
       """WITH m AS (SELECT o_orderpriority AS pri,

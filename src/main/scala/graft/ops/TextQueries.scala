@@ -296,7 +296,41 @@ object TextQueries {
       .limit(40)
   }
 
+  /** SENTENCE-level statistics — the readability/segment profile a
+    * quality filter reads alongside token counts: split on terminal
+    * punctuation runs ([.!?]+), trim, drop empties, then per doc the
+    * sentence count, token total, mean tokens-per-sentence (one double
+    * division of two exact ints) and the longest sentence. All list
+    * work is codegen'd HOFs in one projection — no shuffle at all
+    * before the presentation sort.
+    *
+    * Scale posture: pure map-side; a 100 TB corpus runs this at scan
+    * speed. The rollup a monitor wants (per-source histograms) is one
+    * partial-aggregated groupBy on top. */
+  def textSentenceStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val sentences = filter(
+      transform(split(col("text"), "[.!?]+"), x => trim(x)),
+      x => x =!= "")
+    val sentLens = transform(col("sents"),
+      x => size(filter(split(x, "\\s+"), t => t =!= "")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), sentences.as("sents"))
+      .filter(size(col("sents")) > 0)
+      .select(col("doc_id"), size(col("sents")).as("n_sentences"),
+        sentLens.as("lens"))
+      .select(col("doc_id"), col("n_sentences"),
+        aggregate(col("lens"), lit(0), (a, b) => a + b).as("n_tokens"),
+        array_max(col("lens")).as("max_sentence_len"))
+      .select(col("doc_id"), col("n_sentences"), col("n_tokens"),
+        (col("n_tokens").cast(DoubleType) /
+          col("n_sentences").cast(DoubleType)).as("avg_sentence_len"),
+        col("max_sentence_len"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_sentence_stats"   -> textSentenceStats _,
     "text_collocation_lift" -> textCollocationLift _,
     "text_quality_calibrate" -> textQualityCalibrate _,
     "text_html_strip"       -> textHtmlStrip _,
@@ -368,6 +402,22 @@ object TextQueries {
   private val ratioSql = ratioSqlOf("text")
 
   val oracle: Map[String, String] = Map(
+    "text_sentence_stats" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+        |      x -> trim(x)), x -> x <> '') AS sents
+        |  FROM documents),
+        |l AS (SELECT doc_id, len(sents) AS n_sentences,
+        |    list_transform(sents, x ->
+        |      len(list_filter(string_split_regex(x, '\s+'), t -> t <> '')))
+        |      AS lens
+        |  FROM s WHERE len(sents) > 0)
+        |SELECT doc_id, n_sentences,
+        |  list_reduce(list_prepend(0, lens), (a, b) -> a + b) AS n_tokens,
+        |  CAST(list_reduce(list_prepend(0, lens), (a, b) -> a + b)
+        |      AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS avg_sentence_len,
+        |  list_aggregate(lens, 'max') AS max_sentence_len
+        |FROM l ORDER BY doc_id""".stripMargin,
     "text_collocation_lift" ->
       s"""WITH tok AS (SELECT $tokensSql AS tok FROM documents),
          |t AS (SELECT unnest(tok) AS t FROM tok),

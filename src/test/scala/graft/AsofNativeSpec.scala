@@ -208,4 +208,29 @@ class AsofNativeSpec extends SparkTestBase {
     assert(out.length == 3)
     assert(out.forall(!_.isNullAt(2))) // every row finds its own aggregate
   }
+
+  test("nearest composition picks the minimal |gap| with backward tie preference") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.AsofQueries.joinAsofNearestComposed(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // replay: per user the set of daily r_days; per event the true nearest
+    val ord = graft.ops.Tables.orders(spark, sfDir)
+      .select((col("o_custkey") % 150).as("c"),
+        dayofmonth(col("o_orderdate")).cast("long").as("rd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    out.foreach { r =>
+      val (uid, day, dir, gap) =
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))
+      ord.get(uid) match {
+        case None | Some(Seq()) => assert(dir == "none" && gap == -1L)
+        case Some(ds) =>
+          val minGap = ds.map(rd => math.abs(rd - day)).min
+          assert(gap == minGap, s"event ${r.getLong(0)}: gap $gap != $minGap")
+          val hasBack = ds.exists(rd => rd <= day && day - rd == minGap)
+          assert(dir == (if (hasBack) "backward" else "forward"),
+            s"event ${r.getLong(0)}: direction $dir")
+      }
+    }
+  }
 }

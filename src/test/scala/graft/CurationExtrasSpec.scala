@@ -349,6 +349,27 @@ class CurationExtrasSpec extends SparkTestBase {
     }
   }
 
+  test("sentence stats match a scala re-segmentation of every document") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.ops.TextQueries.textSentenceStats(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4)))).toMap
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    docs.foreach { case (id, text) =>
+      val sents = text.split("[.!?]+").map(_.trim).filter(_.nonEmpty)
+      if (sents.isEmpty) assert(!out.contains(id))
+      else {
+        val lens = sents.map(s => s.split("\\s+").count(_.nonEmpty))
+        val (n, tot, avg, mx) = out(id)
+        assert(n == sents.length && tot == lens.sum && mx == lens.max,
+          s"doc $id counts")
+        assert(avg == lens.sum.toDouble / sents.length, s"doc $id avg")
+      }
+    }
+  }
+
   test("overlapping chunks tile every document: grid starts, full coverage, " +
       "exact reconstruction") {
     import org.apache.spark.sql.functions._

@@ -435,6 +435,25 @@ class StatQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("interpolated percentiles match a sorted-array quarter-grid replay") {
+    val out = StatQueries.aggPercentileInterp(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val vals = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), cents(r.getDouble(1))))
+    vals.groupBy(_._1).foreach { case (flag, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      for (q <- 1 to 3) {
+        val pos4 = (n - 1).toLong * q
+        val lo = (pos4 / 4).toInt; val f = pos4 % 4
+        val hi = if (f > 0) lo + 1 else lo
+        val want = (sorted(lo) * (4 - f) + sorted(hi) * f).toDouble / 400.0
+        assert(out((flag, q * 25)) == want, s"$flag p${q * 25}")
+      }
+    }
+  }
+
   test("hopping windows: 4x replication mass and per-window membership") {
     val out = graft.ops.ScalarQueries.timeBucketHopping(spark, sfDir).collect()
     assert(out.map(_.getLong(0)).forall(_ % 900 == 0))
