@@ -394,7 +394,37 @@ object AggWindowQueries {
       .orderBy("rday")
   }
 
+  /** LONGEST ACTIVITY STREAK per user — the gaps-and-islands pattern on
+    * the integer day grid (the arithmetic sibling of the time-gap
+    * sessionizer): for each user's DISTINCT active days, `day −
+    * row_number` is constant exactly within a run of consecutive days,
+    * so grouping on it yields the islands; the longest one (ties → the
+    * earliest start, via the `min(struct(-len, start))` fold) is the
+    * streak. All integers end to end.
+    *
+    * Scale posture: distinct + row_number + both aggregations ALL key
+    * on user_id — one hash exchange for the whole query (subset rule);
+    * island state is O(1) per row. */
+  def windowStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d).select(col("user_id"),
+        datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType))
+          .cast(LongType).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days.withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"), min("day").as("sd"))
+      .groupBy("user_id")
+      .agg(sum("len").as("n_active_days"),
+        min(struct((-col("len")).as("nl"), col("sd").as("sd"))).as("m"))
+      .select(col("user_id"), col("n_active_days"),
+        (-col("m.nl")).as("longest_streak"),
+        col("m.sd").as("streak_start_day"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_streaks"       -> windowStreaks _,
     "window_rolling_distinct" -> windowRollingDistinct _,
     "window_retention_cohort" -> windowRetentionCohort _,
     "window_rank_stats"      -> windowRankStats _,
@@ -422,6 +452,26 @@ object AggWindowQueries {
     s"(((2*rr.r + 3)*h + rr.r*2654435761) % 4294967311) % $CmBuckets"
 
   val oracle: Map[String, String] = Map(
+    "window_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM events),
+        |isl AS (SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM days),
+        |runs AS (SELECT user_id, island, COUNT(*) AS len,
+        |    MIN(day) AS sd
+        |  FROM isl GROUP BY 1, 2),
+        |r AS (SELECT user_id, len, sd, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY len DESC, sd) AS rk,
+        |    CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS n_active_days
+        |  FROM runs)
+        |SELECT user_id, n_active_days, len AS longest_streak,
+        |  sd AS streak_start_day
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
     "sketch_countmin_error" ->
       s"""WITH rows4(r) AS (VALUES (0), (1), (2), (3)),
          |hb AS (SELECT user_id,

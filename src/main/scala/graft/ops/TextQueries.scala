@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis._
@@ -50,6 +51,31 @@ object TextQueries {
           "generic" -> stopwords, "sqlish" -> sqlWords, "dataish" -> dataWords))
           .as("pred_lang"))
       .orderBy("doc_id")
+
+  /** LANGUAGE-ID CONFUSION MATRIX — the classifier-eval rollup run
+    * after [[textLangId]]: counts per (labeled lang, predicted lang)
+    * plus the share of the label's row (one double division of two
+    * exact counts). The matrix is what decides whether a heuristic
+    * classifier is fit to gate a corpus — precision/recall per class
+    * are row/column reads off it.
+    *
+    * Scale posture: prediction is the same codegen'd projection as
+    * [[textLangId]]; the matrix partial-aggregates to |langs|² rows and
+    * the per-label totals ride a tiny window over that frame. */
+  def textLangidConfusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val w = Window.partitionBy("lang")
+    Tables.documents(s, d)
+      .select(col("lang"), langId(col("text"), Seq(
+        "generic" -> stopwords, "sqlish" -> sqlWords, "dataish" -> dataWords))
+        .as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("label_total", sum(col("n")).over(w))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        (col("n").cast(DoubleType) / col("label_total").cast(DoubleType))
+          .as("share_of_label"))
+      .orderBy("lang", "pred_lang")
+  }
 
   /** Document fingerprints: exact (md5) + order-sensitive rolling hash. */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
@@ -330,6 +356,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid_confusion" -> textLangidConfusion _,
     "text_sentence_stats"   -> textSentenceStats _,
     "text_collocation_lift" -> textCollocationLift _,
     "text_quality_calibrate" -> textQualityCalibrate _,
@@ -402,6 +429,20 @@ object TextQueries {
   private val ratioSql = ratioSqlOf("text")
 
   val oracle: Map[String, String] = Map(
+    "text_langid_confusion" ->
+      s"""WITH p AS (SELECT lang, CASE
+         |    WHEN ${markSql(dataWords)} > ${markSql(sqlWords)}
+         |     AND ${markSql(dataWords)} > ${markSql(stopwords)} THEN 'dataish'
+         |    WHEN ${markSql(sqlWords)} > ${markSql(stopwords)} THEN 'sqlish'
+         |    ELSE 'generic' END AS pred_lang
+         |  FROM documents),
+         |m AS (SELECT lang, pred_lang, COUNT(*) AS n
+         |  FROM p GROUP BY 1, 2)
+         |SELECT lang, pred_lang, n,
+         |  CAST(n AS DOUBLE) /
+         |    CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE)
+         |    AS share_of_label
+         |FROM m ORDER BY lang, pred_lang""".stripMargin,
     "text_sentence_stats" ->
       """WITH s AS (SELECT doc_id,
         |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),

@@ -454,6 +454,44 @@ class StatQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("streaks match a scala gaps-and-islands replay per user") {
+    val out = graft.ops.AggWindowQueries.windowStreaks(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val epoch = java.time.LocalDate.parse("2024-01-01")
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date")).collect()
+      .map(r => (r.getLong(0),
+        java.time.temporal.ChronoUnit.DAYS.between(epoch, r.getDate(1).toLocalDate)))
+      .distinct
+    days.groupBy(_._1).foreach { case (uid, ds) =>
+      val sorted = ds.map(_._2).sorted
+      var bestLen = 0L; var bestStart = Long.MaxValue
+      var runLen = 0L; var runStart = 0L
+      sorted.zipWithIndex.foreach { case (day, i) =>
+        if (i == 0 || day != sorted(i - 1) + 1) { runLen = 0; runStart = day }
+        runLen += 1
+        if (runLen > bestLen) { bestLen = runLen; bestStart = runStart }
+      }
+      val (nActive, longest, start) = out(uid)
+      assert(nActive == sorted.length && longest == bestLen &&
+        start == bestStart, s"user $uid streaks")
+    }
+  }
+
+  test("lang-id confusion matrix is a partition of the corpus with unit row shares") {
+    val out = graft.ops.TextQueries.textLangidConfusion(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byLang = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum == byLang(lang), s"$lang row total")
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12, s"$lang shares")
+    }
+    assert(out.map(_._3).sum == byLang.values.sum)
+    assert(out.map(_._2).toSet.subsetOf(Set("generic", "sqlish", "dataish")))
+  }
+
   test("hopping windows: 4x replication mass and per-window membership") {
     val out = graft.ops.ScalarQueries.timeBucketHopping(spark, sfDir).collect()
     assert(out.map(_.getLong(0)).forall(_ % 900 == 0))
