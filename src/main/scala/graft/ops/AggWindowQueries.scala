@@ -406,9 +406,14 @@ object AggWindowQueries {
     * on user_id — one hash exchange for the whole query (subset rule);
     * island state is O(1) per row. */
   def windowStreaks(s: SparkSession, d: String): DataFrame = {
+    // repartition by user_id BEFORE the distinct: hash(user_id)
+    // satisfies the distinct's ClusteredDistribution(user_id, day) by
+    // the subset rule AND the window/aggregate requirements after it —
+    // one exchange instead of two (the as-of build-side lesson)
     val days = Tables.events(s, d).select(col("user_id"),
         datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType))
           .cast(LongType).as("day"))
+      .repartition(col("user_id"))
       .distinct()
     val w = Window.partitionBy("user_id").orderBy("day")
     days.withColumn("island", col("day") - row_number().over(w))

@@ -171,15 +171,22 @@ object EtlQueries {
     * (frequency rule, ties → smallest type string). One row per user =
     * the golden record.
     *
-    * Scale posture: the carry windows and both aggregations all key on
-    * user_id — ONE hash exchange end to end (subset rule); the mode is
-    * the count→`min(struct(-cnt, type))` fold (constant-width rows, no
-    * per-user lists). */
+    * Scale posture: three derivations (carry windows, span aggregate,
+    * mode fold) each pay one user_id exchange, and the final joins are
+    * exchange-FREE — both sides arrive hash-partitioned on user_id.
+    * Every exchange in the plan keys on user_id alone (spec-pinned);
+    * the mode is the count→`min(struct(-cnt, type))` fold
+    * (constant-width rows, no per-user lists). */
   def etlSurvivorshipMerge(s: SparkSession, d: String): DataFrame = {
+    // repartition by user_id up front: hash(user_id) satisfies every
+    // downstream requirement — the carry windows, the span aggregate,
+    // and the (user_id, event_type) mode rollup (subset rule) — so each
+    // branch pays exactly one user_id exchange and nothing else
     val ev = Tables.events(s, d).select(
       col("event_id"), col("user_id"), col("event_type"),
       col("value").cast(DecimalType(18, 2)).as("v"), col("props"),
       unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .repartition(col("user_id"))
     val ord = Window.partitionBy("user_id")
       .orderBy(col("sec"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

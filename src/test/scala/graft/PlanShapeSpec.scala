@@ -316,4 +316,49 @@ class PlanShapeSpec extends SparkTestBase {
     // prefix sum + running min + peak rank + count: ONE hash exchange
     assert(hashExchanges(p).size == 1, p)
   }
+
+  test("TWAP and streaks each ride one user_id exchange") {
+    for (q <- Seq("window_twap", "window_streaks")) {
+      val p = plan(q)
+      // distinct/windows/aggregations all cluster on user_id → the
+      // subset rule collapses them onto a single hash exchange
+      assert(hashExchanges(p).size == 1, s"$q:\n$p")
+      noCartesian(p, q)
+    }
+  }
+
+  test("survivorship: every exchange keys on user_id alone; joins are exchange-free") {
+    val p = plan("etl_survivorship_merge")
+    noCartesian(p, "etl_survivorship_merge")
+    val hx = hashExchanges(p)
+    // one exchange per derivation branch (windows, spans, mode) — and
+    // none for the joins, whose sides arrive co-partitioned
+    assert(hx.size <= 3, s"join added an exchange:\n$p")
+    hx.foreach { e =>
+      val keys = e.outputPartitioning.asInstanceOf[HashPartitioning]
+        .expressions.map(_.sql.toLowerCase)
+      assert(keys.forall(_.contains("user_id")), s"non-user key: $keys\n$p")
+    }
+  }
+
+  test("hybrid RRF towers broadcast the probes; no tower shuffles its corpus scan") {
+    val p = plan("sim_hybrid_rrf")
+    // the per-tower probe joins ARE broadcast nested-loop crosses — the
+    // sanctioned shape for a ≤3-row broadcast side (same as the cosine
+    // probes); what must NOT appear is an unbroadcast cartesian
+    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
+    val bcasts = ops(p).collect { case b: BroadcastExchangeExec => b }
+    assert(bcasts.size >= 2, s"probes not broadcast:\n$p")
+  }
+
+  test("matryoshka coarse and rerank stages both plan as TakeOrdered, not sorts") {
+    val p = plan("sim_matryoshka_topk")
+    val takeOrdered = ops(p).collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takeOrdered.size == 2, s"expected 2 TakeOrdered stages:\n$p")
+    assert(ops(p).collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+      s"global sort crept in:\n$p")
+  }
 }
