@@ -292,6 +292,57 @@ object Streams {
       }
   }
 
+  final case class TwapState(lastSec: Long, lastId: Long, lastV: Double,
+      sumVdt: Double, sumDt: Long, nIntervals: Long)
+  final case class TwapOut(user_id: Long, n_intervals: Long,
+      held_sec: Long, twap: Double)
+
+  /** Streaming TWAP — the online counterpart of the batch `window_twap`
+    * query: per user, each arriving event CLOSES the interval the
+    * previous value held, folding value·Δt into running sums; the
+    * emitted row is the time-weighted average over all closed
+    * intervals. O(1) state per user (last observation + two sums) with
+    * no watermark needed — the feature-store shape for "current TWAP
+    * per entity". Ordering contract as [[rollingAnomaly]]: per-user
+    * (sec, event_id) order across batches; within a batch the iterator
+    * is sorted here. The batch differential replays the corpus in one
+    * batch, where the contract holds trivially, and must agree on every
+    * user's final row (the double fold vs the batch's exact decimal sum
+    * gets ulp slack). */
+  def twap(events: Dataset[Event]): Dataset[TwapOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TwapState, TwapOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[TwapState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ListBuffer[TwapOut]()
+          rows.toSeq
+            // mirror the batch side: second-truncated ts, DECIMAL(18,2)
+            // value rounding
+            .map(e => (e.ts.getTime / 1000, e.event_id,
+              BigDecimal(e.value)
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            .sorted
+            .foreach { case (sec, id, v) =>
+              st = if (st == null) TwapState(sec, id, v, 0.0, 0L, 0L)
+              else {
+                val dt = sec - st.lastSec
+                val ns = TwapState(sec, id, v,
+                  st.sumVdt + st.lastV * dt, st.sumDt + dt,
+                  st.nIntervals + 1)
+                if (ns.sumDt > 0)
+                  out += TwapOut(uid, ns.nIntervals, ns.sumDt,
+                    ns.sumVdt / ns.sumDt.toDouble)
+                ns
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming rolling z-score anomaly detection — the online
     * counterpart of the batch `window_rolling_anomaly` query: per user,
     * each event is scored against the mean/stddev of its previous 5

@@ -617,6 +617,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch-equivalence: streamed TWAP's final row per user equals the " +
+      "oracle-checked window_twap result on the real corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val beqSf = "/root/testdata/sf0.01"
+    val events = graft.ops.Tables.events(spark, beqSf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-beq-twap").toString
+    events.coalesce(2).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val name = s"beq_twap_${System.nanoTime()}"
+    val q = Streams.twap(
+        spark.readStream.schema(schema).parquet(srcDir).as[Event])
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(name).as[Streams.TwapOut].collect()
+        .groupBy(_.user_id).map { case (_, rs) => rs.maxBy(_.n_intervals) }
+        .toSeq.sortBy(_.user_id)
+      val batch = graft.ops.StatQueries.windowTwap(spark, beqSf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+      assert(streamed.nonEmpty && streamed.length == batch.length)
+      streamed.zip(batch).foreach { case (s, (uid, n, held, twap)) =>
+        assert(s.user_id == uid && s.n_intervals == n && s.held_sec == held,
+          s"user $uid interval counts")
+        // stream folds doubles; batch sums exact decimals — ulp slack
+        assert(math.abs(s.twap - twap) < 1e-9, s"user $uid twap")
+      }
+    } finally q.stop()
+  }
+
   test("batch-equivalence: streamed changelog compaction converges to the " +
       "oracle-checked etl_cdc_compaction result on the real corpus") {
     import spark.implicits._
