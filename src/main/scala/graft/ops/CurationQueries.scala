@@ -475,7 +475,34 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** DETERMINISTIC FIXED-SIZE SAMPLE PER GROUP — k=5 docs per source by
+    * hash-ranked order: each doc's rank key is a pure function of
+    * (salt, doc_id) via md5, so taking the k smallest keys per group is
+    * simple random sampling without replacement that is REPRODUCIBLE
+    * across runs, engines, cluster sizes, and partitionings — the
+    * audit-sample / eyeball-queue primitive `sample_hash_split`'s
+    * Bernoulli split can't give (that yields a fixed RATE, this a fixed
+    * COUNT). No RNG anywhere.
+    *
+    * Scale posture: the rank window plans as a WindowGroupLimit
+    * (per-partition top-k heaps BEFORE the group exchange — the same
+    * optimization the curation funnel pins), so the shuffle carries at
+    * most k·partitions rows per group, not the corpus. */
+  def sampleReservoirGroup(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val key = graft.dedup.Dedup.hexFold32(
+      md5(concat(lit("reservoir:"), col("doc_id").cast("string"))))
+    val w = Window.partitionBy("source").orderBy(col("rkey"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), key.as("rkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"), col("lang"))
+      .orderBy("source", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_reservoir_group"   -> sampleReservoirGroup _,
     "pipeline_rag_index"       -> pipelineRagIndex _,
     "curation_chunk_overlap"   -> curationChunkOverlap _,
     "curation_temperature_mix" -> curationTemperatureMix _,
@@ -496,6 +523,14 @@ object CurationQueries {
   import TextQueries.{cleanedSql, ratioSqlOf, tokensSqlOf}
 
   val oracle: Map[String, String] = Map(
+    "sample_reservoir_group" ->
+      s"""SELECT source, rk, doc_id, lang FROM (
+         |  SELECT source, doc_id, lang, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY
+         |      ${graft.ops.OracleSql.fold32("'reservoir:' || CAST(doc_id AS VARCHAR)")},
+         |      doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     "pipeline_rag_index" ->
       s"""WITH t AS (SELECT doc_id, ${TextQueries.tokensSql} AS tok
          |  FROM documents),

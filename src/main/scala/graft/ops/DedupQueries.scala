@@ -659,7 +659,32 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** LSH RECALL EVAL — the measurement that decides whether the banded
+    * minhash index is safe to trust at corpus scale: ground truth is
+    * the PPJoin exact similarity join (complete at J=0.8 by the
+    * prefix-filter theorem), found is the LSH pipeline's verified
+    * pairs. Found ⊆ truth (both exact-verify at the same threshold), so
+    * recall is a pure count ratio — n_found/n_truth in one double
+    * division. Expected value for 4 bands × 2 rows at J=0.8 is
+    * 1−(1−J²)⁴ ≈ 0.983 per-pair; a measured dip below that says the
+    * banding needs re-sizing BEFORE the index ships. Companion to
+    * `dedup_minhash_error` (which QAs the estimator; this QAs the
+    * INDEX).
+    *
+    * Scale posture: both sub-pipelines reuse the persisted shingle/
+    * signature bases; the eval itself aggregates each to ONE row. */
+  def dedupLshRecallEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val t = dedupPrefixJaccard(s, d).agg(count(lit(1)).as("n_truth"))
+    val f = dedupMinhashLsh(s, d).agg(count(lit(1)).as("n_found"))
+    t.crossJoin(broadcast(f)).select(col("n_truth"), col("n_found"),
+      (col("n_truth") - col("n_found")).as("n_missed"),
+      (col("n_found").cast(DoubleType) / col("n_truth").cast(DoubleType))
+        .as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_recall_eval"     -> dedupLshRecallEval _,
     "text_tfidf_cosine"         -> textTfidfCosine _,
     "dedup_shingle_containment" -> dedupShingleContainment _,
     "dedup_incremental_batch"   -> dedupIncrementalBatch _,
@@ -741,6 +766,24 @@ object DedupQueries {
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_lsh_recall_eval" ->
+      s"""$minhashCandCte,
+         |lsh_found AS (SELECT a_id, b_id
+         |  FROM cand JOIN base x ON x.doc_id = a_id
+         |  JOIN base y ON y.doc_id = b_id
+         |  WHERE $jaccardSql >= $J),
+         |pref AS (SELECT doc_id, unnest(list_slice(list_sort(sh), 1,
+         |  CAST(floor(${1.0 - J}*len(sh)) AS INTEGER) + 1)) AS p FROM base),
+         |tcand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pref a JOIN pref b ON a.p = b.p AND a.doc_id < b.doc_id),
+         |truth AS (SELECT a_id, b_id
+         |  FROM tcand AS cand2 JOIN base x ON x.doc_id = cand2.a_id
+         |  JOIN base y ON y.doc_id = cand2.b_id
+         |  WHERE $jaccardSql >= $J)
+         |SELECT t.n AS n_truth, f.n AS n_found, t.n - f.n AS n_missed,
+         |  CAST(f.n AS DOUBLE) / CAST(t.n AS DOUBLE) AS recall
+         |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM truth) t
+         |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lsh_found) f""".stripMargin,
     // transitive closure by recursive BFS — a different algorithm than
     // the engine's iterated propagation; must agree exactly at fixpoint
     "dedup_cluster_converged" ->

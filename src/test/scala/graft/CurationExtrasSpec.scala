@@ -349,6 +349,24 @@ class CurationExtrasSpec extends SparkTestBase {
     }
   }
 
+  test("reservoir sample: exact per-group size and the true hash-order prefix") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.ops.CurationQueries.sampleReservoirGroup(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        graft.dedup.Dedup.hexFold32(org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("reservoir:"),
+            col("doc_id").cast("string")))).as("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val want = ds.sortBy(d => (d._3, d._2)).take(5).map(_._2).toSeq
+      val got = out.filter(_._1 == src).sortBy(_._2).map(_._3).toSeq
+      assert(got == want, s"$src sample")
+    }
+  }
+
   test("sentence stats match a scala re-segmentation of every document") {
     import org.apache.spark.sql.functions.col
     val out = graft.ops.TextQueries.textSentenceStats(spark, sfDir).collect()

@@ -271,6 +271,23 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"planted near-identical pair scored low: ${rows((474L, 498L))}")
   }
 
+  test("LSH recall eval: found is a subset of truth and the counts reconcile") {
+    val row = graft.ops.DedupQueries.dedupLshRecallEval(spark, sfDir)
+      .collect().head
+    val (nT, nF, nM, recall) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    assert(nT > 0 && nF >= 0 && nM == nT - nF)
+    assert(recall == nF.toDouble / nT.toDouble)
+    assert(recall > 0.0 && recall <= 1.0)
+    // subset property, re-derived from the two underlying queries
+    val truth = graft.ops.DedupQueries.dedupPrefixJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = graft.ops.DedupQueries.dedupMinhashLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truth), s"LSH found pairs outside truth: ${found -- truth}")
+    assert(truth.size.toLong == nT && found.size.toLong == nF)
+  }
+
   test("matryoshka rerank: exact cosines, candidates from the coarse stage, " +
       "recall vs brute force measured") {
     val out = graft.ops.SimilarityQueries.simMatryoshkaTopk(spark, sfDir)
