@@ -220,7 +220,37 @@ object EtlQueries {
       .orderBy("user_id")
   }
 
+  /** SYNC CHECKSUMS — the cross-system reconciliation primitive behind
+    * "did the nightly load drift from the source?": rows bucket by key,
+    * and each bucket folds to an order-insensitive checksum (SUM of a
+    * 32-bit md5 fold over the row's canonical string — addition
+    * commutes, so partitioning/arrival order can't change it; a
+    * vanished, extra, or altered row almost surely changes its
+    * bucket's sum). Comparing 32 (bucket, checksum) pairs from two
+    * systems localizes a mismatch to 1/32 of the table without moving
+    * any rows. Canonical string uses ONLY engine-stable pieces: BIGINT
+    * keys, integer cents, raw status strings — no float or decimal
+    * formatting anywhere.
+    *
+    * Scale posture: one codegen'd projection + a partial-aggregated
+    * 32-group rollup — the cheapest full-table pass there is; at
+    * 100 TB per-system cost is a scan, and the comparison ships 32
+    * rows. */
+  def etlSyncChecksums(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast(LongType)
+    val rowStr = concat_ws("|", col("o_orderkey").cast(StringType),
+      col("o_orderstatus"), cents.cast(StringType))
+    Tables.orders(s, d)
+      .select((col("o_orderkey") % 32).as("bucket"),
+        graft.dedup.Dedup.hexFold32(md5(rowStr)).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_sync_checksums"     -> etlSyncChecksums _,
     "etl_survivorship_merge" -> etlSurvivorshipMerge _,
     "etl_cdc_compaction"    -> etlCdcCompaction _,
     "etl_scd2_merge"        -> etlScd2Merge _,
@@ -236,6 +266,14 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_sync_checksums" ->
+      s"""SELECT o_orderkey % 32 AS bucket,
+         |  COUNT(*) AS n_rows,
+         |  CAST(SUM(${OracleSql.fold32(
+             "CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' || " +
+             "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)")})
+         |    AS BIGINT) AS checksum
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "etl_survivorship_merge" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
         |    CAST(value AS DECIMAL(18,2)) AS v, props,

@@ -492,6 +492,31 @@ class StatQueriesSpec extends SparkTestBase {
     assert(out.map(_._2).toSet.subsetOf(Set("generic", "sqlish", "dataish")))
   }
 
+  test("sync checksums: scala replay matches; a single-row mutation is localized") {
+    val out = graft.ops.EtlQueries.etlSyncChecksums(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), cents(r.getDouble(2))))
+    def fold32(sIn: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.take(8).foldLeft(0L)((acc, c) =>
+        acc * 16 + java.lang.Long.parseLong(c.toString, 16))
+    }
+    def sums(rs: Seq[(Long, String, Long)]): Map[Long, (Long, Long)] =
+      rs.groupBy(_._1 % 32).view.mapValues { g =>
+        (g.size.toLong, g.map(r => fold32(s"${r._1}|${r._2}|${r._3}")).sum)
+      }.toMap
+    val replay = sums(rows.toSeq)
+    assert(out == replay, "engine checksums differ from scala replay")
+    // mutate one row's cents: exactly that row's bucket must change
+    val mutated = rows.toSeq.updated(0, rows(0).copy(_3 = rows(0)._3 + 1))
+    val after = sums(mutated)
+    val changed = replay.keySet.filter(b => replay(b) != after(b))
+    assert(changed == Set(rows(0)._1 % 32), s"mutation not localized: $changed")
+  }
+
   test("hopping windows: 4x replication mass and per-window membership") {
     val out = graft.ops.ScalarQueries.timeBucketHopping(spark, sfDir).collect()
     assert(out.map(_.getLong(0)).forall(_ % 900 == 0))
