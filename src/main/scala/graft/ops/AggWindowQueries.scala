@@ -428,7 +428,37 @@ object AggWindowQueries {
       .orderBy("user_id")
   }
 
+  /** LOCAL-PEAK DETECTION — the signal-processing primitive under alert
+    * review and changepoint seeding: an event is a peak when its value
+    * STRICTLY exceeds both neighbors in its user's (sec, event_id)
+    * order. Comparisons are exact DECIMAL — no epsilon, no FP order
+    * sensitivity; interior events only (endpoints have one neighbor and
+    * are by definition not peaks). Complements the threshold detectors
+    * ([[graft.ops.StatQueries]] CUSUM/rolling-z): a peak is a SHAPE
+    * feature, not a level feature.
+    *
+    * Scale posture: two O(1)-state lag/lead windows sharing one user_id
+    * exchange; the filter drops non-peaks before the presentation
+    * sort. */
+  def windowPeakDetection(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        col("value").cast(DecimalType(18, 2)).as("v"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .withColumn("prev_v", lag(col("v"), 1).over(w))
+      .withColumn("next_v", lead(col("v"), 1).over(w))
+      .filter(col("prev_v").isNotNull && col("next_v").isNotNull &&
+        col("v") > col("prev_v") && col("v") > col("next_v"))
+      .select(col("user_id"), col("event_id"),
+        col("v").cast(DoubleType).as("value"),
+        col("prev_v").cast(DoubleType).as("prev_value"),
+        col("next_v").cast(DoubleType).as("next_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_peak_detection" -> windowPeakDetection _,
     "window_streaks"       -> windowStreaks _,
     "window_rolling_distinct" -> windowRollingDistinct _,
     "window_retention_cohort" -> windowRetentionCohort _,
@@ -457,6 +487,21 @@ object AggWindowQueries {
     s"(((2*rr.r + 3)*h + rr.r*2654435761) % 4294967311) % $CmBuckets"
 
   val oracle: Map[String, String] = Map(
+    "window_peak_detection" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |l AS (SELECT user_id, event_id, v,
+        |    LAG(v, 1) OVER w AS prev_v, LEAD(v, 1) OVER w AS next_v
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+        |SELECT user_id, event_id, CAST(v AS DOUBLE) AS value,
+        |  CAST(prev_v AS DOUBLE) AS prev_value,
+        |  CAST(next_v AS DOUBLE) AS next_value
+        |FROM l
+        |WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+        |  AND v > prev_v AND v > next_v
+        |ORDER BY user_id, event_id""".stripMargin,
     "window_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id,
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))

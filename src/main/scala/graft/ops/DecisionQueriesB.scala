@@ -348,8 +348,14 @@ object DecisionQueriesB {
     * broadcast single row. The oracle keeps the self-join formulation —
     * a different construction that must agree exactly. */
   def dsqBasketLift(s: SparkSession, d: String): DataFrame = {
+    // repartition by the order key BEFORE the distinct: hash(o)
+    // satisfies the distinct's (o, p) clustering AND the basket
+    // groupBy(o) after it (subset rule) — one exchange for the whole
+    // pair-generation branch instead of two back-to-back
     val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(col("o"))
+      .distinct()
     val nB = items.select("o").distinct().agg(count(lit(1)).as("n_baskets"))
     val itemCnt = items.groupBy("p").agg(count(lit(1)).as("cs"))
     val pairs = items.groupBy("o")
