@@ -160,6 +160,34 @@ object AdvancedQueries {
       .agg(count(lit(1)).as("n"), min("k").as("k_min"), max("k").as("k_max"))
       .orderBy("k_bucket")
 
+  /** MALFORMED-INPUT TOLERANT JSON ingest — PERMISSIVE `from_json`: a
+    * corrupt document yields NULL instead of killing the task (the
+    * default mode a 100 TB ingest must run in — one bad crawl record
+    * cannot cost a stage). Corruption is deterministic (every 7th
+    * event's props gets trailing garbage) so both engines face the
+    * same bytes; the rollup is the ingest-health report. The oracle
+    * states the semantics independently via `json_valid`, which agrees
+    * with PERMISSIVE parsing exactly on this shape (whole-document
+    * validity; every valid props carries k).
+    *
+    * Scale posture: pure projection + tiny rollup; tolerant parsing is
+    * a per-row property with no plan cost. */
+  def jsonCorruptTolerant(s: SparkSession, d: String): DataFrame = {
+    // corruption must break the JSON PREFIX: Jackson (Spark) stops at
+    // the first complete value and IGNORES trailing bytes, so appended
+    // garbage still parses — prepended garbage fails in both engines
+    val dirty = when(col("event_id") % 7 === 0,
+      concat(lit("garbage"), col("props"))).otherwise(col("props"))
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(dirty, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).as("j"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("j.k")).as("n_valid"))
+      .orderBy("event_type")
+  }
+
   /** Salted two-phase aggregation — the skew pattern, verifiable: phase
     * 1 groups by (key, salt) so a hot key spreads over 8 reducers;
     * phase 2 merges the 8 partials per key. Same result as a direct
@@ -409,6 +437,7 @@ object AdvancedQueries {
     "array_ops_pack"       -> arrayOpsPack _,
     "percentile_median"    -> percentileMedian _,
     "json_extract_typed"   -> jsonExtractTyped _,
+    "json_corrupt_tolerant" -> jsonCorruptTolerant _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -595,6 +624,14 @@ object AdvancedQueries {
         |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
         |  percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "json_corrupt_tolerant" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN 'garbage' || props
+        |      ELSE props END AS p
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  COUNT(CASE WHEN json_valid(p) THEN 1 END) AS n_valid
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "json_extract_typed" ->
       """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS k_bucket,
         |  COUNT(*) AS n,

@@ -102,6 +102,37 @@ object ScalarQueries {
           .as("k_val"))
       .orderBy("event_id")
 
+  /** ERROR-TOLERANT CAST battery — the ANSI-safe ingest surface
+    * (`try_cast`/`try_divide`): malformed input yields NULL instead of
+    * a task-killing exception. Inputs are made deterministically dirty
+    * (every 7th event's k-string gets a trailing "x"; every 11th
+    * divisor is zero) so both engines face identical garbage. The
+    * rollup counts parsed vs nulled per event type — the DQ monitor's
+    * view of ingest health.
+    *
+    * Scale posture: pure codegen'd projection + a tiny rollup; the
+    * point is SEMANTIC (a 100 TB ingest cannot afford one bad row
+    * killing a stage — try_* makes bad rows data, not failures). */
+  def scalarTryCastPack(s: SparkSession, d: String): DataFrame = {
+    val kStr = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val dirty = when(col("event_id") % 7 === 0, concat(kStr, lit("x")))
+      .otherwise(kStr)
+    val denom = when(col("event_id") % 11 === 0, lit(0L))
+      .otherwise((col("value").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType))
+    Tables.events(s, d)
+      .select(col("event_type"),
+        dirty.as("k_str"), denom.as("denom"))
+      .select(col("event_type"),
+        expr("try_cast(k_str AS INT)").as("k_try"),
+        try_divide(lit(10000L), col("denom")).as("per_unit"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("k_try")).as("n_k_parsed"),
+        count(col("per_unit")).as("n_div_ok"))
+      .orderBy("event_type")
+  }
+
   /** Streaming batch-equivalent: tumbling 1-hour buckets over events.ts
     * with count + decimal sum. The same groupBy works under Structured
     * Streaming with a watermark (see streaming package). */
@@ -186,6 +217,7 @@ object ScalarQueries {
     "json_field_regex"     -> jsonFieldRegex _,
     "time_bucket_tumbling" -> timeBucketTumbling _,
     "time_bucket_hopping"  -> timeBucketHopping _,
+    "scalar_try_cast_pack" -> scalarTryCastPack _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -257,6 +289,23 @@ object ScalarQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY hour_bucket""".stripMargin,
+    "scalar_try_cast_pack" ->
+      // the oracle states try_*'s null-on-error SEMANTICS explicitly
+      // (TRY_CAST for parses, CASE for the zero divisor) — the engine
+      // must implement them, not merely avoid crashing
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0
+        |      THEN regexp_extract(props, '"k":\s*(\d+)', 1) || 'x'
+        |      ELSE regexp_extract(props, '"k":\s*(\d+)', 1) END AS k_str,
+        |    CASE WHEN event_id % 11 = 0 THEN 0
+        |      ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      END AS denom
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  COUNT(TRY_CAST(k_str AS INTEGER)) AS n_k_parsed,
+        |  COUNT(CASE WHEN denom = 0 THEN NULL ELSE 10000 // denom END)
+        |    AS n_div_ok
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "time_bucket_hopping" ->
       """SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 900)
         |    * 900 - i.i * 900 AS ws_sec,
