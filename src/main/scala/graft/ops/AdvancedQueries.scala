@@ -227,6 +227,28 @@ object AdvancedQueries {
             |FROM graft_customer_v ORDER BY c_custkey""".stripMargin)
   }
 
+  /** SQL surface #3 — the NATIVE VECTOR expressions called from SQL
+    * text: `vec_dot`/`vec_norm_sq` are codegen'd Catalyst expressions
+    * ([[graft.functions.VectorExprs]]) registered by
+    * [[graft.functions.GraftFunctions]]; a SQL-only user gets the same
+    * fused float32-widening dot product the DataFrame API uses. The
+    * query ALSO pins the library identity vec_dot(x,x) = vec_norm_sq(x)
+    * bit-for-bit (same fold, same widening — a regression in either
+    * expression breaks the equality before it breaks an oracle).
+    *
+    * Scale posture: pure codegen'd projection over the embedding scan —
+    * no shuffle before the presentation sort. */
+  def sqlVectorFunctions(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("graft_emb_v")
+    s.sql("""SELECT vec_id,
+            |  CAST(vec_dot(embedding, embedding) AS DOUBLE) AS nsq_dot,
+            |  CAST(vec_norm_sq(embedding) AS DOUBLE) AS nsq_norm,
+            |  vec_dot(embedding, embedding) = vec_norm_sq(embedding)
+            |    AS identity_holds
+            |FROM graft_emb_v ORDER BY vec_id""".stripMargin)
+  }
+
   /** SQL surface #2 — correlated and uncorrelated subqueries, the
     * query shapes a SQL-only reference user writes instead of joins:
     * a scalar subquery (global benchmark value) and a correlated
@@ -425,6 +447,7 @@ object AdvancedQueries {
     "scalar_interval_pack" -> scalarIntervalPack _,
     "window_first_last"    -> windowFirstLast _,
     "sql_custom_function"  -> sqlCustomFunction _,
+    "sql_vector_functions" -> sqlVectorFunctions _,
     "agg_salted_twophase"  -> aggSaltedTwophase _,
     "scalar_regex_pack"    -> scalarRegexPack _,
     "join_full_outer"      -> joinFullOuter _,
@@ -532,6 +555,13 @@ object AdvancedQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "sql_vector_functions" ->
+      s"""SELECT vec_id,
+         |  FOLD AS nsq_dot,
+         |  FOLD AS nsq_norm,
+         |  TRUE AS identity_holds
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+        .replace("FOLD", "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (s, x) -> s + x)"),
     "sql_custom_function" ->
       """SELECT c_custkey, regexp_replace(c_name, '[^0-9]', '', 'g') AS digits_only
         |FROM customer ORDER BY c_custkey""".stripMargin,
