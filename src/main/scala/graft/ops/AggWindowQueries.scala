@@ -405,7 +405,7 @@ object AggWindowQueries {
     * Scale posture: distinct + row_number + both aggregations ALL key
     * on user_id — one hash exchange for the whole query (subset rule);
     * island state is O(1) per row. */
-  def windowStreaks(s: SparkSession, d: String): DataFrame = {
+  private[ops] def streaksCore(s: SparkSession, d: String): DataFrame = {
     // repartition by user_id BEFORE the distinct: hash(user_id)
     // satisfies the distinct's ClusteredDistribution(user_id, day) by
     // the subset rule AND the window/aggregate requirements after it —
@@ -425,8 +425,10 @@ object AggWindowQueries {
       .select(col("user_id"), col("n_active_days"),
         (-col("m.nl")).as("longest_streak"),
         col("m.sd").as("streak_start_day"))
-      .orderBy("user_id")
   }
+
+  def windowStreaks(s: SparkSession, d: String): DataFrame =
+    streaksCore(s, d).orderBy("user_id")
 
   /** LOCAL-PEAK DETECTION — the signal-processing primitive under alert
     * review and changepoint seeding: an event is a peak when its value

@@ -501,7 +501,34 @@ object CurationQueries {
       .orderBy("source", "rk")
   }
 
+  /** FEATURE-STORE BUILD flagship — one row per user joining the
+    * verified per-user operators into the entity-feature table an ML
+    * system serves: the survivorship golden record (event counts,
+    * first/last seen, last purchase, modal type), the TWAP, and the
+    * activity streaks — each reused through its UNSORTED core so the
+    * composition pays zero presentation sorts.
+    *
+    * Scale posture: every branch aggregates to one row per user on a
+    * user_id-keyed exchange, so the two LEFT joins are co-partitioned —
+    * at scale this is N branch passes + exchange-free joins, the same
+    * shape a production feature store materializes nightly. LEFT joins
+    * because TWAP/streak eligibility (≥2 events at distinct
+    * seconds/days) is narrower than existence. */
+  def pipelineFeatureStore(s: SparkSession, d: String): DataFrame =
+    EtlQueries.survivorshipCore(s, d)
+      .join(StatQueries.twapCore(s, d)
+        .select("user_id", "held_sec", "twap"), Seq("user_id"), "left")
+      .join(AggWindowQueries.streaksCore(s, d)
+        .select("user_id", "n_active_days", "longest_streak"),
+        Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("first_seen_sec"),
+        col("last_seen_sec"), col("last_purchase_value"),
+        col("preferred_type"), col("held_sec"), col("twap"),
+        col("n_active_days"), col("longest_streak"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_feature_store"   -> pipelineFeatureStore _,
     "sample_reservoir_group"   -> sampleReservoirGroup _,
     "pipeline_rag_index"       -> pipelineRagIndex _,
     "curation_chunk_overlap"   -> curationChunkOverlap _,
@@ -523,6 +550,67 @@ object CurationQueries {
   import TextQueries.{cleanedSql, ratioSqlOf, tokensSqlOf}
 
   val oracle: Map[String, String] = Map(
+    "pipeline_feature_store" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |c AS (SELECT user_id, sec, event_id,
+        |    LAST_VALUE(CASE WHEN event_type = 'purchase' THEN v END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS purch_v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY sec DESC, event_id DESC) AS rk
+        |  FROM ev),
+        |g AS (SELECT user_id, purch_v FROM c WHERE rk = 1),
+        |sp AS (SELECT user_id, COUNT(*) AS n_events,
+        |    MIN(sec) AS first_seen_sec, MAX(sec) AS last_seen_sec
+        |  FROM ev GROUP BY user_id),
+        |mc AS (SELECT user_id, event_type, COUNT(*) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |m AS (SELECT user_id, event_type AS preferred_type FROM (
+        |    SELECT user_id, event_type, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rk
+        |    FROM mc) WHERE rk = 1),
+        |l AS (SELECT user_id, v,
+        |    LEAD(sec, 1) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) - sec AS dt
+        |  FROM ev),
+        |a AS (SELECT user_id, CAST(SUM(dt) AS BIGINT) AS held_sec,
+        |    SUM(v * dt) AS num
+        |  FROM l WHERE dt IS NOT NULL GROUP BY user_id),
+        |tw AS (SELECT user_id, held_sec,
+        |    CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(held_sec AS DOUBLE)
+        |      AS twap
+        |  FROM a WHERE held_sec > 0),
+        |days AS (SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM events),
+        |isl AS (SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM days),
+        |runs AS (SELECT user_id, island, COUNT(*) AS len, MIN(day) AS sd
+        |  FROM isl GROUP BY 1, 2),
+        |r AS (SELECT user_id, len, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY len DESC, sd) AS rk,
+        |    CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS n_active_days
+        |  FROM runs),
+        |st AS (SELECT user_id, n_active_days, len AS longest_streak
+        |  FROM r WHERE rk = 1)
+        |SELECT g.user_id, sp.n_events, sp.first_seen_sec, sp.last_seen_sec,
+        |  CAST(CAST(g.purch_v AS VARCHAR) AS DOUBLE) AS last_purchase_value,
+        |  m.preferred_type, tw.held_sec, tw.twap,
+        |  st.n_active_days, st.longest_streak
+        |FROM g JOIN sp ON g.user_id = sp.user_id
+        |JOIN m ON g.user_id = m.user_id
+        |LEFT JOIN tw ON g.user_id = tw.user_id
+        |LEFT JOIN st ON g.user_id = st.user_id
+        |ORDER BY g.user_id""".stripMargin,
     "sample_reservoir_group" ->
       s"""SELECT source, rk, doc_id, lang FROM (
          |  SELECT source, doc_id, lang, ROW_NUMBER() OVER (

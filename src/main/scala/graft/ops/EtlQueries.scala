@@ -177,7 +177,7 @@ object EtlQueries {
     * Every exchange in the plan keys on user_id alone (spec-pinned);
     * the mode is the count→`min(struct(-cnt, type))` fold
     * (constant-width rows, no per-user lists). */
-  def etlSurvivorshipMerge(s: SparkSession, d: String): DataFrame = {
+  private[ops] def survivorshipCore(s: SparkSession, d: String): DataFrame = {
     // repartition by user_id up front: hash(user_id) satisfies every
     // downstream requirement — the carry windows, the span aggregate,
     // and the (user_id, event_type) mode rollup (subset rule) — so each
@@ -217,8 +217,10 @@ object EtlQueries {
         col("first_seen_sec"), col("last_seen_sec"),
         col("purch_v").cast(DoubleType).as("last_purchase_value"),
         col("click_k").as("last_click_k"), col("preferred_type"))
-      .orderBy("user_id")
   }
+
+  def etlSurvivorshipMerge(s: SparkSession, d: String): DataFrame =
+    survivorshipCore(s, d).orderBy("user_id")
 
   /** SYNC CHECKSUMS — the cross-system reconciliation primitive behind
     * "did the nightly load drift from the source?": rows bucket by key,

@@ -728,7 +728,9 @@ object StatQueries {
     * user_id — one hash exchange total (the subset rule); O(1) window
     * state (a 1-row lead). At 100 TB this is the cheapest per-key
     * window shape there is. */
-  def windowTwap(s: SparkSession, d: String): DataFrame = {
+  /** Unsorted core shared with [[CurationQueries]]' feature-store
+    * flagship (a join consumer must not pay the presentation sort). */
+  private[ops] def twapCore(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"),
@@ -744,8 +746,10 @@ object StatQueries {
       .select(col("user_id"), col("n_intervals"), col("held_sec"),
         (col("num").cast(DoubleType) / col("held_sec").cast(DoubleType))
           .as("twap"))
-      .orderBy("user_id")
   }
+
+  def windowTwap(s: SparkSession, d: String): DataFrame =
+    twapCore(s, d).orderBy("user_id")
 
   /** MONTH-OVER-MONTH change — the BI report staple: revenue per
     * (priority, month) with the relative change vs the previous month.
