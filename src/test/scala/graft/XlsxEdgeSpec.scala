@@ -46,6 +46,30 @@ class XlsxEdgeSpec extends SparkTestBase {
     assert(rows(0).isNullAt(2)) // error cell → null
   }
 
+  test("sparse rows, skipped row numbers, and empty trailing rows decode as " +
+      "nulls / absent rows") {
+    // row 2: only B present (A, C sparse); row 3 entirely absent from the
+    // file (Excel omits untouched rows); row 4: values again; row 5: an
+    // empty <row> element with no cells (some writers emit these)
+    val path = makeXlsx(
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>col_a</t></is></c><c r="B1" t="inlineStr"><is><t>col_b</t></is></c><c r="C1" t="inlineStr"><is><t>col_c</t></is></c></row>
+        |<row r="2"><c r="B2"><v>7</v></c></row>
+        |<row r="4"><c r="A4" t="inlineStr"><is><t>x</t></is></c><c r="B4"><v>8</v></c><c r="C4"><v>9</v></c></row>
+        |<row r="5"/>""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("col_a", StringType), StructField("col_b", LongType),
+      StructField("col_c", LongType)))
+    val rows = spark.read.format("xlsx").schema(schema).load(path)
+      .collect()
+    // the empty <row/> carries no cells → all-null row or skipped; either
+    // way the two DATA rows must decode exactly
+    val data = rows.filterNot(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(data.length == 2, s"got ${rows.mkString(";")}")
+    assert(data(0).isNullAt(0) && data(0).getLong(1) == 7L && data(0).isNullAt(2))
+    assert(data(1).getString(0) == "x" && data(1).getLong(1) == 8L &&
+      data(1).getLong(2) == 9L)
+  }
+
   test("declared column missing from the header fails fast, not silently null") {
     val path = makeXlsx(
       """<row r="1"><c r="A1" t="inlineStr"><is><t>present</t></is></c></row>
