@@ -531,7 +531,46 @@ object GraphQueries {
       .orderBy("l_partkey")
   }
 
+  /** HIERARCHY FLATTEN by POINTER JUMPING — the BOM-explosion /
+    * org-chart primitive: every node of a parent-pointer forest gets
+    * its (root, depth) in O(log depth) rounds, not O(depth). The
+    * synthetic forest is deterministic over part keys (parent =
+    * k DIV 4; keys < 4 are their own roots), giving chains ~log₄|part|
+    * deep. Each round composes ancestor pointers with themselves
+    * (anc' = anc∘anc, d' = d + d∘anc) — the classic doubling trick, so
+    * 6 rounds flatten any hierarchy up to depth 64 where naive
+    * per-level climbing would need 64 joins. Roots carry d = 0 and
+    * self-pointers, which makes composition idempotent at the fixpoint;
+    * the round count is a static bound, no convergence check needed
+    * (doubling PROVABLY reaches any depth ≤ 2^rounds).
+    *
+    * Scale posture: each round is ONE self-join of the constant-width
+    * pointer table on its ancestor key + localCheckpoint (lineage
+    * discipline of the CC loop); rows never grow — |nodes| forever.
+    * This is how a 100 TB parts hierarchy flattens in 6 shuffles. */
+  def graphHierarchyFlatten(s: SparkSession, d: String): DataFrame = {
+    val rounds = 6
+    val pp = Tables.part(s, d).select(col("p_partkey").as("k"),
+      when(col("p_partkey") < 4, col("p_partkey"))
+        .otherwise(expr("p_partkey DIV 4")).as("par"))
+    var f = pp.select(col("k"), col("par").as("anc"),
+      when(col("par") === col("k"), lit(0L)).otherwise(lit(1L)).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val g = f.select(col("k").as("g_k"), col("anc").as("g_anc"),
+        col("d").as("g_d"))
+      f = f.join(g, col("anc") === col("g_k"))
+        .select(col("k"), col("g_anc").as("anc"),
+          (col("d") + col("g_d")).as("d"))
+        .localCheckpoint()
+    }
+    f.select(col("k").as("p_partkey"), col("anc").as("root"),
+        col("d").as("depth"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hierarchy_flatten"   -> graphHierarchyFlatten _,
     "graph_label_propagation"   -> graphLabelPropagation _,
     "graph_triangle_count"      -> graphTriangleCount _,
     "graph_pagerank_iter"       -> graphPagerankIter _,
@@ -636,6 +675,22 @@ object GraphQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_hierarchy_flatten" ->
+      // per-node recursive climb to the root — a different algorithm
+      // (O(depth) per node) that must agree with the engine's doubling
+      """WITH RECURSIVE pp AS (SELECT p_partkey AS k,
+        |    CASE WHEN p_partkey < 4 THEN p_partkey
+        |      ELSE p_partkey // 4 END AS par
+        |  FROM part),
+        |walk AS (
+        |  SELECT k, k AS cur, CAST(0 AS BIGINT) AS d FROM pp
+        |  UNION ALL
+        |  SELECT w.k, p.par, w.d + 1
+        |  FROM walk w JOIN pp p ON p.k = w.cur WHERE p.par <> w.cur)
+        |SELECT k AS p_partkey, cur AS root, d AS depth FROM (
+        |  SELECT k, cur, d, ROW_NUMBER() OVER (PARTITION BY k
+        |    ORDER BY d DESC) AS rk FROM walk) WHERE rk = 1
+        |ORDER BY p_partkey""".stripMargin,
     "graph_label_propagation" ->
       // two unrolled sync rounds; ROW_NUMBER (cnt DESC, lbl) = the
       // engine's min(struct(-cnt, lbl)) max-count-min-label rule

@@ -355,6 +355,21 @@ class GraphQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("hierarchy flatten equals a scala per-node climb and respects the doubling bound") {
+    val out = graft.ops.GraphQueries.graphHierarchyFlatten(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val keys = graft.ops.Tables.part(spark, sfDir)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    def parent(k: Long): Long = if (k < 4) k else k / 4
+    keys.foreach { k =>
+      var cur = k; var d = 0L
+      while (parent(cur) != cur) { cur = parent(cur); d += 1 }
+      assert(out(k) == ((cur, d)), s"node $k: ${out(k)} != ($cur, $d)")
+      assert(d <= 64, s"node $k deeper than the doubling bound")
+    }
+    assert(out.keySet == keys)
+  }
+
   test("label propagation matches a scala replay of two sync max-count-min-label rounds") {
     val out = graft.ops.GraphQueries.graphLabelPropagation(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
