@@ -150,6 +150,45 @@ object DedupQueries {
     verifyPairs(cand, base)
   }
 
+  /** THRESHOLD CALIBRATION SWEEP — the measurement a team runs BEFORE
+    * committing a near-dup policy: one candidate generation at the
+    * loosest threshold of interest (τ=0.7 prefix filter — complete for
+    * every τ ≥ 0.7 by the prefix theorem), ONE exact-Jaccard pass, and
+    * conditional counts at 0.7/0.8/0.9 — the pair-volume curve that
+    * decides where to set the production threshold. All three counts
+    * come from the same verified scores; no re-scan per threshold.
+    * Length (10·min ≥ 7·max) and positional filters are applied at
+    * τ=0.7 — lossless there, and the ORACLE replicates them exactly
+    * because `n_candidates` counts the filtered set itself.
+    *
+    * Scale posture: identical to [[dedupPrefixJaccard]] with a looser
+    * prefix (0.3·|sh|+1 elements) — candidate volume grows but stays
+    * prefix-bounded; the output is ONE row. */
+  def dedupThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val base = shingled(s, d)
+    val pref = base.select(col("doc_id"), size(col("sh")).as("n"),
+      posexplode(prefixShingles(col("sh"), 0.7)).as(Seq("pos", "p")))
+    val requiredOverlap = // ceil(0.7·(na+nb)/1.7) = ceil(7(na+nb)/17)
+      floor(((col("a.n") + col("b.n")) * 7 + 16) / 17)
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 10 >= col("b.n") * 7 &&
+          col("b.n") * 10 >= col("a.n") * 7 &&
+          lit(1) + least(col("a.n") - col("a.pos") - 1,
+            col("b.n") - col("b.pos") - 1) >= requiredOverlap)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .select(jaccard(col("sha"), col("shb")).as("j"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("j") >= 0.7, 1L).otherwise(0L)).as("n_ge_070"),
+        sum(when(col("j") >= 0.8, 1L).otherwise(0L)).as("n_ge_080"),
+        sum(when(col("j") >= 0.9, 1L).otherwise(0L)).as("n_ge_090"))
+  }
+
   /** 32-bit SimHash near-dup candidates at Hamming ≤ 2. Blocking: the
     * simhash split into 4 bytes — any pair within Hamming ≤ 3 shares at
     * least one byte (pigeonhole), so the 4 block-joins are lossless for
@@ -684,6 +723,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_threshold_sweep"     -> dedupThresholdSweep _,
     "dedup_lsh_recall_eval"     -> dedupLshRecallEval _,
     "text_tfidf_cosine"         -> textTfidfCosine _,
     "dedup_shingle_containment" -> dedupShingleContainment _,
@@ -766,6 +806,32 @@ object DedupQueries {
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_threshold_sweep" ->
+      // prefix length uses (1.0 - 0.7) — the IDENTICAL double the
+      // engine's prefixShingles computes (a 0.3 literal parses to a
+      // DIFFERENT double and shifts the floor on some lengths)
+      s"""$baseCte,
+         |pref AS (SELECT doc_id, len(sh) AS n,
+         |    CAST(i AS INTEGER) - 1 AS pos,
+         |    list_sort(sh)[CAST(i AS INTEGER)] AS p
+         |  FROM base, UNNEST(range(1,
+         |    CAST(floor(len(sh) * (1.0 - 0.7)) AS BIGINT) + 2)) AS t(i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pref a JOIN pref b ON a.p = b.p AND a.doc_id < b.doc_id
+         |    AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7
+         |    AND 1 + least(a.n - a.pos - 1, b.n - b.pos - 1) >=
+         |        ((a.n + b.n) * 7 + 16) // 17),
+         |j AS (SELECT $jaccardSql AS j
+         |  FROM cand JOIN base x ON x.doc_id = a_id
+         |  JOIN base y ON y.doc_id = b_id)
+         |SELECT COUNT(*) AS n_candidates,
+         |  CAST(SUM(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ge_070,
+         |  CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ge_080,
+         |  CAST(SUM(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ge_090
+         |FROM j""".stripMargin,
     "dedup_lsh_recall_eval" ->
       s"""$minhashCandCte,
          |lsh_found AS (SELECT a_id, b_id
