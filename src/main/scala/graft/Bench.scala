@@ -22,6 +22,27 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   *     "total") so a driver grepping the real metric cannot pick up a
   *     half-sweep number, while a kill before sweep 1 finishes still
   *     leaves judge-readable evidence.
+  *
+  * Round-6 additions (VERDICT r5 #1): the r5 driver artifact landed
+  * rc=0 but with "sweeps":1 — sweep 2 was started, hit its emergency
+  * deadline mid-sweep, and was dropped, so every published per-query
+  * time included Janino/JIT compile (227 s cold vs 136.7 s steady).
+  * Worse, the bail reason went only to stderr, invisible in the
+  * artifact. Now:
+  *   - every operational decision (sweep done, bail, budget exhausted)
+  *     is ALSO printed to stdout as a schema-conforming
+  *     {"metric":"note",...} line so the artifact explains itself;
+  *   - immediately after sweep 1 a bounded STEADY_PARTIAL pass re-runs
+  *     the slowest ~50 queries of sweep 1 warm (compile already paid)
+  *     and prints {"metric":"steady_partial",...} with warm vs cold
+  *     totals over the same subset — guaranteed steady-state evidence
+  *     for the queries where cold-vs-warm matters most, even if a full
+  *     sweep 2 never completes; the line is re-printed just before the
+  *     final total so a tail-bounded capture retains it;
+  *   - the session pins spark.sql.session.timeZone=UTC like Verify and
+  *     the tests do, so timestamp-bucketing queries benchmark the very
+  *     plans that were verified (events uses a TIMESTAMP_NTZ cast path
+  *     that is session-timezone-sensitive).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,6 +70,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Same timezone pin as Verify/EtlMain/tests: events' TIMESTAMP_NTZ
+      // →TimestampType cast is session-timezone-sensitive, and the bench
+      // must time the plans that were verified, not timezone-shifted ones.
+      .config("spark.sql.session.timeZone", "UTC")
       // A 148-query session generates far more than the default 100
       // whole-stage-codegen classes; eviction made late queries re-pay
       // Janino+JIT compile of their whole pipeline (measured: minhash
@@ -104,6 +129,15 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Operational diagnostics must live in the ARTIFACT, not stderr: the
+    // r5 driver capture showed "sweeps":1 with no visible reason (the
+    // mid-sweep-2 bail printed only to stderr). Schema-conforming so a
+    // line-wise JSON parser never chokes; "value" carries elapsedSec so
+    // notes double as a timeline.
+    def note(msg: String): Unit = {
+      val safe = msg.replace("\\", "\\\\").replace("\"", "'")
+      println(s"""{"metric":"note","value":${f3(elapsedSec)},"unit":"sec","msg":"$safe"}""")
+    }
     // Measurement note: with >=2 completed sweeps the numbers are
     // STEADY-STATE times — data cold (PipelineCache released between
     // queries; parquet re-read each rep), compilation warm (sweep 1
@@ -136,9 +170,8 @@ object Bench {
             println(s"""{"metric":"partial_total","value":${f3(acc.filter(_._3).map(_._2).sum)},"unit":"sec","n_queries":${acc.size},"sf":"$sfDir"}""")
           if (elapsedSec > deadlineSec) {
             bailed = true
-            System.err.println(s"[bench] emergency bail after ${acc.size}/" +
-              s"${ordered.size} queries (elapsed ${f3(elapsedSec)}s > " +
-              s"deadline ${f3(deadlineSec)}s)")
+            note(s"emergency bail after ${acc.size}/${ordered.size} queries " +
+              s"(deadline ${f3(deadlineSec)}s)")
           }
         }
       }
@@ -155,6 +188,48 @@ object Bench {
       // first-consumer query of each family carries its build cost.
       ops.PipelineCache.releaseAll()
       (acc.toSeq, !bailed)
+    }
+    // Guaranteed steady-state evidence even when a full sweep 2 never
+    // lands (the r5 failure mode): re-run the slowest K queries of the
+    // compile-cold sweep 1 with codegen/JIT already warm, bounded by its
+    // own deadline, and report warm vs cold totals over the SAME subset.
+    // The slowest-K prefix is where cold-vs-warm distorts most (tfidf
+    // cosine: 16.6 s cold vs 2.9 s steady), so this small pass bounds
+    // the compile inflation of the whole artifact. Queries run in
+    // registry (alphabetical) order so family cache-sharing behaves as
+    // in a normal sweep; PipelineCache is released after, keeping any
+    // following full sweep data-cold as the protocol requires.
+    def runSteadyPartial(sweep1: Seq[(String, Double, Boolean)], k: Int,
+                         deadlineSec: Double): Option[String] = {
+      val slowK = sweep1.filter(_._3).sortBy(-_._2).take(k).map(_._1).toSet
+      if (slowK.isEmpty) return None
+      val subset = ordered.filter(p => slowK(p._1))
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+      var bailed = false
+      subset.foreach { case (name, fn) =>
+        if (!bailed) {
+          val t0 = System.nanoTime()
+          val ok = try { consume(fn(spark, sfDir)); true } catch {
+            case e: Throwable =>
+              note(s"steady_partial $name FAILED: ${e.getMessage}")
+              false
+          }
+          acc += ((name, (System.nanoTime() - t0) / 1e9, ok))
+          if (elapsedSec > deadlineSec) {
+            bailed = true
+            note(s"steady_partial bail after ${acc.size}/${subset.size} " +
+              s"(deadline ${f3(deadlineSec)}s)")
+          }
+        }
+      }
+      ops.PipelineCache.releaseAll()
+      val okRuns = acc.filter(_._3)
+      if (okRuns.isEmpty) return None
+      val warm = okRuns.map(_._2).sum
+      val cold = sweep1.filter(r => okRuns.exists(_._1 == r._1)).map(_._2).sum
+      val slowest = okRuns.sortBy(-_._2).take(8)
+        .map { case (n, v, _) => "\"" + n + "\":" + f3(v) }.mkString("{", ",", "}")
+      Some(s"""{"metric":"steady_partial","value":${f3(warm)},"unit":"sec","n_queries":${okRuns.size},"cold_value":${f3(cold)},"queries":$slowest,"sf":"$sfDir"}""")
     }
     // Per-query median across whole sweeps: a single sweep is hostage to
     // whichever transient stall (major GC, IO flush) lands mid-run —
@@ -210,13 +285,27 @@ object Bench {
     // kill still leaves the best total computed so far on stdout and
     // on disk.
     var continue = true
+    var steadyPartialLine: Option[String] = None
     while (continue) {
       val deadline =
         if (sweeps.isEmpty) 2.0 * budgetSec else elapsedSec + budgetSec
+      val sweepStart = elapsedSec
       val (sweep, complete) = runSweep(emitPartials = sweeps.isEmpty, deadline)
+      note(s"sweep ${sweeps.size + 1} ${if (complete) "complete" else "TRUNCATED"} " +
+        s"in ${f3(elapsedSec - sweepStart)}s (${sweep.size}/${ordered.size} queries)")
       // keep a truncated FIRST sweep (sole evidence); a truncated later
       // sweep is dropped — the earlier complete sweeps already summarize
       if (complete || sweeps.isEmpty) sweeps += sweep
+      // Right after the compile-cold sweep 1: bank the warm slowest-50
+      // evidence BEFORE attempting a full sweep 2, so a kill or bail
+      // anywhere in sweep 2 still leaves steady-state numbers in the
+      // artifact (r5 ended with sweeps:1 and nothing warm). Bounded by
+      // half a budget; measured ~45 s warm for the top-50 at sf0.1.
+      if (sweeps.size == 1 && reps >= 2) {
+        steadyPartialLine =
+          runSteadyPartial(sweeps.head, k = 50, deadlineSec = elapsedSec + 0.5 * budgetSec)
+        steadyPartialLine.foreach(println)
+      }
       val (compact, full) = summarize()
       println(compact)
       writeFull(full)
@@ -231,12 +320,15 @@ object Bench {
       continue = complete && sweeps.size < reps &&
         (sweeps.size < 2 || elapsedSec < budgetSec)
       if (!continue && sweeps.size < reps)
-        System.err.println(s"[bench] budget ${budgetSec}s exhausted after ${sweeps.size}/$reps sweeps (elapsed ${f3(elapsedSec)}s)")
+        note(s"budget ${budgetSec}s exhausted after ${sweeps.size}/$reps sweeps")
     }
-    // Final emission order: full per-query line first, compact LAST —
-    // the tail-bounded capture must end on the short parseable line.
+    // Final emission order: full per-query line, steady_partial re-print
+    // (the capture window clips from the HEAD — round-3 evidence — so
+    // the warm numbers must also sit near the tail), compact LAST: the
+    // tail-bounded capture must end on the short parseable total.
     val (compact, full) = summarize()
     println(full)
+    steadyPartialLine.foreach(println)
     println(compact)
     // The driver's capture merges stderr (r4 tail = pure [error]-prefixed
     // WARN spam): shutdown must not print AFTER the compact line, or it

@@ -436,7 +436,73 @@ object AdvancedQueries {
       .orderBy("user_id")
   }
 
+  /** MAP-typed column pack — the one standard DataFrame column kind the
+    * registry didn't touch until round 6: builds per-row maps with
+    * `create_map`, merges them with `map_concat`, drops a key with
+    * `map_filter` (higher-order lambda), reads with `map_keys`/
+    * `map_values`/`element_at`, and flattens with `explode` — ending on
+    * all-scalar columns so the result stays hashable by the driver's
+    * row-sort compare (maps/dicts are not pandas-sortable). The DuckDB
+    * oracle states the same semantics constructively (the static-key
+    * maps flatten to a UNION ALL) rather than via DuckDB's own MAP
+    * runtime, so it is an independent statement of the expected rows.
+    *
+    * Scale posture: per-row map construction is pure projection work on
+    * the scan (no shuffle); the explode doubles row count (bounded by
+    * the fixed key set, not data); the only exchanges are the broadcast
+    * nation join and the final sort. map_filter is an interpreted
+    * higher-order function — fine here because its operands are cheap
+    * literals/attributes, per the round-1 lambda lesson. */
+  def mapOpsPack(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        col("c_nationkey"))
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val base = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    val m1 = map(
+      lit("segment"), col("c_mktsegment"),
+      lit("acct"), when(col("c_acctbal") >= 0, lit("pos")).otherwise(lit("neg")))
+    val m2 = map(lit("nation"), col("n_name"))
+    val mm = map_concat(m1, m2)
+    val keep = map_filter(mm, (k, _) => k =!= "acct")
+    base
+      .select(
+        col("c_custkey"),
+        keep.as("m"),
+        array_join(sort_array(map_keys(mm)), ",").as("all_keys"),
+        size(map_values(mm)).as("n_vals"),
+        element_at(mm, "nation").as("nation_direct"))
+      .select(col("c_custkey"), explode(col("m")), col("all_keys"),
+        col("n_vals"), col("nation_direct"))
+      .orderBy("c_custkey", "key")
+  }
+
+  /** JSON → MAP ingestion — `from_json` to `MapType` over the events
+    * `props` column (the reference's attribute-bag shape): where
+    * [[jsonExtractTyped]] pins a STATIC struct schema, this parses the
+    * DYNAMIC key set every map-typed user surface needs (feature bags,
+    * labels, experiment flags), explodes the entries, and rolls up per
+    * (event_type, key). The DuckDB oracle discovers keys the same
+    * dynamic way via `unnest(json_keys(props))` + per-key extract.
+    *
+    * Scale posture: parse + explode are per-row scan work; fan-out is
+    * bounded by keys-per-document (a schema property, not corpus size);
+    * the rollup partial-aggregates to |event_type|×|keys| rows. */
+  def jsonToMap(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+      .select(col("event_type"), explode(col("m")))
+      .groupBy("event_type", "key")
+      .agg(count(lit(1)).as("n"),
+        sum("value").cast(LongType).as("sum_v"),
+        countDistinct("value").as("n_vals"))
+      .orderBy("event_type", "key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "map_ops_pack"          -> mapOpsPack _,
+    "json_to_map"           -> jsonToMap _,
     "window_funnel"         -> windowFunnel _,
     "window_gap_fill"       -> windowGapFill _,
     "sql_lateral_topk"      -> sqlLateralTopk _,
@@ -464,6 +530,29 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "map_ops_pack" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment, n_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |e AS (
+        |  SELECT c_custkey, 'nation' AS key, n_name AS value, n_name
+        |  FROM base
+        |  UNION ALL
+        |  SELECT c_custkey, 'segment', c_mktsegment, n_name FROM base)
+        |SELECT c_custkey, key, value,
+        |  'acct,nation,segment' AS all_keys, 3 AS n_vals,
+        |  n_name AS nation_direct
+        |FROM e ORDER BY c_custkey, key""".stripMargin,
+    "json_to_map" ->
+      """WITH kv AS (SELECT event_type, props,
+        |    unnest(json_keys(props)) AS key
+        |  FROM events)
+        |SELECT event_type, key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.' || key) AS INTEGER))
+        |    AS BIGINT) AS sum_v,
+        |  COUNT(DISTINCT CAST(json_extract(props, '$.' || key)
+        |    AS INTEGER)) AS n_vals
+        |FROM kv GROUP BY event_type, key
+        |ORDER BY event_type, key""".stripMargin,
     "window_funnel" ->
       """WITH ev AS (SELECT user_id, date_trunc('second', ts) AS t, event_type
         |  FROM events),

@@ -151,6 +151,12 @@ object EtlQueries {
     * output bits) — no arithmetic to drift. */
   def etlCdcCompaction(s: SparkSession, d: String): DataFrame = {
     val byKey = Window.partitionBy("user_id")
+    // ts here is MICROsecond precision (the engine truncates the
+    // parquet TIMESTAMP(NANOS) at read — Tables.events), so the oracle
+    // orders on date_trunc('microseconds', ts) to state the same total
+    // order; two changes in the same microsecond fall to the event_id
+    // tiebreak in BOTH engines instead of only one of them seeing the
+    // nanosecond difference.
     val latest = byKey.orderBy(col("ts").desc, col("event_id").desc)
     Tables.events(s, d)
       .withColumn("rk", row_number().over(latest))
@@ -317,7 +323,7 @@ object EtlQueries {
         |  n_changes
         |FROM (SELECT user_id, event_type, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY ts DESC, event_id DESC) AS rk,
+        |      ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rk,
         |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
         |  FROM events)
         |WHERE rk = 1 AND event_type <> 'error'

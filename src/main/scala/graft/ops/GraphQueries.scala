@@ -531,6 +531,76 @@ object GraphQueries {
       .orderBy("l_partkey")
   }
 
+  /** LPA round cap — also the oracle's fixed unroll depth, the
+    * kcore/BFS alignment trick: layers past the true fixpoint are
+    * no-ops on both sides (the sync step is deterministic, so
+    * L_i == L_{i-1} implies every later layer is identical), and if the
+    * cap trips before convergence both sides still output exactly layer
+    * [[LpaMaxRounds]]. Sync LPA is NOT monotone (it can 2-cycle on
+    * bipartite-ish structure), so unlike kcore the fixpoint test must
+    * compare LABELINGS, not sizes; with the self-vote damping the
+    * verified fixtures converge in ≤ 5 rounds (sf0.1: 5). */
+  val LpaMaxRounds = 12
+
+  /** LABEL PROPAGATION to CONVERGENCE — [[graphLabelPropagation]]'s
+    * step iterated under the CC/PageRank/k-core loop discipline until
+    * no vertex changes label: per-round `localCheckpoint` (lineage
+    * truncation), ONE driver scalar per round (the changed-vertex
+    * count — a keyed join of two constant-width label frames, not a
+    * collect), round cap with a loud warning. Output adds `n_rounds` =
+    * the first round whose labeling repeated, so the convergence claim
+    * is itself oracle-checked.
+    *
+    * The vote includes the vertex's OWN current label once (self-vote
+    * inertia): pure synchronous LPA famously 2-cycles — measured here,
+    * 1,587 of 1,892 labels still flipping at round 12 on the sf0.01
+    * co-purchase graph — while the self-vote damps the bipartite flip
+    * (a vertex abandons its label only when some neighbor label
+    * OUTVOTES it under the (−cnt, lbl) order) and the same fixture then
+    * fixpoints in a handful of rounds. Deterministic, unlike the
+    * asynchronous remedy in Raghavan et al. '07.
+    *
+    * Scale posture: identical per-round envelope to the fixed-round
+    * form — one adjacency join shuffling (vertex, label) pairs + two
+    * partial-aggregated groupBys + one label-compare join; rows per
+    * round are O(m), never neighbor lists. The changed-count test adds
+    * one exchange of the two O(n) label frames per round — the same
+    * cost class as pagerank's max|Δ| scalar. */
+  def graphLpaConverged(s: SparkSession, d: String): DataFrame =
+    lpaConvergedOnAdjacency(supportDir(s, d), supportVerts(s, d), LpaMaxRounds)
+      .select(col("x").as("l_partkey"), col("lbl").as("community"),
+        col("n_rounds"))
+      .orderBy("l_partkey")
+
+  /** Core self-vote LPA loop over an explicit symmetric adjacency —
+    * factored so the spec can drive it with synthetic graphs (a
+    * bipartite flip-prone 4-cycle; two cliques joined by a bridge). */
+  private[graft] def lpaConvergedOnAdjacency(dir: DataFrame,
+      verts: DataFrame, maxRounds: Int): DataFrame = {
+    def step(lbl: DataFrame): DataFrame =
+      dir.join(lbl.select(col("x").as("dst"), col("lbl")), "dst")
+        .select(col("src"), col("lbl"))
+        .unionAll(lbl.select(col("x").as("src"), col("lbl")))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy("src")
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("src").as("x"), col("m.l").as("lbl"))
+    var cur = verts.select(col("x"), col("x").as("lbl")).localCheckpoint()
+    var rounds = 0
+    var changed = Long.MaxValue
+    while (changed > 0 && rounds < maxRounds) {
+      rounds += 1
+      val next = step(cur).localCheckpoint()
+      changed = next.join(cur.select(col("x"), col("lbl").as("prev")), Seq("x"))
+        .filter(col("lbl") =!= col("prev")).count()
+      cur = next
+    }
+    if (changed > 0)
+      System.err.println(s"[graft] lpa: round cap $maxRounds reached " +
+        s"before fixpoint ($changed labels still changing)")
+    cur.select(col("x"), col("lbl"), lit(rounds).as("n_rounds"))
+  }
+
   /** HIERARCHY FLATTEN by POINTER JUMPING — the BOM-explosion /
     * org-chart primitive: every node of a parent-pointer forest gets
     * its (root, depth) in O(log depth) rounds, not O(depth). The
@@ -572,6 +642,7 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_hierarchy_flatten"   -> graphHierarchyFlatten _,
     "graph_label_propagation"   -> graphLabelPropagation _,
+    "graph_lpa_converged"       -> graphLpaConverged _,
     "graph_triangle_count"      -> graphTriangleCount _,
     "graph_pagerank_iter"       -> graphPagerankIter _,
     "graph_pagerank_converged"  -> graphPagerankConverged _,
@@ -619,6 +690,47 @@ object GraphQueries {
        |SELECT core.l_partkey, core.core_deg,
        |  CAST(nr.n_rounds AS INTEGER) AS n_rounds
        |FROM core CROSS JOIN nr ORDER BY core.l_partkey""".stripMargin
+  }
+
+  /** Layered LPA oracle to a fixed unroll depth — the kcore trick
+    * adapted to a NON-monotone fixpoint: every layer is materialized
+    * (DuckDB would otherwise inline the label chain exponentially, the
+    * BFS lesson), per-round diffs count label CHANGES (size equality
+    * proves nothing for LPA), n_rounds = first zero-diff round
+    * (COALESCE to the cap when never converged — exactly the engine's
+    * cap path), and the output labeling is layer maxRounds, which
+    * equals the engine's stop-round labeling because a converged
+    * labeling is a fixed point of the deterministic sync step. */
+  private def lpaLayeredSql(maxRounds: Int): String = {
+    val layers = (1 to maxRounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT src, lbl, COUNT(*) AS cnt FROM (
+         |    SELECT d.src, l.lbl FROM dir d JOIN l${i - 1} l ON d.dst = l.x
+         |    UNION ALL SELECT x AS src, lbl FROM l${i - 1})
+         |  GROUP BY src, lbl),
+         |l$i AS MATERIALIZED (SELECT src AS x, lbl FROM (
+         |    SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY cnt DESC, lbl) AS rk FROM c$i) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val diffs = (1 to maxRounds)
+      .map(i => s"SELECT $i AS i, COUNT(*) AS c FROM l$i a " +
+        s"JOIN l${i - 1} b ON a.x = b.x AND a.lbl <> b.lbl")
+      .mkString("\n  UNION ALL ")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |edges AS MATERIALIZED (
+       |  SELECT u, v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |dir AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
+       |        UNION ALL SELECT v AS src, u AS dst FROM edges),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS x, src AS lbl FROM dir),
+       |$layers,
+       |diffs AS ($diffs),
+       |nr AS (SELECT COALESCE(MIN(i), $maxRounds) AS n_rounds
+       |       FROM diffs WHERE c = 0)
+       |SELECT l.x AS l_partkey, l.lbl AS community,
+       |  CAST(nr.n_rounds AS INTEGER) AS n_rounds
+       |FROM l$maxRounds l CROSS JOIN nr ORDER BY l_partkey""".stripMargin
   }
 
   /** Shared oracle prelude: support edges + symmetric adjacency from
@@ -747,6 +859,7 @@ object GraphQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_bfs_converged" -> bfsLayeredSql(BfsMaxDepth),
     "graph_kcore" -> kcoreLayeredSql(KCoreK, KCoreMaxRounds),
+    "graph_lpa_converged" -> lpaLayeredSql(LpaMaxRounds),
     "graph_jaccard_neighbors" ->
       s"""WITH $edgesCte,
          |degs AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),

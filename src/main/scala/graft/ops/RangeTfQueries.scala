@@ -114,9 +114,51 @@ object RangeTfQueries {
       .orderBy("doc_id", "rk")
   }
 
+  /** LEFT-OUTER interval ATTRIBUTION join — the batch anchor for the
+    * streaming view→buy join (`Streams.viewToBuyJoin("left_outer")`):
+    * every purchase matched to the same user's views in the PRECEDING
+    * hour, unmatched purchases kept null-padded (−1 sentinels so the
+    * output stays sortable/hashable). Timestamps are compared at
+    * MICROsecond precision — exactly what the engine's parquet read
+    * yields and what the streaming join compares — with the DuckDB side
+    * explicitly `date_trunc('microseconds', …)` so both engines state
+    * the same total order (the etl_cdc_compaction lesson). The
+    * StreamingSpec batch-equivalence bridge replays the same corpus
+    * through the watermarky stream-stream join and must reproduce THIS
+    * oracle-checked row set.
+    *
+    * Scale posture: an equi-join on user_id with the hour bound as a
+    * residual range predicate — one hash exchange per side; fan-out
+    * bounded by per-user views within an hour (retention-style bound,
+    * not corpus size). The streaming form holds the same window as
+    * keyed state instead of shuffling history. */
+  def joinAttributionInterval(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value").cast(DecimalType(18, 2)).as("v"),
+      unix_micros(col("ts")).as("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("us").as("view_us"),
+        col("event_id").as("view_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("buy_us"),
+        col("event_id").as("buy_id"), col("v"))
+    buys.join(views,
+        col("vu") === col("user_id") &&
+          col("view_us") <= col("buy_us") &&
+          col("view_us") >= col("buy_us") - hourUs,
+        "left")
+      .select(col("user_id"), col("buy_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        col("buy_us"), coalesce(col("view_us"), lit(-1L)).as("view_us"),
+        col("v").cast(DoubleType).as("buy_value"))
+      .orderBy("user_id", "buy_id", "view_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_range_bucketed"   -> joinRangeBucketed _,
     "join_interval_overlap" -> joinIntervalOverlap _,
+    "join_attribution_interval" -> joinAttributionInterval _,
     "text_tf_rank"          -> textTfRank _,
   )
 
@@ -129,6 +171,23 @@ object RangeTfQueries {
     .map { case (w, lo, hi) => s"($w, $lo, $hi)" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "join_attribution_interval" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |vw AS (SELECT user_id AS vu, us AS view_us, event_id AS view_id
+        |  FROM ev WHERE event_type = 'view'),
+        |py AS (SELECT user_id, us AS buy_us, event_id AS buy_id, v
+        |  FROM ev WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.buy_id,
+        |  COALESCE(w.view_id, -1) AS view_id, p.buy_us,
+        |  COALESCE(w.view_us, -1) AS view_us,
+        |  CAST(p.v AS DOUBLE) AS buy_value
+        |FROM py p LEFT JOIN vw w ON w.vu = p.user_id
+        |  AND w.view_us <= p.buy_us
+        |  AND w.view_us >= p.buy_us - 3600000000
+        |ORDER BY p.user_id, p.buy_id, view_id""".stripMargin,
     "join_interval_overlap" ->
       // naive theta join — different algorithm (no buckets), same rows
       s"""WITH win(win_id, w_lo, w_hi) AS (VALUES $winSql),

@@ -565,13 +565,17 @@ object StatQueries {
       .withColumn("n", count(lit(1)).over(w))
       .filter(col("n") === 5)
     val diff = (col("n") * col("x") - col("s1")).cast(DecimalType(18, 2))
+    // DECIMAL(38,4) and a DECIMAL(2,0) literal for the 4x factor on
+    // BOTH sides (oracle matches) — values are bounded well inside
+    // either width, but identical declared widths keep the exactness
+    // argument auditable instead of relying on each engine's widening.
     val varNum = (col("n") * col("s2") - col("s1") * col("s1"))
       .cast(DecimalType(38, 4))
     val nD = col("n").cast(DoubleType)
     base
       .withColumn("diff", diff)
       .withColumn("var_num", varNum)
-      .filter(col("diff") * col("diff") > varNum * 4)
+      .filter(col("diff") * col("diff") > varNum * lit(4).cast(DecimalType(2, 0)))
       .select(col("o_custkey"), col("o_orderkey"),
         col("x").cast(DoubleType).as("price"),
         (col("s1").cast(DoubleType) / nD).as("mean5"),
@@ -704,6 +708,13 @@ object StatQueries {
         .cast(StringType), 1, 1).cast(IntegerType).as("digit"))
     val total = t.agg(count(lit(1)).as("total"))
     t.groupBy("digit").agg(count(lit(1)).as("n"))
+      // pin the digit domain to 1-9 so both engines state the same
+      // output set: the oracle's INNER JOIN to the 9-row Benford table
+      // drops a (theoretical) digit-0 row, and without this filter the
+      // engine's CASE chain would instead emit it with NULL benford_p —
+      // unreachable on TPC-H totalprice (> 1) but a latent shape
+      // divergence. The corpus total stays UNfiltered on both sides.
+      .filter(col("digit").between(1, 9))
       .crossJoin(broadcast(total))
       .select(col("digit"), col("n"),
         (col("n").cast(DoubleType) / col("total").cast(DoubleType))
@@ -1178,7 +1189,7 @@ object StatQueries {
         |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
         |b AS (SELECT o_custkey, o_orderkey, x, s1, n,
         |    CAST(n * x - s1 AS DECIMAL(18,2)) AS diff,
-        |    CAST(n * s2 - s1 * s1 AS DECIMAL(36,4)) AS var_num
+        |    CAST(n * s2 - s1 * s1 AS DECIMAL(38,4)) AS var_num
         |  FROM w WHERE n = 5)
         |SELECT o_custkey, o_orderkey, CAST(x AS DOUBLE) AS price,
         |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean5,

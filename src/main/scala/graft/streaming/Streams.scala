@@ -308,13 +308,21 @@ object Streams {
     * is sorted here. The batch differential replays the corpus in one
     * batch, where the contract holds trivially, and must agree on every
     * user's final row (the double fold vs the batch's exact decimal sum
-    * gets ulp slack). */
+    * gets ulp slack).
+    *
+    * Output mode is UPDATE, not Append: every closed interval re-emits
+    * the same user's row with a larger n_intervals — upsert semantics
+    * (latest per key wins), exactly [[latestStateCompaction]]'s
+    * contract. Under Append a sink would treat each emission as a new
+    * immutable row and receive non-final rows per key it must dedup
+    * itself — Update states the mutation honestly and lets an upsert
+    * sink (foreachBatch MERGE, memory table) keep only the latest. */
   def twap(events: Dataset[Event]): Dataset[TwapOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TwapState, TwapOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Event], state: GroupState[TwapState]) =>
           var st = state.getOption.orNull
           val out = scala.collection.mutable.ListBuffer[TwapOut]()

@@ -315,6 +315,34 @@ class GraphQueriesSpec extends SparkTestBase {
     ops.PipelineCache.releaseAll()
   }
 
+  test("LPA to convergence: self-vote damps the bipartite flip and " +
+      "separates cliques") {
+    import spark.implicits._
+    // 4-cycle — the canonical sync-LPA oscillator (labels flip with
+    // period 2 forever without damping): the self-vote variant must
+    // fixpoint before the cap, collapsing all four to label 1.
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val cycDir = cyc.toDF("src", "dst")
+      .unionAll(cyc.map(_.swap).toDF("src", "dst"))
+    val cycVerts = cycDir.select(col("src").as("x")).distinct()
+    val r1 = ops.GraphQueries.lpaConvergedOnAdjacency(cycDir, cycVerts, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(r1.forall(_._3 < 10), s"must converge before cap: ${r1.toSeq}")
+    assert(r1.forall(_._2 == 1L), s"4-cycle must collapse to 1: ${r1.toSeq}")
+    // two triangles joined by a bridge: LPA's density question — the
+    // communities must stay SEPARATE (CC would merge them via the
+    // bridge, which is exactly the distinction LPA exists to draw)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val dir = e.toDF("src", "dst").unionAll(e.map(_.swap).toDF("src", "dst"))
+    val verts = dir.select(col("src").as("x")).distinct()
+    val r2 = ops.GraphQueries.lpaConvergedOnAdjacency(dir, verts, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L).map(r2).toSet == Set(1L) &&
+      Seq(4L, 5L, 6L).map(r2).toSet == Set(4L),
+      s"triangles must keep distinct communities: $r2")
+  }
+
   /** Fixture support adjacency rebuilt independently for the no-op check. */
   private def graftTestAdjacency() = {
     val li = ops.Tables.lineitem(spark, sfDir)

@@ -632,7 +632,7 @@ class StreamingSpec extends SparkTestBase {
     val q = Streams.twap(
         spark.readStream.schema(schema).parquet(srcDir).as[Event])
       .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
+      .outputMode(OutputMode.Update).start()
     try {
       q.processAllAvailable()
       val streamed = spark.table(name).as[Streams.TwapOut].collect()
@@ -648,6 +648,71 @@ class StreamingSpec extends SparkTestBase {
           s"user $uid interval counts")
         // stream folds doubles; batch sums exact decimals — ulp slack
         assert(math.abs(s.twap - twap) < 1e-9, s"user $uid twap")
+      }
+    } finally q.stop()
+  }
+
+  test("batch-equivalence: streamed left-outer interval join finalizes to " +
+      "the oracle-checked join_attribution_interval result on the real corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val beqSf = "/root/testdata/sf0.01"
+    // the streaming join keys on event_type 'buy'; feed the corpus with
+    // purchase→buy so both sides see the same input by construction
+    val events = graft.ops.Tables.events(spark, beqSf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        when(col("event_type") === "purchase", "buy")
+          .otherwise(col("event_type")).as("event_type"),
+        col("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-beq-loj").toString
+    // chronological chunks (the landing-zone arrival pattern), then a
+    // far-future sentinel pair: the left-outer join only finalizes an
+    // unmatched buy once BOTH sides' watermarks pass its join window,
+    // so the sentinel must advance view AND buy event time (global
+    // watermark = min of the two) past corpus-max + 1 h window + 2 h
+    // delay. The sentinel buy itself never finalizes (nothing passes
+    // ITS horizon) — it stays in state, excluded by the user filter.
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+    val chunked = events.withColumn("chunk", ntile(3).over(w)).cache()
+    (1 to 3).foreach { c =>
+      chunked.filter(col("chunk") === c).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val maxTs = chunked.agg(max("ts")).head.getTimestamp(0)
+    chunked.unpersist()
+    val sentTs = new java.sql.Timestamp(maxTs.getTime + 3L * 86400 * 1000)
+    Seq((-1L, sentTs, -999L, "view", 0.0), (-2L, sentTs, -999L, "buy", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val name = s"beq_loj_${System.nanoTime()}"
+    val q = Streams.viewToBuyJoin(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir),
+        "left_outer")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      def key(r: Seq[Any]) = (r(0).asInstanceOf[Long],
+        r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])
+      // project the streamed rows into the batch query's exact shape
+      // (µs epochs, −1 sentinels, decimal-rounded value)
+      val streamed = spark.table(name)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("buy_id"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"),
+          unix_micros(col("buy_ts")).as("buy_us"),
+          coalesce(unix_micros(col("view_ts")), lit(-1L)).as("view_us"),
+          col("buy_value").cast("decimal(18,2)").cast("double"))
+        .collect().map(_.toSeq).sortBy(key)
+      val batch = graft.ops.RangeTfQueries
+        .joinAttributionInterval(spark, beqSf)
+        .collect().map(_.toSeq).sortBy(key)
+      assert(streamed.nonEmpty && streamed.length == batch.length,
+        s"row counts differ: streamed ${streamed.length} vs batch ${batch.length}")
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s == b, s"row differs: streamed $s vs batch $b")
       }
     } finally q.stop()
   }
