@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus scale-up: replicates an existing `sf*` directory
+  * `rep`× with per-replica key offsets, producing a larger corpus with the
+  * same distributional shape for scaling experiments (BASELINE.md scaling
+  * table). This is a measurement tool, not part of the query surface.
+  *
+  * Design notes (what "same shape at 10×" means here):
+  *   - Every synthetic key domain (custkey/suppkey/partkey/orderkey/
+  *     event_id/user_id/doc_id/vec_id) is < 10^6, so replica `r` adds
+  *     `r * 1_000_000` to each key column. Applying the same offset to both
+  *     sides of every FK preserves referential integrity exactly, so join
+  *     selectivities are unchanged while key cardinalities grow rep×.
+  *   - `nation`/`region` are dimensions: copied once, nationkeys untouched,
+  *     so dimension-grouped aggregates see rep× larger groups (the correct
+  *     100 TB shape: facts grow, dims don't).
+  *   - `documents.text` is vowel-rotated per replica (length-preserving
+  *     `translate`). Without this, every doc would gain rep-1 exact clones
+  *     and LSH/minhash candidate sets would grow quadratically in rep for
+  *     data reasons, not plan reasons; rotation keeps near-dup structure
+  *     within a replica and makes cross-replica shingle sets disjoint.
+  *   - `embeddings.embedding` is cyclically shifted by `r` positions:
+  *     norms and intra-replica geometry are preserved; cross-replica
+  *     cosine structure is decorrelated so ANN candidate counts scale
+  *     linearly.
+  *   - Timestamps are untouched: the time axis does not grow with corpus
+  *     size, so per-bucket densities grow rep× (what a busier system at
+  *     the same wall-clock span looks like).
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> [rep=10]
+  */
+object ScaleUp {
+  private val KeyBase = 1000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val rep = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .appName("graft-scaleup")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def table(name: String): DataFrame = graft.ops.Tables.byName(spark, src, name)
+
+    def replicate(name: String, keyCols: Seq[String],
+                  extra: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      val base = table(name)
+      val copies = (0 until rep).map { r =>
+        val offset = keyCols.foldLeft(base) { (d, k) =>
+          d.withColumn(k, col(k) + lit(r * KeyBase))
+        }
+        extra(offset, r).select(base.columns.map(col): _*)
+      }
+      copies.reduce(_ unionAll _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
+      println(s"scaled $name x$rep")
+    }
+
+    // Dimensions: copy once, unchanged.
+    Seq("region", "nation").foreach { name =>
+      table(name).write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
+    }
+
+    replicate("customer", Seq("c_custkey"))
+    replicate("supplier", Seq("s_suppkey"))
+    replicate("part", Seq("p_partkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("events", Seq("event_id", "user_id"))
+
+    // Vowel rotation per replica: deterministic, length-preserving, makes
+    // cross-replica shingles disjoint while keeping within-replica near-dup
+    // structure identical to the source corpus.
+    val vowels = "aeiouAEIOU"
+    replicate("documents", Seq("doc_id"), (d, r) => {
+      val rot = {
+        val lower = "aeiou"; val upper = "AEIOU"; val k = r % 5
+        (lower.drop(k) + lower.take(k)) + (upper.drop(k) + upper.take(k))
+      }
+      d.withColumn("text", translate(col("text"), vowels, rot))
+    })
+
+    // Cyclic element shift per replica: preserves norms, decorrelates
+    // cross-replica cosine structure.
+    replicate("embeddings", Seq("vec_id"), (d, r) => {
+      if (r == 0) d
+      else d.withColumn("embedding",
+        expr(s"concat(slice(embedding, ${r % 64 + 1}, size(embedding)), " +
+             s"slice(embedding, 1, ${r % 64}))"))
+    })
+
+    spark.stop()
+  }
+}
