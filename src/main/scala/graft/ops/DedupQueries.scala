@@ -512,16 +512,21 @@ object DedupQueries {
     * vocabulary, so dropped terms are consistently absent from both
     * numerator and denominator. */
   def textTfidfCosine(s: SparkSession, d: String): DataFrame = {
-    val tf = PipelineCache.getOrPersist(s"dedup:tfidfTf:$d")(
+    // df per term as an unbounded count over a window keyed by the term:
+    // ONE shuffle by t replaces the former groupBy("t")+equi-join pair, and
+    // the intermediate tf frame no longer needs its own persist (it fed
+    // nothing but this join) — less codegen to compile cold and one fewer
+    // cached frame occupying executor memory for the rest of the sweep.
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val termWin = org.apache.spark.sql.expressions.Window.partitionBy("t")
+    val w = PipelineCache.getOrPersist(s"dedup:tfidfW:$d")(
       hashedBase(s, d).filter(col("n") >= 3)
         .select(col("doc_id"),
           explode(shingleHashesHof(col("th"), 3, distinct = false)).as("t"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("tfv")))
-    val dfc = tf.groupBy("t").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= TfidfDfCap)
-    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val w = PipelineCache.getOrPersist(s"dedup:tfidfW:$d")(
-      tf.join(dfc, "t").crossJoin(broadcast(nDocs))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tfv"))
+        .withColumn("df", count(lit(1)).over(termWin))
+        .filter(col("df") >= 2 && col("df") <= TfidfDfCap)
+        .crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("t"),
           (col("tfv").cast(DoubleType) *
             (col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
