@@ -459,7 +459,46 @@ object AggWindowQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Lag-k autocorrelation (k = 1..7) of the daily event-count series —
+    * the seasonality probe a monitoring pipeline runs before choosing
+    * forecast windows (a weekly cycle shows as a positive spike at
+    * lag 7). Pairs are formed by CALENDAR offset (day, day + k), not row
+    * offset, so gaps in the series pair up identically in both engines.
+    * Each lag's correlation is the Pearson form on the paired series
+    * computed from six exact integer sums (counts and their products) in
+    * one final double expression — no floating-point accumulation at
+    * all, so the result is bit-identical by construction.
+    *
+    * Scale posture: the daily rollup partial-aggregates the corpus down
+    * to one row per day BEFORE anything else; the series is calendar-
+    * bounded (does not grow with corpus size — the [[Tables]] dims
+    * argument), so the 7-lag fan-out and self-join run on a broadcast-
+    * sized frame no matter the data scale. */
+  def timeAutocorr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val daily = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val fan = daily
+      .withColumn("lag_days", explode(sequence(lit(1L), lit(7L))))
+    val rhs = broadcast(daily.select(col("day").as("bday"), col("x").as("y")))
+    val m = col("m"); val s1 = col("s1"); val s2 = col("s2")
+    fan.join(rhs, col("bday") === expr("day + make_dt_interval(lag_days)"))
+      .groupBy("lag_days")
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("s1"), sum(col("y")).as("s2"),
+        sum(col("x") * col("x")).as("s11"),
+        sum(col("y") * col("y")).as("s22"),
+        sum(col("x") * col("y")).as("p"))
+      .select(col("lag_days"), m.as("n_pairs"),
+        ((m * col("p") - s1 * s2).cast(DoubleType) /
+          sqrt((m * col("s11") - s1 * s1).cast(DoubleType) *
+               (m * col("s22") - s2 * s2).cast(DoubleType))).as("autocorr"))
+      .orderBy("lag_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_autocorr"         -> timeAutocorr _,
     "window_peak_detection" -> windowPeakDetection _,
     "window_streaks"       -> windowStreaks _,
     "window_rolling_distinct" -> windowRollingDistinct _,
@@ -489,6 +528,24 @@ object AggWindowQueries {
     s"(((2*rr.r + 3)*h + rr.r*2654435761) % 4294967311) % $CmBuckets"
 
   val oracle: Map[String, String] = Map(
+    "time_autocorr" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |pairs AS (
+        |  SELECT l.lag_days AS lag_days, a.x AS x, b.x AS y
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag_days) l
+        |  JOIN daily b ON b.day = a.day + INTERVAL 1 DAY * l.lag_days)
+        |SELECT lag_days, COUNT(*) AS n_pairs,
+        |  CAST(COUNT(*) * CAST(SUM(x*y) AS BIGINT)
+        |      - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE) /
+        |  sqrt(CAST(COUNT(*) * CAST(SUM(x*x) AS BIGINT)
+        |         - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT) AS DOUBLE) *
+        |       CAST(COUNT(*) * CAST(SUM(y*y) AS BIGINT)
+        |         - CAST(SUM(y) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE))
+        |    AS autocorr
+        |FROM pairs GROUP BY lag_days ORDER BY lag_days""".stripMargin,
     "window_peak_detection" ->
       """WITH e AS (SELECT event_id, user_id,
         |    CAST(value AS DECIMAL(18,2)) AS v,

@@ -527,7 +527,61 @@ object CurationQueries {
         col("n_active_days"), col("longest_streak"))
       .orderBy("user_id")
 
+  /** DSIR-style importance weights (Xie et al. 2023's data-selection-
+    * via-importance-resampling, reduced to unigram features): every doc
+    * gets the mean ratio of add-one-smoothed target vs source token
+    * probabilities, where the TARGET distribution is trained on the
+    * `src0` slice (the "high-quality domain" stand-in) and the SOURCE on
+    * the whole corpus. weight > 1 ⇒ the doc's vocabulary skews toward
+    * the target domain ⇒ selected for the domain-matched subset. The
+    * probability RATIO stands in for the usual log-ratio for the same
+    * reason [[TextQueries.textLmBigramScore]] avoids `ln` (not correctly
+    * rounded cross-engine); each term is two IEEE divisions and one
+    * IEEE division of their results — exact-operand, bit-identical —
+    * and the per-doc mean is the position-ordered fold.
+    *
+    * Scale posture: token rows shuffle once keyed by token (vocabulary-
+    * sized, not corpus-sized, after partial aggregation inside the two
+    * count windows); the three corpus globals ride in as one broadcast
+    * row; the per-doc fold is the only document-keyed exchange. At
+    * 100 TB the target slice is whatever curated corpus defines the
+    * domain — it enters only through per-token counts, never joined
+    * row-to-row. */
+  def curationDsirWeights(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (col("source") === "src0").as("is_target"),
+        graft.text.TextAnalysis.tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 1)
+    val flat = toks.select(col("doc_id"), col("source"), col("is_target"),
+      posexplode(col("tok")).as(Seq("pos", "w")))
+    val globals = flat.agg(
+      count(lit(1)).as("n_src"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("n_tgt"),
+      countDistinct(col("w")).as("v"))
+    val byW = Window.partitionBy("w")
+    flat
+      .withColumn("c_src", count(lit(1)).over(byW))
+      .withColumn("c_tgt", sum(when(col("is_target"), 1L).otherwise(0L)).over(byW))
+      .crossJoin(broadcast(globals))
+      .select(col("doc_id"), col("source"), col("pos"),
+        (((col("c_tgt") + 1).cast(DoubleType) /
+            (col("n_tgt") + col("v")).cast(DoubleType)) /
+          ((col("c_src") + 1).cast(DoubleType) /
+            (col("n_src") + col("v")).cast(DoubleType))).as("term"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(
+          sort_array(collect_list(struct(col("pos"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("tsum"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("tsum") / col("n_tokens").cast(DoubleType)).as("dsir_weight"),
+        (col("tsum") / col("n_tokens").cast(DoubleType) > 1.0).as("selected"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_dsir_weights"    -> curationDsirWeights _,
     "pipeline_feature_store"   -> pipelineFeatureStore _,
     "sample_reservoir_group"   -> sampleReservoirGroup _,
     "pipeline_rag_index"       -> pipelineRagIndex _,
@@ -550,6 +604,37 @@ object CurationQueries {
   import TextQueries.{cleanedSql, ratioSqlOf, tokensSqlOf}
 
   val oracle: Map[String, String] = Map(
+    "curation_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, source = 'src0' AS is_target,
+         |    ${tokensSqlOf("text")} AS tok
+         |  FROM documents WHERE len(${tokensSqlOf("text")}) >= 1),
+         |flat AS (
+         |  SELECT doc_id, source, is_target, p.pos AS pos, p.w AS w FROM (
+         |    SELECT doc_id, source, is_target,
+         |      unnest(list_transform(range(1, len(tok)+1),
+         |        i -> struct_pack(pos := i, w := tok[i]))) AS p
+         |    FROM toks)),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src,
+         |  CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt,
+         |  CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM flat),
+         |terms AS (
+         |  SELECT doc_id, source, pos,
+         |    (CAST(CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END)
+         |            OVER (PARTITION BY w) AS BIGINT) + 1 AS DOUBLE) /
+         |       CAST((SELECT n_tgt FROM g) + (SELECT v FROM g) AS DOUBLE)) /
+         |    (CAST(COUNT(*) OVER (PARTITION BY w) + 1 AS DOUBLE) /
+         |       CAST((SELECT n_src FROM g) + (SELECT v FROM g) AS DOUBLE))
+         |      AS term
+         |  FROM flat)
+         |SELECT doc_id, source, COUNT(*) AS n_tokens,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(term ORDER BY pos)), (s, x) -> s + x) /
+         |    CAST(COUNT(*) AS DOUBLE) AS dsir_weight,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(term ORDER BY pos)), (s, x) -> s + x) /
+         |    CAST(COUNT(*) AS DOUBLE) > 1.0 AS selected
+         |FROM terms GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
     "pipeline_feature_store" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
         |    CAST(value AS DECIMAL(18,2)) AS v,

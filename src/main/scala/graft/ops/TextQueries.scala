@@ -355,7 +355,98 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** CHUNK-LEVEL exact dedup (the paragraph/line-dedup step of a CCNet/
+    * FineWeb-style pipeline, re-expressed over this corpus's newline-free
+    * docs as fixed 10-token chunks): every doc is cut into consecutive
+    * non-overlapping 10-token chunks (the trailing partial chunk drops,
+    * docs under 10 tokens drop entirely — both engines alike), each
+    * chunk's corpus-wide occurrence count is taken, and the per-doc
+    * report says how many of its chunks are boilerplate (occur in more
+    * than one place) and how many tokens survive chunk-level removal.
+    *
+    * Scale posture: chunks shuffle ONCE, keyed by md5(chunk) — a fixed
+    * 32-byte key regardless of chunk text length, so the exchange width
+    * is bounded (the same narrow-key argument as the shingle-hash
+    * pipelines; an md5 collision would merge two counts identically in
+    * both engines). The occurrence count is an unbounded window over
+    * that key (count-only, no sort state beyond the hash cluster), and
+    * the per-doc rollup partial-aggregates before its shuffle. */
+  def textChunkDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val cw = 10
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .withColumn("n_chunks", floor(size(col("tok")) / cw).cast(LongType))
+      .filter(col("n_chunks") >= 1)
+    val chunks = base.select(col("doc_id"), col("n_chunks"),
+      explode(transform(
+        sequence(lit(0), (col("n_chunks") - 1).cast(IntegerType)),
+        i => array_join(slice(col("tok"), i * cw + 1, lit(cw)), " "))).as("chunk"))
+    val occW = Window.partitionBy(md5(col("chunk")))
+    chunks.withColumn("occ", count(lit(1)).over(occW))
+      .groupBy("doc_id")
+      .agg(min(col("n_chunks")).as("n_chunks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        ((col("n_chunks") - col("n_dup_chunks")) * cw).as("kept_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-trained bigram language-model fluency score — the shape of
+    * CCNet's LM-perplexity filter, self-scored on the corpus it is
+    * trained on: each doc's score is the mean add-one-smoothed transition
+    * probability (c(w_i,w_{i+1}) + 1) / (c_left(w_i) + V) over its
+    * bigrams, where c_left counts the word as a bigram LEFT context and V
+    * is the corpus vocabulary size. The mean of RAW probabilities stands
+    * in for mean log-prob deliberately: `ln` is not guaranteed correctly
+    * rounded in either engine (the same reason [[graft.ops.DedupQueries
+    * .textTfidfCosine]] weights by N/df without the log), while each term
+    * here is one IEEE division of exact integer-derived operands and the
+    * per-doc sum is a position-ordered left fold seeded 0.0 — the repo's
+    * standard bit-identical cross-engine summation.
+    *
+    * Scale posture: bigram rows shuffle by bigram text then by left word
+    * (two partial-width exchanges over vocabulary-sized keys), the two
+    * corpus globals ride in as one broadcast row, and the per-doc fold
+    * shuffles each doc's (position, term) pairs once. No join carries
+    * document text. */
+  def textLmBigramScore(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+    val vocab = toks.select(explode(col("tok")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val big = toks.filter(size(col("tok")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), (size(col("tok")) - 1).cast(IntegerType)),
+        i => struct(i.as("pos"),
+          concat_ws(" ", element_at(col("tok"), i),
+            element_at(col("tok"), i + 1)).as("bg"),
+          element_at(col("tok"), i).as("w1")))).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"),
+        col("p.bg").as("bg"), col("p.w1").as("w1"))
+    val cb = Window.partitionBy("bg")
+    val cl = Window.partitionBy("w1")
+    big
+      .withColumn("c_bg", count(lit(1)).over(cb))
+      .withColumn("c_left", count(lit(1)).over(cl))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("pos"),
+        ((col("c_bg") + 1).cast(DoubleType) /
+          (col("c_left") + col("v")).cast(DoubleType)).as("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          sort_array(collect_list(struct(col("pos"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("psum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("psum") / col("n_bigrams").cast(DoubleType)).as("avg_transition_p"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk_dedup"      -> textChunkDedup _,
+    "text_lm_bigram_score"  -> textLmBigramScore _,
     "text_langid_confusion" -> textLangidConfusion _,
     "text_sentence_stats"   -> textSentenceStats _,
     "text_collocation_lift" -> textCollocationLift _,
@@ -429,6 +520,49 @@ object TextQueries {
   private val ratioSql = ratioSqlOf("text")
 
   val oracle: Map[String, String] = Map(
+    "text_chunk_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $tokensSql AS tok,
+         |    CAST(floor(len($tokensSql) / 10) AS BIGINT) AS n_chunks
+         |  FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, n_chunks,
+         |    unnest(list_transform(range(0, n_chunks),
+         |      i -> array_to_string(list_slice(tok, CAST(i*10+1 AS INTEGER),
+         |                                           CAST(i*10+10 AS INTEGER)), ' '))) AS chunk
+         |  FROM base WHERE n_chunks >= 1),
+         |occ AS (
+         |  SELECT doc_id, n_chunks,
+         |    COUNT(*) OVER (PARTITION BY md5(chunk)) AS occ
+         |  FROM chunks)
+         |SELECT doc_id, MIN(n_chunks) AS n_chunks,
+         |  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  CAST((MIN(n_chunks) - SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END)) * 10
+         |    AS BIGINT) AS kept_tokens
+         |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_lm_bigram_score" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tok FROM documents),
+         |v AS (SELECT COUNT(DISTINCT t) AS v FROM
+         |  (SELECT unnest(tok) AS t FROM toks)),
+         |big AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tok)),
+         |      i -> struct_pack(pos := i, bg := tok[i] || ' ' || tok[i+1],
+         |                       w1 := tok[i]))) AS p
+         |  FROM toks WHERE len(tok) >= 2),
+         |flat AS (SELECT doc_id, p.pos AS pos, p.bg AS bg, p.w1 AS w1 FROM big),
+         |terms AS (
+         |  SELECT doc_id, pos,
+         |    CAST(COUNT(*) OVER (PARTITION BY bg) + 1 AS DOUBLE) /
+         |    CAST(COUNT(*) OVER (PARTITION BY w1) + (SELECT v FROM v) AS DOUBLE)
+         |      AS term
+         |  FROM flat)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(term ORDER BY pos)), (s, x) -> s + x) /
+         |    CAST(COUNT(*) AS DOUBLE) AS avg_transition_p
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_langid_confusion" ->
       s"""WITH p AS (SELECT lang, CASE
          |    WHEN ${markSql(dataWords)} > ${markSql(sqlWords)}
