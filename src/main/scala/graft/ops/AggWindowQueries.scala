@@ -491,14 +491,142 @@ object AggWindowQueries {
         sum(col("y") * col("y")).as("s22"),
         sum(col("x") * col("y")).as("p"))
       .select(col("lag_days"), m.as("n_pairs"),
-        ((m * col("p") - s1 * s2).cast(DoubleType) /
-          sqrt((m * col("s11") - s1 * s1).cast(DoubleType) *
-               (m * col("s22") - s2 * s2).cast(DoubleType))).as("autocorr"))
+        // zero-variance guard as in windowRollingCorr: correlation of a
+        // constant series is undefined — state NULL on both engines
+        when((m * col("s11") - s1 * s1) > 0 && (m * col("s22") - s2 * s2) > 0,
+          (m * col("p") - s1 * s2).cast(DoubleType) /
+            sqrt((m * col("s11") - s1 * s1).cast(DoubleType) *
+                 (m * col("s22") - s2 * s2).cast(DoubleType))).as("autocorr"))
       .orderBy("lag_days")
+  }
+
+  /** Weekly seasonality profile: per (event_type, ISO weekday) the event
+    * count, exact mean value, and the weekday's share of its type's
+    * events — the companion read to [[timeAutocorr]] (the ACF says IF a
+    * weekly cycle exists; this says WHAT it looks like). Weekday is
+    * Spark's `weekday()+1` == DuckDB's `isodow` (1 = Monday) — the one
+    * day-numbering convention the two engines can state identically.
+    * Means are exact DECIMAL(18,2) sums divided once in double; shares
+    * are two exact counts divided once.
+    *
+    * Scale posture: one partial-aggregated shuffle to 7·|types| rows;
+    * the per-type totals ride a tiny window over that frame. */
+  def timeWeekdayProfile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val byType = Window.partitionBy("event_type")
+    Tables.events(s, d)
+      .select(col("event_type"),
+        (weekday(col("ts")) + 1).cast(LongType).as("isodow"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .groupBy("event_type", "isodow")
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sv"))
+      .withColumn("type_total", sum(col("n_events")).over(byType))
+      .select(col("event_type"), col("isodow"), col("n_events"),
+        (col("sv").cast(DoubleType) / col("n_events").cast(DoubleType))
+          .as("mean_value"),
+        (col("n_events").cast(DoubleType) / col("type_total").cast(DoubleType))
+          .as("share_of_type"))
+      .orderBy("event_type", "isodow")
+  }
+
+  /** Trailing 7-day rolling correlation between the daily `view` and
+    * `purchase` counts — the engagement-vs-conversion coupling monitor.
+    * Day grid = days where either type occurred (conditional counts on a
+    * shared daily rollup, so a day missing one type contributes a zero
+    * for it rather than dropping the pair). Each output is the Pearson
+    * form over the 7-row frame computed from six window SUMs of exact
+    * integers in ONE final double expression (the [[timeAutocorr]]
+    * recipe applied to frames); rows before the 7th day are dropped on
+    * both engines (partial frames would measure a different statistic).
+    *
+    * Scale posture: the corpus collapses to one row per day in the
+    * first partial-aggregated shuffle; the frame windows all share one
+    * calendar-bounded sort. */
+  def windowRollingCorr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val frame = Window.orderBy("day").rowsBetween(-6, 0)
+    val seq7 = Window.orderBy("day")
+    val daily = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .groupBy("day")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val m = lit(7L)
+    val varx = m * col("sxx") - col("sx") * col("sx")
+    val vary = m * col("syy") - col("sy") * col("sy")
+    daily
+      .withColumn("rn", row_number().over(seq7))
+      .withColumn("sx", sum(col("x")).over(frame))
+      .withColumn("sy", sum(col("y")).over(frame))
+      .withColumn("sxx", sum(col("x") * col("x")).over(frame))
+      .withColumn("syy", sum(col("y") * col("y")).over(frame))
+      .withColumn("sxy", sum(col("x") * col("y")).over(frame))
+      .filter(col("rn") >= 7)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("x").as("views"), col("y").as("purchases"),
+        // zero-variance frames have no defined correlation: NULL, stated
+        // identically on both engines (IEEE inf/nan behavior differs)
+        when(varx > 0 && vary > 0,
+          (m * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            sqrt(varx.cast(DoubleType) * vary.cast(DoubleType)))
+          .as("rolling_corr_7d"))
+      .orderBy("day")
+  }
+
+  /** Chi-square independence test on the event_type × ISO-weekday
+    * contingency table — "does activity MIX change by weekday?", the
+    * categorical drift check beside [[StatQueries]]'s numeric KS test.
+    * Per cell the statistic's term (O−E)²/E is cross-multiplied into
+    * exact integers, (O·N − rowT·colT)² / (N·rowT·colT), evaluated as
+    * ONE double division of exact operands; the cell terms are then
+    * summed by a key-ordered left fold (the cross-engine double-sum
+    * recipe), so χ² is bit-identical by construction. Output also
+    * carries the degrees of freedom for the consumer's p-value lookup
+    * (the p-value itself needs the incomplete gamma — a libm surface
+    * deliberately left to the caller, same reason the LM score avoids
+    * `ln`).
+    *
+    * Scale posture: the corpus partial-aggregates to |types|·7 cells in
+    * one shuffle; margins are windows over that tiny frame and the fold
+    * is a single-row reduction. */
+  def aggChisqIndependence(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val byRow = Window.partitionBy("event_type")
+    val byCol = Window.partitionBy("isodow")
+    val all = Window.partitionBy()
+    val cells = Tables.events(s, d)
+      .select(col("event_type"),
+        (weekday(col("ts")) + 1).cast(LongType).as("isodow"))
+      .groupBy("event_type", "isodow").agg(count(lit(1)).as("o"))
+      .withColumn("rt", sum(col("o")).over(byRow))
+      .withColumn("ct", sum(col("o")).over(byCol))
+      .withColumn("n", sum(col("o")).over(all))
+    // dev stays exact in BIGINT (safe while N·rowT < 2^63 — beyond that a
+    // production build widens to DECIMAL(38,0)); the SQUARE and the margin
+    // product are taken in double on exact-representable operands so the
+    // term never overflows and both engines round identically.
+    val dev = (col("o") * col("n") - col("rt") * col("ct")).cast(DoubleType)
+    cells
+      .select(col("event_type"), col("isodow"),
+        (dev * dev /
+          (col("n").cast(DoubleType) * col("rt").cast(DoubleType) *
+            col("ct").cast(DoubleType))).as("term"))
+      .agg(count(lit(1)).as("n_cells"),
+        (countDistinct(col("event_type")) - 1) *
+          (countDistinct(col("isodow")) - 1),
+        aggregate(
+          sort_array(collect_list(struct(col("event_type"), col("isodow"),
+            col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2"))
+      .toDF("n_cells", "dof", "chi2")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "time_autocorr"         -> timeAutocorr _,
+    "time_weekday_profile"  -> timeWeekdayProfile _,
+    "window_rolling_corr"   -> windowRollingCorr _,
+    "agg_chisq_independence" -> aggChisqIndependence _,
     "window_peak_detection" -> windowPeakDetection _,
     "window_streaks"       -> windowStreaks _,
     "window_rolling_distinct" -> windowRollingDistinct _,
@@ -538,14 +666,81 @@ object AggWindowQueries {
         |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag_days) l
         |  JOIN daily b ON b.day = a.day + INTERVAL 1 DAY * l.lag_days)
         |SELECT lag_days, COUNT(*) AS n_pairs,
-        |  CAST(COUNT(*) * CAST(SUM(x*y) AS BIGINT)
-        |      - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE) /
-        |  sqrt(CAST(COUNT(*) * CAST(SUM(x*x) AS BIGINT)
-        |         - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT) AS DOUBLE) *
-        |       CAST(COUNT(*) * CAST(SUM(y*y) AS BIGINT)
-        |         - CAST(SUM(y) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE))
-        |    AS autocorr
+        |  CASE WHEN COUNT(*) * CAST(SUM(x*x) AS BIGINT)
+        |         - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT) > 0
+        |    AND COUNT(*) * CAST(SUM(y*y) AS BIGINT)
+        |         - CAST(SUM(y) AS BIGINT) * CAST(SUM(y) AS BIGINT) > 0
+        |  THEN
+        |    CAST(COUNT(*) * CAST(SUM(x*y) AS BIGINT)
+        |        - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE) /
+        |    sqrt(CAST(COUNT(*) * CAST(SUM(x*x) AS BIGINT)
+        |           - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT) AS DOUBLE) *
+        |         CAST(COUNT(*) * CAST(SUM(y*y) AS BIGINT)
+        |           - CAST(SUM(y) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE))
+        |  END AS autocorr
         |FROM pairs GROUP BY lag_days ORDER BY lag_days""".stripMargin,
+    "time_weekday_profile" ->
+      """WITH base AS (
+        |  SELECT event_type, isodow(ts) AS isodow,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type, isodow, COUNT(*) AS n_events,
+        |    SUM(v) AS sv
+        |  FROM base GROUP BY 1, 2)
+        |SELECT event_type, isodow, n_events,
+        |  CAST(sv AS DOUBLE) / CAST(n_events AS DOUBLE) AS mean_value,
+        |  CAST(n_events AS DOUBLE) /
+        |    CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+        |    AS share_of_type
+        |FROM agg ORDER BY event_type, isodow""".stripMargin,
+    "window_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT day, x, y,
+        |    ROW_NUMBER() OVER (ORDER BY day) AS rn,
+        |    CAST(SUM(x)   OVER w AS BIGINT) AS sx,
+        |    CAST(SUM(y)   OVER w AS BIGINT) AS sy,
+        |    CAST(SUM(x*x) OVER w AS BIGINT) AS sxx,
+        |    CAST(SUM(y*y) OVER w AS BIGINT) AS syy,
+        |    CAST(SUM(x*y) OVER w AS BIGINT) AS sxy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(day, '%Y-%m-%d') AS day, x AS views, y AS purchases,
+        |  CASE WHEN 7*sxx - sx*sx > 0 AND 7*syy - sy*sy > 0 THEN
+        |    CAST(7*sxy - sx*sy AS DOUBLE) /
+        |    sqrt(CAST(7*sxx - sx*sx AS DOUBLE) * CAST(7*syy - sy*sy AS DOUBLE))
+        |  END AS rolling_corr_7d
+        |FROM f WHERE rn >= 7 ORDER BY day""".stripMargin,
+    "agg_chisq_independence" ->
+      """WITH cells AS (
+        |  SELECT event_type, isodow(ts) AS isodow, COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, isodow, o,
+        |    CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+        |    CAST(SUM(o) OVER (PARTITION BY isodow) AS BIGINT) AS ct,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |terms AS (
+        |  SELECT event_type, isodow,
+        |    CAST(o*n - rt*ct AS DOUBLE) * CAST(o*n - rt*ct AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+        |      AS term
+        |  FROM m)
+        |SELECT COUNT(*) AS n_cells,
+        |  (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT isodow) - 1)
+        |    AS dof,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(term ORDER BY event_type, isodow)), (s, x) -> s + x) AS chi2
+        |FROM terms""".stripMargin,
     "window_peak_detection" ->
       """WITH e AS (SELECT event_id, user_id,
         |    CAST(value AS DECIMAL(18,2)) AS v,

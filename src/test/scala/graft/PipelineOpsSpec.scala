@@ -81,6 +81,82 @@ class PipelineOpsSpec extends SparkTestBase {
       s"target docs do not skew toward target distribution: $meanT <= $meanR")
   }
 
+  test("weekday profile: per-type shares sum to 1 and counts reconcile") {
+    val rows = AggWindowQueries.timeWeekdayProfile(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, dow, n, _, share) =>
+      assert(dow >= 1 && dow <= 7)
+      assert(n >= 1)
+      assert(share > 0.0 && share <= 1.0)
+    }
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(_._3).sum == total, "weekday cells must cover every event")
+    rows.groupBy(_._1).foreach { case (t, cells) =>
+      val s = cells.map(_._5).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"$t: shares sum to $s")
+    }
+  }
+
+  test("rolling correlation: bounded, dated, and matches a driver reference") {
+    val rows = AggWindowQueries.windowRollingCorr(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, _, _, c) =>
+      c.foreach(v => assert(math.abs(v) <= 1.0 + 1e-12, s"$d: |corr| $v > 1"))
+    }
+    // driver reference over the collected daily series
+    val daily = rows.map(r => (r._1, r._2, r._3)).sortBy(_._1)
+    // rows only contain days from rank 7 on; rebuild the full series
+    val full = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("d"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(daily.length == full.length - 6)
+    rows.foreach { case (d, _, _, c) =>
+      val i = full.indexWhere(_._1 == d)
+      val win = full.slice(i - 6, i + 1)
+      val xs = win.map(_._2.toDouble); val ys = win.map(_._3.toDouble)
+      val mx = xs.sum / 7; val my = ys.sum / 7
+      val num = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val den = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum *
+        ys.map(b => (b - my) * (b - my)).sum)
+      if (den > 0)
+        assert(math.abs(c.get - num / den) < 1e-9,
+          s"$d: engine ${c.get} vs reference ${num / den}")
+      else assert(c.isEmpty, s"$d: zero-variance frame must be NULL")
+    }
+  }
+
+  test("chi-square independence: single row, exact reconciliation vs driver") {
+    val row = AggWindowQueries.aggChisqIndependence(spark, sfDir).collect()
+    assert(row.length == 1)
+    val (nCells, dof, chi2) =
+      (row(0).getLong(0), row(0).getLong(1), row(0).getDouble(2))
+    assert(nCells >= 1 && dof >= 1 && chi2 >= 0.0)
+    // driver reference from the collected contingency table
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (weekday(col("ts")) + 1).cast("long").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    val n = cells.map(_._2).sum.toDouble
+    val rt = cells.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val ct = cells.groupBy(_._1._2).map { case (k, v) => k -> v.map(_._2).sum }
+    val ref = cells.map { case ((t, w), o) =>
+      val e = rt(t) * ct(w) / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(chi2 - ref) < 1e-6, s"engine $chi2 vs reference $ref")
+    assert(dof == (rt.size - 1).toLong * (ct.size - 1))
+    assert(nCells == cells.length)
+  }
+
   test("autocorr: one row per lag, |r| bounded, pair counts shrink with lag") {
     val rows = AggWindowQueries.timeAutocorr(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
