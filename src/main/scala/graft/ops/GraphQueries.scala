@@ -50,6 +50,9 @@ object GraphQueries {
     * on support-filtered graphs; the fixtures need < 6. */
   val KCoreK = 3
   val KCoreMaxRounds = 16
+  /** Round cap for the SCC reachability closures (graph diameter bound;
+    * the sf fixtures converge in ≤ 8). */
+  val SccMaxRounds = 32
 
   /** BFS frontier-exhaustion cap — also the unroll depth of the layered
     * DuckDB oracle, so engine and oracle label EXACTLY the same depth
@@ -639,7 +642,78 @@ object GraphQueries {
       .orderBy("p_partkey")
   }
 
+  /** Directed part→part "added next" edges: within each order the line
+    * items sorted by (linenumber, partkey) contribute an edge from each
+    * part to its successor — the sequential add-to-cart graph, the one
+    * genuinely DIRECTED relation in the corpus (the co-purchase support
+    * graph is symmetric by construction). Distinct edges, self-loops
+    * dropped; persisted for the two reachability loops that consume it. */
+  private def seqEdges(s: SparkSession, d: String): DataFrame =
+    PipelineCache.getOrPersist(s"graph_seq_edges:$d") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o").orderBy("ln", "src")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+          col("l_partkey").as("src"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+        .select("src", "dst").distinct()
+    }
+
+  /** Strongly connected component of a PIVOT vertex on the directed
+    * add-next graph — the forward-backward primitive at the heart of
+    * every distributed SCC algorithm (FW-BW, ColorSCC): SCC(p) =
+    * forward-reachable(p) ∩ backward-reachable(p). Pivot = the max-
+    * out-degree vertex (min id tiebreak), the standard FW-BW pivot
+    * heuristic. Both reachability closures run the [[graphBfsConverged]]
+    * loop discipline — frontier ⋈ edges per round, per-round
+    * `localCheckpoint`, one driver scalar for the fixpoint test, capped
+    * rounds with a loud warning; the backward pass is the SAME loop on
+    * the reversed edges (no second implementation).
+    *
+    * Scale posture: each round shuffles only frontier×edges, visited
+    * sets carry a single long column, and the intersection is one
+    * partial-aggregated semi-join — the full FW-BW recursion at scale
+    * repeats this operator on the residual graph, which is driver
+    * orchestration of the same plan, not a new plan shape. */
+  def graphSccPivot(s: SparkSession, d: String): DataFrame = {
+    val edges = seqEdges(s, d)
+    val pivot = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+      .orderBy(col("odeg").desc, col("src")).limit(1)
+      .select(col("src").as("x"))
+    def reach(adj: DataFrame): DataFrame = {
+      var visited = pivot.localCheckpoint()
+      var frontier = visited
+      var n = visited.count()
+      var r = 0
+      var grew = true
+      while (grew && r < SccMaxRounds) {
+        r += 1
+        val next = frontier.join(adj, Seq("x"))
+          .select(col("y").as("x")).distinct()
+          .join(visited, Seq("x"), "left_anti")
+          .localCheckpoint()
+        val added = next.count()
+        if (added == 0) grew = false
+        else {
+          visited = visited.unionAll(next).localCheckpoint()
+          frontier = next
+          n += added
+        }
+      }
+      if (grew)
+        System.err.println(s"[graft] scc: round cap $SccMaxRounds reached — " +
+          "closure may be incomplete")
+      visited
+    }
+    val fwd = reach(edges.select(col("src").as("x"), col("dst").as("y")))
+    val bwd = reach(edges.select(col("dst").as("x"), col("src").as("y")))
+    fwd.join(bwd, Seq("x"), "left_semi")
+      .select(col("x").as("member")).orderBy("member")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_scc_pivot"         -> graphSccPivot _,
     "graph_hierarchy_flatten"   -> graphHierarchyFlatten _,
     "graph_label_propagation"   -> graphLabelPropagation _,
     "graph_lpa_converged"       -> graphLpaConverged _,
@@ -787,6 +861,30 @@ object GraphQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_scc_pivot" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT l_partkey AS src,
+        |      LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_linenumber, l_partkey) AS dst
+        |    FROM lineitem)
+        |  WHERE dst IS NOT NULL AND dst <> src),
+        |pv AS (
+        |  SELECT src AS p FROM edges GROUP BY src
+        |  ORDER BY COUNT(*) DESC, src LIMIT 1),
+        |fwd(x) AS (
+        |  SELECT p FROM pv
+        |  UNION
+        |  SELECT e.dst FROM fwd JOIN edges e ON e.src = fwd.x),
+        |bwd(x) AS (
+        |  SELECT p FROM pv
+        |  UNION
+        |  SELECT e.src FROM bwd JOIN edges e ON e.dst = bwd.x)
+        |SELECT member FROM (
+        |  SELECT x AS member FROM fwd
+        |  INTERSECT
+        |  SELECT x AS member FROM bwd)
+        |ORDER BY member""".stripMargin,
     "graph_hierarchy_flatten" ->
       // per-node recursive climb to the root — a different algorithm
       // (O(depth) per node) that must agree with the engine's doubling

@@ -32,6 +32,22 @@ object SourceSinkQueries {
   }
 
   def csvRoundtripAgg(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "csv")
+  /** XML datasource — built into Spark core since 4.0 (the former
+    * spark-xml package); needs a rowTag and no header option, hence its
+    * own path rather than [[roundtrip]]. Exercises the one text format
+    * with nested-element structure (attributes/escaping rules CSV and
+    * JSONL don't have). */
+  def xmlRoundtripAgg(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.nation(s, d)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${jvmTag}_xml_" +
+      d.replaceAll("[^a-zA-Z0-9]", "_")
+    src.write.mode(SaveMode.Overwrite).format("xml")
+      .option("rowTag", "nation").save(path)
+    s.read.format("xml").option("rowTag", "nation").schema(src.schema).load(path)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), min("n_name").as("first_nation"))
+      .orderBy("n_regionkey")
+  }
   def jsonRoundtripAgg(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "json")
   /** Columnar binary format with its own type system + predicate
     * pushdown surface (Spark's built-in ORC reader/writer). */
@@ -60,6 +76,7 @@ object SourceSinkQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip_agg"  -> csvRoundtripAgg _,
+    "xml_roundtrip_agg"  -> xmlRoundtripAgg _,
     "json_roundtrip_agg" -> jsonRoundtripAgg _,
     "orc_roundtrip_agg"  -> orcRoundtripAgg _,
     "parquet_partitioned_prune" -> parquetPartitionedPrune _,
@@ -71,6 +88,7 @@ object SourceSinkQueries {
 
   val oracle: Map[String, String] = Map(
     "csv_roundtrip_agg"  -> aggSql,
+    "xml_roundtrip_agg"  -> aggSql,
     "json_roundtrip_agg" -> aggSql,
     "orc_roundtrip_agg"  -> aggSql,
     "parquet_partitioned_prune" ->

@@ -157,6 +157,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(nCells == cells.length)
   }
 
+  test("SCC of pivot matches a driver forward-backward reachability reference") {
+    val members = graft.ops.GraphQueries.graphSccPivot(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(members.nonEmpty)
+    // driver reference: rebuild the add-next edge list and run plain BFS
+    // both ways from the same pivot
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o").orderBy("ln", "src")
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      .select("src", "dst").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pivot = edges.groupBy(_._1).map { case (k, v) => (k, v.length) }
+      .toSeq.sortBy { case (k, n) => (-n, k) }.head._1
+    def closure(adj: Map[Long, Seq[Long]]): Set[Long] = {
+      var seen = Set(pivot); var frontier = Set(pivot)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(x => adj.getOrElse(x, Nil)) -- seen
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    val fwd = closure(edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq })
+    val bwd = closure(edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSeq })
+    assert(members == (fwd & bwd), "engine SCC differs from driver reference")
+    assert(members.contains(pivot))
+  }
+
   test("autocorr: one row per lag, |r| bounded, pair counts shrink with lag") {
     val rows = AggWindowQueries.timeAutocorr(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
