@@ -351,6 +351,53 @@ class PlanShapeSpec extends SparkTestBase {
     assert(bcasts.size >= 2, s"probes not broadcast:\n$p")
   }
 
+  test("chunk dedup shuffles chunks on the fixed-width hash key only") {
+    // the occurrence window must partition on md5(chunk) — a 32-byte key —
+    // not on the raw chunk text (exchange width would grow with chunk
+    // length at scale)
+    val p = plan("text_chunk_dedup")
+    noCartesian(p, "text_chunk_dedup")
+    // the window partitions on a projected alias (_w0) whose defining
+    // projection is the md5 of the chunk — assert both halves
+    val winParts = ops(p).collect {
+      case w: WindowExec => w.partitionSpec.map(_.toString).mkString(",")
+    }.filter(_.nonEmpty)
+    assert(winParts.nonEmpty, s"no window in:\n$p")
+    assert(winParts.forall(k => !k.contains("chunk")),
+      s"occurrence window keyed by raw chunk text:\n$p")
+    val defsMd5 = ops(p).exists {
+      case pr: org.apache.spark.sql.execution.ProjectExec =>
+        pr.projectList.exists(e =>
+          e.toString.contains("md5") && e.toString.contains("_w"))
+      case _ => false
+    }
+    assert(defsMd5, s"window key projection is not md5(chunk):\n$p")
+  }
+
+  test("SCC reachability joins are equi-joins; LM/DSIR cross joins are 1-row broadcast globals only") {
+    noCartesian(plan("graph_scc_pivot"), "graph_scc_pivot")
+    graft.ops.PipelineCache.releaseAll()
+    Seq("text_lm_bigram_score", "curation_dsir_weights").foreach { q =>
+      val p = plan(q)
+      assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$q: cartesian product in:\n$p")
+      // the only non-equi join allowed is the broadcast of the 1-row
+      // corpus-globals aggregate (the established globals pattern)
+      ops(p).collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { b =>
+        val build = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+          case _ => b.left
+        }
+        val buildAggs = ops(build).collect {
+          case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+        }
+        assert(buildAggs.nonEmpty,
+          s"$q: nested-loop join whose build side is not a global agg:\n$p")
+      }
+      graft.ops.PipelineCache.releaseAll()
+    }
+  }
+
   test("matryoshka coarse and rerank stages both plan as TakeOrdered, not sorts") {
     val p = plan("sim_matryoshka_topk")
     val takeOrdered = ops(p).collect {
