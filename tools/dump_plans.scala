@@ -4,7 +4,8 @@ val qs = Seq(
   "join_star_multiway", "agg_hash_groupby", "dedup_minhash_lsh",
   "sim_hybrid_rrf", "sim_matryoshka_topk", "window_attribution_ushaped",
   "pipeline_feature_store", "pipeline_rag_index",
-  "graph_hierarchy_flatten", "join_asof_orders_native")
+  "graph_hierarchy_flatten", "join_asof_orders_native",
+  "text_chunk_dedup", "curation_dsir_weights", "time_autocorr")
 val sb = new StringBuilder
 sb.append("# Flagship physical plans (sf0.001, shuffle.partitions=8)\n\n")
 sb.append("Regenerate: `spark-shell --driver-class-path target/scala-2.13/classes -i tools/dump_plans.scala`.\n")
