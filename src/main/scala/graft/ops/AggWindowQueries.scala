@@ -14,8 +14,13 @@ import graft.dedup.Dedup.hexFold32
   * aggs, and all window functions are engine extensions the north star
   * requires. Posture: aggregations are partial-then-final (one shuffle on
   * the group keys); windows partition on a real key so state stays
-  * partition-local — no global windows anywhere (a `Window.orderBy`
-  * without partitioning collapses to one task and is banned at 100 TB).
+  * partition-local — no global windows over CORPUS-sized inputs (a
+  * `Window.orderBy` without partitioning collapses to one task and is
+  * banned at 100 TB). The only unpartitioned windows below run AFTER a
+  * partial-aggregated rollup to the calendar-bounded daily frame
+  * (rolling corr/median, Theil–Sen, the χ²/weekday margins): their
+  * input is O(days) or O(cells) rows at any corpus size — the same
+  * dims-don't-grow argument as the broadcast dimension joins.
   */
 object AggWindowQueries {
 
@@ -622,10 +627,86 @@ object AggWindowQueries {
       .toDF("n_cells", "dof", "chi2")
   }
 
+  /** Trailing 7-day rolling MEDIAN of the daily event count — the
+    * robust smoother an alerting pipeline prefers over the moving mean
+    * (one outage day cannot drag it). The median is stated as the 4th
+    * element of the SORTED 7-element frame list on BOTH engines (never
+    * an engine `median()` builtin — interpolation/typing conventions
+    * differ), so the output stays an exact BIGINT. Partial frames
+    * dropped, as in [[windowRollingCorr]].
+    *
+    * Scale posture: one partial-aggregated rollup to the calendar-
+    * bounded daily frame, then one window sort shared by the frame
+    * list and the row counter. */
+  def windowRollingMedian(s: SparkSession, d: String): DataFrame = {
+    val frame = Window.orderBy("day").rowsBetween(-6, 0)
+    val seq7 = Window.orderBy("day")
+    Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .withColumn("rn", row_number().over(seq7))
+      .withColumn("win", collect_list(col("y")).over(frame))
+      .filter(col("rn") >= 7)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("y"),
+        element_at(sort_array(col("win")), 4).as("rolling_median_7d"))
+      .orderBy("day")
+  }
+
+  /** Theil–Sen robust trend of the daily event-count series: the median
+    * of all pairwise slopes (y_j−y_i)/(d_j−d_i), plus the matching
+    * median intercept — the slope estimator that shrugs off outlier
+    * days where OLS (the regression pack) does not. Every slope is one
+    * IEEE division of exact integers; the median is the explicit
+    * rank-selection form (rows (m+1)/2..(m+2)/2 of the slope sort,
+    * averaged — a 1- or 2-element mean, and two-element FP addition is
+    * commutative so both engines agree bit-for-bit).
+    *
+    * Scale posture: the pair generator is quadratic in the DAY COUNT —
+    * calendar-bounded, not corpus-bounded (90 days → 4k pairs at any
+    * data size); the corpus itself collapses to the daily frame in the
+    * first partial-aggregated shuffle. For multi-year series, the
+    * standard repeated-median or sampling variants bound the pair count;
+    * the day-pair join here is an equi-free range join on a broadcast-
+    * sized frame. */
+  def trendTheilsenDaily(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val daily = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .withColumn("dnum", datediff(col("day"),
+        min(col("day")).over(Window.partitionBy())).cast("long"))
+      .select("dnum", "y")
+    val pairs = daily.as("a").join(broadcast(daily.as("b")),
+        col("b.dnum") > col("a.dnum"))
+      .select(((col("b.y") - col("a.y")).cast(DoubleType) /
+        (col("b.dnum") - col("a.dnum")).cast(DoubleType)).as("slope"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(Window.orderBy("slope")))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+    val slopeRow = ranked
+      .filter(col("rn") >= floor((col("m") + 1) / 2) &&
+        col("rn") <= floor((col("m") + 2) / 2))
+      .agg(avg(col("slope")).as("slope"), first(col("m")).as("n_pairs"))
+    val withSlope = daily.crossJoin(broadcast(slopeRow))
+      .select(col("slope"), col("n_pairs"),
+        (col("y").cast(DoubleType) - col("slope") * col("dnum").cast(DoubleType))
+          .as("ic"))
+    withSlope
+      .withColumn("rn", row_number().over(Window.orderBy("ic")))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rn") >= floor((col("m") + 1) / 2) &&
+        col("rn") <= floor((col("m") + 2) / 2))
+      .agg(first(col("m")).as("n_days"), first(col("n_pairs")).as("n_pairs"),
+        first(col("slope")).as("theil_sen_slope"),
+        avg(col("ic")).as("theil_sen_intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "time_autocorr"         -> timeAutocorr _,
     "time_weekday_profile"  -> timeWeekdayProfile _,
     "window_rolling_corr"   -> windowRollingCorr _,
+    "window_rolling_median" -> windowRollingMedian _,
+    "trend_theilsen_daily"  -> trendTheilsenDaily _,
     "agg_chisq_independence" -> aggChisqIndependence _,
     "window_peak_detection" -> windowPeakDetection _,
     "window_streaks"       -> windowStreaks _,
@@ -719,6 +800,48 @@ object AggWindowQueries {
         |    sqrt(CAST(7*sxx - sx*sx AS DOUBLE) * CAST(7*syy - sy*sy AS DOUBLE))
         |  END AS rolling_corr_7d
         |FROM f WHERE rn >= 7 ORDER BY day""".stripMargin,
+    "window_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, COUNT(*) AS y
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT day, y,
+        |    ROW_NUMBER() OVER (ORDER BY day) AS rn,
+        |    list(y) OVER (ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+        |  FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, y,
+        |  list_sort(win)[4] AS rolling_median_7d
+        |FROM f WHERE rn >= 7 ORDER BY day""".stripMargin,
+    "trend_theilsen_daily" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, COUNT(*) AS y
+        |  FROM events GROUP BY 1),
+        |dd AS (
+        |  SELECT CAST(datediff('day', (SELECT MIN(day) FROM daily), day)
+        |    AS BIGINT) AS dnum, y FROM daily),
+        |pairs AS (
+        |  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.dnum - a.dnum AS DOUBLE)
+        |    AS slope
+        |  FROM dd a JOIN dd b ON b.dnum > a.dnum),
+        |r AS (
+        |  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+        |    COUNT(*) OVER () AS m
+        |  FROM pairs),
+        |sl AS (
+        |  SELECT AVG(slope) AS slope, MIN(m) AS n_pairs FROM r
+        |  WHERE rn >= (m+1)//2 AND rn <= (m+2)//2),
+        |ic AS (
+        |  SELECT CAST(dd.y AS DOUBLE) - sl.slope * CAST(dd.dnum AS DOUBLE)
+        |    AS ic, sl.slope AS slope, sl.n_pairs AS n_pairs
+        |  FROM dd, sl),
+        |r2 AS (
+        |  SELECT ic, slope, n_pairs, ROW_NUMBER() OVER (ORDER BY ic) AS rn,
+        |    COUNT(*) OVER () AS m
+        |  FROM ic)
+        |SELECT MIN(m) AS n_days, MIN(n_pairs) AS n_pairs,
+        |  MIN(slope) AS theil_sen_slope, AVG(ic) AS theil_sen_intercept
+        |FROM r2 WHERE rn >= (m+1)//2 AND rn <= (m+2)//2""".stripMargin,
     "agg_chisq_independence" ->
       """WITH cells AS (
         |  SELECT event_type, isodow(ts) AS isodow, COUNT(*) AS o

@@ -157,6 +157,48 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(nCells == cells.length)
   }
 
+  test("rolling median: exact middle of each trailing 7-day frame") {
+    val rows = AggWindowQueries.windowRollingMedian(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    rows.foreach { case (d, _, med) =>
+      val i = daily.indexWhere(_._1 == d)
+      assert(i >= 6)
+      val ref = daily.slice(i - 6, i + 1).map(_._2).sorted.apply(3)
+      assert(med == ref, s"$d: engine median $med vs reference $ref")
+    }
+  }
+
+  test("Theil-Sen: slope/intercept match a driver pairwise-median reference") {
+    val row = AggWindowQueries.trendTheilsenDaily(spark, sfDir).collect()
+    assert(row.length == 1)
+    val (nDays, nPairs, slope, ic) = (row(0).getLong(0), row(0).getLong(1),
+      row(0).getDouble(2), row(0).getDouble(3))
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      .sortBy(_._1)
+    val d0 = daily.map(_._1).min
+    val pts = daily.map { case (t, y) => ((t - d0) / 86400000L, y) }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val m = s.length
+      if (m % 2 == 1) s(m / 2) else (s(m / 2 - 1) + s(m / 2)) / 2
+    }
+    val slopes = for {
+      i <- pts.indices; j <- pts.indices if pts(j)._1 > pts(i)._1
+    } yield (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1).toDouble
+    assert(nDays == pts.length && nPairs == slopes.length)
+    val refSlope = median(slopes.toSeq)
+    assert(math.abs(slope - refSlope) < 1e-12, s"slope $slope vs $refSlope")
+    val refIc = median(pts.map { case (d, y) => y - refSlope * d }.toSeq)
+    assert(math.abs(ic - refIc) < 1e-9, s"intercept $ic vs $refIc")
+  }
+
   test("SCC of pivot matches a driver forward-backward reachability reference") {
     val members = graft.ops.GraphQueries.graphSccPivot(spark, sfDir).collect()
       .map(_.getLong(0)).toSet
