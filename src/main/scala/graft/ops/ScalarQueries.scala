@@ -207,7 +207,32 @@ object ScalarQueries {
       .orderBy("zbucket")
   }
 
+  /** URL parsing pack over deterministically synthesized URLs (the
+    * corpus carries no URL column; the synthesis is the same
+    * render-then-parse pattern as the HTML-strip query): host / path /
+    * query / fragment / one query parameter via Spark's `parse_url`,
+    * mirrored in DuckDB by anchored RE2 regexes — two INDEPENDENT
+    * statements of RFC-3986 component extraction that must agree.
+    * Pure codegen'd projections; the only shuffle is the presentation
+    * sort. */
+  def scalarUrlPack(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+      col("lang"), lit("/docs/"), col("doc_id").cast(StringType),
+      lit("?ref=corpus&page="), pmod(col("doc_id"), lit(7L)).cast(StringType),
+      lit("#s"), pmod(col("doc_id"), lit(3L)).cast(StringType))
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("url_host"),
+        parse_url(col("url"), lit("PATH")).as("url_path"),
+        parse_url(col("url"), lit("QUERY")).as("url_query"),
+        parse_url(col("url"), lit("QUERY"), lit("page")).as("page_param"),
+        parse_url(col("url"), lit("REF")).as("url_ref"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_url_pack"      -> scalarUrlPack _,
     "scalar_zorder_pack"   -> scalarZorderPack _,
     "scalar_string_pack"   -> scalarStringPack _,
     "scalar_date_pack"     -> scalarDatePack _,
@@ -221,6 +246,21 @@ object ScalarQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "scalar_url_pack" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/' || lang || '/docs/' ||
+        |    CAST(doc_id AS VARCHAR) || '?ref=corpus&page=' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '#s' || CAST(doc_id % 3 AS VARCHAR)
+        |      AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^https://([^/?#]+)', 1) AS url_host,
+        |  regexp_extract(url, '^https://[^/?#]+(/[^?#]*)', 1) AS url_path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS url_query,
+        |  regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page_param,
+        |  regexp_extract(url, '#(.*)$', 1) AS url_ref
+        |FROM u ORDER BY doc_id""".stripMargin,
     "scalar_zorder_pack" ->
       // same 4-step magic-mask spread, staged through CTEs like the
       // Spark withColumn chain; floor() before the int cast on BOTH

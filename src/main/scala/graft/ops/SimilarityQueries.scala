@@ -598,6 +598,38 @@ object SimilarityQueries {
       .select(col("vec_id"), col("coarse_cos"), col("cos"))
   }
 
+  /** MAXIMUM INNER PRODUCT top-10 via the norm-augmentation reduction
+    * (Bachrach et al. 2014): append sqrt(M² − ‖x‖²) to every data
+    * vector (M = max norm) and 0 to the query, and nearest-neighbor in
+    * augmented L2 becomes MIPS — aug_l2sq = M² + ‖q‖² − 2·⟨x,q⟩ is
+    * monotone DECREASING in the inner product, so an L2-based ANN index
+    * (the IVF cells above) serves inner-product retrieval unchanged.
+    * This is the retrieval objective for IP-trained embedding models
+    * (the cosine queries assume normalized training). Output carries
+    * both the raw inner product and the augmented distance; the ranking
+    * equivalence is spec-asserted against plain dot ordering.
+    *
+    * Determinism: dot/norms are the index-order folds; M² is a MAX
+    * selection (exact); the remaining ops are one subtraction chain of
+    * exact-operand IEEE doubles — bit-identical cross-engine.
+    *
+    * Scale posture: same as [[simCosineTopk]] — probe and the 1-row max
+    * broadcast, TakeOrdered top-k, corpus never shuffled. */
+  def simMipsAugmented(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val m2 = broadcast(e.agg(max(col("nsq")).as("m2")))
+    val probe = broadcast(e.filter(col("vec_id") === ProbeId)
+      .select(col("embedding").as("q"), col("nsq").as("qnsq")))
+    e.crossJoin(m2).crossJoin(probe)
+      .filter(col("vec_id") =!= ProbeId)
+      .select(col("vec_id"),
+        dot(col("embedding"), col("q")).as("ip"),
+        (col("m2") + col("qnsq") -
+          lit(2.0) * dot(col("embedding"), col("q"))).as("aug_l2sq"))
+      .orderBy(col("aug_l2sq"), col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_matryoshka_topk"  -> simMatryoshkaTopk _,
     "sim_hybrid_rrf"       -> simHybridRrf _,
@@ -612,6 +644,7 @@ object SimilarityQueries {
     "sim_ivf_coarse_topk" -> simIvfCoarseTopk _,
     "sim_kmeans_step"     -> simKmeansStep _,
     "sim_quantize_int8"   -> simQuantizeInt8 _,
+    "sim_mips_augmented"  -> simMipsAugmented _,
   )
 
   // ---- DuckDB oracle (identical IEEE op order: widen→multiply in index
@@ -781,6 +814,19 @@ object SimilarityQueries {
          |SELECT p.pid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
          |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(5.0 AS DOUBLE) AS recall
          |FROM p LEFT JOIN hits h ON p.pid = h.pid ORDER BY p.pid""".stripMargin,
+    "sim_mips_augmented" ->
+      s"""WITH m AS (SELECT MAX(${dotSql("embedding", "embedding")}) AS m2
+         |  FROM embeddings),
+         |p AS (SELECT embedding AS q,
+         |    ${dotSql("embedding", "embedding")} AS qnsq
+         |  FROM embeddings WHERE vec_id = $ProbeId)
+         |SELECT e.vec_id,
+         |  ${dotSql("e.embedding", "p.q")} AS ip,
+         |  m.m2 + p.qnsq - CAST(2.0 AS DOUBLE) * ${dotSql("e.embedding", "p.q")}
+         |    AS aug_l2sq
+         |FROM embeddings e CROSS JOIN m CROSS JOIN p
+         |WHERE e.vec_id <> $ProbeId
+         |ORDER BY aug_l2sq, e.vec_id LIMIT 10""".stripMargin,
     "sim_cosine_topk" ->
       s"""SELECT e.vec_id, $cosSql AS cos
          |FROM embeddings e CROSS JOIN ($probeCte) p

@@ -230,6 +230,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(members.contains(pivot))
   }
 
+  test("MIPS augmentation: augmented-L2 ranking equals plain inner-product ranking") {
+    val rows = graft.ops.SimilarityQueries.simMipsAugmented(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == 10)
+    // ranking by aug_l2sq ascending must equal ranking by ip descending
+    val byAug = rows.map(_._1).toSeq
+    val byIp = rows.sortBy { case (id, ip, _) => (-ip, id) }.map(_._1).toSeq
+    assert(byAug == byIp, "augmented-L2 order differs from inner-product order")
+    // independent brute-force dot top-10 on the driver
+    val embs = Tables.embeddings(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val q = embs.find(_._1 == 1L).get._2
+    val ref = embs.filter(_._1 != 1L)
+      .map { case (id, v) => (id, v.zip(q).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, ip) => (-ip, id) }.take(10).map(_._1).toSeq
+    assert(byAug == ref, s"engine $byAug vs driver reference $ref")
+  }
+
   test("autocorr: one row per lag, |r| bounded, pair counts shrink with lag") {
     val rows = AggWindowQueries.timeAutocorr(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
