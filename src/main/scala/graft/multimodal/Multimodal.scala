@@ -365,6 +365,64 @@ object Multimodal {
     }
   }
 
+  final case class VadFeatures(media_id: Long, sample_rate: Int,
+      n_frames: Long, n_active: Long, active_ratio: Double,
+      n_segments: Int, longest_run: Int)
+
+  /** Energy-based voice-activity detection over the REAL WAV decode path
+    * — the segmentation step a speech-data pipeline runs before
+    * transcription/training (silence stripping, utterance extraction).
+    * Frames of `frameMs` (trailing partial frame dropped); a frame is
+    * ACTIVE when its mean-square energy exceeds `threshold` × the
+    * clip's overall mean square — the adaptive-threshold form, so a
+    * quiet recording still segments. Output: frame counts, the active
+    * ratio, the number of contiguous active segments, and the longest
+    * run — all integers plus two exact-operand IEEE divisions, so
+    * results are partitioning-independent like [[audioFeatures]].
+    * Non-audio rows flow through the deterministic stub decode —
+    * pipeline shape stays total. */
+  def vadFeatures(media: Dataset[MediaRow], frameMs: Int = 20,
+      threshold: Double = 0.25): Dataset[VadFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (rate, samples) =
+          (if (m.meta.media_type == "audio") decodeWav(m.content) else None)
+            .getOrElse {
+              val fake = decodeFake(m.content, math.max(1, m.meta.width),
+                math.max(1, m.meta.height))
+              (m.meta.sample_rate, fake.map(b => (b & 0xFF) - 128))
+            }
+        val frameLen = math.max(1, (rate.toLong * frameMs / 1000).toInt)
+        val nFrames = samples.length / frameLen
+        var totalSq = 0L
+        var i = 0
+        while (i < nFrames * frameLen) { // same domain as the frames
+          totalSq += samples(i).toLong * samples(i); i += 1
+        }
+        val globalMs =
+          if (nFrames == 0) 0.0 else totalSq.toDouble / (nFrames * frameLen)
+        var nActive = 0L; var segments = 0; var run = 0; var longest = 0
+        var f = 0
+        while (f < nFrames) {
+          var sq = 0L; var j = f * frameLen
+          val end = j + frameLen
+          while (j < end) { sq += samples(j).toLong * samples(j); j += 1 }
+          val active = sq.toDouble / frameLen > threshold * globalMs
+          if (active) {
+            nActive += 1; run += 1
+            if (run == 1) segments += 1
+            if (run > longest) longest = run
+          } else run = 0
+          f += 1
+        }
+        VadFeatures(m.media_id, rate, nFrames, nActive,
+          if (nFrames == 0) 0.0 else nActive.toDouble / nFrames,
+          segments, longest)
+      }
+    }
+  }
+
   /** Resize by integer-factor average pooling on the decoded pixels —
     * the distributed plumbing for a thumbnail stage. */
   def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {

@@ -129,6 +129,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(f(1).n_samples == 16) // stub at meta dims (4×4), total pipeline
   }
 
+  test("VAD segments a silence-tone-silence-tone WAV correctly") {
+    import spark.implicits._
+    // 8000 Hz, 20 ms frames -> 160 samples/frame. Build 12 frames:
+    // 3 silent, 4 loud, 3 silent, 2 loud -> 2 segments, longest 4.
+    def block(n: Int, amp: Short): Array[Short] =
+      Array.tabulate(n * 160)(i => if (i % 2 == 0) amp else (-amp).toShort)
+    val samples = block(3, 0) ++ block(4, 1000) ++ block(3, 0) ++ block(2, 1000)
+    val rows = Seq(MediaRow(1L, MediaMeta("audio", 0, 0, 1, 0), wav(samples)))
+    val v = vadFeatures(spark.createDataset(rows).repartition(2))
+      .collect().head
+    assert(v.sample_rate == 8000)
+    assert(v.n_frames == 12)
+    assert(v.n_active == 6, s"active frames ${v.n_active}")
+    assert(v.active_ratio == 6.0 / 12)
+    assert(v.n_segments == 2, s"segments ${v.n_segments}")
+    assert(v.longest_run == 4)
+    // determinism across partitionings
+    val v1 = vadFeatures(spark.createDataset(rows).repartition(1)).collect().head
+    assert(v == v1)
+  }
+
   test("non-image media and unparseable bytes fall back to the deterministic stub") {
     val junk = MediaRow(1L, MediaMeta("image", 4, 4, 1, 0), Array[Byte](1, 2, 3))
     val audio = MediaRow(2L, MediaMeta("audio", 4, 4, 1, 44100), png(Array(Array(0xFFFFFF))))
