@@ -833,7 +833,46 @@ object StatQueries {
       .orderBy("flag", "pct")
   }
 
+  /** ONE-PASS Poisson bootstrap confidence interval for the mean order
+    * price (Chamandy et al.'s "Estimating Uncertainty for Massive Data
+    * Streams" construction): every row fans out to B = 64 resamples
+    * with a DETERMINISTIC Poisson(1)-distributed weight — the inverse
+    * CDF (thousandth thresholds 368/736/920/981/996) applied to
+    * md5-derived hash buckets, the suite's no-RNG sampling recipe — so
+    * each resample mean is Σw·x / Σw on exact decimal/integer sums.
+    * The p5/p50/p95 of the 64 means use the explicit nearest-rank
+    * (⌈q·B⌉-th sorted element), stated identically on both engines.
+    * At 100 TB this is THE bootstrap: one pass, B partial sums, no
+    * resample materialization, executor-count-independent weights.
+    *
+    * Scale posture: the fan-out is a constant B multiplier collapsed by
+    * partial aggregation before the single B-keyed shuffle (64 groups);
+    * the quantile step sorts a 64-element list on one row. */
+  def statBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val b = col("b")
+    val h = pmod(graft.dedup.Dedup.hexFold32(
+      md5(concat(lit("boot:"), b.cast(StringType), lit(":"),
+        col("o_orderkey").cast(StringType)))), lit(1000L))
+    val w = when(h < 368, 0L).when(h < 736, 1L).when(h < 920, 2L)
+      .when(h < 981, 3L).when(h < 996, 4L).otherwise(5L)
+    val means = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(18, 2)).as("x"))
+      .withColumn("b", explode(sequence(lit(0L), lit(63L))))
+      .select(b, w.as("w"), col("x"))
+      .groupBy("b")
+      .agg((sum(col("w") * col("x")).cast(DoubleType) /
+        sum(col("w")).cast(DoubleType)).as("m"))
+    means.agg(
+        count(lit(1)).as("n_resamples"),
+        sort_array(collect_list(col("m"))).as("ms"))
+      .select(col("n_resamples"),
+        element_at(col("ms"), 4).as("p5"),
+        element_at(col("ms"), 32).as("p50"),
+        element_at(col("ms"), 61).as("p95"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_bootstrap_ci" -> statBootstrapCi _,
     "agg_percentile_interp"     -> aggPercentileInterp _,
     "window_mom_change"         -> windowMomChange _,
     "window_twap"               -> windowTwap _,
@@ -859,6 +898,27 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "stat_bootstrap_ci" ->
+      s"""WITH fan AS (
+         |  SELECT b.b AS b, o_orderkey,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS x
+         |  FROM orders CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b),
+         |wts AS (
+         |  SELECT b, x,
+         |    CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1 WHEN h < 920 THEN 2
+         |         WHEN h < 981 THEN 3 WHEN h < 996 THEN 4 ELSE 5 END AS w
+         |  FROM (SELECT b, x,
+         |    (${OracleSql.fold32("'boot:' || CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")}) % 1000 AS h
+         |    FROM fan)),
+         |means AS (
+         |  SELECT b, CAST(SUM(w * x) AS DOUBLE) /
+         |    CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS m
+         |  FROM wts GROUP BY b)
+         |SELECT COUNT(*) AS n_resamples,
+         |  list_sort(list(m))[4] AS p5,
+         |  list_sort(list(m))[32] AS p50,
+         |  list_sort(list(m))[61] AS p95
+         |FROM means""".stripMargin,
     "agg_weighted_percentile" ->
       """WITH t AS (SELECT l_returnflag,
         |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v,

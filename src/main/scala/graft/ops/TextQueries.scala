@@ -444,7 +444,63 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010), stated relationally:
+    * phrases are maximal stop-word-free token runs (phrase id = running
+    * stop-word count before the position — ONE prefix-sum window per
+    * doc), capped at 4 tokens; word score = degree/freq where degree
+    * sums the lengths of every phrase the word occurs in; phrase score
+    * = Σ of its words' scores via the position-ordered fold. Identical
+    * word multisets give identical scores, so the distinct-phrase
+    * rollup takes MIN (= the value) and counts occurrences; top-20 by
+    * (score, phrase).
+    *
+    * Scale posture: the prefix sum shares the per-doc exchange, word
+    * stats are one vocabulary-keyed shuffle, the score join carries
+    * only (word, score) pairs, and the final cut is TakeOrdered. */
+  def textRakeKeyphrases(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val docW = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("is_stop", col("w").isin(stopwords: _*))
+      .withColumn("phrase_id",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(docW))
+    val phrases = toks.filter(!col("is_stop"))
+      .groupBy("doc_id", "phrase_id")
+      .agg(array_join(transform(sort_array(collect_list(
+          struct(col("pos"), col("w")))), x => x.getField("w")), " ")
+          .as("phrase"),
+        count(lit(1)).as("plen"))
+      .filter(col("plen") <= 4)
+    val words = phrases
+      .select(col("phrase"), col("plen"),
+        posexplode(split(col("phrase"), " ")).as(Seq("wpos", "w")))
+    val stats = words.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .select(col("w"),
+        (col("degree").cast(DoubleType) / col("freq").cast(DoubleType))
+          .as("wscore"))
+    words.join(stats, Seq("w"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_words_total"),
+        aggregate(
+          sort_array(collect_list(struct(col("wpos"), col("wscore")))),
+          lit(0.0), (acc, x) => acc + x.getField("wscore")).as("allsum"))
+      .select(col("phrase"),
+        // allsum folded ALL occurrences' word scores; one occurrence's
+        // score = allsum / n_occurrences, with n_occurrences =
+        // n_words_total / words-in-phrase
+        (col("allsum") / (col("n_words_total").cast(DoubleType) /
+          size(split(col("phrase"), " ")).cast(DoubleType))).as("score"),
+        (col("n_words_total") / size(split(col("phrase"), " ")))
+          .cast("long").as("n_occurrences"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake_keyphrases"  -> textRakeKeyphrases _,
     "text_chunk_dedup"      -> textChunkDedup _,
     "text_lm_bigram_score"  -> textLmBigramScore _,
     "text_langid_confusion" -> textLangidConfusion _,
@@ -520,6 +576,49 @@ object TextQueries {
   private val ratioSql = ratioSqlOf("text")
 
   val oracle: Map[String, String] = Map(
+    "text_rake_keyphrases" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, p.pos AS pos, p.w AS w FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tok)+1),
+         |      i -> struct_pack(pos := i, w := tok[i]))) AS p
+         |    FROM (SELECT doc_id, $tokensSql AS tok FROM documents))),
+         |marked AS (
+         |  SELECT doc_id, pos, w, w IN ('the','a') AS is_stop,
+         |    CAST(SUM(CASE WHEN w IN ('the','a') THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY doc_id ORDER BY pos
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS phrase_id
+         |  FROM toks),
+         |phrases AS (
+         |  SELECT doc_id, phrase_id,
+         |    array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+         |    COUNT(*) AS plen
+         |  FROM marked WHERE NOT is_stop GROUP BY doc_id, phrase_id
+         |  HAVING COUNT(*) <= 4),
+         |words AS (
+         |  SELECT phrase, plen, q.wpos AS wpos, q.w AS w FROM (
+         |    SELECT phrase, plen,
+         |      unnest(list_transform(range(1, len(string_split(phrase, ' '))+1),
+         |        i -> struct_pack(wpos := i, w := string_split(phrase, ' ')[i])))
+         |        AS q
+         |    FROM phrases)),
+         |stats AS (
+         |  SELECT w, CAST(SUM(plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS wscore
+         |  FROM words GROUP BY w),
+         |j AS (SELECT words.phrase, words.wpos, stats.wscore
+         |  FROM words JOIN stats USING (w)),
+         |agg AS (
+         |  SELECT phrase, COUNT(*) AS n_words_total,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(wscore ORDER BY wpos, wscore)), (s, x) -> s + x) AS allsum
+         |  FROM j GROUP BY phrase)
+         |SELECT phrase,
+         |  allsum / (CAST(n_words_total AS DOUBLE) /
+         |    CAST(len(string_split(phrase, ' ')) AS DOUBLE)) AS score,
+         |  CAST(n_words_total / len(string_split(phrase, ' ')) AS BIGINT)
+         |    AS n_occurrences
+         |FROM agg ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
     "text_chunk_dedup" ->
       s"""WITH base AS (
          |  SELECT doc_id, $tokensSql AS tok,

@@ -248,6 +248,53 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(byAug == ref, s"engine $byAug vs driver reference $ref")
   }
 
+  test("bootstrap CI: ordered quantiles bracketing the true mean") {
+    val row = graft.ops.StatQueries.statBootstrapCi(spark, sfDir).collect()
+    assert(row.length == 1)
+    val (n, p5, p50, p95) = (row(0).getLong(0), row(0).getDouble(1),
+      row(0).getDouble(2), row(0).getDouble(3))
+    assert(n == 64)
+    assert(p5 <= p50 && p50 <= p95)
+    val truth = Tables.orders(spark, sfDir)
+      .agg(avg(col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(p5 < truth && truth < p95,
+      s"CI [$p5, $p95] does not bracket the true mean $truth")
+    // the CI should be TIGHT around the mean at n≈1500 (width ≈ 3.3σ/√n)
+    assert((p95 - p5) / truth < 0.2, s"implausibly wide CI [$p5, $p95]")
+  }
+
+  test("RAKE keyphrases: scores agree with a driver reference") {
+    val rows = graft.ops.TextQueries.textRakeKeyphrases(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.length == 20)
+    // driver reference over the collected fixture
+    val docs = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val stop = Set("the", "a")
+    val phrases = docs.flatMap { t =>
+      val runs = collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.empty[String]
+      t.foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = w :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs.filter(_.length <= 4)
+    }
+    val freq = phrases.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val degree = phrases.flatMap(p => p.map(w => w -> p.length))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    def score(p: Seq[String]): Double =
+      p.map(w => degree(w).toDouble / freq(w)).sum
+    val ref = phrases.map(p => p.mkString(" ") -> p).toMap
+    rows.foreach { case (phrase, sc, nOcc) =>
+      val p = ref(phrase)
+      assert(math.abs(sc - score(p)) < 1e-9,
+        s"$phrase: engine $sc vs reference ${score(p)}")
+      assert(nOcc == phrases.count(_ == p))
+    }
+  }
+
   test("autocorr: one row per lag, |r| bounded, pair counts shrink with lag") {
     val rows = AggWindowQueries.timeAutocorr(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
