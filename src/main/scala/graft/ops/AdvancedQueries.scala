@@ -84,6 +84,44 @@ object AdvancedQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** NATIVE `session_window` sessionization in batch — the built-in
+    * operator next to the manual lag-gap idiom ([[windowSessionizeBatch]]):
+    * Spark merges events whose gap to the session's last event is
+    * STRICTLY under the 30-minute gap (window end = last + gap,
+    * exclusive), so the oracle's manual reconstruction starts a new
+    * session at gap ≥ 1800 s — one boundary tighter than the manual
+    * query's > 1800 (both semantics are real; shipping both, each
+    * oracle-checked, pins the difference). Output carries the native
+    * window's [start, end) — end = last event + gap. */
+  def timeSessionWindowNative(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** SQL-text PIVOT → UNPIVOT round trip — the statement-level surface
+    * of the pivot/unpivot operators (the DataFrame forms are
+    * `pivot_status_counts` / `unpivot_stack`): statuses pivot to
+    * columns, UNPIVOT INCLUDE NULLS brings them back, absent cells
+    * coalesce to 0 — so the composition must equal the dense
+    * priority×status count grid the oracle states directly. */
+  def sqlPivotUnpivot(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_pv")
+    s.sql(
+      """SELECT priority, status, coalesce(n, 0) AS n FROM (
+        |  SELECT * FROM
+        |    (SELECT o_orderpriority AS priority, o_orderstatus
+        |     FROM graft_orders_pv)
+        |  PIVOT (COUNT(*) FOR o_orderstatus IN
+        |    ('O' AS st_o, 'F' AS st_f, 'P' AS st_p))
+        |) UNPIVOT INCLUDE NULLS
+        |  (n FOR status IN (st_o AS `O`, st_f AS `F`, st_p AS `P`))
+        |ORDER BY priority, status""".stripMargin)
+  }
+
   def windowNtilePercent(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
     Tables.customer(s, d)
@@ -521,6 +559,8 @@ object AdvancedQueries {
     "agg_grouping_sets"    -> aggGroupingSets _,
     "window_ntile_percent" -> windowNtilePercent _,
     "window_sessionize_batch" -> windowSessionizeBatch _,
+    "time_session_window_native" -> timeSessionWindowNative _,
+    "sql_pivot_unpivot" -> sqlPivotUnpivot _,
     "window_range_frame"   -> windowRangeFrame _,
     "pivot_status_counts"  -> pivotStatusCounts _,
     "array_ops_pack"       -> arrayOpsPack _,
@@ -681,6 +721,32 @@ object AdvancedQueries {
         |  COUNT(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, status, priority""".stripMargin,
+    "time_session_window_native" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) >= 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "sql_pivot_unpivot" ->
+      """WITH pr AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+        |st AS (SELECT unnest(['F', 'O', 'P']) AS status),
+        |cnt AS (SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT pr.priority, st.status,
+        |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
+        |FROM pr CROSS JOIN st
+        |LEFT JOIN cnt ON cnt.priority = pr.priority AND cnt.status = st.status
+        |ORDER BY pr.priority, st.status""".stripMargin,
     "window_sessionize_batch" ->
       """WITH e AS (SELECT user_id, event_id,
         |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts FROM events),
