@@ -191,6 +191,75 @@ object Streams {
       }
   }
 
+  final case class ChunkHit(doc_id: Long, ts: java.sql.Timestamp,
+      chunk_hash: String)
+
+  final case class ChunkVerdict(doc_id: Long, chunk_hash: String,
+      first_id: Long, novel: Boolean)
+
+  final case class ChunkState(firstId: Long, lastMs: Long)
+
+  /** STREAMING chunk-level dedup — the incremental-crawl counterpart of
+    * `text_chunk_dedup`: each arriving doc is cut into the SAME
+    * non-overlapping 10-token chunks (md5-keyed, the batch query's
+    * fixed-width exchange key), and a per-chunk first-writer-wins state
+    * emits a verdict per (doc, chunk): novel iff this doc is the
+    * chunk's first writer. Per-doc boilerplate ratios are one rollup
+    * downstream, exactly like the band-verdict consumer.
+    *
+    * Scale posture: state is one (first id, last-seen) entry per LIVE
+    * chunk key, partitioned by the hash across executors; the
+    * event-time timeout bounds it to the dedup horizon — an infinite
+    * crawl holds only the window's chunk set (the
+    * [[nearDupBandVerdicts]] contract, at chunk rather than band
+    * granularity). */
+  def chunkNovelty(docs: Dataset[DocEvent],
+      horizonMinutes: Long = 120): Dataset[ChunkVerdict] = {
+    import docs.sparkSession.implicits._
+    val horizon = s"$horizonMinutes minutes"
+    val horizonMs = horizonMinutes * 60 * 1000
+    val cw = 10
+    val tok = graft.text.TextAnalysis.tokens(col("text"))
+    docs.toDF()
+      .withWatermark("ts", horizon)
+      .select(col("doc_id"), col("ts"), tok.as("tok"))
+      .withColumn("n_chunks", floor(size(col("tok")) / cw))
+      .filter(col("n_chunks") >= 1)
+      .select(col("doc_id"), col("ts"),
+        explode(transform(
+          sequence(lit(0), (col("n_chunks") - 1).cast("int")),
+          i => md5(array_join(slice(col("tok"), i * cw + 1, lit(cw)), " "))))
+          .as("chunk_hash"))
+      .as[ChunkHit]
+      .groupByKey(_.chunk_hash)
+      .flatMapGroupsWithState[ChunkState, ChunkVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[ChunkHit], state: GroupState[ChunkState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var st = state.getOption
+            val out = sorted.map { r =>
+              st match {
+                case None =>
+                  st = Some(ChunkState(r.doc_id, r.ts.getTime))
+                  ChunkVerdict(r.doc_id, key, r.doc_id, novel = true)
+                case Some(s) =>
+                  st = Some(s.copy(lastMs = math.max(s.lastMs, r.ts.getTime)))
+                  ChunkVerdict(r.doc_id, key, s.firstId,
+                    novel = s.firstId == r.doc_id)
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + horizonMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   final case class AnomalyOut(user_id: Long, event_id: Long, v: Double,
       mu: Double, sd: Double, is_anomaly: Boolean)
 

@@ -227,6 +227,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming chunk novelty matches the batch first-seen formulation on real docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // real sf corpus, streamed in doc_id order with synthetic ascending
+    // event times — the crawl-arrival differential
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val mem = MemoryStream[Streams.DocEvent]
+    val name = s"chunknov_${System.nanoTime()}"
+    val q = Streams.chunkNovelty(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      docs.grouped(20).zipWithIndex.foreach { case (batch, i) =>
+        mem.addData(batch.map { case (id, text) =>
+          Streams.DocEvent(id, ts(f"10:${i % 60}%02d"), text)
+        }.toSeq)
+        if (i % 5 == 0) q.processAllAvailable()
+      }
+      q.processAllAvailable()
+      val streamed = spark.table(name)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(!col("novel"), 1L).otherwise(0L)).as("n_stale"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // batch first-seen mirror: a chunk occurrence is stale iff an
+      // EARLIER doc contains the same chunk
+      val cw = 10
+      val all = docs.flatMap { case (id, text) =>
+        val tok = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        (0 until tok.length / cw).map(i =>
+          (id, tok.slice(i * cw, i * cw + cw).mkString(" ")))
+      }
+      val firstSeen = all.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).min }
+      val ref = all.groupBy(_._1).map { case (id, xs) =>
+        id -> (xs.length.toLong, xs.count(x => firstSeen(x._2) < id).toLong)
+      }
+      assert(streamed.keySet == ref.keySet)
+      streamed.foreach { case (id, got) =>
+        assert(got == ref(id), s"doc $id: streamed $got vs batch ${ref(id)}")
+      }
+      assert(ref.values.map(_._2).sum > 0, "fixture produced no stale chunk")
+    } finally q.stop()
+  }
+
   test("file-source integration: readStream over a parquet events dir matches batch") {
     import org.apache.spark.sql.functions._
     val events = graft.ops.Tables.events(spark, sfDir)
