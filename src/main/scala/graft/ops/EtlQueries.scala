@@ -257,7 +257,35 @@ object EtlQueries {
       .orderBy("bucket")
   }
 
+  /** Data Vault 2.0 key generation — the hash-key projections a DV
+    * warehouse load derives before hub/link/satellite inserts: hub key
+    * from the business key, link key from the relationship's key pair,
+    * satellite HASHDIFF over the descriptive attributes (change
+    * detection: a new hashdiff versions the satellite row). All keys
+    * are md5 over delimiter-joined canonical strings — numerics
+    * rendered as integer cents and ISO dates so both engines format
+    * identically (the sync-checksums canonicalization rule). Pure
+    * codegen'd projections; the only shuffle is the presentation
+    * sort. */
+  def etlDatavaultKeys(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        md5(concat_ws("|", lit("cust"), col("o_custkey").cast(StringType)))
+          .as("hk_customer"),
+        md5(concat_ws("|", lit("ord"), col("o_orderkey").cast(StringType)))
+          .as("hk_order"),
+        md5(concat_ws("|", lit("ordcust"), col("o_orderkey").cast(StringType),
+          col("o_custkey").cast(StringType))).as("hk_link_order_customer"),
+        md5(concat_ws("|",
+          col("o_orderstatus"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).cast(StringType),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          col("o_orderpriority"))).as("hashdiff"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_datavault_keys" -> etlDatavaultKeys _,
     "etl_sync_checksums"     -> etlSyncChecksums _,
     "etl_survivorship_merge" -> etlSurvivorshipMerge _,
     "etl_cdc_compaction"    -> etlCdcCompaction _,
@@ -274,6 +302,18 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_datavault_keys" ->
+      """SELECT o_orderkey, o_custkey,
+        |  md5('cust' || '|' || CAST(o_custkey AS VARCHAR)) AS hk_customer,
+        |  md5('ord' || '|' || CAST(o_orderkey AS VARCHAR)) AS hk_order,
+        |  md5('ordcust' || '|' || CAST(o_orderkey AS VARCHAR) || '|' ||
+        |      CAST(o_custkey AS VARCHAR)) AS hk_link_order_customer,
+        |  md5(o_orderstatus || '|' ||
+        |      CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        AS VARCHAR) || '|' ||
+        |      strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+        |      o_orderpriority) AS hashdiff
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "etl_sync_checksums" ->
       s"""SELECT o_orderkey % 32 AS bucket,
          |  COUNT(*) AS n_rows,
