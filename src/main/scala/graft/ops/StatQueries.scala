@@ -849,14 +849,26 @@ object StatQueries {
     * partial aggregation before the single B-keyed shuffle (64 groups);
     * the quantile step sorts a 64-element list on one row. */
   def statBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    // ONE digest per row, BEFORE the 64-way fan-out: the per-resample
+    // bucket derives from the base by the count–min affine family
+    // ((2b+3)·h + b·2654435761 mod P — pairwise independent), so the
+    // fan-out costs three integer ops per (row, b) instead of a digest.
+    // Computing md5 under the explode re-evaluates it per resample AND
+    // per fold32 nibble after CollapseProject inlining (the
+    // sketch_countmin_error lesson: 64×8 digests/row — measured 57 s at
+    // sf0.1 vs ~2 s for this form).
+    import graft.dedup.Dedup.MinhashP
     val b = col("b")
-    val h = pmod(graft.dedup.Dedup.hexFold32(
-      md5(concat(lit("boot:"), b.cast(StringType), lit(":"),
-        col("o_orderkey").cast(StringType)))), lit(1000L))
-    val w = when(h < 368, 0L).when(h < 736, 1L).when(h < 920, 2L)
-      .when(h < 981, 3L).when(h < 996, 4L).otherwise(5L)
+    val h = pmod(
+      (lit(2L) * b + 3L) * col("base") + b * lit(2654435761L), lit(MinhashP))
+    val bucket = pmod(h, lit(1000L))
+    val w = when(bucket < 368, 0L).when(bucket < 736, 1L).when(bucket < 920, 2L)
+      .when(bucket < 981, 3L).when(bucket < 996, 4L).otherwise(5L)
     val means = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(18, 2)).as("x"))
+      .select(graft.dedup.Dedup.hexFold32(
+        md5(concat(lit("boot:"), col("o_orderkey").cast(StringType))))
+        .as("base"), col("x"))
       .withColumn("b", explode(sequence(lit(0L), lit(63L))))
       .select(b, w.as("w"), col("x"))
       .groupBy("b")
@@ -899,16 +911,19 @@ object StatQueries {
 
   val oracle: Map[String, String] = Map(
     "stat_bootstrap_ci" ->
-      s"""WITH fan AS (
-         |  SELECT b.b AS b, o_orderkey,
-         |    CAST(o_totalprice AS DECIMAL(18,2)) AS x
-         |  FROM orders CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b),
+      s"""WITH base AS (
+         |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+         |    (${OracleSql.fold32("'boot:' || CAST(o_orderkey AS VARCHAR)")}) AS h0
+         |  FROM orders),
+         |fan AS (
+         |  SELECT b.b AS b, base.h0 AS h0, base.x AS x
+         |  FROM base CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b),
          |wts AS (
          |  SELECT b, x,
          |    CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1 WHEN h < 920 THEN 2
          |         WHEN h < 981 THEN 3 WHEN h < 996 THEN 4 ELSE 5 END AS w
          |  FROM (SELECT b, x,
-         |    (${OracleSql.fold32("'boot:' || CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")}) % 1000 AS h
+         |    (((2*b + 3)*h0 + b*2654435761) % 4294967311) % 1000 AS h
          |    FROM fan)),
          |means AS (
          |  SELECT b, CAST(SUM(w * x) AS DOUBLE) /
