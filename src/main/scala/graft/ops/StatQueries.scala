@@ -883,7 +883,48 @@ object StatQueries {
         element_at(col("ms"), 61).as("p95"))
   }
 
+  /** Winsorized and trimmed means per group — the outlier-robust
+    * aggregations a feature pipeline applies before scaling (clip to
+    * the [p5, p95] band vs drop outside it), beside the suite's MAD/
+    * median/Theil–Sen robust estimators. Percentile cut ranks are the
+    * explicit nearest-rank form (⌈0.05·n⌉ / ⌈0.95·n⌉ over a TOTAL
+    * order — price, orderkey, linenumber), the cut VALUES are
+    * conditional window aggregates over the same single exchange, and
+    * every mean is an exact DECIMAL sum divided once in double.
+    *
+    * Scale posture: one group-keyed window exchange serves ranks, n,
+    * and both cut values; the rollup partial-aggregates on the same
+    * key. */
+  def aggWinsorizedMean(s: SparkSession, d: String): DataFrame = {
+    val byFlag = Window.partitionBy("l_returnflag")
+    val rankW = byFlag.orderBy("price", "l_orderkey", "l_linenumber")
+    val k05 = expr("(n + 19) div 20")       // ceil(0.05 n), exact integer
+    val k95 = expr("(n * 95 + 99) div 100") // ceil(0.95 n), exact integer
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+      .withColumn("rk", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(byFlag))
+      .withColumn("p05", max(when(col("rk") <= k05, col("price"))).over(byFlag))
+      .withColumn("p95", max(when(col("rk") <= k95, col("price"))).over(byFlag))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        min(col("p05")).cast(DoubleType).as("p05"),
+        min(col("p95")).cast(DoubleType).as("p95"),
+        (sum(col("price")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("mean_plain"),
+        (sum(greatest(least(col("price"), col("p95")), col("p05")))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("mean_winsorized"),
+        (sum(when(col("rk") >= k05 && col("rk") <= k95, col("price")))
+          .cast(DoubleType) /
+          sum(when(col("rk") >= k05 && col("rk") <= k95, 1L).otherwise(0L))
+            .cast(DoubleType)).as("mean_trimmed"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_winsorized_mean" -> aggWinsorizedMean _,
     "stat_bootstrap_ci" -> statBootstrapCi _,
     "agg_percentile_interp"     -> aggPercentileInterp _,
     "window_mom_change"         -> windowMomChange _,
@@ -910,6 +951,37 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_winsorized_mean" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)),
+        |               l_orderkey, l_linenumber) AS rk,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_returnflag, price, rk, n,
+        |    (n + 19) // 20 AS k05, (n * 95 + 99) // 100 AS k95
+        |  FROM r),
+        |v AS (
+        |  SELECT l_returnflag, price, rk, n, k05, k95,
+        |    MAX(CASE WHEN rk <= k05 THEN price END)
+        |      OVER (PARTITION BY l_returnflag) AS p05,
+        |    MAX(CASE WHEN rk <= k95 THEN price END)
+        |      OVER (PARTITION BY l_returnflag) AS p95
+        |  FROM c)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(MIN(p05) AS DOUBLE) AS p05,
+        |  CAST(MIN(p95) AS DOUBLE) AS p95,
+        |  CAST(SUM(price) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_plain,
+        |  CAST(SUM(CASE WHEN price > p95 THEN p95
+        |                WHEN price < p05 THEN p05 ELSE price END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS mean_winsorized,
+        |  CAST(SUM(CASE WHEN rk >= k05 AND rk <= k95 THEN price END)
+        |    AS DOUBLE) /
+        |  CAST(CAST(SUM(CASE WHEN rk >= k05 AND rk <= k95 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS DOUBLE) AS mean_trimmed
+        |FROM v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "stat_bootstrap_ci" ->
       s"""WITH base AS (
          |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
