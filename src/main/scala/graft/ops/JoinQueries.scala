@@ -294,7 +294,55 @@ object JoinQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Bloom filter FALSE-POSITIVE-RATE QA — the sketch-vs-truth check
+    * the countmin/minhash error queries run for their sketches, applied
+    * to the membership sketch: build a 4096-bit, k=2 Bloom over the
+    * BUILDING-segment customer keys (bit positions from ONE md5 per key
+    * + the affine family — the bootstrap/count-min digest discipline,
+    * and unlike [[joinBloomPrefilter]]'s engine-internal xxhash bits
+    * these are the suite's cross-engine md5 arithmetic, so the bit sets
+    * themselves are oracle-checkable), probe every NON-member key, and
+    * report how many pass both bit tests — the measured FPR a pipeline
+    * compares against its sizing expectation before trusting the filter
+    * at scale.
+    *
+    * Scale posture: the bit sets are ≤ m = 4096 rows however large the
+    * build side (broadcast semi-joins); negatives stream map-side
+    * against them; one global rollup. */
+  def sketchBloomFpr(s: SparkSession, d: String): DataFrame = {
+    import graft.dedup.Dedup.{MinhashP, hexFold32}
+    val BfBits = 4096L
+    def base(key: Column): Column =
+      hexFold32(md5(concat(lit("bf:"), key.cast(StringType))))
+    def bit(h: Column, r: Int): Column =
+      pmod(pmod((lit(2L * r + 3) * h + lit(r * 2654435761L)), lit(MinhashP)),
+        lit(BfBits))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").as("in_set"))
+      .withColumn("h", base(col("c_custkey")))
+    val build = cust.filter(col("in_set"))
+    def bits(r: Int): DataFrame =
+      build.select(bit(col("h"), r).as(s"bit$r")).distinct()
+    val negatives = cust.filter(!col("in_set"))
+      .select(col("c_custkey"), bit(col("h"), 0).as("b0"), bit(col("h"), 1).as("b1"))
+    val falsePos = negatives
+      .join(broadcast(bits(0)), col("b0") === col("bit0"), "left_semi")
+      .join(broadcast(bits(1)), col("b1") === col("bit1"), "left_semi")
+    val counts = cust.agg(
+      sum(when(col("in_set"), 1L).otherwise(0L)).as("n_build"),
+      sum(when(!col("in_set"), 1L).otherwise(0L)).as("n_neg"))
+    counts
+      .crossJoin(broadcast(bits(0).agg(count(lit(1)).as("n_bits0"))))
+      .crossJoin(broadcast(bits(1).agg(count(lit(1)).as("n_bits1"))))
+      .crossJoin(broadcast(falsePos.agg(count(lit(1)).as("n_false_pos"))))
+      .select(col("n_build"), col("n_bits0"), col("n_bits1"), col("n_neg"),
+        col("n_false_pos"),
+        (col("n_false_pos").cast(DoubleType) / col("n_neg").cast(DoubleType))
+          .as("fpr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_bloom_fpr"     -> sketchBloomFpr _,
     "join_bloom_prefilter" -> joinBloomPrefilter _,
     "join_fuzzy_blocked"   -> joinFuzzyBlocked _,
     "join_null_safe_eq"    -> joinNullSafeEq _,
@@ -309,6 +357,31 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sketch_bloom_fpr" ->
+      s"""WITH cust AS (
+         |  SELECT c_custkey, c_mktsegment = 'BUILDING' AS in_set,
+         |    (${OracleSql.fold32("'bf:' || CAST(c_custkey AS VARCHAR)")}) AS h
+         |  FROM customer),
+         |b AS (SELECT c_custkey, in_set, h,
+         |    ((3*h) % 4294967311) % 4096 AS b0,
+         |    ((5*h + 2654435761) % 4294967311) % 4096 AS b1
+         |  FROM cust),
+         |bits0 AS (SELECT DISTINCT b0 AS bit FROM b WHERE in_set),
+         |bits1 AS (SELECT DISTINCT b1 AS bit FROM b WHERE in_set),
+         |neg AS (SELECT * FROM b WHERE NOT in_set),
+         |fp AS (
+         |  SELECT COUNT(*) AS n_false_pos FROM neg
+         |  WHERE b0 IN (SELECT bit FROM bits0)
+         |    AND b1 IN (SELECT bit FROM bits1))
+         |SELECT
+         |  CAST((SELECT COUNT(*) FROM b WHERE in_set) AS BIGINT) AS n_build,
+         |  CAST((SELECT COUNT(*) FROM bits0) AS BIGINT) AS n_bits0,
+         |  CAST((SELECT COUNT(*) FROM bits1) AS BIGINT) AS n_bits1,
+         |  CAST((SELECT COUNT(*) FROM neg) AS BIGINT) AS n_neg,
+         |  CAST(fp.n_false_pos AS BIGINT) AS n_false_pos,
+         |  CAST(fp.n_false_pos AS DOUBLE) /
+         |    CAST((SELECT COUNT(*) FROM neg) AS DOUBLE) AS fpr
+         |FROM fp""".stripMargin,
     "join_bloom_prefilter" ->
       // plain join — the Bloom prefilter must be invisible in the result
       """SELECT l_returnflag,
