@@ -231,7 +231,39 @@ object ScalarQueries {
       .orderBy("doc_id")
   }
 
+  /** Calendar-dimension GENERATION + conformed rollup — the date-dim
+    * build every warehouse performs: `sequence(min_date, max_date)`
+    * explodes the full day span (days with no facts included — the
+    * point of a generated dim), attributes derive per day (ISO weekday
+    * via the [[AggWindowQueries.timeWeekdayProfile]] convention,
+    * quarter, weekend flag), and orders LEFT-join the dim so the rollup
+    * counts calendar days and facts independently.
+    *
+    * Scale posture: the dim is calendar-bounded (one row per day at any
+    * corpus size) — generated from a 1-row min/max agg and broadcast
+    * into the fact join; the rollup partial-aggregates. */
+  def timeCalendarDim(s: SparkSession, d: String): DataFrame = {
+    val span = Tables.orders(s, d)
+      .agg(min(to_date(col("o_orderdate"))).as("d0"),
+        max(to_date(col("o_orderdate"))).as("d1"))
+    val cal = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .select(col("day"), year(col("day")).as("yr"),
+        quarter(col("day")).as("qtr"),
+        (weekday(col("day")) >= 5).as("is_weekend"))
+    val facts = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    broadcast(cal).join(facts, Seq("day"), "left")
+      .groupBy("yr", "qtr", "is_weekend")
+      .agg(countDistinct(col("day")).as("n_days"),
+        count(col("price")).as("n_orders"),
+        coalesce(sum(col("price")), lit(0).cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue"))
+      .orderBy("yr", "qtr", "is_weekend")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_calendar_dim"    -> timeCalendarDim _,
     "scalar_url_pack"      -> scalarUrlPack _,
     "scalar_zorder_pack"   -> scalarZorderPack _,
     "scalar_string_pack"   -> scalarStringPack _,
@@ -246,6 +278,29 @@ object ScalarQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "time_calendar_dim" ->
+      """WITH span AS (
+        |  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+        |    MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+        |cal AS (
+        |  SELECT CAST(g.day AS DATE) AS day FROM span,
+        |    LATERAL (SELECT unnest(generate_series(span.d0, span.d1,
+        |      INTERVAL 1 DAY)) AS day) g),
+        |dim AS (
+        |  SELECT day, CAST(year(day) AS INTEGER) AS yr,
+        |    CAST(quarter(day) AS INTEGER) AS qtr,
+        |    isodow(day) >= 6 AS is_weekend
+        |  FROM cal),
+        |f AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
+        |SELECT yr, qtr, is_weekend,
+        |  COUNT(DISTINCT dim.day) AS n_days,
+        |  COUNT(price) AS n_orders,
+        |  CAST(COALESCE(SUM(price), CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM dim LEFT JOIN f ON f.day = dim.day
+        |GROUP BY yr, qtr, is_weekend
+        |ORDER BY yr, qtr, is_weekend""".stripMargin,
     "scalar_url_pack" ->
       """WITH u AS (
         |  SELECT doc_id,
