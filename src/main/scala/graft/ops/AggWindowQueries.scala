@@ -582,7 +582,10 @@ object AggWindowQueries {
   /** Chi-square independence test on the event_type × ISO-weekday
     * contingency table — "does activity MIX change by weekday?", the
     * categorical drift check beside [[StatQueries]]'s numeric KS test.
-    * Per cell the statistic's term (O−E)²/E is cross-multiplied into
+    * The contingency grid is DENSIFIED first (observed types × observed
+    * weekdays, empty cells zero-filled): an empty cell contributes
+    * (0−E)²/E = E to the textbook statistic, so skipping it would
+    * understate χ² on sparse tables. Per cell the term is cross-multiplied into
     * exact integers, (O·N − rowT·colT)² / (N·rowT·colT), evaluated as
     * ONE double division of exact operands; the cell terms are then
     * summed by a key-ordered left fold (the cross-engine double-sum
@@ -600,10 +603,25 @@ object AggWindowQueries {
     val byRow = Window.partitionBy("event_type")
     val byCol = Window.partitionBy("isodow")
     val all = Window.partitionBy()
-    val cells = Tables.events(s, d)
+    val observed = Tables.events(s, d)
       .select(col("event_type"),
         (weekday(col("ts")) + 1).cast(LongType).as("isodow"))
-      .groupBy("event_type", "isodow").agg(count(lit(1)).as("o"))
+      .groupBy("event_type", "isodow").agg(count(lit(1)).as("o_obs"))
+    // DENSIFY the grid before computing terms: a (type, weekday) cell
+    // with zero observed count still contributes (0−E)²/E = E = rt·ct/N
+    // to the textbook statistic — skipping empty cells understates χ²
+    // and makes dof-based p-value lookups misleading on sparse tables
+    // (round-6 advice). Both factor frames derive from the tiny
+    // aggregated cells, so the cross join is dim×dim, never corpus-sized;
+    // margins over the dense grid equal the sparse margins (zeros add
+    // nothing), and every margin is > 0 because each distinct value was
+    // observed somewhere.
+    val types = observed.select("event_type").distinct()
+    val dows = observed.select("isodow").distinct()
+    val cells = types.crossJoin(dows)
+      .join(observed, Seq("event_type", "isodow"), "left")
+      .select(col("event_type"), col("isodow"),
+        coalesce(col("o_obs"), lit(0L)).as("o"))
       .withColumn("rt", sum(col("o")).over(byRow))
       .withColumn("ct", sum(col("o")).over(byCol))
       .withColumn("n", sum(col("o")).over(all))
@@ -843,9 +861,15 @@ object AggWindowQueries {
         |  MIN(slope) AS theil_sen_slope, AVG(ic) AS theil_sen_intercept
         |FROM r2 WHERE rn >= (m+1)//2 AND rn <= (m+2)//2""".stripMargin,
     "agg_chisq_independence" ->
-      """WITH cells AS (
+      """WITH obs AS (
         |  SELECT event_type, isodow(ts) AS isodow, COUNT(*) AS o
         |  FROM events GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT t.event_type, w.isodow, COALESCE(obs.o, 0) AS o
+        |  FROM (SELECT DISTINCT event_type FROM obs) t
+        |  CROSS JOIN (SELECT DISTINCT isodow FROM obs) w
+        |  LEFT JOIN obs ON obs.event_type = t.event_type
+        |    AND obs.isodow = w.isodow),
         |m AS (
         |  SELECT event_type, isodow, o,
         |    CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,

@@ -635,22 +635,52 @@ object DedupQueries {
     *   3. both tiny result sets broadcast back onto the new batch.
     * The corpus is never shuffled; the only exchanges carry
     * batch-bounded data. Same role-flip as [[dedupContaminationNgram]]
-    * (there the SMALL side is the benchmark; here it's the arrivals). */
-  def dedupIncrementalBatch(s: SparkSession, d: String): DataFrame = {
+    * (there the SMALL side is the benchmark; here it's the arrivals).
+    *
+    * Broadcast-size guard (round-6 verdict #3): the "batch is small"
+    * premise is an OPERATIONAL contract, not a law — if a caller points
+    * this at an arrival set that tracks corpus size, an unconditional
+    * `broadcast()` of its gram set is a driver OOM. Every batch-derived
+    * broadcast therefore goes through [[broadcastIfSmall]]: under the
+    * plan-stat size cap the hint applies (the intended map-side probe);
+    * above it the hint is dropped and the join falls through to AQE's
+    * runtime choice (sort-merge/shuffled-hash on actual sizes). */
+  def dedupIncrementalBatch(s: SparkSession, d: String): DataFrame =
+    dedupIncrementalBatchGuarded(s, d, IncBroadcastCapBytes)
+
+  /** Plan-stat estimated size cap for [[dedupIncrementalBatch]]'s
+    * batch-side broadcasts: generous vs the 8 GiB broadcast hard limit
+    * but far below driver-heap risk. */
+  private[graft] val IncBroadcastCapBytes: Long = 512L << 20
+
+  /** `broadcast(df)` only when the optimizer's size estimate fits the
+    * cap; otherwise the frame is returned unhinted so AQE picks the
+    * join strategy from RUNTIME sizes. Plan-stat estimates are crude
+    * (filter selectivity is often unknown), which is exactly why the
+    * fallback is "no hint" rather than "never broadcast": a false
+    * TOO-BIG estimate costs one avoidable shuffle; a false SMALL-ENOUGH
+    * estimate under an unconditional hint costs the driver. */
+  private def broadcastIfSmall(df: DataFrame, capBytes: Long): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= capBytes) broadcast(df)
+    else df
+
+  private[graft] def dedupIncrementalBatchGuarded(
+      s: SparkSession, d: String, capBytes: Long): DataFrame = {
+    def bc(df: DataFrame): DataFrame = broadcastIfSmall(df, capBytes)
     val isNew = pmod(hexFold32(md5(concat(lit("inc:"),
       col("doc_id").cast("string")))), lit(100L)) >= 90
     val fps = Tables.documents(s, d)
       .select(col("doc_id"), isNew.as("is_new"), md5(col("text")).as("fp"))
     val newFpSet = fps.filter(col("is_new")).select("fp").distinct()
     val exactDup = fps.filter(!col("is_new"))
-      .join(broadcast(newFpSet), "fp").select("fp").distinct()
+      .join(bc(newFpSet), "fp").select("fp").distinct()
     val grams = shingled(s, d)
       .select(col("doc_id"), isNew.as("is_new"), explode(col("sh")).as("g"))
     val newGrams = grams.filter(col("is_new"))
     val newGramSet = newGrams.select("g").distinct()
     val oldShared = grams.filter(!col("is_new"))
-      .join(broadcast(newGramSet), "g").select("g").distinct()
-    val nearCounts = newGrams.join(broadcast(oldShared), "g")
+      .join(bc(newGramSet), "g").select("g").distinct()
+    val nearCounts = newGrams.join(bc(oldShared), "g")
       .groupBy("doc_id").agg(count_distinct(col("g")).as("n_shared"))
     // near-dup gate is shingle CONTAINMENT ≥ 0.7 — shared fraction of the
     // NEW doc's own shingles, compared in exact integer arithmetic
@@ -660,10 +690,10 @@ object DedupQueries {
     val newSizes = shingled(s, d).filter(isNew)
       .select(col("doc_id"), size(col("sh")).as("n_sh"))
     fps.filter(col("is_new"))
-      .join(broadcast(exactDup.withColumn("is_exact", lit(true))),
+      .join(bc(exactDup.withColumn("is_exact", lit(true))),
         Seq("fp"), "left_outer")
-      .join(broadcast(nearCounts), Seq("doc_id"), "left_outer")
-      .join(broadcast(newSizes), Seq("doc_id"), "left_outer")
+      .join(bc(nearCounts), Seq("doc_id"), "left_outer")
+      .join(bc(newSizes), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         when(col("is_exact"), "exact_dup")
           .when(col("n_shared") * 10 >= col("n_sh") * 7, "near_dup")

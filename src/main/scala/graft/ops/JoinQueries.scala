@@ -308,7 +308,11 @@ object JoinQueries {
     *
     * Scale posture: the bit sets are ≤ m = 4096 rows however large the
     * build side (broadcast semi-joins); negatives stream map-side
-    * against them; one global rollup. */
+    * against them; one global rollup. The keyed base frame is persisted
+    * ONCE: it feeds four consumers (both bit sets, the negatives probe,
+    * the denominators), and without the persist each consumer re-scans
+    * customer and re-evaluates the md5 fold — measured as the 18.7 s
+    * cold outlier that helped truncate the round-6 driver sweep. */
   def sketchBloomFpr(s: SparkSession, d: String): DataFrame = {
     import graft.dedup.Dedup.{MinhashP, hexFold32}
     val BfBits = 4096L
@@ -317,9 +321,11 @@ object JoinQueries {
     def bit(h: Column, r: Int): Column =
       pmod(pmod((lit(2L * r + 3) * h + lit(r * 2654435761L)), lit(MinhashP)),
         lit(BfBits))
-    val cust = Tables.customer(s, d)
-      .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").as("in_set"))
-      .withColumn("h", base(col("c_custkey")))
+    val cust = PipelineCache.getOrPersist(s"bloomfpr:cust:$d") {
+      Tables.customer(s, d)
+        .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").as("in_set"))
+        .withColumn("h", base(col("c_custkey")))
+    }
     val build = cust.filter(col("in_set"))
     def bits(r: Int): DataFrame =
       build.select(bit(col("h"), r).as(s"bit$r")).distinct()

@@ -239,9 +239,15 @@ object ScalarQueries {
     * quarter, weekend flag), and orders LEFT-join the dim so the rollup
     * counts calendar days and facts independently.
     *
-    * Scale posture: the dim is calendar-bounded (one row per day at any
-    * corpus size) — generated from a 1-row min/max agg and broadcast
-    * into the fact join; the rollup partial-aggregates. */
+    * Scale posture: facts pre-aggregate to ONE row per day (partial
+    * map-side combine on the scan) BEFORE touching the dim, so the join
+    * is dim-sized × dim-sized and the day key — highly skewed on the
+    * raw fact table — never becomes a shuffle key. The broadcast hint
+    * sits on the day-level fact frame, the BUILD (right) side of the
+    * left-outer join, where Spark can actually honor it: the round-6
+    * form hinted the LEFT (row-preserving) side of a LeftOuter join,
+    * which Spark cannot build, so the hint was silently ignored and the
+    * plan degraded to a full-fact shuffle keyed by day. */
   def timeCalendarDim(s: SparkSession, d: String): DataFrame = {
     val span = Tables.orders(s, d)
       .agg(min(to_date(col("o_orderdate"))).as("d0"),
@@ -250,14 +256,16 @@ object ScalarQueries {
       .select(col("day"), year(col("day")).as("yr"),
         quarter(col("day")).as("qtr"),
         (weekday(col("day")) >= 5).as("is_weekend"))
-    val facts = Tables.orders(s, d)
+    val factsByDay = Tables.orders(s, d)
       .select(to_date(col("o_orderdate")).as("day"),
         col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
-    broadcast(cal).join(facts, Seq("day"), "left")
+      .groupBy("day")
+      .agg(count(col("price")).as("n_orders_day"), sum(col("price")).as("rev_day"))
+    cal.join(broadcast(factsByDay), Seq("day"), "left")
       .groupBy("yr", "qtr", "is_weekend")
-      .agg(countDistinct(col("day")).as("n_days"),
-        count(col("price")).as("n_orders"),
-        coalesce(sum(col("price")), lit(0).cast(DecimalType(18, 2)))
+      .agg(count(lit(1)).as("n_days"),
+        sum(coalesce(col("n_orders_day"), lit(0L))).as("n_orders"),
+        coalesce(sum(col("rev_day")), lit(0).cast(DecimalType(18, 2)))
           .cast(DoubleType).as("revenue"))
       .orderBy("yr", "qtr", "is_weekend")
   }

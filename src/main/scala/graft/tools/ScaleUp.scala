@@ -76,16 +76,25 @@ object ScaleUp {
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     replicate("events", Seq("event_id", "user_id"))
 
-    // Vowel rotation per replica: deterministic, length-preserving, makes
+    // Letter rotation per replica: deterministic, length-preserving, makes
     // cross-replica shingles disjoint while keeping within-replica near-dup
-    // structure identical to the source corpus.
-    val vowels = "aeiouAEIOU"
+    // structure identical to the source corpus. The transform COMPOSES a
+    // vowel rotation (period 5) with a consonant rotation advanced every 5
+    // replicas (period 21), so the combined period is 105 ≥ any sensible
+    // rep — the round-6 form used vowels alone, so replicas r and r+5
+    // produced byte-identical text and every doc gained one exact
+    // cross-replica clone, inflating LSH candidate structure for data
+    // reasons (round-6 advice).
+    val lower = "aeiou"; val upper = "AEIOU"
+    val consL = "bcdfghjklmnpqrstvwxyz"; val consU = consL.toUpperCase
+    val alphabet = lower + upper + consL + consU
+    def rotated(s: String, k: Int): String = s.drop(k) + s.take(k)
     replicate("documents", Seq("doc_id"), (d, r) => {
-      val rot = {
-        val lower = "aeiou"; val upper = "AEIOU"; val k = r % 5
-        (lower.drop(k) + lower.take(k)) + (upper.drop(k) + upper.take(k))
-      }
-      d.withColumn("text", translate(col("text"), vowels, rot))
+      val kv = r % 5
+      val kc = (r / 5) % consL.length
+      val rot = rotated(lower, kv) + rotated(upper, kv) +
+        rotated(consL, kc) + rotated(consU, kc)
+      d.withColumn("text", translate(col("text"), alphabet, rot))
     })
 
     // Cyclic element shift per replica: preserves norms, decorrelates

@@ -204,6 +204,27 @@ class PlanShapeSpec extends SparkTestBase {
     graft.ops.PipelineCache.releaseAll()
   }
 
+  test("incremental batch broadcast guard: hint under the cap, AQE fallback above it") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def broadcastHintedJoins(capBytes: Long): Int = {
+      val lp = graft.ops.DedupQueries
+        .dedupIncrementalBatchGuarded(spark, sfDir, capBytes)
+        .queryExecution.optimizedPlan
+      lp.collect {
+        case j: Join if Seq(j.hint.leftHint, j.hint.rightHint)
+          .flatten.flatMap(_.strategy).nonEmpty => j
+      }.size
+    }
+    // small-batch regime (the production default): the batch-side sets
+    // carry the broadcast hint into the join
+    assert(broadcastHintedJoins(Long.MaxValue) >= 3)
+    // corpus-sized-batch regime: every hint is dropped — the plan falls
+    // through to AQE's runtime join choice instead of forcing a
+    // driver-fatal broadcast of a corpus-scale gram set
+    assert(broadcastHintedJoins(0L) == 0)
+    graft.ops.PipelineCache.releaseAll()
+  }
+
   test("batch knn pairs join equi on the cell id, never cross-cell") {
     val p = plan("sim_knn_batch_ivf")
     assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)

@@ -242,8 +242,12 @@ class StreamingSpec extends SparkTestBase {
       .format("memory").queryName(name).outputMode("append").start()
     try {
       docs.grouped(20).zipWithIndex.foreach { case (batch, i) =>
+        // MONOTONE event time regardless of fixture size: hour advances
+        // every 60 groups (i % 60 alone wraps past 1200 docs, which
+        // would sort later docs BEFORE earlier ones and flip the
+        // min-doc_id first-writer attribution — round-6 advice)
         mem.addData(batch.map { case (id, text) =>
-          Streams.DocEvent(id, ts(f"10:${i % 60}%02d"), text)
+          Streams.DocEvent(id, ts(f"${10 + i / 60}%02d:${i % 60}%02d"), text)
         }.toSeq)
         if (i % 5 == 0) q.processAllAvailable()
       }
