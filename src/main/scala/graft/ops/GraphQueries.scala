@@ -712,7 +712,157 @@ object GraphQueries {
       .select(col("x").as("member")).orderBy("member")
   }
 
+  /** Caps for the FULL SCC decomposition: component-extraction count
+    * and total trim rounds. The fixture graphs need ≤ 3 extractions and
+    * ≤ 8 trims; the caps are headroom, with the loud-warning discipline
+    * of every other convergence loop here. */
+  val SccMaxComponents = 12
+  val SccTrimMaxRounds = 24
+
+  /** Same-brand add-next edges over a two-brand slice of the corpus
+    * (parts of Brand#11/Brand#23; edge src→dst when dst was added
+    * directly after src within one order, both parts the same brand).
+    * Restricting to within-brand transitions is what gives the graph a
+    * REAL condensation: several cycle cores connected by one-way chains
+    * (3 nontrivial SCCs at sf0.001, 2 at sf0.01, plus dozens of
+    * singletons), where the raw add-next graph is one giant SCC and a
+    * "full decomposition" would degenerate to a single extraction. */
+  private def brandSeqEdges(s: SparkSession, d: String): DataFrame =
+    PipelineCache.getOrPersist(s"graph_brand_seq_edges:$d") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o", "b").orderBy("ln", "src")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand").isin("Brand#11", "Brand#23"))
+          .select(col("p_partkey"), col("p_brand").as("b"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+          col("l_partkey").as("src"), col("b"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+        .select("src", "dst").distinct()
+    }
+
+  /** FULL SCC decomposition — [[graphSccPivot]]'s documented recursion
+    * on residual graphs, implemented (round-6 verdict #5): every vertex
+    * of [[brandSeqEdges]] labeled with its strongly-connected component
+    * (scc_id = min member), via the standard trim + iterated FW-BW:
+    *
+    *   1. TRIM to fixpoint: a residual vertex with no residual in-edge
+    *      or no residual out-edge lies on no cycle → singleton SCC
+    *      (members of nontrivial SCCs are never trimmed: their cycle
+    *      edges stay until the whole SCC is extracted, so trimming
+    *      cannot bite into one).
+    *   2. FW-BW on the residual: max-out-degree pivot (min-id
+    *      tiebreak), SCC(p) = fwd-reach(p) ∩ bwd-reach(p) under the
+    *      [[graphBfsConverged]] loop discipline; extract, re-trim the
+    *      newly exposed chains, repeat.
+    *
+    * Both loops carry caps ([[SccMaxComponents]]/[[SccTrimMaxRounds]])
+    * with loud warnings. Oracle = reachability-closure labeling
+    * (scc_id(v) = min u with u⇝v and v⇝u) — a different algorithm that
+    * must reach the same fixpoint, the CC-oracle pattern.
+    *
+    * Scale posture: per trim round, two distinct-projections of the
+    * residual edge list and two semi-joins; per FW-BW round, frontier ⋈
+    * edges; every intermediate is a single long column, per-round
+    * `localCheckpoint` truncates lineage. The SERIAL residual loop is
+    * the honest cost statement: its depth is the nontrivial-SCC count
+    * of the condensation, so production FW-BW recurses the three-way
+    * split (FWD∖S, BWD∖S, rest) in PARALLEL — driver orchestration of
+    * this same plan over disjoint vertex sets, not a new plan shape. */
+  def graphSccFull(s: SparkSession, d: String): DataFrame = {
+    val edges = brandSeqEdges(s, d)
+    val verts = edges.select(col("src").as("x"))
+      .unionAll(edges.select(col("dst").as("x"))).distinct()
+    var residual = verts.localCheckpoint()
+    var nResidual = residual.count()
+    val labeled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var trims = 0
+    // residual-restricted edge list, refreshed after every residual change
+    def resEdges(): DataFrame = edges
+      .join(residual.select(col("x").as("src")), Seq("src"), "left_semi")
+      .join(residual.select(col("x").as("dst")), Seq("dst"), "left_semi")
+      .localCheckpoint()
+    def trimToFixpoint(): Unit = {
+      var again = nResidual > 0
+      while (again && trims < SccTrimMaxRounds) {
+        trims += 1
+        val e = resEdges()
+        val keep = residual
+          .join(e.select(col("dst").as("x")).distinct(), Seq("x"), "left_semi")
+          .join(e.select(col("src").as("x")).distinct(), Seq("x"), "left_semi")
+          .localCheckpoint()
+        val nKeep = keep.count()
+        if (nKeep == nResidual) again = false
+        else {
+          labeled += residual.join(keep, Seq("x"), "left_anti")
+            .select(col("x").as("member"), col("x").as("scc_id"))
+            .localCheckpoint()
+          residual = keep
+          nResidual = nKeep
+          again = nResidual > 0
+        }
+      }
+      if (again)
+        System.err.println(s"[graft] scc_full: trim cap $SccTrimMaxRounds " +
+          "reached — decomposition may be incomplete")
+    }
+    trimToFixpoint()
+    var comps = 0
+    while (nResidual > 0 && comps < SccMaxComponents) {
+      comps += 1
+      val e = resEdges()
+      val pivot = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+        .orderBy(col("odeg").desc, col("src")).limit(1)
+        .select(col("src").as("x")).localCheckpoint()
+      def reach(adj: DataFrame): DataFrame = {
+        var visited = pivot
+        var frontier = pivot
+        var r = 0
+        var grew = true
+        while (grew && r < SccMaxRounds) {
+          r += 1
+          val next = frontier.join(adj, Seq("x"))
+            .select(col("y").as("x")).distinct()
+            .join(visited, Seq("x"), "left_anti")
+            .localCheckpoint()
+          if (next.count() == 0) grew = false
+          else {
+            visited = visited.unionAll(next).localCheckpoint()
+            frontier = next
+          }
+        }
+        if (grew)
+          System.err.println(s"[graft] scc_full: round cap $SccMaxRounds " +
+            "reached — closure may be incomplete")
+        visited
+      }
+      val fwd = reach(e.select(col("src").as("x"), col("dst").as("y")))
+      val bwd = reach(e.select(col("dst").as("x"), col("src").as("y")))
+      val scc = fwd.join(bwd, Seq("x"), "left_semi").localCheckpoint()
+      // scc_id = min member, attached via the broadcast 1-row-agg
+      // pattern (no driver scalar read)
+      labeled += scc
+        .crossJoin(broadcast(scc.agg(min(col("x")).as("scc_id"))))
+        .select(col("x").as("member"), col("scc_id"))
+        .localCheckpoint()
+      residual = residual.join(scc, Seq("x"), "left_anti").localCheckpoint()
+      nResidual = residual.count()
+      trimToFixpoint()
+    }
+    if (nResidual > 0)
+      System.err.println(s"[graft] scc_full: component cap " +
+        s"$SccMaxComponents reached with $nResidual vertices unlabeled")
+    val all = labeled.reduceOption(_ unionAll _)
+      .getOrElse(verts.select(col("x").as("member"), col("x").as("scc_id")))
+    val byScc = org.apache.spark.sql.expressions.Window.partitionBy("scc_id")
+    all.withColumn("scc_size", count(lit(1)).over(byScc))
+      .orderBy("member")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_scc_full"          -> graphSccFull _,
     "graph_scc_pivot"         -> graphSccPivot _,
     "graph_hierarchy_flatten"   -> graphHierarchyFlatten _,
     "graph_label_propagation"   -> graphLabelPropagation _,
@@ -861,6 +1011,34 @@ object GraphQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // Reachability-closure labeling: scc_id(v) = MIN u with u⇝v AND
+    // v⇝u (closure seeded with (v,v) so singletons label themselves) —
+    // a different algorithm than the engine's trim + iterated FW-BW
+    // that must reach the same fixpoint. Closure size is quadratic only
+    // within SCCs — fine at oracle scale, never the engine's plan.
+    "graph_scc_full" ->
+      """WITH RECURSIVE
+        |li AS (SELECT l.l_orderkey o, l.l_linenumber ln,
+        |         l.l_partkey src, p.p_brand b
+        |       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |       WHERE p.p_brand IN ('Brand#11','Brand#23')),
+        |w AS (SELECT o, b, src,
+        |        LEAD(src) OVER (PARTITION BY o, b ORDER BY ln, src) AS dst
+        |      FROM li),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM w
+        |  WHERE dst IS NOT NULL AND dst <> src),
+        |verts AS MATERIALIZED (
+        |  SELECT src AS x FROM edges UNION SELECT dst FROM edges),
+        |r AS (SELECT x AS a, x AS b FROM verts
+        |      UNION
+        |      SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b),
+        |mutual AS (SELECT r1.a AS u, r1.b AS v FROM r r1
+        |           JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a),
+        |lab AS (SELECT v AS member, MIN(u) AS scc_id FROM mutual GROUP BY v)
+        |SELECT member, scc_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+        |FROM lab ORDER BY member""".stripMargin,
     "graph_scc_pivot" ->
       """WITH RECURSIVE edges AS (
         |  SELECT DISTINCT src, dst FROM (

@@ -426,4 +426,51 @@ class GraphQueriesSpec extends SparkTestBase {
     // communities actually merge: strictly fewer labels than vertices
     assert(out.values.toSet.size < out.size)
   }
+
+  test("full SCC decomposition matches in-memory mutual reachability") {
+    val rows = SparkEntry.queries("graph_scc_full")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    ops.PipelineCache.releaseAll()
+    // reference: brand-restricted add-next edges rebuilt independently,
+    // labels from per-vertex BFS mutual reachability (tiny graph)
+    val li = ops.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val brandOf = ops.Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keep = Set("Brand#11", "Brand#23")
+    val edges = li.filter(t => keep(brandOf(t._3)))
+      .groupBy(t => (t._1, brandOf(t._3))).values.flatMap { grp =>
+        val seq = grp.sortBy(t => (t._2, t._3)).map(_._3)
+        seq.zip(seq.drop(1)).filter(p => p._1 != p._2)
+      }.toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2))
+    def reach(adj: Map[Long, Seq[Long]], v0: Long): Set[Long] = {
+      var vis = Set(v0); var frontier = Set(v0)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Nil)) -- vis
+        vis ++= next; frontier = next
+      }
+      vis
+    }
+    val fadj = edges.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val badj = edges.toSeq.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val want = verts.map { v =>
+      val scc = reach(fadj, v) intersect reach(badj, v)
+      v -> scc
+    }.toMap
+    assert(rows.map(_._1).toSet == verts, "every vertex labeled exactly once")
+    assert(rows.length == verts.size)
+    rows.foreach { case (m, id, sz) =>
+      assert(id == want(m).min, s"vertex $m: scc_id $id != ${want(m).min}")
+      assert(sz == want(m).size.toLong, s"vertex $m: size $sz != ${want(m).size}")
+    }
+    // the fixture exercises the RECURSION: >= 2 nontrivial SCCs means
+    // at least two FW-BW extractions on successive residual graphs,
+    // plus singleton trims
+    val byScc = rows.groupBy(_._2)
+    assert(byScc.count(_._2.length >= 2) >= 2, s"sizes=${byScc.view.mapValues(_.length).toMap}")
+    assert(byScc.count(_._2.length == 1) >= 1)
+  }
 }

@@ -227,6 +227,81 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  // The 100 TB streaming question (round-6 verdict #6): does the state
+  // store actually PLATEAU under a replayed crawl once the watermark
+  // passes the expiry horizon, or does it track stream length? Replay
+  // batches of all-new keys (the worst case for any dedup state: nothing
+  // ever collides, every key is a fresh state row) with event time
+  // advancing steadily, and read the state row count the engine itself
+  // reports (StreamingQueryProgress.stateOperators.numRowsTotal).
+  private def replayStateSizes[T](
+      op: org.apache.spark.sql.Dataset[Streams.DocEvent] =>
+        org.apache.spark.sql.Dataset[T],
+      batches: Int, docsPerBatch: Int, strideMinutes: Int): Seq[Long] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Streams.DocEvent]
+    val name = s"statebound_${System.nanoTime()}"
+    val q = op(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 08:00:00").getTime
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var id = 0L
+    try {
+      (0 until batches).foreach { b =>
+        val evts = (0 until docsPerBatch).map { j =>
+          id += 1
+          // 30 unique tokens per doc → unique chunks AND unique shingle
+          // sets (no cross-doc collisions: every batch only ADDS keys)
+          val text = (0 until 30).map(k => s"w${b}x${j}t$k").mkString(" ")
+          Streams.DocEvent(id, new Timestamp(t0 + b.toLong * strideMinutes * 60000L), text)
+        }
+        mem.addData(evts)
+        q.processAllAvailable()
+        val ps = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        if (ps.nonEmpty) sizes += ps.last.stateOperators.head.numRowsTotal
+      }
+      sizes.toSeq
+    } finally q.stop()
+  }
+
+  test("chunk-novelty state plateaus once the watermark passes the expiry horizon") {
+    val batches = 24; val docs = 15; val stride = 5
+    val sizes = replayStateSizes(
+      ds => Streams.chunkNovelty(ds, horizonMinutes = 10),
+      batches, docs, stride)
+    // 3 chunks per 30-token doc; a key is expirable once the watermark
+    // (maxEvent − horizon) passes its last-seen + horizon → live window
+    // ≈ 2×horizon/stride = 4 batches, plus timeout-clamp and batch lag
+    // slack. The bound that matters: FAR below total keys ever created.
+    val keysPerBatch = 3L * docs
+    val totalKeys = keysPerBatch * batches
+    val bound = keysPerBatch * 8
+    assert(sizes.nonEmpty)
+    assert(sizes.last <= bound,
+      s"final state ${sizes.last} rows exceeds plateau bound $bound (sizes=$sizes)")
+    // plateau, not growth: the last 6 batches stay under the bound too
+    assert(sizes.takeRight(6).forall(_ <= bound), s"sizes=$sizes")
+    // and the experiment is non-vacuous: unbounded state would hold
+    // ~totalKeys rows by the end
+    assert(totalKeys > 2 * bound)
+  }
+
+  test("near-dup band state plateaus once the watermark passes the expiry horizon") {
+    val batches = 24; val docs = 10; val stride = 5
+    val sizes = replayStateSizes(
+      ds => Streams.nearDupBandVerdicts(ds, horizonMinutes = 10),
+      batches, docs, stride)
+    val keysPerBatch = 4L * docs // 4 LSH bands per doc, all-distinct docs
+    val totalKeys = keysPerBatch * batches
+    val bound = keysPerBatch * 8
+    assert(sizes.nonEmpty)
+    assert(sizes.last <= bound,
+      s"final state ${sizes.last} rows exceeds plateau bound $bound (sizes=$sizes)")
+    assert(sizes.takeRight(6).forall(_ <= bound), s"sizes=$sizes")
+    assert(totalKeys > 2 * bound)
+  }
+
   test("streaming chunk novelty matches the batch first-seen formulation on real docs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
