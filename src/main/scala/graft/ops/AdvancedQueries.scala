@@ -122,6 +122,36 @@ object AdvancedQueries {
         |ORDER BY priority, status""".stripMargin)
   }
 
+  /** Recursive CTE through `spark.sql` — Spark 4's `WITH RECURSIVE`
+    * (`UnionLoopExec`), exercised on the same synthetic part hierarchy
+    * as [[GraphQueries.graphHierarchyFlatten]]: each part climbs
+    * parent = p_partkey DIV 4 (roots: p_partkey < 4) one hop per
+    * recursion step, emitting (root, depth) at the fixpoint. THREE
+    * independent constructions must now agree on this relation: the
+    * doubling loop (O(log depth) joins), this linear recursion
+    * (statement-level, engine-managed), and DuckDB's recursive CTE
+    * oracle — the differential spec pins engine-vs-engine, the oracle
+    * engine-vs-DuckDB.
+    *
+    * Scale posture: each recursion step is one codegen'd projection +
+    * filter over the frontier (rows strictly shrink as parts reach
+    * their root); the engine's loop framework handles the iteration —
+    * but depth is O(log₄ maxkey) STEPS vs the doubling loop's
+    * O(log log) joins, which is why the DataFrame operator remains the
+    * production form and this is the SQL-surface parity check. */
+  def sqlRecursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("graft_part_rc")
+    s.sql(
+      """WITH RECURSIVE walk(k, cur, depth) AS (
+        |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM graft_part_rc
+        |  UNION ALL
+        |  SELECT k, cur DIV 4, depth + 1 FROM walk WHERE cur >= 4
+        |)
+        |SELECT k AS p_partkey, cur AS root, depth
+        |FROM walk WHERE cur < 4
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
   def windowNtilePercent(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
     Tables.customer(s, d)
@@ -539,6 +569,7 @@ object AdvancedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_recursive_cte"     -> sqlRecursiveCte _,
     "map_ops_pack"          -> mapOpsPack _,
     "json_to_map"           -> jsonToMap _,
     "window_funnel"         -> windowFunnel _,
@@ -570,6 +601,17 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // statement-level parity: DuckDB's recursive CTE walks the same
+    // parent chain one hop per step (// is DuckDB integer division)
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE walk(k, cur, depth) AS (
+        |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part
+        |  UNION ALL
+        |  SELECT k, cur // 4, depth + 1 FROM walk WHERE cur >= 4
+        |)
+        |SELECT k AS p_partkey, cur AS root, depth
+        |FROM walk WHERE cur < 4
+        |ORDER BY p_partkey""".stripMargin,
     "map_ops_pack" ->
       """WITH base AS (SELECT c_custkey, c_mktsegment, n_name
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey),

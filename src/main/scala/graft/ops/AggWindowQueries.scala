@@ -645,6 +645,40 @@ object AggWindowQueries {
       .toDF("n_cells", "dof", "chi2")
   }
 
+  /** Trailing 7-day VWAP (volume-weighted average price) per return
+    * flag — the volume-weighted companion of `window_twap` (which
+    * weights by TIME): daily exact-decimal revenue and quantity sums,
+    * then frame-window sums over 7 days and ONE final double division.
+    * Both numerator and denominator stay DECIMAL(18,2)-exact through
+    * every accumulation (l_quantity is a double column, but its values
+    * are low-cardinality rationals that a scale-2 decimal holds
+    * exactly); partial frames dropped, day emitted as yyyy-MM-dd (the
+    * OHLC strftime lesson).
+    *
+    * Scale posture: the corpus collapses to (flag, day) in the first
+    * partial-aggregated shuffle; the frame windows share one sort per
+    * flag partition. */
+  def windowVwap(s: SparkSession, d: String): DataFrame = {
+    val frame = Window.partitionBy("flag").orderBy("day").rowsBetween(-6, 0)
+    val seq = Window.partitionBy("flag").orderBy("day")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        to_date(col("l_shipdate")).as("day"),
+        money(col("l_extendedprice")).as("ext"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+      .groupBy("flag", "day")
+      .agg(sum("ext").as("sext"), sum("qty").as("sqty"))
+      .withColumn("rn", row_number().over(seq))
+      .withColumn("e7", sum("sext").over(frame))
+      .withColumn("q7", sum("sqty").over(frame))
+      .filter(col("rn") >= 7)
+      .select(col("flag"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        moneyOut(col("e7")).as("rev_7d"),
+        (col("e7").cast(DoubleType) / col("q7").cast(DoubleType))
+          .as("vwap_7d"))
+      .orderBy("flag", "day")
+  }
+
   /** Trailing 7-day rolling MEDIAN of the daily event count — the
     * robust smoother an alerting pipeline prefers over the moving mean
     * (one outage day cannot drag it). The median is stated as the 4th
@@ -724,6 +758,7 @@ object AggWindowQueries {
     "time_weekday_profile"  -> timeWeekdayProfile _,
     "window_rolling_corr"   -> windowRollingCorr _,
     "window_rolling_median" -> windowRollingMedian _,
+    "window_vwap"           -> windowVwap _,
     "trend_theilsen_daily"  -> trendTheilsenDaily _,
     "agg_chisq_independence" -> aggChisqIndependence _,
     "window_peak_detection" -> windowPeakDetection _,
@@ -818,6 +853,28 @@ object AggWindowQueries {
         |    sqrt(CAST(7*sxx - sx*sx AS DOUBLE) * CAST(7*syy - sy*sy AS DOUBLE))
         |  END AS rolling_corr_7d
         |FROM f WHERE rn >= 7 ORDER BY day""".stripMargin,
+    "window_vwap" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |      AS sext,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |      AS sqty
+        |  FROM lineitem GROUP BY 1, 2),
+        |win AS (
+        |  SELECT flag, day,
+        |    ROW_NUMBER() OVER s AS rn,
+        |    CAST(SUM(sext) OVER f AS DECIMAL(38,2)) AS e7,
+        |    CAST(SUM(sqty) OVER f AS DECIMAL(38,2)) AS q7
+        |  FROM daily
+        |  WINDOW s AS (PARTITION BY flag ORDER BY day),
+        |         f AS (PARTITION BY flag ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT flag, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(e7 AS DOUBLE) AS rev_7d,
+        |  CAST(e7 AS DOUBLE) / CAST(q7 AS DOUBLE) AS vwap_7d
+        |FROM win WHERE rn >= 7
+        |ORDER BY flag, day""".stripMargin,
     "window_rolling_median" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', ts) AS day, COUNT(*) AS y

@@ -580,7 +580,45 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** SEMANTIC decontamination — the embedding-space complement of
+    * [[dedupContaminationNgram]]: an n-gram check misses paraphrased or
+    * translated benchmark leakage, so production stacks a cosine screen
+    * over the same role-flip (the SMALL side is the benchmark/holdout;
+    * here a deterministic md5 10% slice stands in). Per train vector:
+    * max cosine against any holdout vector, flagged at τ = 0.35 (the
+    * [[SimilarityQueries]] SRP verify threshold); rolled up per label
+    * with the max observed similarity as the audit column.
+    *
+    * Scale posture: the holdout rides as a BROADCAST (benchmark suites
+    * are small by construction — the contamination_ngram argument); the
+    * corpus is consumed map-side by the broadcast nested-loop probe and
+    * collapses to per-label rows in one partial-aggregated shuffle. The
+    * cosines are the standard index-order fold — bit-stable. */
+  def curationContaminationEmbedding(s: SparkSession, d: String): DataFrame = {
+    import graft.similarity.Vectors.{dot, normSq}
+    val isHold = pmod(hexFold32(md5(concat(lit("ce:"),
+      col("vec_id").cast(StringType)))), lit(10L)) === 0
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        normSq(col("embedding")).as("nsq"), isHold.as("hold"))
+    val holdout = broadcast(e.filter(col("hold"))
+      .select(col("embedding").as("hq"), col("nsq").as("hnsq")))
+    e.filter(!col("hold"))
+      .crossJoin(holdout)
+      .select(col("vec_id"), col("label"),
+        (dot(col("embedding"), col("hq")) / sqrt(col("nsq") * col("hnsq")))
+          .as("cos"))
+      .groupBy("vec_id", "label").agg(max(col("cos")).as("max_cos"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("max_cos") >= 0.35, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        max(col("max_cos")).as("max_cos"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_contamination_embedding" -> curationContaminationEmbedding _,
     "curation_dsir_weights"    -> curationDsirWeights _,
     "pipeline_feature_store"   -> pipelineFeatureStore _,
     "sample_reservoir_group"   -> sampleReservoirGroup _,
@@ -603,7 +641,29 @@ object CurationQueries {
   import TextQueries.{bpeSql, langCaseSql, qualityGateSql, survivorFromSql}
   import TextQueries.{cleanedSql, ratioSqlOf, tokensSqlOf}
 
+  private def ceDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+    s"list_transform(range(1, len($a)+1), " +
+    s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (s, x) -> s + x)"
+
   val oracle: Map[String, String] = Map(
+    "curation_contamination_embedding" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |    (${fold32("'ce:' || CAST(vec_id AS VARCHAR)")}) % 10 = 0 AS hold
+         |  FROM embeddings),
+         |h AS (SELECT embedding AS hq FROM e WHERE hold),
+         |cand AS (SELECT t.vec_id, t.label,
+         |    ${ceDot("t.embedding", "h.hq")} / sqrt(
+         |      ${ceDot("t.embedding", "t.embedding")} *
+         |      ${ceDot("h.hq", "h.hq")}) AS cos
+         |  FROM e t CROSS JOIN h WHERE NOT t.hold),
+         |pd AS (SELECT vec_id, label, MAX(cos) AS max_cos
+         |  FROM cand GROUP BY 1, 2)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_train,
+         |  CAST(SUM(CASE WHEN max_cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  MAX(max_cos) AS max_cos
+         |FROM pd GROUP BY label ORDER BY label""".stripMargin,
     "curation_dsir_weights" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source, source = 'src0' AS is_target,

@@ -719,6 +719,82 @@ object GraphQueries {
   val SccMaxComponents = 12
   val SccTrimMaxRounds = 24
 
+  /** Round cap for [[graphTopologicalLayers]] — the sf0.001 fixture's
+    * deepest longest path is 40 (densest corpus relative to its part
+    * count; 11 at sf0.01, 6 at sf0.1). */
+  val TopoMaxRounds = 48
+
+  /** Longest-path LAYERING of the id-oriented co-purchase DAG — the
+    * "schedule in dependency waves" primitive (build systems, DAG
+    * schedulers, feature-dependency planning): orient each support
+    * edge u→v by id (u < v by construction of [[supportEdges]], so the
+    * graph is acyclic BY CONSTRUCTION — the add-next graph is cyclic at
+    * some SFs, probed), then layer(v) = length of the longest incoming
+    * path = one synchronous Bellman relaxation per round:
+    * layer ← max(layer, 1 + layer of in-neighbors), to fixpoint.
+    *
+    * Convergence test is the CC label-SUM trick in reverse: Σ layer is
+    * monotone NON-DECREASING under relaxation and stationary exactly at
+    * the fixpoint, so one cheap scalar agg per round decides, no diff
+    * join. Oracle: the same relaxation unrolled to [[TopoMaxRounds]]
+    * materialized layers (over-unrolling is a no-op at the fixpoint).
+    *
+    * Scale posture: each round is one equi-join of the |V|-row layer
+    * frame with the edge list + a partial-aggregated max — rounds =
+    * DAG depth, frames never exceed |V| rows, per-round
+    * `localCheckpoint` truncates lineage. */
+  def graphTopologicalLayers(s: SparkSession, d: String): DataFrame = {
+    val edges = supportEdges(s, d)
+    val verts = supportVerts(s, d)
+    var layers = verts.withColumn("l", lit(0L)).localCheckpoint()
+    var prevSum = -1L
+    var r = 0
+    var converged = false
+    while (!converged && r < TopoMaxRounds) {
+      r += 1
+      val cand = layers.join(edges, layers("x") === edges("u"))
+        .select(col("v").as("x"), (col("l") + 1L).as("lv"))
+      layers = layers.select(col("x"), col("l").as("lv")).unionAll(cand)
+        .groupBy("x").agg(max(col("lv")).as("l"))
+        .localCheckpoint()
+      val sumL = layers.agg(sum(col("l"))).collect()(0).getLong(0)
+      if (sumL == prevSum) converged = true else prevSum = sumL
+    }
+    if (!converged)
+      System.err.println(s"[graft] topo_layers: round cap $TopoMaxRounds " +
+        "reached — layering may be incomplete")
+    layers.select(col("x").as("l_partkey"), col("l").as("layer"))
+      .orderBy("l_partkey")
+  }
+
+  /** Bellman-relaxation oracle for [[graphTopologicalLayers]], unrolled
+    * to the round cap (monotone + idempotent at the fixpoint, so extra
+    * rounds are no-ops); every layer MATERIALIZED (the BFS fd-exhaustion
+    * lesson). */
+  private def topoLayeredSql(maxRounds: Int): String = {
+    val layers = (1 to maxRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT x, MAX(lv) AS l FROM (
+         |    SELECT x, l AS lv FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.v AS x, p.l + 1 AS lv
+         |    FROM edges e JOIN l${i - 1} p ON p.x = e.u)
+         |  GROUP BY x)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |edges AS MATERIALIZED (
+       |  SELECT u, v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |l0 AS MATERIALIZED (
+       |  SELECT x, CAST(0 AS BIGINT) AS l FROM (
+       |    SELECT u AS x FROM edges UNION SELECT v FROM edges)),
+       |$layers
+       |SELECT x AS l_partkey, l AS layer FROM l$maxRounds
+       |ORDER BY l_partkey""".stripMargin
+  }
+
   /** Same-brand add-next edges over a two-brand slice of the corpus
     * (parts of Brand#11/Brand#23; edge src→dst when dst was added
     * directly after src within one order, both parts the same brand).
@@ -863,6 +939,7 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_scc_full"          -> graphSccFull _,
+    "graph_topo_layers"       -> graphTopologicalLayers _,
     "graph_scc_pivot"         -> graphSccPivot _,
     "graph_hierarchy_flatten"   -> graphHierarchyFlatten _,
     "graph_label_propagation"   -> graphLabelPropagation _,
@@ -1011,6 +1088,7 @@ object GraphQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_topo_layers" -> topoLayeredSql(TopoMaxRounds),
     // Reachability-closure labeling: scc_id(v) = MIN u with u⇝v AND
     // v⇝u (closure seeded with (v,v) so singletons label themselves) —
     // a different algorithm than the engine's trim + iterated FW-BW

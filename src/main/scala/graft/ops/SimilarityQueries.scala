@@ -125,6 +125,106 @@ object SimilarityQueries {
       .limit(5)
   }
 
+  /** PRODUCT QUANTIZATION (Jégou 2011) — the memory-side ANN
+    * compression beside the IVF routing side: split each 64-dim vector
+    * into M=8 contiguous 8-dim subvectors, quantize each against its
+    * subspace's K=4 codebook entries by squared L2, and pack the 8
+    * 2-bit codes into one BIGINT — 64 floats → 16 bits/vector, with the
+    * quantization error Σ_m d2(m, chosen) carried as the QA column
+    * (the countmin/bloom/minhash "sketch + measured error" discipline).
+    * Codebooks are the subvectors of vec_id 1..K — the deterministic
+    * seed choice [[simIvfCoarseTopk]] uses, so the oracle mirrors the
+    * assignment bit-for-bit; production trains per-subspace k-means
+    * offline and broadcasts it, same plan shape.
+    *
+    * Determinism: each subspace distance is nsq+nsq−2·dot over native
+    * VecDot/VecNormSq slices (index-order left folds, like every vector
+    * query); argmin is `min(struct(d2, cid))`; the error sum is an
+    * m-ordered fold. Packing is integer shifts — exact.
+    *
+    * Scale posture: the M-way explode is a constant ×8 absorbed by the
+    * map-side partial `min`; the only shuffles carry (vec, m) argmin
+    * rows and the per-vector rollup — both linear in N, never the
+    * embeddings themselves against each other. */
+  private val PqM = 8; private val PqDsub = 8; private val PqK = 4
+
+  /** m-th subvector slice (m is a column; 1-based slice start). */
+  private def pqSub(c: Column): Column =
+    slice(c, col("m") * PqDsub + 1, lit(PqDsub))
+
+  /** PQ codebooks: subvectors of vec_id 0..K−1 (codes 0..K−1). */
+  private def pqCents(s: SparkSession, d: String): DataFrame =
+    broadcast(emb(s, d).filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+
+  /** Per-(vector, subspace) argmin code + its d2 — the shared core of
+    * [[simProductQuantization]] (encoding) and [[simIvfPqAdc]] (query
+    * via the codes); persisted so a session running both pays the ×M
+    * explode once. */
+  private def pqBest(s: SparkSession, d: String): DataFrame =
+    PipelineCache.getOrPersist(s"sim:pqBest:$d") {
+      emb(s, d)
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+        .crossJoin(pqCents(s, d))
+        .select(col("vec_id"), col("m"), col("cid"),
+          (normSq(pqSub(col("embedding"))) + normSq(pqSub(col("cemb"))) -
+            lit(2.0) * dot(pqSub(col("embedding")), pqSub(col("cemb"))))
+            .as("d2"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d2"), col("cid"))).as("mm"))
+        .select(col("vec_id"), col("m"),
+          col("mm.cid").as("code"), col("mm.d2").as("d2"))
+    }
+
+  def simProductQuantization(s: SparkSession, d: String): DataFrame =
+    pqBest(s, d)
+      .groupBy("vec_id")
+      .agg(sum(expr("shiftleft(code, CAST(2 * m AS INT))")).as("pq_code"),
+        aggregate(sort_array(collect_list(struct(col("m"), col("d2")))),
+          lit(0.0), (acc, x) => acc + x.getField("d2")).as("recon_err2"))
+      .orderBy("vec_id")
+
+  /** ADC QUERY over the PQ index (the second half of IVFADC, Jégou
+    * 2011): the probe precomputes a 8×4 DISTANCE TABLE (its subvector
+    * vs every codebook entry — M·K subspace distances, broadcast), and
+    * every database vector's approximate squared distance is then just
+    * Σ_m dtable(m, code_m(x)) — a table LOOKUP join on (m, code) plus
+    * an m-ordered fold, touching only the 2-bit codes, never the
+    * floats. Exact ‖x−q‖² rides along as the approximation audit
+    * (recall_eval discipline: rank-by-ADC vs rank-by-exact).
+    *
+    * Scale posture: the distance table is M·K rows (32 here; 2 KB at
+    * production M=16, K=256) broadcast once per query batch; the scan
+    * side touches codes only — the plan reads 16 bits where the exact
+    * query reads 256 bytes. One partial-aggregated rollup per vector,
+    * one TakeOrdered top-k. */
+  def simIvfPqAdc(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val probe = e.filter(col("vec_id") === ProbeId)
+    val dtable = broadcast(probe
+      .select(explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("embedding").as("q"))
+      .crossJoin(pqCents(s, d))
+      .select(col("m"), col("cid").as("code"),
+        (normSq(pqSub(col("q"))) + normSq(pqSub(col("cemb"))) -
+          lit(2.0) * dot(pqSub(col("q")), pqSub(col("cemb")))).as("dq")))
+    val exact = e.crossJoin(broadcast(probe.select(col("embedding").as("q"),
+        col("nsq").as("qnsq"))))
+      .select(col("vec_id"),
+        (col("nsq") + col("qnsq") - lit(2.0) * dot(col("embedding"), col("q")))
+          .as("exact_d2"))
+    pqBest(s, d)
+      .join(dtable, Seq("m", "code"))
+      .groupBy("vec_id")
+      .agg(aggregate(sort_array(collect_list(struct(col("m"), col("dq")))),
+        lit(0.0), (acc, x) => acc + x.getField("dq")).as("adc_d2"))
+      .join(exact, "vec_id")
+      .filter(col("vec_id") =!= ProbeId)
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(10)
+  }
+
   /** Per-label 3-nearest-neighbor lists: two-stage top-k via window
     * rank inside each label block — the grouped-ANN shape (one shuffle
     * on label, rank inside partitions; no global sort). */
@@ -492,6 +592,46 @@ object SimilarityQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** BINARY-HAMMING search — the third compression rung of the ANN
+    * family ladder (float32 → int8 [[simQuantizeInt8]] → PQ codes
+    * [[simProductQuantization]] → 1 bit/dim here): binarize each
+    * embedding to its 64 sign bits packed into two 32-bit halves, rank
+    * by Hamming distance popcount(xor) to the probe's code — 8 bytes a
+    * vector, distance = two XORs + two popcounts, the memory-bandwidth-
+    * bound regime where binary codes beat everything else at 1e9+
+    * vectors. The exact cosine rides along per row, so the output
+    * doubles as the rerank input AND the approximation audit (how well
+    * does 64-bit Hamming track cosine — the recall_eval discipline).
+    *
+    * Exactness: sign-bit packing, XOR, and popcount are pure integer
+    * ops — bit-identical by construction; two 32-bit halves avoid the
+    * 1<<63 sign-bit overflow divergence between engines. The only FP is
+    * the audit cosine (the standard index-order fold).
+    *
+    * Scale posture: codes are one projection over the scan (no
+    * broadcast, no shuffle); the probe comparison is a 1-row broadcast
+    * and a TakeOrdered top-k — never a global sort. At 1e9 vectors the
+    * same plan scans 8 GB of codes instead of 256 GB of floats. */
+  def simBinaryHammingTopk(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    def half(lo: Int): Column =
+      (lo until lo + 32).map(i =>
+        when(element_at(col("embedding"), i + 1) >= 0, lit(1L << (i - lo)))
+          .otherwise(lit(0L))).reduce(_ + _)
+    val sig = e.select(col("vec_id"), col("embedding"), col("nsq"),
+      half(0).as("h0"), half(32).as("h1"))
+    val probe = broadcast(sig.filter(col("vec_id") === ProbeId)
+      .select(col("embedding").as("q"), col("nsq").as("qnsq"),
+        col("h0").as("p0"), col("h1").as("p1")))
+    sig.crossJoin(probe).filter(col("vec_id") =!= ProbeId)
+      .select(col("vec_id"),
+        (bit_count(col("h0").bitwiseXOR(col("p0"))) +
+          bit_count(col("h1").bitwiseXOR(col("p1")))).as("hamming"),
+        cosPre(col("q")).as("cos"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(10)
+  }
+
   /** HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION — the two-tower
     * search stack in one plan: a lexical ranker (distinct-token Jaccard
     * against each probe document) and a vector ranker (embedding cosine
@@ -642,6 +782,9 @@ object SimilarityQueries {
     "sim_lsh_bucket_topk" -> simLshBucketTopk _,
     "sim_knn_per_label"   -> simKnnPerLabel _,
     "sim_ivf_coarse_topk" -> simIvfCoarseTopk _,
+    "sim_product_quantization" -> simProductQuantization _,
+    "sim_binary_hamming_topk"  -> simBinaryHammingTopk _,
+    "sim_ivf_pq_adc"           -> simIvfPqAdc _,
     "sim_kmeans_step"     -> simKmeansStep _,
     "sim_quantize_int8"   -> simQuantizeInt8 _,
     "sim_mips_augmented"  -> simMipsAugmented _,
@@ -652,6 +795,15 @@ object SimilarityQueries {
 
   private def fold(v: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $v), (s, x) -> s + x)"
+  private def packHalfSql(arr: String, lo: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(${lo + 1}, ${lo + 33}),
+       |      i -> CASE WHEN $arr[i] >= 0 THEN CAST(1 AS BIGINT) << (i - ${lo + 1})
+       |           ELSE CAST(0 AS BIGINT) END)), (s, x) -> s + x)""".stripMargin
+
+  private def subDotSql(a: String, b: String): String =
+    fold(s"list_transform(range(8*m + 1, 8*m + 9), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+
   private def dotSql(a: String, b: String): String =
     fold(s"list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
   private val cosSql =
@@ -888,6 +1040,79 @@ object SimilarityQueries {
          |    ${dotSql("a.embedding", "a.embedding")} *
          |    ${dotSql("b.embedding", "b.embedding")}) >= $SemTau
          |ORDER BY a_id, b_id""".stripMargin,
+    "sim_ivf_pq_adc" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < 4),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |sub AS (SELECT e.vec_id, ms.m, c.cid,
+         |    ${subDotSql("e.embedding", "e.embedding")} +
+         |    ${subDotSql("c.cemb", "c.cemb")} -
+         |    2.0 * ${subDotSql("e.embedding", "c.cemb")} AS d2
+         |  FROM embeddings e CROSS JOIN ms CROSS JOIN cent c),
+         |best AS (SELECT vec_id, m, cid, d2,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid)
+         |      AS rn
+         |  FROM sub),
+         |cd AS (SELECT vec_id, m, cid AS code FROM best WHERE rn = 1),
+         |pr AS (SELECT embedding AS q FROM embeddings WHERE vec_id = $ProbeId),
+         |dt AS (SELECT ms.m, c.cid AS code,
+         |    ${subDotSql("pr.q", "pr.q")} +
+         |    ${subDotSql("c.cemb", "c.cemb")} -
+         |    2.0 * ${subDotSql("pr.q", "c.cemb")} AS dq
+         |  FROM pr CROSS JOIN ms CROSS JOIN cent c),
+         |adc AS (SELECT cd.vec_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(dt.dq ORDER BY cd.m)), (s, x) -> s + x) AS adc_d2
+         |  FROM cd JOIN dt ON dt.m = cd.m AND dt.code = cd.code
+         |  GROUP BY cd.vec_id),
+         |ex AS (SELECT e.vec_id,
+         |    ${dotSql("e.embedding", "e.embedding")} +
+         |    ${dotSql("pr.q", "pr.q")} -
+         |    2.0 * ${dotSql("e.embedding", "pr.q")} AS exact_d2
+         |  FROM embeddings e CROSS JOIN pr)
+         |SELECT adc.vec_id, adc.adc_d2, ex.exact_d2
+         |FROM adc JOIN ex ON ex.vec_id = adc.vec_id
+         |WHERE adc.vec_id <> $ProbeId
+         |ORDER BY adc.adc_d2, adc.vec_id LIMIT 10""".stripMargin,
+    "sim_binary_hamming_topk" ->
+      // integer sign-pack / xor / popcount mirror the engine exactly;
+      // only the audit cosine is FP (standard fold fragments)
+      s"""WITH sig AS (SELECT vec_id, embedding,
+         |    ${packHalfSql("embedding", 0)} AS h0,
+         |    ${packHalfSql("embedding", 32)} AS h1
+         |  FROM embeddings),
+         |p AS (SELECT embedding AS q, h0 AS p0, h1 AS p1
+         |  FROM sig WHERE vec_id = $ProbeId)
+         |SELECT s.vec_id,
+         |  CAST(bit_count(xor(s.h0, p.p0)) + bit_count(xor(s.h1, p.p1))
+         |    AS INTEGER) AS hamming,
+         |  ${dotSql("s.embedding", "p.q")} / sqrt(
+         |    ${dotSql("s.embedding", "s.embedding")} * ${dotSql("p.q", "p.q")})
+         |    AS cos
+         |FROM sig s CROSS JOIN p
+         |WHERE s.vec_id <> $ProbeId
+         |ORDER BY hamming, s.vec_id LIMIT 10""".stripMargin,
+    "sim_product_quantization" ->
+      // subspace d2 mirrors the engine association ((nsq_a + nsq_c) -
+      // 2.0*dot) with the same index-order folds over the m-th slice
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < 4),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |sub AS (SELECT e.vec_id, ms.m, c.cid,
+         |    ${subDotSql("e.embedding", "e.embedding")} +
+         |    ${subDotSql("c.cemb", "c.cemb")} -
+         |    2.0 * ${subDotSql("e.embedding", "c.cemb")} AS d2
+         |  FROM embeddings e CROSS JOIN ms CROSS JOIN cent c),
+         |best AS (SELECT vec_id, m, cid, d2,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid)
+         |      AS rn
+         |  FROM sub),
+         |cd AS (SELECT vec_id, m, cid AS code, d2 FROM best WHERE rn = 1)
+         |SELECT vec_id,
+         |  CAST(SUM(code << CAST(2 * m AS INTEGER)) AS BIGINT) AS pq_code,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(d2 ORDER BY m)), (s, x) -> s + x) AS recon_err2
+         |FROM cd GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "sim_ivf_coarse_topk" ->
       // d2 = (nsq_v + nsq_c) - (2.0 * dot): same association order as the
       // Spark expression; nsq/dot are the identical left-fold fragments

@@ -369,6 +369,106 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** Two-sample Mann–Whitney U drift test per event type — the RANK
+    * companion to [[aggKsDrift]]: where KS compares CDF shapes, U asks
+    * whether one sample stochastically dominates the other (location
+    * shift), the robust alternative to a t-test a drift monitor runs on
+    * heavy-tailed value columns. Samples are the same deterministic md5
+    * halves (salt "mw:"), so the answer doubles as a split-quality
+    * audit.
+    *
+    * Exactness: ties collapse to (type, value) groups FIRST; a tie
+    * group of size t after c_prev earlier rows occupies average rank
+    * c_prev + (t+1)/2, so 2·R_a = Σ a_at·(2·c_prev + t + 1) — every
+    * term an exact BIGINT (halves deferred: the single ÷2 happens once,
+    * in double, and division by 2 is exact in binary). U_a derives from
+    * R_a, the tie-corrected normal approximation z from the integer
+    * aggregates (ΣT = Σ t³−t) through one fixed double expression —
+    * casts of exact BIGINTs, one division chain, one IEEE sqrt
+    * (correctly rounded per IEEE-754, so cross-engine bit-stable).
+    * Intermediates stay under 2^63 while n³ does (n per type ≤ ~2M);
+    * a production build widens to DECIMAL(38,0) beyond that.
+    *
+    * Scale posture: identical to KS — one shuffle to (type, value)
+    * granularity, one window over value within type, one
+    * partial-aggregated rollup; no sort of raw rows, no pair joins. */
+  def statMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val grp = pmod(graft.dedup.Dedup.hexFold32(
+      md5(concat(lit("mw:"), col("event_id").cast(StringType)))), lit(2L))
+    val perValue = Tables.events(s, d)
+      .select(col("event_type"), col("value"), grp.as("g"))
+      .groupBy("event_type", "value")
+      .agg(count(when(col("g") === 0, 1)).as("a_at"),
+        count(when(col("g") === 1, 1)).as("b_at"))
+      .withColumn("t", col("a_at") + col("b_at"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+    val cum = perValue.withColumn("c_prev", sum("t").over(w) - col("t"))
+    val agg = cum.groupBy("event_type")
+      .agg(sum("a_at").as("n_a"), sum("b_at").as("n_b"),
+        sum(col("a_at") * (lit(2) * col("c_prev") + col("t") + lit(1)))
+          .as("r2a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("sum_t3"))
+    val nA = col("n_a").cast(DoubleType)
+    val nB = col("n_b").cast(DoubleType)
+    val n = col("n_a") + col("n_b")
+    val nn1 = (n * (n - lit(1L))).cast(DoubleType)
+    val uA = (col("r2a") - col("n_a") * (col("n_a") + lit(1L)))
+      .cast(DoubleType) / lit(2.0)
+    val sigma = sqrt(nA * nB *
+      ((n + lit(1L)).cast(DoubleType) - col("sum_t3").cast(DoubleType) / nn1) /
+      lit(12.0))
+    agg
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        uA.as("u_a"),
+        when(sigma > 0.0, (uA - nA * nB / lit(2.0)) / sigma).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** Inter-arrival GAP distribution per event type — the traffic-shape
+    * profile (bursty vs steady) a capacity planner reads before sizing
+    * stream parallelism: gaps between consecutive same-type events of
+    * the same user, pooled per type, summarized as min/p50/p90/max/mean.
+    * Percentiles are PERCENTILE_DISC by explicit RANK SELECTION
+    * (rn == ⌈q·n⌉ in pure integer arithmetic: (n+1)/2 and (9n+9)/10
+    * integer divisions) — never an engine percentile builtin
+    * (cross-engine interpolation conventions differ; gaps stay exact
+    * BIGINT seconds). The only double is the mean's single division.
+    *
+    * Scale posture: one shuffle to (type, user) for the lag window, one
+    * to type for the rank window (types are few — the domain-quota skew
+    * caveat applies), partial-aggregated rollup; value-at-rank is
+    * insensitive to tie order, so row_number's tie arbitrariness cannot
+    * leak into the output. */
+  def timeGapStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val wu = Window.partitionBy("event_type", "user_id")
+      .orderBy("sec", "event_id")
+    val wt = Window.partitionBy("event_type")
+    val wr = Window.partitionBy("event_type").orderBy("gap")
+    val gaps = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).cast(LongType).as("sec"))
+      .withColumn("prev", lag(col("sec"), 1).over(wu))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("sec") - col("prev")).as("gap"))
+    gaps
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wt))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_gaps"),
+        min(col("gap")).as("min_gap_s"),
+        // DIV, not `/`: Spark's Column./ is double division even on
+        // integer operands — the rank equation would compare int vs .5
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("gap")))
+          .as("p50_gap_s"),
+        max(when(col("rn") === expr("(n * 9 + 9) DIV 10"), col("gap")))
+          .as("p90_gap_s"),
+        max(col("gap")).as("max_gap_s"),
+        (sum(col("gap")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("mean_gap_s"))
+      .orderBy("event_type")
+  }
+
   /** Incremental materialized-view maintenance — the merge step a nightly
     * pipeline runs instead of the reference's truncate-and-reload
     * (`etl_process.py`'s full reload is the degenerate "recompute
@@ -935,6 +1035,8 @@ object StatQueries {
     "window_attribution_lasttouch" -> windowAttributionLasttouch _,
     "window_cusum_drift"        -> windowCusumDrift _,
     "agg_ks_drift"              -> aggKsDrift _,
+    "stat_mann_whitney"         -> statMannWhitney _,
+    "time_gap_stats"            -> timeGapStats _,
     "etl_dq_profile"            -> etlDqProfile _,
     "etl_fk_orphan_check"       -> etlFkOrphanCheck _,
     "window_rolling_anomaly"    -> windowRollingAnomaly _,
@@ -1126,6 +1228,62 @@ object StatQueries {
          |  CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE) /
          |    CAST(MIN(na) * MIN(nb) AS DOUBLE) AS ks_stat
          |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "time_gap_stats" ->
+      """WITH e AS (SELECT event_type, user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    sec - LAG(sec, 1) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY sec, event_id) AS gap
+        |  FROM e),
+        |gg AS (SELECT event_type, gap,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT event_type, MAX(n) AS n_gaps,
+        |  MIN(gap) AS min_gap_s,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS p50_gap_s,
+        |  MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN gap END) AS p90_gap_s,
+        |  MAX(gap) AS max_gap_s,
+        |  CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_gap_s
+        |FROM gg GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stat_mann_whitney" ->
+      // doubled rank sums keep every pre-division term BIGINT-exact;
+      // the z expression mirrors the engine's association exactly
+      // (casts of exact ints, one division chain, one IEEE sqrt)
+      s"""WITH g AS (
+         |  SELECT event_type, value,
+         |    (${OracleSql.fold32("'mw:' || CAST(event_id AS VARCHAR)")}) % 2
+         |      AS g
+         |  FROM events),
+         |pv AS (SELECT event_type, value,
+         |    COUNT(CASE WHEN g = 0 THEN 1 END) AS a_at,
+         |    COUNT(CASE WHEN g = 1 THEN 1 END) AS b_at
+         |  FROM g GROUP BY 1, 2),
+         |tg AS (SELECT event_type, a_at, b_at, a_at + b_at AS t,
+         |    CAST(SUM(a_at + b_at) OVER w AS BIGINT) - (a_at + b_at)
+         |      AS c_prev
+         |  FROM pv
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY value)),
+         |agg AS (SELECT event_type,
+         |    CAST(SUM(a_at) AS BIGINT) AS n_a,
+         |    CAST(SUM(b_at) AS BIGINT) AS n_b,
+         |    CAST(SUM(a_at * (2 * c_prev + t + 1)) AS BIGINT) AS r2a,
+         |    CAST(SUM(t * t * t - t) AS BIGINT) AS sum_t3
+         |  FROM tg GROUP BY event_type),
+         |z AS (SELECT event_type, n_a, n_b,
+         |    CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+         |    SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
+         |      (CAST(n_a + n_b + 1 AS DOUBLE) -
+         |        CAST(sum_t3 AS DOUBLE) /
+         |        CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)) / 12.0)
+         |      AS sigma
+         |  FROM agg)
+         |SELECT event_type, n_a, n_b, u_a,
+         |  CASE WHEN sigma > 0.0 THEN
+         |    (u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) / sigma
+         |  END AS z
+         |FROM z ORDER BY event_type""".stripMargin,
     "etl_dq_profile" ->
       """WITH m AS (
         |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS val

@@ -383,6 +383,19 @@ class GraphQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("recursive CTE climb equals the doubling-loop flatten row for row") {
+    // three constructions of the parent-chain relation: doubling loop
+    // (graph_hierarchy_flatten), statement-level WITH RECURSIVE
+    // (sql_recursive_cte), DuckDB's recursion (its oracle). This pins
+    // the engine-vs-engine pair; the oracle gate pins each vs DuckDB.
+    val viaLoop = SparkEntry.queries("graph_hierarchy_flatten")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaCte = SparkEntry.queries("sql_recursive_cte")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaCte.nonEmpty)
+    assert(viaLoop == viaCte)
+  }
+
   test("hierarchy flatten equals a scala per-node climb and respects the doubling bound") {
     val out = graft.ops.GraphQueries.graphHierarchyFlatten(spark, sfDir)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap

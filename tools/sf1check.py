@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Per-query sf1 oracle check with an individual time budget per oracle.
+
+The monolithic localverify run at sf1 exceeded a 30-minute wall budget
+(two or three of the 27 candidate-family oracles are quadratic-ish in
+DuckDB at 50k docs); this wrapper runs each oracle in its own process
+with its own timeout so one slow oracle cannot erase the evidence for
+the other 26. Usage: python3 tools/sf1check.py <outDir> <sfDir> [budget_s]
+"""
+import json
+import multiprocessing as mp
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from localverify import TABLES, canon, cell  # noqa: E402
+
+
+def check_one(name, sql, out_dir, sf_dir, q):
+    import duckdb
+    import pandas as pd
+
+    try:
+        con = duckdb.connect()
+        for t in TABLES:
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        exp = canon(con.execute(sql).df())
+        got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+        if list(exp.columns) != list(got.columns):
+            q.put(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            return
+        if len(exp) != len(got):
+            q.put(f"FAIL {name}: rows {len(got)} != oracle {len(exp)}")
+            return
+        exp_rows = [tuple(cell(v) for v in r) for r in exp.itertuples(index=False)]
+        got_rows = [tuple(cell(v) for v in r) for r in got.itertuples(index=False)]
+        if exp_rows == got_rows:
+            q.put(f"PASS {name} ({len(exp)} rows)")
+        else:
+            bad = next(i for i, (a, b) in enumerate(zip(exp_rows, got_rows)) if a != b)
+            q.put(f"FAIL {name}: first diff at row {bad}: oracle={exp_rows[bad]} spark={got_rows[bad]}")
+    except Exception as e:
+        q.put(f"FAIL {name}: {e}")
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    budget = float(sys.argv[3]) if len(sys.argv) > 3 else 300.0
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(n for n in oracles if os.path.exists(f"{out_dir}/{n}"))
+    n_pass = n_fail = n_skip = 0
+    for name in names:
+        q = mp.Queue()
+        p = mp.Process(target=check_one, args=(name, oracles[name], out_dir, sf_dir, q))
+        p.start()
+        p.join(budget)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            print(f"SKIP {name}: oracle exceeded {budget:.0f}s budget", flush=True)
+            n_skip += 1
+            continue
+        msg = q.get() if not q.empty() else f"FAIL {name}: no result (crashed)"
+        print(msg, flush=True)
+        if msg.startswith("PASS"):
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail / {n_skip} oracle-timeout ==", flush=True)
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
