@@ -140,6 +140,14 @@ object AdvancedQueries {
     * O(log log) joins, which is why the DataFrame operator remains the
     * production form and this is the SQL-surface parity check. */
   def sqlRecursiveCte(s: SparkSession, d: String): DataFrame = {
+    // The engine's runaway-recursion guard defaults to 1M rows TOTAL
+    // across the loop — the sf1 part table alone (2M anchors × ~10
+    // climb steps) legitimately exceeds it (measured:
+    // RECURSION_ROW_LIMIT_EXCEEDED at sf1). The walk is provably
+    // terminating (cur strictly shrinks by ÷4 until < 4), so size the
+    // guard to data like any production recursive job would; the guard
+    // still backstops a genuinely diverging recursion.
+    s.conf.set("spark.sql.cteRecursionRowLimit", (200L * 1000 * 1000).toString)
     Tables.part(s, d).createOrReplaceTempView("graft_part_rc")
     s.sql(
       """WITH RECURSIVE walk(k, cur, depth) AS (

@@ -718,6 +718,10 @@ object GraphQueries {
     * of every other convergence loop here. */
   val SccMaxComponents = 12
   val SccTrimMaxRounds = 24
+  /** Pivots extracted per FW-BW round of [[graphSccFull]] — bounds the
+    * serial depth at ⌈#nontrivial-SCCs / pivots⌉ rounds (production
+    * batches thousands). */
+  val SccPivotsPerRound = 8
 
   /** Round cap for [[graphTopologicalLayers]] — the sf0.001 fixture's
     * deepest longest path is 40 (densest corpus relative to its part
@@ -829,24 +833,30 @@ object GraphQueries {
     *      (members of nontrivial SCCs are never trimmed: their cycle
     *      edges stay until the whole SCC is extracted, so trimming
     *      cannot bite into one).
-    *   2. FW-BW on the residual: max-out-degree pivot (min-id
-    *      tiebreak), SCC(p) = fwd-reach(p) ∩ bwd-reach(p) under the
-    *      [[graphBfsConverged]] loop discipline; extract, re-trim the
+    *   2. MULTI-pivot FW-BW on the residual: up to
+    *      [[SccPivotsPerRound]] top-out-degree pivots run their
+    *      forward/backward closures simultaneously in one
+    *      label-carrying BFS ((x, pid) frontiers, the
+    *      [[graphBfsConverged]] loop discipline); SCC(pid) =
+    *      {x : (x,pid) ∈ fwd ∩ bwd}; extract all of them, re-trim the
     *      newly exposed chains, repeat.
     *
-    * Both loops carry caps ([[SccMaxComponents]]/[[SccTrimMaxRounds]])
-    * with loud warnings. Oracle = reachability-closure labeling
-    * (scc_id(v) = min u with u⇝v and v⇝u) — a different algorithm that
-    * must reach the same fixpoint, the CC-oracle pattern.
+    * Both loops carry caps ([[SccMaxComponents]] extraction rounds /
+    * [[SccTrimMaxRounds]]) with loud warnings. Oracle =
+    * reachability-closure labeling (scc_id(v) = min u with u⇝v and
+    * v⇝u) — a different algorithm that must reach the same fixpoint,
+    * the CC-oracle pattern.
     *
     * Scale posture: per trim round, two distinct-projections of the
-    * residual edge list and two semi-joins; per FW-BW round, frontier ⋈
-    * edges; every intermediate is a single long column, per-round
-    * `localCheckpoint` truncates lineage. The SERIAL residual loop is
-    * the honest cost statement: its depth is the nontrivial-SCC count
-    * of the condensation, so production FW-BW recurses the three-way
-    * split (FWD∖S, BWD∖S, rest) in PARALLEL — driver orchestration of
-    * this same plan over disjoint vertex sets, not a new plan shape. */
+    * residual edge list and two semi-joins; per BFS round, frontier ⋈
+    * edges with a pid label column (fan-out bounded by pivots/round);
+    * per-round `localCheckpoint` truncates lineage. Pivot batching is
+    * what bounds the serial depth: ⌈#SCCs/pivots⌉ rounds instead of
+    * #SCCs — measured 64 s → 20 s at the generated sf1 (20 components:
+    * the serial form capped out with 4,720 vertices unlabeled).
+    * Production FW-BW additionally recurses the three-way split
+    * (FWD∖S, BWD∖S, rest) in parallel — driver orchestration of this
+    * same plan over disjoint vertex sets, not a new plan shape. */
   def graphSccFull(s: SparkSession, d: String): DataFrame = {
     val edges = brandSeqEdges(s, d)
     val verts = edges.select(col("src").as("x"))
@@ -885,23 +895,38 @@ object GraphQueries {
           "reached — decomposition may be incomplete")
     }
     trimToFixpoint()
-    var comps = 0
-    while (nResidual > 0 && comps < SccMaxComponents) {
-      comps += 1
+    var rounds = 0
+    while (nResidual > 0 && rounds < SccMaxComponents) {
+      rounds += 1
       val e = resEdges()
-      val pivot = e.groupBy("src").agg(count(lit(1)).as("odeg"))
-        .orderBy(col("odeg").desc, col("src")).limit(1)
-        .select(col("src").as("x")).localCheckpoint()
+      // MULTI-pivot extraction (round-7 upgrade, measured necessary):
+      // one pivot per round made the loop depth equal the nontrivial-
+      // SCC count — at the generated sf1 (10 disjoint replicas × 2
+      // cores = 20 components) the serial form hit its cap with 4,720
+      // vertices unlabeled and cost 64 s. Up to [[SccPivotsPerRound]]
+      // pivots (top out-degree, min-id tiebreak — identical replica
+      // structures tie on degree, so the id tiebreak spreads pivots
+      // across replicas) run their FW/BW closures SIMULTANEOUSLY in one
+      // label-carrying BFS: frontiers are (x, pid) pairs, and
+      // SCC(pid) = {x : (x,pid) ∈ fwd ∩ bwd}. Two pivots landing in
+      // the same SCC extract the same member set under both pids and
+      // the min-member scc_id collapses them (distinct). This is the
+      // parallel residual recursion production FW-BW runs, expressed as
+      // pivot batching over one plan.
+      val pivots = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+        .orderBy(col("odeg").desc, col("src")).limit(SccPivotsPerRound)
+        .select(col("src").as("x"), col("src").as("pid"))
+        .localCheckpoint()
       def reach(adj: DataFrame): DataFrame = {
-        var visited = pivot
-        var frontier = pivot
+        var visited = pivots
+        var frontier = pivots
         var r = 0
         var grew = true
         while (grew && r < SccMaxRounds) {
           r += 1
           val next = frontier.join(adj, Seq("x"))
-            .select(col("y").as("x")).distinct()
-            .join(visited, Seq("x"), "left_anti")
+            .select(col("y").as("x"), col("pid")).distinct()
+            .join(visited, Seq("x", "pid"), "left_anti")
             .localCheckpoint()
           if (next.count() == 0) grew = false
           else {
@@ -916,19 +941,20 @@ object GraphQueries {
       }
       val fwd = reach(e.select(col("src").as("x"), col("dst").as("y")))
       val bwd = reach(e.select(col("dst").as("x"), col("src").as("y")))
-      val scc = fwd.join(bwd, Seq("x"), "left_semi").localCheckpoint()
-      // scc_id = min member, attached via the broadcast 1-row-agg
-      // pattern (no driver scalar read)
-      labeled += scc
-        .crossJoin(broadcast(scc.agg(min(col("x")).as("scc_id"))))
-        .select(col("x").as("member"), col("scc_id"))
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy("pid")
+      val extracted = fwd.join(bwd, Seq("x", "pid"), "left_semi")
+        .withColumn("scc_id", min(col("x")).over(wp))
+        .select(col("x").as("member"), col("scc_id")).distinct()
         .localCheckpoint()
-      residual = residual.join(scc, Seq("x"), "left_anti").localCheckpoint()
+      labeled += extracted
+      residual = residual
+        .join(extracted.select(col("member").as("x")), Seq("x"), "left_anti")
+        .localCheckpoint()
       nResidual = residual.count()
       trimToFixpoint()
     }
     if (nResidual > 0)
-      System.err.println(s"[graft] scc_full: component cap " +
+      System.err.println(s"[graft] scc_full: extraction-round cap " +
         s"$SccMaxComponents reached with $nResidual vertices unlabeled")
     val all = labeled.reduceOption(_ unionAll _)
       .getOrElse(verts.select(col("x").as("member"), col("x").as("scc_id")))

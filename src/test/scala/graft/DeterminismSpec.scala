@@ -20,7 +20,14 @@ class DeterminismSpec extends SparkTestBase {
     "sim_kmeans_step",
     "graph_pagerank_converged",
     "window_attribution_ushaped",
-    "etl_sync_checksums")
+    "etl_sync_checksums",
+    // round-7 risk classes: tie-ordered rank arithmetic (U/z), serial
+    // residual recursion (SCC), subspace-argmin + ordered folds (ADC),
+    // engine-managed SQL recursion (UnionLoop)
+    "stat_mann_whitney",
+    "graph_scc_full",
+    "sim_ivf_pq_adc",
+    "sql_recursive_cte")
 
   test("results are bit-identical at 2 vs 9 shuffle partitions") {
     val conf = spark.conf

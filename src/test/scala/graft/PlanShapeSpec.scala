@@ -225,6 +225,24 @@ class PlanShapeSpec extends SparkTestBase {
     graft.ops.PipelineCache.releaseAll()
   }
 
+  test("binary-hamming scan: codes fold into the projection, no hash exchange, top-k never sorts globally") {
+    val p = plan("sim_binary_hamming_topk")
+    // one broadcast probe + TakeOrdered: the 8-byte-code scan regime —
+    // a hash exchange here would mean the embeddings themselves shuffle
+    assert(hashExchanges(p).isEmpty, p)
+    assert(ops(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]), p)
+    assert(rangeExchanges(p).isEmpty, p)
+  }
+
+  test("PQ/ADC: distance-table lookup joins on (m, code), codes never cartesian with data") {
+    Seq("sim_product_quantization", "sim_ivf_pq_adc").foreach { q =>
+      val p = plan(q)
+      assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$q:\n$p")
+      graft.ops.PipelineCache.releaseAll()
+    }
+  }
+
   test("batch knn pairs join equi on the cell id, never cross-cell") {
     val p = plan("sim_knn_batch_ivf")
     assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
