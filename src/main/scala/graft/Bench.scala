@@ -342,11 +342,14 @@ object Bench {
       val (compact, full) = summarize()
       println(compact)
       writeFull(full)
-      // Stop when: a sweep bailed; the rep count is met; or the overall
-      // wall cap (2× budget) is spent. The 2×-budget cap is what bounds
-      // the whole run for the driver's window — compile pass ≤ 0.9×,
-      // sweep 1 ≤ 1.5×-elapsed, later sweeps only while under 2×.
-      continue = complete && sweeps.size < reps && elapsedSec < 2.0 * budgetSec
+      // Stop when: a sweep bailed; the rep count is met; or there is no
+      // longer comfortable room for ANOTHER full sweep (1.6× budget —
+      // a further sweep costs ~0.75× budget, so starting one beyond
+      // this line risks the driver's outer kill window; with the
+      // compile pass done, a single full sweep is already steady-state
+      // and full-coverage, so stopping early sacrifices only the
+      // stall-voting median, never coverage or warmth).
+      continue = complete && sweeps.size < reps && elapsedSec < 1.6 * budgetSec
       if (!continue && sweeps.size < reps)
         note(s"stopping after ${sweeps.size}/$reps sweeps " +
           s"(${if (complete) "wall cap" else "sweep bail"} at ${f3(elapsedSec)}s)")

@@ -284,7 +284,38 @@ object EtlQueries {
           col("o_orderpriority"))).as("hashdiff"))
       .orderBy("o_orderkey")
 
+  /** Small-files COMPACTION PLAN — the lakehouse maintenance step that
+    * turns N small files into ⌈Σbytes/target⌉ right-sized ones (the
+    * operational twin of `spark.sql.files.maxPartitionBytes` binning,
+    * planned relationally): per source, documents (standing in for the
+    * file listing; size = octet_length) are assigned in id order to
+    * output bins by `cumulative-bytes-before DIV target` — the greedy
+    * streaming pack, where a file straddling a boundary belongs to the
+    * bin it started in, exactly how Spark's FilePartition packer
+    * groups splits. Output: per (source, bin) the planned group's file
+    * count and bytes — what a compaction job feeds its writer.
+    *
+    * Pure integer arithmetic (prefix sums, integer division).
+    * Scale posture: one window exchange keyed by source over FILE
+    * METADATA (never file contents — at 100 TB the listing is ~10⁶
+    * rows, not bytes), partial-aggregated rollup. */
+  def etlCompactionPlan(s: SparkSession, d: String): DataFrame = {
+    val target = 65536L // 64 KiB bins at fixture scale; a knob in production
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        octet_length(col("text")).cast(LongType).as("bytes"))
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before DIV $target"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+        min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+      .orderBy("source", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_compaction_plan" -> etlCompactionPlan _,
     "etl_datavault_keys" -> etlDatavaultKeys _,
     "etl_sync_checksums"     -> etlSyncChecksums _,
     "etl_survivorship_merge" -> etlSurvivorshipMerge _,
@@ -314,6 +345,19 @@ object EtlQueries {
         |      strftime(o_orderdate, '%Y-%m-%d') || '|' ||
         |      o_orderpriority) AS hashdiff
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "etl_compaction_plan" ->
+      """WITH f AS (SELECT source, doc_id,
+        |    CAST(strlen(text) AS BIGINT) AS bytes
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, bytes,
+        |    COALESCE(CAST(SUM(bytes) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+        |  FROM f)
+        |SELECT source, cum_before // 65536 AS bin,
+        |  COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS bytes,
+        |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
     "etl_sync_checksums" ->
       s"""SELECT o_orderkey % 32 AS bucket,
          |  COUNT(*) AS n_rows,

@@ -469,6 +469,47 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** CUPED variance reduction (Deng 2013) — the experimentation-
+    * platform preprocessing every A/B pipeline runs: per user, the
+    * PRE-period metric (exact-decimal value sum before [[MvSplitDay]])
+    * is the covariate x, the POST-period sum the metric y;
+    * θ = cov(x,y)/var(x), and the adjusted metric y − θx has variance
+    * var(y) − cov²/var(x) — the reduction this query REPORTS (as
+    * 100·corr², the fraction of metric variance the covariate
+    * explains), which directly shrinks required experiment sample
+    * sizes. All moments come from six exact-decimal sums through one
+    * fixed double expression — the [[AdvancedQueries.aggStatsMoments]]
+    * recipe (built-in covar/corr are Welford-streaming, not
+    * cross-engine bit-stable).
+    *
+    * Scale posture: one shuffle to per-user rows (map-side combined),
+    * one global partial-aggregated moment rollup; no window, no sort. */
+  def statCupedAdjustment(s: SparkSession, d: String): DataFrame = {
+    val split = java.sql.Date.valueOf(MvSplitDay)
+    val zero = lit(0).cast(DecimalType(18, 2))
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < lit(split), col("v")).otherwise(zero)).as("x"),
+        sum(when(col("day") >= lit(split), col("v")).otherwise(zero)).as("y"))
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = sum(col("x")).cast(DoubleType)
+    val sy = sum(col("y")).cast(DoubleType)
+    val sxx = sum(col("x") * col("x")).cast(DoubleType)
+    val syy = sum(col("y") * col("y")).cast(DoubleType)
+    val sxy = sum(col("x") * col("y")).cast(DoubleType)
+    val varX = (sxx - sx * sx / n) / (n - lit(1.0))
+    val varY = (syy - sy * sy / n) / (n - lit(1.0))
+    val covar = (sxy - sx * sy / n) / (n - lit(1.0))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      (covar / varX).as("theta"),
+      varY.as("var_post"),
+      (varY - covar * covar / varX).as("var_adjusted"),
+      (lit(100.0) * (covar * covar) / (varX * varY)).as("reduction_pct"))
+  }
+
   /** Incremental materialized-view maintenance — the merge step a nightly
     * pipeline runs instead of the reference's truncate-and-reload
     * (`etl_process.py`'s full reload is the degenerate "recompute
@@ -1037,6 +1078,7 @@ object StatQueries {
     "agg_ks_drift"              -> aggKsDrift _,
     "stat_mann_whitney"         -> statMannWhitney _,
     "time_gap_stats"            -> timeGapStats _,
+    "stat_cuped_adjustment"     -> statCupedAdjustment _,
     "etl_dq_profile"            -> etlDqProfile _,
     "etl_fk_orphan_check"       -> etlFkOrphanCheck _,
     "window_rolling_anomaly"    -> windowRollingAnomaly _,
@@ -1228,6 +1270,34 @@ object StatQueries {
          |  CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE) /
          |    CAST(MIN(na) * MIN(nb) AS DOUBLE) AS ks_stat
          |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stat_cuped_adjustment" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-25'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+        |    SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-25'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT COUNT(*) AS cnt,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |  FROM pu),
+        |m AS (SELECT cnt,
+        |    (sxx - sx * sx / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)
+        |      AS vx,
+        |    (syy - sy * sy / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)
+        |      AS vy,
+        |    (sxy - sx * sy / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)
+        |      AS c
+        |  FROM s)
+        |SELECT cnt AS n_users, c / vx AS theta, vy AS var_post,
+        |  vy - c * c / vx AS var_adjusted,
+        |  100.0 * (c * c) / (vx * vy) AS reduction_pct
+        |FROM m""".stripMargin,
     "time_gap_stats" ->
       """WITH e AS (SELECT event_type, user_id, event_id,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec

@@ -499,7 +499,38 @@ object TextQueries {
       .limit(20)
   }
 
+  /** FEATURE HASHING (Weinberger 2009, the "hashing trick") — the
+    * fixed-width vectorizer a learned quality classifier or fasttext-
+    * style model consumes: token → feature index = md5-fold mod 1024,
+    * with a SIGNED contribution (±1 from an independent hash bit) so
+    * collisions cancel in expectation instead of biasing upward — the
+    * property that lets the width stay fixed while the vocabulary is
+    * unbounded (no vocab build, no dictionary broadcast: the defining
+    * scale advantage over count-vectorizers at 100 TB). Output is the
+    * sparse (doc, index, value) triple stream a trainer ingests.
+    *
+    * Determinism: both hashes are the suite's md5+integer arithmetic;
+    * values are exact signed-count integers.
+    *
+    * Scale posture: one explode + one partial-aggregated shuffle on
+    * (doc, index); no joins, no vocabulary state anywhere. */
+  def textFeatureHashing(s: SparkSession, d: String): DataFrame = {
+    import graft.dedup.Dedup.hexFold32
+    import graft.text.TextAnalysis.tokens
+    val idx = pmod(hexFold32(md5(concat(lit("fh:"), col("tok")))), lit(1024L))
+    val sign = lit(1L) - lit(2L) *
+      pmod(hexFold32(md5(concat(lit("fs:"), col("tok")))), lit(2L))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), idx.as("feature_idx"), sign.as("sgn"))
+      .groupBy("doc_id", "feature_idx")
+      .agg(sum(col("sgn")).as("value"))
+      .filter(col("value") =!= 0L) // cancelled collisions carry no signal
+      .orderBy("doc_id", "feature_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_feature_hashing"  -> textFeatureHashing _,
     "text_rake_keyphrases"  -> textRakeKeyphrases _,
     "text_chunk_dedup"      -> textChunkDedup _,
     "text_lm_bigram_score"  -> textLmBigramScore _,
@@ -576,6 +607,18 @@ object TextQueries {
   private val ratioSql = ratioSqlOf("text")
 
   val oracle: Map[String, String] = Map(
+    "text_feature_hashing" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${tokensSqlOf("text")}) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    (${OracleSql.fold32("'fh:' || tok")}) % 1024 AS feature_idx,
+         |    1 - 2 * ((${OracleSql.fold32("'fs:' || tok")}) % 2) AS sgn
+         |  FROM toks)
+         |SELECT doc_id, feature_idx, CAST(SUM(sgn) AS BIGINT) AS value
+         |FROM h GROUP BY 1, 2
+         |HAVING CAST(SUM(sgn) AS BIGINT) <> 0
+         |ORDER BY doc_id, feature_idx""".stripMargin,
     "text_rake_keyphrases" ->
       s"""WITH toks AS (
          |  SELECT doc_id, p.pos AS pos, p.w AS w FROM (
