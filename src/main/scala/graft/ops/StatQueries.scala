@@ -469,6 +469,47 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** Welch two-sample t-test per event type — the unequal-variance
+    * mean-difference test completing the drift/experimentation suite
+    * (KS = shape, Mann–Whitney = rank dominance, χ² = categorical mix,
+    * CUPED = variance reduction; this is the parametric mean test).
+    * Samples are the md5 halves (salt "tt:"); t and the
+    * Welch–Satterthwaite df come from six exact-decimal sums through
+    * one fixed double chain (the stats-moments recipe) — each division
+    * and the final IEEE sqrt are correctly rounded single ops, so both
+    * engines agree bit-for-bit.
+    *
+    * Scale posture: one partial-aggregated shuffle to per-type rows;
+    * no window, no sort beyond the presentation order. */
+  def aggTtestWelch(s: SparkSession, d: String): DataFrame = {
+    val grp = pmod(graft.dedup.Dedup.hexFold32(
+      md5(concat(lit("tt:"), col("event_id").cast(StringType)))), lit(2L))
+    val v = col("value").cast(DecimalType(18, 2))
+    val agg = Tables.events(s, d)
+      .select(col("event_type"), v.as("v"), grp.as("g"))
+      .groupBy("event_type")
+      .agg(count(when(col("g") === 0, 1)).as("n_a"),
+        count(when(col("g") === 1, 1)).as("n_b"),
+        sum(when(col("g") === 0, col("v"))).as("sa"),
+        sum(when(col("g") === 1, col("v"))).as("sb"),
+        sum(when(col("g") === 0, col("v") * col("v"))).as("ssa"),
+        sum(when(col("g") === 1, col("v") * col("v"))).as("ssb"))
+    val na = col("n_a").cast(DoubleType); val nb = col("n_b").cast(DoubleType)
+    val sa = col("sa").cast(DoubleType);  val sb = col("sb").cast(DoubleType)
+    val ssa = col("ssa").cast(DoubleType); val ssb = col("ssb").cast(DoubleType)
+    val va = (ssa - sa * sa / na) / (na - lit(1.0))
+    val vb = (ssb - sb * sb / nb) / (nb - lit(1.0))
+    val ta = va / na
+    val tb = vb / nb
+    val se2 = ta + tb
+    agg.select(col("event_type"), col("n_a"), col("n_b"),
+        (sa / na - sb / nb).as("mean_diff"),
+        ((sa / na - sb / nb) / sqrt(se2)).as("t_welch"),
+        (se2 * se2 / (ta * ta / (na - lit(1.0)) + tb * tb / (nb - lit(1.0))))
+          .as("df_welch"))
+      .orderBy("event_type")
+  }
+
   /** CUPED variance reduction (Deng 2013) — the experimentation-
     * platform preprocessing every A/B pipeline runs: per user, the
     * PRE-period metric (exact-decimal value sum before [[MvSplitDay]])
@@ -1079,6 +1120,7 @@ object StatQueries {
     "stat_mann_whitney"         -> statMannWhitney _,
     "time_gap_stats"            -> timeGapStats _,
     "stat_cuped_adjustment"     -> statCupedAdjustment _,
+    "agg_ttest_welch"           -> aggTtestWelch _,
     "etl_dq_profile"            -> etlDqProfile _,
     "etl_fk_orphan_check"       -> etlFkOrphanCheck _,
     "window_rolling_anomaly"    -> windowRollingAnomaly _,
@@ -1270,6 +1312,37 @@ object StatQueries {
          |  CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE) /
          |    CAST(MIN(na) * MIN(nb) AS DOUBLE) AS ks_stat
          |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_ttest_welch" ->
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+         |    (${OracleSql.fold32("'tt:' || CAST(event_id AS VARCHAR)")}) % 2
+         |      AS g
+         |  FROM events),
+         |a AS (SELECT event_type,
+         |    COUNT(CASE WHEN g = 0 THEN 1 END) AS n_a,
+         |    COUNT(CASE WHEN g = 1 THEN 1 END) AS n_b,
+         |    CAST(SUM(CASE WHEN g = 0 THEN v END) AS DOUBLE) AS sa,
+         |    CAST(SUM(CASE WHEN g = 1 THEN v END) AS DOUBLE) AS sb,
+         |    CAST(SUM(CASE WHEN g = 0 THEN v * v END) AS DOUBLE) AS ssa,
+         |    CAST(SUM(CASE WHEN g = 1 THEN v * v END) AS DOUBLE) AS ssb
+         |  FROM g GROUP BY event_type),
+         |m AS (SELECT event_type, n_a, n_b,
+         |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         |    sa, sb, ssa, ssb,
+         |    (ssa - sa * sa / CAST(n_a AS DOUBLE)) /
+         |      (CAST(n_a AS DOUBLE) - 1.0) AS va,
+         |    (ssb - sb * sb / CAST(n_b AS DOUBLE)) /
+         |      (CAST(n_b AS DOUBLE) - 1.0) AS vb
+         |  FROM a),
+         |t AS (SELECT event_type, n_a, n_b, na, nb, sa, sb,
+         |    va / na AS ta, vb / nb AS tb
+         |  FROM m)
+         |SELECT event_type, n_a, n_b,
+         |  sa / na - sb / nb AS mean_diff,
+         |  (sa / na - sb / nb) / sqrt(ta + tb) AS t_welch,
+         |  (ta + tb) * (ta + tb) /
+         |    (ta * ta / (na - 1.0) + tb * tb / (nb - 1.0)) AS df_welch
+         |FROM t ORDER BY event_type""".stripMargin,
     "stat_cuped_adjustment" ->
       """WITH pu AS (
         |  SELECT user_id,

@@ -383,6 +383,37 @@ class GraphQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("topological layers equal an in-memory longest-path computation") {
+    val rows = SparkEntry.queries("graph_topo_layers")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ops.PipelineCache.releaseAll()
+    // reference: rebuild the id-oriented support DAG and Bellman-relax
+    // over a topological order
+    val li = ops.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCount = li.groupBy(_._1).values.toSeq.flatMap { grp =>
+      val ps = grp.map(_._2).sorted.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size)
+    val edges = pairCount.filter(_._2 >= ops.GraphQueries.MinSupport).keys.toSeq
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    var layer = verts.map(_ -> 0L).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (u, v) =>
+        if (layer(u) + 1 > layer(v)) { layer += v -> (layer(u) + 1); changed = true }
+      }
+    }
+    assert(rows.keySet == verts)
+    rows.foreach { case (v, l) =>
+      assert(l == layer(v), s"vertex $v: layer $l != ${layer(v)}")
+    }
+    // the fixture actually has depth (chains exist): max layer >= 3
+    assert(rows.values.max >= 3)
+  }
+
   test("recursive CTE climb equals the doubling-loop flatten row for row") {
     // three constructions of the parent-chain relation: doubling loop
     // (graph_hierarchy_flatten), statement-level WITH RECURSIVE
