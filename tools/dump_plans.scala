@@ -5,7 +5,10 @@ val qs = Seq(
   "sim_hybrid_rrf", "sim_matryoshka_topk", "window_attribution_ushaped",
   "pipeline_feature_store", "pipeline_rag_index",
   "graph_hierarchy_flatten", "join_asof_orders_native",
-  "text_chunk_dedup", "curation_dsir_weights", "time_autocorr")
+  "text_chunk_dedup", "curation_dsir_weights", "time_autocorr",
+  "sim_ivf_pq_adc", "text_feature_hashing", "sql_recursive_cte",
+  "stat_mann_whitney", "curation_contamination_embedding",
+  "etl_compaction_plan")
 val sb = new StringBuilder
 sb.append("# Flagship physical plans (sf0.001, shuffle.partitions=8)\n\n")
 sb.append("Regenerate: `spark-shell --driver-class-path target/scala-2.13/classes -i tools/dump_plans.scala`.\n")
