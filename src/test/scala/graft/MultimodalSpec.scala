@@ -150,6 +150,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(v == v1)
   }
 
+  test("ZCR distinguishes a fast alternating tone from a slow one, frame-exact") {
+    import spark.implicits._
+    // 8000 Hz, 20 ms frames -> 160 samples/frame. 4 frames alternating
+    // every sample (one crossing per sample boundary) then 4 frames
+    // alternating every 8 samples (one crossing per 8 samples).
+    val fast = Array.tabulate(4 * 160)(i => if (i % 2 == 0) 1000 else -1000)
+    val slow = Array.tabulate(4 * 160)(i => if ((i / 8) % 2 == 0) 1000 else -1000)
+    val samples = (fast ++ slow).map(_.toShort)
+    val rows = Seq(MediaRow(1L, MediaMeta("audio", 0, 0, 1, 0), wav(samples)))
+    val z = zcrFeatures(spark.createDataset(rows).repartition(2)).collect().head
+    assert(z.sample_rate == 8000 && z.n_frames == 8)
+    // fast half: crossing at every sample boundary inside its 640
+    // samples except the very first sample of the clip (j > 0 guard);
+    // slow half: one crossing every 8 samples = 20/frame
+    assert(z.max_frame_zcr == 159.0 / 160 || z.max_frame_zcr == 1.0,
+      s"max ${z.max_frame_zcr}")
+    // fast: flips at j=1..639 → 639; fast→slow boundary: 1; slow: flips
+    // at every 8th sample after its first block → 640/8 − 1 = 79
+    assert(z.total_crossings == 639 + 1 + 79,
+      s"total ${z.total_crossings}")
+    // the slow (voiced-ish) frames sit below half the clip mean ZCR
+    assert(z.voiced_frames == 4, s"voiced ${z.voiced_frames}")
+    // determinism across partitionings
+    val z1 = zcrFeatures(spark.createDataset(rows).repartition(1)).collect().head
+    assert(z == z1)
+  }
+
   test("non-image media and unparseable bytes fall back to the deterministic stub") {
     val junk = MediaRow(1L, MediaMeta("image", 4, 4, 1, 0), Array[Byte](1, 2, 3))
     val audio = MediaRow(2L, MediaMeta("audio", 4, 4, 1, 44100), png(Array(Array(0xFFFFFF))))
