@@ -860,6 +860,18 @@ object GraphQueries {
     * (FWD∖S, BWD∖S, rest) in parallel — driver orchestration of this
     * same plan over disjoint vertex sets, not a new plan shape. */
   def graphSccFull(s: SparkSession, d: String): DataFrame = {
+    val byScc = org.apache.spark.sql.expressions.Window.partitionBy("scc_id")
+    sccLabels(s, d)
+      .withColumn("scc_size", count(lit(1)).over(byScc))
+      .orderBy("member")
+  }
+
+  /** The (member, scc_id) labeling [[graphSccFull]] emits, persisted so
+    * the decomposition and its condensation consumer
+    * ([[graphCondensationDag]]) pay the trim/FW-BW loops once per
+    * session. */
+  private def sccLabels(s: SparkSession, d: String): DataFrame =
+    PipelineCache.getOrPersist(s"graph_scc_labels:$d") {
     val edges = brandSeqEdges(s, d)
     val verts = edges.select(col("src").as("x"))
       .unionAll(edges.select(col("dst").as("x"))).distinct()
@@ -964,15 +976,49 @@ object GraphQueries {
     if (nResidual > 0)
       System.err.println(s"[graft] scc_full: extraction-round cap " +
         s"$SccMaxComponents reached with $nResidual vertices unlabeled")
-    val all = labeled.reduceOption(_ unionAll _)
+    labeled.reduceOption(_ unionAll _)
       .getOrElse(verts.select(col("x").as("member"), col("x").as("scc_id")))
-    val byScc = org.apache.spark.sql.expressions.Window.partitionBy("scc_id")
-    all.withColumn("scc_size", count(lit(1)).over(byScc))
-      .orderBy("member")
+  }
+
+  /** CONDENSATION of the SCC decomposition — the quotient DAG every
+    * SCC consumer actually wants (cycle-free dependency structure over
+    * the components): contract [[brandSeqEdges]] by the [[sccLabels]]
+    * labeling, drop intra-component edges, and report per component its
+    * size and condensed in/out degrees. The condensation is acyclic by
+    * construction (Tarjan), so this is the bridge from the cyclic raw
+    * graph to everything the DAG family ([[graphTopologicalLayers]])
+    * can do.
+    *
+    * Scale posture: two broadcast-or-hash joins of the edge list
+    * against the (member→scc) map, one distinct on component pairs
+    * (bounded by the condensation size, ≪ |E|), partial-aggregated
+    * degree rollups; the decomposition itself is read from the shared
+    * persisted labeling. */
+  def graphCondensationDag(s: SparkSession, d: String): DataFrame = {
+    val labels = sccLabels(s, d)
+    val edges = brandSeqEdges(s, d)
+    val condensed = edges
+      .join(labels.select(col("member").as("src"), col("scc_id").as("s_scc")),
+        Seq("src"))
+      .join(labels.select(col("member").as("dst"), col("scc_id").as("d_scc")),
+        Seq("dst"))
+      .filter(col("s_scc") =!= col("d_scc"))
+      .select(col("s_scc"), col("d_scc")).distinct()
+    val sizes = labels.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    val outd = condensed.groupBy(col("s_scc").as("scc_id"))
+      .agg(count(lit(1)).as("cond_out_deg"))
+    val ind = condensed.groupBy(col("d_scc").as("scc_id"))
+      .agg(count(lit(1)).as("cond_in_deg"))
+    sizes.join(outd, Seq("scc_id"), "left").join(ind, Seq("scc_id"), "left")
+      .select(col("scc_id"), col("scc_size"),
+        coalesce(col("cond_out_deg"), lit(0L)).as("cond_out_deg"),
+        coalesce(col("cond_in_deg"), lit(0L)).as("cond_in_deg"))
+      .orderBy("scc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_scc_full"          -> graphSccFull _,
+    "graph_condensation_dag"  -> graphCondensationDag _,
     "graph_topo_layers"       -> graphTopologicalLayers _,
     "graph_scc_pivot"         -> graphSccPivot _,
     "graph_hierarchy_flatten"   -> graphHierarchyFlatten _,
@@ -1128,6 +1174,47 @@ object GraphQueries {
     // a different algorithm than the engine's trim + iterated FW-BW
     // that must reach the same fixpoint. Closure size is quadratic only
     // within SCCs — fine at oracle scale, never the engine's plan.
+    // labels from the same reachability closure as graph_scc_full's
+    // oracle, then the quotient-graph contraction stated directly
+    "graph_condensation_dag" ->
+      """WITH RECURSIVE
+        |li AS (SELECT l.l_orderkey o, l.l_linenumber ln,
+        |         l.l_partkey src, p.p_brand b
+        |       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |       WHERE p.p_brand IN ('Brand#11','Brand#23')),
+        |w AS (SELECT o, b, src,
+        |        LEAD(src) OVER (PARTITION BY o, b ORDER BY ln, src) AS dst
+        |      FROM li),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM w
+        |  WHERE dst IS NOT NULL AND dst <> src),
+        |verts AS MATERIALIZED (
+        |  SELECT src AS x FROM edges UNION SELECT dst FROM edges),
+        |r AS (SELECT x AS a, x AS b FROM verts
+        |      UNION
+        |      SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b),
+        |mutual AS (SELECT r1.a AS u, r1.b AS v FROM r r1
+        |           JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a),
+        |lab AS MATERIALIZED (
+        |  SELECT v AS member, MIN(u) AS scc_id FROM mutual GROUP BY v),
+        |cond AS MATERIALIZED (
+        |  SELECT DISTINCT ls.scc_id AS s_scc, ld.scc_id AS d_scc
+        |  FROM edges e
+        |  JOIN lab ls ON ls.member = e.src
+        |  JOIN lab ld ON ld.member = e.dst
+        |  WHERE ls.scc_id <> ld.scc_id),
+        |sizes AS (SELECT scc_id, COUNT(*) AS scc_size FROM lab GROUP BY 1),
+        |od AS (SELECT s_scc AS scc_id, COUNT(*) AS cond_out_deg
+        |  FROM cond GROUP BY 1),
+        |id_ AS (SELECT d_scc AS scc_id, COUNT(*) AS cond_in_deg
+        |  FROM cond GROUP BY 1)
+        |SELECT sizes.scc_id, CAST(sizes.scc_size AS BIGINT) AS scc_size,
+        |  CAST(COALESCE(od.cond_out_deg, 0) AS BIGINT) AS cond_out_deg,
+        |  CAST(COALESCE(id_.cond_in_deg, 0) AS BIGINT) AS cond_in_deg
+        |FROM sizes
+        |LEFT JOIN od ON od.scc_id = sizes.scc_id
+        |LEFT JOIN id_ ON id_.scc_id = sizes.scc_id
+        |ORDER BY sizes.scc_id""".stripMargin,
     "graph_scc_full" ->
       """WITH RECURSIVE
         |li AS (SELECT l.l_orderkey o, l.l_linenumber ln,

@@ -398,6 +398,58 @@ object SimilarityQueries {
       .orderBy("pid")
   }
 
+  /** IVF-PQ RECALL EVALUATION — the shippability measurement for the
+    * COMPRESSED index ([[simAnnRecallEval]] measures the IVF routing;
+    * this measures what 2-bit ADC quantization costs): recall@10 of
+    * rank-by-ADC against exact L2 top-10, over the same 10-probe panel
+    * (vec_id 11–20, disjoint from the PQ codebook seeds 0–3). Low
+    * recall here tells an operator to raise K/M or add an exact rerank
+    * stage BEFORE shipping the index — the number that gates every
+    * production PQ deployment.
+    *
+    * Scale posture: the per-probe distance tables are 10·M·K rows
+    * broadcast once; the ADC arm touches only the persisted code frame
+    * ([[pqBest]], shared with the encode/query ops); both arms rank
+    * with identical tie-breaks (distance, vec_id), so the compared
+    * sets are deterministic in both engines. */
+  def simAnnIvfpqRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val e = emb(s, d)
+    val probes = broadcast(e.filter(col("vec_id").between(11, 20))
+      .select(col("vec_id").as("pid"), col("embedding").as("q"),
+        col("nsq").as("qnsq")))
+    val exactScored = e.crossJoin(probes).filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        (col("nsq") + col("qnsq") - lit(2.0) * dot(col("embedding"), col("q")))
+          .as("d2"))
+    val we = Window.partitionBy("pid").orderBy(col("d2"), col("vec_id"))
+    val exact = exactScored.withColumn("rk", row_number().over(we))
+      .filter(col("rk") <= 10).select("pid", "vec_id")
+    val dtable = broadcast(probes
+      .select(col("pid"), explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("q"))
+      .crossJoin(pqCents(s, d))
+      .select(col("pid"), col("m"), col("cid").as("code"),
+        (normSq(pqSub(col("q"))) + normSq(pqSub(col("cemb"))) -
+          lit(2.0) * dot(pqSub(col("q")), pqSub(col("cemb")))).as("dq")))
+    val adc = pqBest(s, d)
+      .join(dtable, Seq("m", "code"))
+      .groupBy("pid", "vec_id")
+      .agg(aggregate(sort_array(collect_list(struct(col("m"), col("dq")))),
+        lit(0.0), (acc, x) => acc + x.getField("dq")).as("adc_d2"))
+      .filter(col("vec_id") =!= col("pid"))
+    val wa = Window.partitionBy("pid").orderBy(col("adc_d2"), col("vec_id"))
+    val approx = adc.withColumn("rk", row_number().over(wa))
+      .filter(col("rk") <= 10).select("pid", "vec_id")
+    val hits = exact.join(approx, Seq("pid", "vec_id"))
+      .groupBy("pid").agg(count(lit(1)).as("n_hit"))
+    probes.select("pid").join(hits, Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_at_10", col("n_hit").cast(DoubleType) / lit(10.0))
+      .orderBy("pid")
+  }
+
   /** SemDeDup cell count. SIZING RULE: cells exist to BOUND the intra-
     * cell pair quadratic — nCells ≈ N / targetCellSize with targetCellSize
     * a few hundred keeps per-cell pair counts ~10^5 regardless of N; at
@@ -785,6 +837,7 @@ object SimilarityQueries {
     "sim_product_quantization" -> simProductQuantization _,
     "sim_binary_hamming_topk"  -> simBinaryHammingTopk _,
     "sim_ivf_pq_adc"           -> simIvfPqAdc _,
+    "sim_ann_ivfpq_recall"     -> simAnnIvfpqRecall _,
     "sim_kmeans_step"     -> simKmeansStep _,
     "sim_quantize_int8"   -> simQuantizeInt8 _,
     "sim_mips_augmented"  -> simMipsAugmented _,
@@ -1040,6 +1093,54 @@ object SimilarityQueries {
          |    ${dotSql("a.embedding", "a.embedding")} *
          |    ${dotSql("b.embedding", "b.embedding")}) >= $SemTau
          |ORDER BY a_id, b_id""".stripMargin,
+    "sim_ann_ivfpq_recall" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < 4),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |pr AS (SELECT vec_id AS pid, embedding AS q FROM embeddings
+         |  WHERE vec_id BETWEEN 11 AND 20),
+         |ex AS (SELECT pr.pid, e.vec_id,
+         |    ${dotSql("e.embedding", "e.embedding")} +
+         |    ${dotSql("pr.q", "pr.q")} -
+         |    2.0 * ${dotSql("e.embedding", "pr.q")} AS d2
+         |  FROM embeddings e CROSS JOIN pr WHERE e.vec_id <> pr.pid),
+         |exact AS (SELECT pid, vec_id FROM (
+         |    SELECT pid, vec_id,
+         |      row_number() OVER (PARTITION BY pid ORDER BY d2, vec_id) AS rk
+         |    FROM ex) WHERE rk <= 10),
+         |sub AS (SELECT e.vec_id, ms.m, c.cid,
+         |    ${subDotSql("e.embedding", "e.embedding")} +
+         |    ${subDotSql("c.cemb", "c.cemb")} -
+         |    2.0 * ${subDotSql("e.embedding", "c.cemb")} AS d2
+         |  FROM embeddings e CROSS JOIN ms CROSS JOIN cent c),
+         |best AS (SELECT vec_id, m, cid, d2,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid)
+         |      AS rn
+         |  FROM sub),
+         |cd AS (SELECT vec_id, m, cid AS code FROM best WHERE rn = 1),
+         |dt AS (SELECT pr.pid, ms.m, c.cid AS code,
+         |    ${subDotSql("pr.q", "pr.q")} +
+         |    ${subDotSql("c.cemb", "c.cemb")} -
+         |    2.0 * ${subDotSql("pr.q", "c.cemb")} AS dq
+         |  FROM pr CROSS JOIN ms CROSS JOIN cent c),
+         |adc AS (SELECT dt.pid, cd.vec_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(dt.dq ORDER BY cd.m)), (s, x) -> s + x) AS adc_d2
+         |  FROM cd JOIN dt ON dt.m = cd.m AND dt.code = cd.code
+         |  GROUP BY dt.pid, cd.vec_id),
+         |approx AS (SELECT pid, vec_id FROM (
+         |    SELECT pid, vec_id,
+         |      row_number() OVER (PARTITION BY pid ORDER BY adc_d2, vec_id)
+         |        AS rk
+         |    FROM adc WHERE vec_id <> pid) WHERE rk <= 10),
+         |hits AS (SELECT exact.pid, COUNT(*) AS n_hit
+         |  FROM exact JOIN approx
+         |    ON approx.pid = exact.pid AND approx.vec_id = exact.vec_id
+         |  GROUP BY exact.pid)
+         |SELECT pr.pid, CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / 10.0 AS recall_at_10
+         |FROM pr LEFT JOIN hits ON hits.pid = pr.pid
+         |ORDER BY pr.pid""".stripMargin,
     "sim_ivf_pq_adc" ->
       s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
          |  FROM embeddings WHERE vec_id < 4),

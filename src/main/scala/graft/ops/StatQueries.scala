@@ -469,6 +469,37 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** Two-proportion z-test on the purchase conversion rate between the
+    * md5 halves (salt "pz:") — the categorical-outcome member of the
+    * experimentation suite (Welch tests means; this tests RATES, the
+    * primary metric of most product experiments). Pooled-variance form:
+    * z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) from four exact
+    * counts through one fixed double chain (divisions + one IEEE sqrt,
+    * bit-stable cross-engine).
+    *
+    * Scale posture: one partial-aggregated global rollup — count-only,
+    * the cheapest query shape there is. */
+  def aggProportionsZtest(s: SparkSession, d: String): DataFrame = {
+    val grp = pmod(graft.dedup.Dedup.hexFold32(
+      md5(concat(lit("pz:"), col("event_id").cast(StringType)))), lit(2L))
+    val isConv = (col("event_type") === "purchase")
+    val agg = Tables.events(s, d)
+      .select(grp.as("g"), isConv.as("c"))
+      .agg(count(when(col("g") === 0, 1)).as("n_a"),
+        count(when(col("g") === 1, 1)).as("n_b"),
+        count(when(col("g") === 0 && col("c"), 1)).as("x_a"),
+        count(when(col("g") === 1 && col("c"), 1)).as("x_b"))
+    val na = col("n_a").cast(DoubleType); val nb = col("n_b").cast(DoubleType)
+    val xa = col("x_a").cast(DoubleType); val xb = col("x_b").cast(DoubleType)
+    val pa = xa / na
+    val pb = xb / nb
+    val pp = (xa + xb) / (na + nb)
+    agg.select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+      pa.as("p_a"), pb.as("p_b"),
+      ((pa - pb) / sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb)))
+        .as("z"))
+  }
+
   /** Welch two-sample t-test per event type — the unequal-variance
     * mean-difference test completing the drift/experimentation suite
     * (KS = shape, Mann–Whitney = rank dominance, χ² = categorical mix,
@@ -1121,6 +1152,7 @@ object StatQueries {
     "time_gap_stats"            -> timeGapStats _,
     "stat_cuped_adjustment"     -> statCupedAdjustment _,
     "agg_ttest_welch"           -> aggTtestWelch _,
+    "agg_proportions_ztest"     -> aggProportionsZtest _,
     "etl_dq_profile"            -> etlDqProfile _,
     "etl_fk_orphan_check"       -> etlFkOrphanCheck _,
     "window_rolling_anomaly"    -> windowRollingAnomaly _,
@@ -1312,6 +1344,28 @@ object StatQueries {
          |  CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE) /
          |    CAST(MIN(na) * MIN(nb) AS DOUBLE) AS ks_stat
          |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_proportions_ztest" ->
+      s"""WITH g AS (
+         |  SELECT (${OracleSql.fold32("'pz:' || CAST(event_id AS VARCHAR)")})
+         |      % 2 AS g,
+         |    event_type = 'purchase' AS c
+         |  FROM events),
+         |a AS (SELECT
+         |    COUNT(CASE WHEN g = 0 THEN 1 END) AS n_a,
+         |    COUNT(CASE WHEN g = 1 THEN 1 END) AS n_b,
+         |    COUNT(CASE WHEN g = 0 AND c THEN 1 END) AS x_a,
+         |    COUNT(CASE WHEN g = 1 AND c THEN 1 END) AS x_b
+         |  FROM g),
+         |m AS (SELECT n_a, n_b, x_a, x_b,
+         |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         |    CAST(x_a AS DOUBLE) AS xa, CAST(x_b AS DOUBLE) AS xb
+         |  FROM a)
+         |SELECT n_a, n_b, x_a, x_b,
+         |  xa / na AS p_a, xb / nb AS p_b,
+         |  (xa / na - xb / nb) / sqrt(
+         |    ((xa + xb) / (na + nb)) * (1.0 - (xa + xb) / (na + nb)) *
+         |    (1.0 / na + 1.0 / nb)) AS z
+         |FROM m""".stripMargin,
     "agg_ttest_welch" ->
       s"""WITH g AS (
          |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,

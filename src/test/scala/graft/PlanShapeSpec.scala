@@ -225,6 +225,18 @@ class PlanShapeSpec extends SparkTestBase {
     graft.ops.PipelineCache.releaseAll()
   }
 
+  test("calendar dim joins day-level aggregates with a real broadcast, never a day-keyed fact shuffle") {
+    val p = plan("time_calendar_dim")
+    // the round-6 form hinted the LEFT side of a LeftOuter join — Spark
+    // ignored it and shuffled the full fact table keyed by day; the fix
+    // pre-aggregates facts per day and broadcasts THAT (buildable) side
+    assert(ops(p).exists(_.isInstanceOf[BroadcastHashJoinExec]), p)
+    assert(ops(p).collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }.isEmpty, p)
+  }
+
   test("binary-hamming scan: codes fold into the projection, no hash exchange, top-k never sorts globally") {
     val p = plan("sim_binary_hamming_topk")
     // one broadcast probe + TakeOrdered: the 8-byte-code scan regime —
