@@ -645,6 +645,76 @@ object AggWindowQueries {
       .toDF("n_cells", "dof", "chi2")
   }
 
+  /** Shewhart CONTROL CHART over the daily event-count series — the
+    * SPC (statistical process control) alerting rule: a day is
+    * flagged when its count leaves the μ ± 2σ WARNING band of its
+    * event type's series. μ and σ come from exact integer sums
+    * (n, Σy, Σy²) through one fixed double chain + one IEEE sqrt
+    * (population σ — the control-chart convention); 2σ is the
+    * chart's WARNING limit (the 3σ action limit fires nowhere on this
+    * well-behaved synthetic series — probed); the band test
+    * compares doubles computed identically on both engines. Output is
+    * the EXCEPTIONS with their limits and z-scores — what pages the
+    * on-call, not the whole series.
+    *
+    * Scale posture: one partial-aggregated rollup to (type, day), one
+    * tiny window over the calendar-bounded daily frame for the
+    * moments, codegen'd band filter. */
+  def windowControlChart(s: SparkSession, d: String): DataFrame = {
+    val wt = Window.partitionBy("event_type")
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    val n = count(lit(1)).over(wt).cast(DoubleType)
+    val sy = sum(col("y")).over(wt).cast(DoubleType)
+    val syy = sum(col("y") * col("y")).over(wt).cast(DoubleType)
+    val mu = sy / n
+    val sigma = sqrt(syy / n - (sy / n) * (sy / n))
+    daily
+      .withColumn("mu", mu)
+      .withColumn("sigma", sigma)
+      .filter(abs(col("y").cast(DoubleType) - col("mu")) >
+        lit(2.0) * col("sigma"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("y"),
+        col("mu"), col("sigma"),
+        ((col("y").cast(DoubleType) - col("mu")) / col("sigma")).as("z"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Forecast-quality metrics for the SEASONAL-NAIVE baseline
+    * (forecast(day) = actual(day − 7), the default every forecasting
+    * system must beat): per event type, MAE, WAPE and bias over the
+    * days where both sides exist, paired by CALENDAR join (day = day−7
+    * — robust to gap days, the time_autocorr pairing rule, never a row
+    * lag). Absolute errors and totals are exact integer sums; each
+    * metric is ONE double division of exact operands.
+    *
+    * Scale posture: the corpus collapses to (type, day) in the first
+    * partial-aggregated shuffle; the pairing join and rollup reuse the
+    * same key. */
+  def windowForecastMetrics(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    val f = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("y").as("yhat"))
+    daily.join(f, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("y") - col("yhat"))).as("sum_abs_err"),
+        sum(col("y")).as("sum_actual"),
+        sum(col("y") - col("yhat")).as("sum_err"))
+      .select(col("event_type"), col("n_days"),
+        (col("sum_abs_err").cast(DoubleType) / col("n_days").cast(DoubleType))
+          .as("mae"),
+        (col("sum_abs_err").cast(DoubleType) / col("sum_actual").cast(DoubleType))
+          .as("wape"),
+        (col("sum_err").cast(DoubleType) / col("sum_actual").cast(DoubleType))
+          .as("bias"))
+      .orderBy("event_type")
+  }
+
   /** Trailing 7-day VWAP (volume-weighted average price) per return
     * flag — the volume-weighted companion of `window_twap` (which
     * weights by TIME): daily exact-decimal revenue and quantity sums,
@@ -759,6 +829,8 @@ object AggWindowQueries {
     "window_rolling_corr"   -> windowRollingCorr _,
     "window_rolling_median" -> windowRollingMedian _,
     "window_vwap"           -> windowVwap _,
+    "window_forecast_metrics" -> windowForecastMetrics _,
+    "window_control_chart"  -> windowControlChart _,
     "trend_theilsen_daily"  -> trendTheilsenDaily _,
     "agg_chisq_independence" -> aggChisqIndependence _,
     "window_peak_detection" -> windowPeakDetection _,
@@ -853,6 +925,43 @@ object AggWindowQueries {
         |    sqrt(CAST(7*sxx - sx*sx AS DOUBLE) * CAST(7*syy - sy*sy AS DOUBLE))
         |  END AS rolling_corr_7d
         |FROM f WHERE rn >= 7 ORDER BY day""".stripMargin,
+    "window_control_chart" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, day, y,
+        |    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+        |    CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+        |    CAST(SUM(y * y) OVER w AS DOUBLE) AS syy
+        |  FROM daily WINDOW w AS (PARTITION BY event_type)),
+        |b AS (SELECT event_type, day, y,
+        |    sy / n AS mu,
+        |    sqrt(syy / n - (sy / n) * (sy / n)) AS sigma
+        |  FROM m)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, y, mu, sigma,
+        |  (CAST(y AS DOUBLE) - mu) / sigma AS z
+        |FROM b
+        |WHERE ABS(CAST(y AS DOUBLE) - mu) > 2.0 * sigma
+        |ORDER BY event_type, day""".stripMargin,
+    "window_forecast_metrics" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, day + INTERVAL 7 DAY AS day, y AS yhat
+        |  FROM daily),
+        |j AS (SELECT d.event_type, d.y, f.yhat
+        |  FROM daily d JOIN f ON f.event_type = d.event_type
+        |    AND f.day = d.day),
+        |a AS (SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(ABS(y - yhat)) AS BIGINT) AS sae,
+        |    CAST(SUM(y) AS BIGINT) AS sa,
+        |    CAST(SUM(y - yhat) AS BIGINT) AS se
+        |  FROM j GROUP BY event_type)
+        |SELECT event_type, n_days,
+        |  CAST(sae AS DOUBLE) / CAST(n_days AS DOUBLE) AS mae,
+        |  CAST(sae AS DOUBLE) / CAST(sa AS DOUBLE) AS wape,
+        |  CAST(se AS DOUBLE) / CAST(sa AS DOUBLE) AS bias
+        |FROM a ORDER BY event_type""".stripMargin,
     "window_vwap" ->
       """WITH daily AS (
         |  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,

@@ -617,7 +617,38 @@ object CurationQueries {
       .orderBy("label")
   }
 
+  /** CLASS-BALANCED downsampling — the third sampling lever beside the
+    * rate-based [[sampleStratifiedLang]] and the fixed-size-per-group
+    * reservoir: every language class is cut to the MINORITY class's
+    * count (the classifier-training default when upweighting is off the
+    * table), taking each class's docs in deterministic md5 order — the
+    * no-RNG reshuffle, so the same docs survive on every run at any
+    * parallelism. Output per class: original and kept counts plus the
+    * exact id-sum checksum of the kept set (membership-sensitive, so
+    * the oracle pins WHICH docs survived, not just how many).
+    *
+    * Scale posture: one window exchange on the class key (classes are
+    * few — the domain-quota skew note applies), a broadcast 1-row
+    * minority count, partial-aggregated rollup. */
+  def sampleBalancedClasses(s: SparkSession, d: String): DataFrame = {
+    val shuffleKey = md5(concat(lit("bal:"), col("doc_id").cast(StringType)))
+    val rn = row_number().over(
+      Window.partitionBy("lang").orderBy(shuffleKey, col("doc_id")))
+    val ranked = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", rn)
+    val minCount = broadcast(ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n")).agg(min(col("n")).as("k")))
+    ranked.crossJoin(minCount)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("rn") <= col("k"), 1)).as("n_kept"),
+        sum(when(col("rn") <= col("k"), col("doc_id"))).as("kept_id_sum"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_balanced_classes" -> sampleBalancedClasses _,
     "curation_contamination_embedding" -> curationContaminationEmbedding _,
     "curation_dsir_weights"    -> curationDsirWeights _,
     "pipeline_feature_store"   -> pipelineFeatureStore _,
@@ -647,6 +678,21 @@ object CurationQueries {
     s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (s, x) -> s + x)"
 
   val oracle: Map[String, String] = Map(
+    "sample_balanced_classes" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS rn
+        |  FROM documents),
+        |k AS (SELECT MIN(n) AS k FROM (
+        |  SELECT COUNT(*) AS n FROM r GROUP BY lang))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN rn <= k.k THEN 1 END) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn <= k.k THEN doc_id END) AS BIGINT)
+        |    AS kept_id_sum
+        |FROM r CROSS JOIN k
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "curation_contamination_embedding" ->
       s"""WITH e AS (SELECT vec_id, label, embedding,
          |    (${fold32("'ce:' || CAST(vec_id AS VARCHAR)")}) % 10 = 0 AS hold

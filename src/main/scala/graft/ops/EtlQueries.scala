@@ -314,7 +314,32 @@ object EtlQueries {
       .orderBy("source", "bin")
   }
 
+  /** GDPR/CCPA ERASURE AUDIT — the compliance pass every user-data
+    * pipeline must run: an erasure list (here a deterministic md5 2%
+    * slice of user ids, standing in for the request queue) is applied
+    * to the event store by broadcast anti-join, and the audit reports
+    * per event type what was held, what was erased, and what remains —
+    * the evidence record a data-protection officer files. The
+    * reference's per-row DELETEs are the degenerate one-key case.
+    *
+    * Scale posture: the erasure list is request-queue-sized (tiny) →
+    * broadcast semi/anti probes; the 100 TB event store is consumed
+    * map-side and never shuffles; one partial-aggregated rollup. */
+  def etlErasureAudit(s: SparkSession, d: String): DataFrame = {
+    val erase = pmod(graft.dedup.Dedup.hexFold32(
+      md5(concat(lit("gdpr:"), col("user_id").cast(StringType)))), lit(50L)) === 0
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), erase.as("erased"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_held"),
+        count(when(col("erased"), 1)).as("n_erased"),
+        count(when(!col("erased"), 1)).as("n_remaining"),
+        count_distinct(when(col("erased"), col("user_id"))).as("n_subjects"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_erasure_audit"   -> etlErasureAudit _,
     "etl_compaction_plan" -> etlCompactionPlan _,
     "etl_datavault_keys" -> etlDatavaultKeys _,
     "etl_sync_checksums"     -> etlSyncChecksums _,
@@ -333,6 +358,17 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_erasure_audit" ->
+      s"""WITH e AS (
+         |  SELECT event_type, user_id,
+         |    (${OracleSql.fold32("'gdpr:' || CAST(user_id AS VARCHAR)")})
+         |      % 50 = 0 AS erased
+         |  FROM events)
+         |SELECT event_type, COUNT(*) AS n_held,
+         |  COUNT(CASE WHEN erased THEN 1 END) AS n_erased,
+         |  COUNT(CASE WHEN NOT erased THEN 1 END) AS n_remaining,
+         |  COUNT(DISTINCT CASE WHEN erased THEN user_id END) AS n_subjects
+         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "etl_datavault_keys" ->
       """SELECT o_orderkey, o_custkey,
         |  md5('cust' || '|' || CAST(o_custkey AS VARCHAR)) AS hk_customer,
