@@ -469,6 +469,78 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** FLAGSHIP experiment READOUT — the whole A/B analysis the
+    * experimentation suite's pieces exist for, composed in ONE
+    * oracle-checked plan the way a metrics platform materializes it:
+    *
+    *   user-level ARM ASSIGNMENT (md5 half of user_id, salt "exp:" —
+    *   the unit of randomization is the user, never the event) →
+    *   per-user PRE/POST metric sums + post-period conversion flag →
+    *   per-arm moments → Welch t on the post mean, two-proportion z on
+    *   user conversion, POOLED-θ CUPED adjustment of the arm means
+    *   (θ = pooled cov(x,y)/var(x) across arms — the standard practice
+    *   so the adjustment cannot absorb the treatment effect).
+    *
+    * One row out: sizes, raw and CUPED-adjusted effect, t, z, θ — the
+    * readout a decision meeting consumes. Exactness: user sums are
+    * exact DECIMAL/integers; every statistic is a fixed double chain
+    * over cast-exact operands (the stats-moments discipline), so both
+    * engines agree bit-for-bit.
+    *
+    * Scale posture: one shuffle to per-user rows (map-side combined),
+    * ONE global partial-aggregated moment rollup serving all three
+    * statistics (arm margins via conditional aggregates, no second
+    * pass, no window, no join). */
+  def pipelineExperimentReadout(s: SparkSession, d: String): DataFrame = {
+    val split = java.sql.Date.valueOf(MvSplitDay)
+    val zero = lit(0).cast(DecimalType(18, 2))
+    val arm = pmod(graft.dedup.Dedup.hexFold32(
+      md5(concat(lit("exp:"), col("user_id").cast(StringType)))), lit(2L))
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value").cast(DecimalType(18, 2)).as("v"),
+        (col("event_type") === "purchase").as("isp"))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < lit(split), col("v")).otherwise(zero)).as("x"),
+        sum(when(col("day") >= lit(split), col("v")).otherwise(zero)).as("y"),
+        max(when(col("day") >= lit(split) && col("isp"), 1L).otherwise(0L))
+          .as("conv"))
+      .withColumn("g", arm)
+    def armAgg(g: Int, c: org.apache.spark.sql.Column) = sum(when(col("g") === g, c))
+    val agg = perUser.agg(
+      count(when(col("g") === 0, 1)).as("n_a"),
+      count(when(col("g") === 1, 1)).as("n_b"),
+      armAgg(0, col("y")).as("sya"), armAgg(1, col("y")).as("syb"),
+      armAgg(0, col("y") * col("y")).as("syya"),
+      armAgg(1, col("y") * col("y")).as("syyb"),
+      armAgg(0, col("x")).as("sxa"), armAgg(1, col("x")).as("sxb"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+      armAgg(0, col("conv")).as("ca"), armAgg(1, col("conv")).as("cb"))
+    val na = col("n_a").cast(DoubleType); val nb = col("n_b").cast(DoubleType)
+    val n = na + nb
+    val sya = col("sya").cast(DoubleType); val syb = col("syb").cast(DoubleType)
+    val va = (col("syya").cast(DoubleType) - sya * sya / na) / (na - lit(1.0))
+    val vb = (col("syyb").cast(DoubleType) - syb * syb / nb) / (nb - lit(1.0))
+    val rawDiff = sya / na - syb / nb
+    val tWelch = rawDiff / sqrt(va / na + vb / nb)
+    // pooled theta over BOTH arms (population-moment form)
+    val sx = col("sx").cast(DoubleType); val sy = col("sy").cast(DoubleType)
+    val theta = (col("sxy").cast(DoubleType) - sx * sy / n) /
+      (col("sxx").cast(DoubleType) - sx * sx / n)
+    val adjDiff = (sya / na - theta * (col("sxa").cast(DoubleType) / na)) -
+      (syb / nb - theta * (col("sxb").cast(DoubleType) / nb))
+    val pa = col("ca").cast(DoubleType) / na
+    val pb = col("cb").cast(DoubleType) / nb
+    val pp = (col("ca") + col("cb")).cast(DoubleType) / n
+    val zConv = (pa - pb) /
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
+    agg.select(col("n_a"), col("n_b"),
+      rawDiff.as("raw_diff"), tWelch.as("t_welch"),
+      theta.as("theta"), adjDiff.as("cuped_adj_diff"),
+      pa.as("conv_a"), pb.as("conv_b"), zConv.as("z_conversion"))
+  }
+
   /** Two-proportion z-test on the purchase conversion rate between the
     * md5 halves (salt "pz:") — the categorical-outcome member of the
     * experimentation suite (Welch tests means; this tests RATES, the
@@ -1153,6 +1225,7 @@ object StatQueries {
     "stat_cuped_adjustment"     -> statCupedAdjustment _,
     "agg_ttest_welch"           -> aggTtestWelch _,
     "agg_proportions_ztest"     -> aggProportionsZtest _,
+    "pipeline_experiment_readout" -> pipelineExperimentReadout _,
     "etl_dq_profile"            -> etlDqProfile _,
     "etl_fk_orphan_check"       -> etlFkOrphanCheck _,
     "window_rolling_anomaly"    -> windowRollingAnomaly _,
@@ -1344,6 +1417,59 @@ object StatQueries {
          |  CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE) /
          |    CAST(MIN(na) * MIN(nb) AS DOUBLE) AS ks_stat
          |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "pipeline_experiment_readout" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-25'
+         |      THEN CAST(value AS DECIMAL(18,2))
+         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+         |    SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-25'
+         |      THEN CAST(value AS DECIMAL(18,2))
+         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y,
+         |    MAX(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-25'
+         |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         |    (${OracleSql.fold32("'exp:' || CAST(user_id AS VARCHAR)")}) % 2
+         |      AS g
+         |  FROM events GROUP BY user_id),
+         |a AS (SELECT
+         |    COUNT(CASE WHEN g = 0 THEN 1 END) AS n_a,
+         |    COUNT(CASE WHEN g = 1 THEN 1 END) AS n_b,
+         |    CAST(SUM(CASE WHEN g = 0 THEN y END) AS DOUBLE) AS sya,
+         |    CAST(SUM(CASE WHEN g = 1 THEN y END) AS DOUBLE) AS syb,
+         |    CAST(SUM(CASE WHEN g = 0 THEN y * y END) AS DOUBLE) AS syya,
+         |    CAST(SUM(CASE WHEN g = 1 THEN y * y END) AS DOUBLE) AS syyb,
+         |    CAST(SUM(CASE WHEN g = 0 THEN x END) AS DOUBLE) AS sxa,
+         |    CAST(SUM(CASE WHEN g = 1 THEN x END) AS DOUBLE) AS sxb,
+         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CASE WHEN g = 0 THEN conv END) AS BIGINT) AS ca,
+         |    CAST(SUM(CASE WHEN g = 1 THEN conv END) AS BIGINT) AS cb
+         |  FROM pu),
+         |m AS (SELECT n_a, n_b, sya, syb, sxa, sxb, sx, sy, sxx, sxy, ca, cb,
+         |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+         |    (syya - sya * sya / CAST(n_a AS DOUBLE)) /
+         |      (CAST(n_a AS DOUBLE) - 1.0) AS va,
+         |    (syyb - syb * syb / CAST(n_b AS DOUBLE)) /
+         |      (CAST(n_b AS DOUBLE) - 1.0) AS vb
+         |  FROM a),
+         |t AS (SELECT *,
+         |    sya / na - syb / nb AS raw_diff,
+         |    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+         |    CAST(ca AS DOUBLE) / na AS conv_a,
+         |    CAST(cb AS DOUBLE) / nb AS conv_b,
+         |    CAST(ca + cb AS DOUBLE) / n AS pp
+         |  FROM m)
+         |SELECT n_a, n_b, raw_diff,
+         |  raw_diff / sqrt(va / na + vb / nb) AS t_welch,
+         |  theta,
+         |  (sya / na - theta * (sxa / na)) - (syb / nb - theta * (sxb / nb))
+         |    AS cuped_adj_diff,
+         |  conv_a, conv_b,
+         |  (conv_a - conv_b) / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+         |    AS z_conversion
+         |FROM t""".stripMargin,
     "agg_proportions_ztest" ->
       s"""WITH g AS (
          |  SELECT (${OracleSql.fold32("'pz:' || CAST(event_id AS VARCHAR)")})
