@@ -177,6 +177,77 @@ class MultimodalSpec extends SparkTestBase {
     assert(z == z1)
   }
 
+  // ---- minimal ISO-BMFF construction for the container-parse tests ----
+  private def be32(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+  private def be64(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(v).array()
+  private def bmffBox(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+  }
+  private def stsdBox(format: String): Array[Byte] =
+    bmffBox("stsd", be32(0), be32(1),
+      be32(16) ++ format.getBytes("US-ASCII") ++ Array.fill[Byte](8)(0))
+  private def trakBox(format: String): Array[Byte] =
+    bmffBox("trak", bmffBox("mdia", bmffBox("minf",
+      bmffBox("stbl", stsdBox(format)))))
+
+  test("parseMp4 reads brand, duration, tracks, and codecs from a real box structure") {
+    val ftyp = bmffBox("ftyp", "isom".getBytes, be32(512), "mp42".getBytes)
+    val mvhdV0 = bmffBox("mvhd",
+      be32(0),          // version 0 + flags
+      be32(0), be32(0), // creation, modification
+      be32(1000),       // timescale
+      be32(90500))      // duration → 90.5 s
+    val mp4 = ftyp ++ bmffBox("moov", mvhdV0, trakBox("avc1"), trakBox("mp4a"))
+    val Some(meta) = Multimodal.parseMp4(mp4)
+    assert(meta.major_brand == "isom")
+    assert(meta.timescale == 1000L && meta.duration_units == 90500L)
+    assert(meta.duration_s == 90.5)
+    assert(meta.n_tracks == 2)
+    assert(meta.sample_formats == Seq("avc1", "mp4a"))
+  }
+
+  test("parseMp4 handles version-1 mvhd and 64-bit largesize boxes") {
+    val ftyp = bmffBox("ftyp", "iso6".getBytes, be32(0), "iso6".getBytes)
+    val mvhdV1 = bmffBox("mvhd",
+      Array[Byte](1, 0, 0, 0),  // version 1 + flags
+      be64(0), be64(0),         // creation, modification (64-bit)
+      be32(600),                // timescale
+      be64(1234567L))           // duration (64-bit)
+    // wrap moov as a LARGESIZE box: size=1 marker + 64-bit size
+    val moovBody = mvhdV1 ++ trakBox("hvc1")
+    val largeMoov = be32(1) ++ "moov".getBytes("US-ASCII") ++
+      be64(16L + moovBody.length) ++ moovBody
+    val Some(meta) = Multimodal.parseMp4(ftyp ++ largeMoov)
+    assert(meta.major_brand == "iso6")
+    assert(meta.timescale == 600L && meta.duration_units == 1234567L)
+    assert(meta.n_tracks == 1 && meta.sample_formats == Seq("hvc1"))
+  }
+
+  test("parseMp4 rejects junk, truncated boxes, and non-BMFF streams; videoMeta stays total") {
+    import spark.implicits._
+    assert(Multimodal.parseMp4(Array[Byte](1, 2, 3)).isEmpty)
+    // declared size runs past the buffer → malformed
+    val truncated = be32(100) ++ "ftyp".getBytes ++ Array.fill[Byte](8)(0)
+    assert(Multimodal.parseMp4(truncated).isEmpty)
+    // a valid PNG is not BMFF (no ftyp) → None
+    assert(Multimodal.parseMp4(png(Array(Array(0x808080)))).isEmpty)
+    val ftyp = bmffBox("ftyp", "isom".getBytes, be32(0), "isom".getBytes)
+    val good = ftyp ++ bmffBox("moov",
+      bmffBox("mvhd", be32(0), be32(0), be32(0), be32(1000), be32(2000)),
+      trakBox("avc1"))
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("video", 4, 4, 1, 0), good),
+      MediaRow(2L, MediaMeta("video", 4, 4, 1, 0), Array[Byte](9, 9, 9)))
+    val out = Multimodal.videoMeta(spark.createDataset(rows).repartition(2))
+      .collect().sortBy(_.media_id)
+    assert(out(0).parsed && out(0).duration_s == 2.0 &&
+      out(0).sample_formats == Seq("avc1"))
+    assert(!out(1).parsed && out(1).n_tracks == 0)
+  }
+
   test("non-image media and unparseable bytes fall back to the deterministic stub") {
     val junk = MediaRow(1L, MediaMeta("image", 4, 4, 1, 0), Array[Byte](1, 2, 3))
     val audio = MediaRow(2L, MediaMeta("audio", 4, 4, 1, 44100), png(Array(Array(0xFFFFFF))))
