@@ -349,7 +349,14 @@ object Bench {
       // compile pass done, a single full sweep is already steady-state
       // and full-coverage, so stopping early sacrifices only the
       // stall-voting median, never coverage or warmth).
-      continue = complete && sweeps.size < reps && elapsedSec < 1.6 * budgetSec
+      // EXCEPTION: without a compile pass, sweep 1 is compile-cold and
+      // its numbers are ~3-4× steady-state — the round-5/6 guarantee of
+      // a warm second sweep must survive the wall check, or the
+      // published total would be the cold number the old protocol
+      // existed to avoid.
+      continue = complete && sweeps.size < reps &&
+        (elapsedSec < 1.6 * budgetSec ||
+          (!compilePassComplete && sweeps.size < 2))
       if (!continue && sweeps.size < reps)
         note(s"stopping after ${sweeps.size}/$reps sweeps " +
           s"(${if (complete) "wall cap" else "sweep bail"} at ${f3(elapsedSec)}s)")

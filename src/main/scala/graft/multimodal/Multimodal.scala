@@ -213,7 +213,14 @@ object Multimodal {
     def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
     def fourcc(o: Int): String =
       new String(content, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    def walk(from: Int, to: Int): Boolean = { // false = malformed
+    // Depth cap: legitimate BMFF nests ~5 levels (moov/trak/mdia/minf/
+    // stbl); a crafted chain of container headers could otherwise drive
+    // the recursion bytes/8 deep and kill the task with a
+    // StackOverflowError (NOT NonFatal — it would escape any catch and
+    // contradict videoMeta's totality contract). 16 is headroom.
+    val MaxDepth = 16
+    def walk(from: Int, to: Int, depth: Int = 0): Boolean = { // false = malformed
+      if (depth > MaxDepth) return false
       var off = from
       while (off + 8 <= to) {
         val size0 = be32(off)
@@ -241,13 +248,13 @@ object Multimodal {
             }
           case "trak" =>
             nTracks += 1
-            if (!walk(body, end)) return false
+            if (!walk(body, end, depth + 1)) return false
           case "stsd" if size >= hdr + 8 + 8 =>
             // version+flags(4), entry_count(4), first entry:
             // size(4) + format fourcc(4)
             formats += fourcc(body + 8 + 4)
           case t if containers(t) =>
-            if (!walk(body, end)) return false
+            if (!walk(body, end, depth + 1)) return false
           case _ => ()
         }
         off = end
@@ -255,7 +262,7 @@ object Multimodal {
       off == to
     }
     if (content.length < 8) None
-    else if (!walk(0, content.length)) None
+    else if (!scala.util.Try(walk(0, content.length)).getOrElse(false)) None
     else if (brand.isEmpty) None // not BMFF at all
     else Some(Mp4Meta(brand.get, timescale, duration,
       if (timescale <= 0) 0.0 else duration.toDouble / timescale,

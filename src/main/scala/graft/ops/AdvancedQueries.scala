@@ -145,9 +145,15 @@ object AdvancedQueries {
     // climb steps) legitimately exceeds it (measured:
     // RECURSION_ROW_LIMIT_EXCEEDED at sf1). The walk is provably
     // terminating (cur strictly shrinks by ÷4 until < 4), so size the
-    // guard to data like any production recursive job would; the guard
-    // still backstops a genuinely diverging recursion.
-    s.conf.set("spark.sql.cteRecursionRowLimit", (200L * 1000 * 1000).toString)
+    // guard to data like any production recursive job would. SCOPE
+    // NOTE, deliberate: the conf is session-level and read at
+    // EXECUTION time, so it cannot be set-and-restored around the lazy
+    // sql() — the raised guard persists for the session. 50M (≈2×
+    // sf1's legitimate need) keeps it a real backstop: a diverging
+    // recursion still dies ~50× sooner than memory pressure would
+    // notice, and 200× later than a default that rejects legitimate
+    // fixture-scale work.
+    s.conf.set("spark.sql.cteRecursionRowLimit", (50L * 1000 * 1000).toString)
     Tables.part(s, d).createOrReplaceTempView("graft_part_rc")
     s.sql(
       """WITH RECURSIVE walk(k, cur, depth) AS (

@@ -672,10 +672,7 @@ object CurationQueries {
   import TextQueries.{bpeSql, langCaseSql, qualityGateSql, survivorFromSql}
   import TextQueries.{cleanedSql, ratioSqlOf, tokensSqlOf}
 
-  private def ceDot(a: String, b: String): String =
-    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-    s"list_transform(range(1, len($a)+1), " +
-    s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (s, x) -> s + x)"
+  private def ceDot(a: String, b: String): String = OracleSql.dotFold(a, b)
 
   val oracle: Map[String, String] = Map(
     "sample_balanced_classes" ->

@@ -653,31 +653,32 @@ object DedupQueries {
     * but far below driver-heap risk. */
   private[graft] val IncBroadcastCapBytes: Long = 512L << 20
 
-  /** `broadcast(df)` only when the optimizer's size estimate fits the
-    * cap; otherwise the frame is returned unhinted so AQE picks the
-    * join strategy from RUNTIME sizes. Plan-stat estimates are crude
-    * (filter selectivity is often unknown), which is exactly why the
-    * fallback is "no hint" rather than "never broadcast": a false
-    * TOO-BIG estimate costs one avoidable shuffle; a false SMALL-ENOUGH
-    * estimate under an unconditional hint costs the driver. */
-  private def broadcastIfSmall(df: DataFrame, capBytes: Long): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= capBytes) broadcast(df)
-    else df
-
   private[graft] def dedupIncrementalBatchGuarded(
       s: SparkSession, d: String, capBytes: Long): DataFrame = {
-    def bc(df: DataFrame): DataFrame = broadcastIfSmall(df, capBytes)
     val isNew = pmod(hexFold32(md5(concat(lit("inc:"),
       col("doc_id").cast("string")))), lit(100L)) >= 90
     val fps = Tables.documents(s, d)
       .select(col("doc_id"), isNew.as("is_new"), md5(col("text")).as("fp"))
     val newFpSet = fps.filter(col("is_new")).select("fp").distinct()
-    val exactDup = fps.filter(!col("is_new"))
-      .join(bc(newFpSet), "fp").select("fp").distinct()
     val grams = shingled(s, d)
       .select(col("doc_id"), isNew.as("is_new"), explode(col("sh")).as("g"))
     val newGrams = grams.filter(col("is_new"))
     val newGramSet = newGrams.select("g").distinct()
+    // Guard decision evaluated ONCE, on the LARGEST batch-derived frame
+    // (the gram set dominates every other broadcast side) — reading the
+    // plan-stat estimate forces an analyze+optimize pass, and doing it
+    // per broadcast site cost six eager Catalyst passes per
+    // construction (round-7 review). Plan-stat estimates are crude
+    // (filter selectivity often unknown), which is exactly why the
+    // fallback is "no hint" rather than "never broadcast": a false
+    // TOO-BIG estimate costs one avoidable shuffle; a false
+    // SMALL-ENOUGH estimate under an unconditional hint costs the
+    // driver.
+    val useHint =
+      newGramSet.queryExecution.optimizedPlan.stats.sizeInBytes <= capBytes
+    def bc(df: DataFrame): DataFrame = if (useHint) broadcast(df) else df
+    val exactDup = fps.filter(!col("is_new"))
+      .join(bc(newFpSet), "fp").select("fp").distinct()
     val oldShared = grams.filter(!col("is_new"))
       .join(bc(newGramSet), "g").select("g").distinct()
     val nearCounts = newGrams.join(bc(oldShared), "g")

@@ -879,6 +879,7 @@ object GraphQueries {
     var nResidual = residual.count()
     val labeled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var trims = 0
+    var trimCapWarned = false
     // residual-restricted edge list, refreshed after every residual change
     def resEdges(): DataFrame = edges
       .join(residual.select(col("x").as("src")), Seq("src"), "left_semi")
@@ -887,7 +888,6 @@ object GraphQueries {
     def trimToFixpoint(): Unit = {
       var again = nResidual > 0
       while (again && trims < SccTrimMaxRounds) {
-        trims += 1
         val e = resEdges()
         val keep = residual
           .join(e.select(col("dst").as("x")).distinct(), Seq("x"), "left_semi")
@@ -896,6 +896,11 @@ object GraphQueries {
         val nKeep = keep.count()
         if (nKeep == nResidual) again = false
         else {
+          // only PRODUCTIVE rounds consume the shared budget — a probe
+          // that just confirms the fixpoint is free, otherwise each of
+          // the up-to-12 extraction rounds' confirming call would eat a
+          // round and trimming could silently disable mid-decomposition
+          trims += 1
           labeled += residual.join(keep, Seq("x"), "left_anti")
             .select(col("x").as("member"), col("x").as("scc_id"))
             .localCheckpoint()
@@ -904,9 +909,13 @@ object GraphQueries {
           again = nResidual > 0
         }
       }
-      if (again)
+      // warn once, only when the cap genuinely cut a still-shrinking
+      // trim off (not on later calls that never got to probe)
+      if (again && trims >= SccTrimMaxRounds && !trimCapWarned) {
+        trimCapWarned = true
         System.err.println(s"[graft] scc_full: trim cap $SccTrimMaxRounds " +
           "reached — decomposition may be incomplete")
+      }
     }
     trimToFixpoint()
     var rounds = 0

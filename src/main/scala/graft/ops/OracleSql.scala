@@ -9,6 +9,18 @@ package graft.ops
   */
 object OracleSql {
 
+  /** Index-order double dot-product fold — THE cross-engine vector
+    * fragment (widen each element to double, multiply in index order,
+    * strict left fold seeded 0.0), matching the native VecDot
+    * expression bit for bit. One definition, shared by every
+    * vector-consuming oracle (similarity, curation) so the fold
+    * convention can never drift between copies. */
+  def dotFold(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (s, x) -> s + x)"
+
+
   /** 32-bit fold of md5($arg)'s first 8 hex nibbles — mirrors
     * [[graft.dedup.Dedup.hexFold32]] exactly. `arg` is a SQL expression
     * yielding the md5 INPUT string (the md5 call is emitted here). */

@@ -857,8 +857,7 @@ object SimilarityQueries {
   private def subDotSql(a: String, b: String): String =
     fold(s"list_transform(range(8*m + 1, 8*m + 9), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
 
-  private def dotSql(a: String, b: String): String =
-    fold(s"list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+  private def dotSql(a: String, b: String): String = OracleSql.dotFold(a, b)
   private val cosSql =
     s"""${dotSql("e.embedding", "p.q")} / sqrt(
        |  ${dotSql("e.embedding", "e.embedding")} * ${dotSql("p.q", "p.q")})""".stripMargin

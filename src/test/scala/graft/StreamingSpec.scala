@@ -317,12 +317,14 @@ class StreamingSpec extends SparkTestBase {
       .format("memory").queryName(name).outputMode("append").start()
     try {
       docs.grouped(20).zipWithIndex.foreach { case (batch, i) =>
-        // MONOTONE event time regardless of fixture size: hour advances
-        // every 60 groups (i % 60 alone wraps past 1200 docs, which
-        // would sort later docs BEFORE earlier ones and flip the
-        // min-doc_id first-writer attribution — round-6 advice)
+        // MONOTONE event time truly regardless of fixture size: one
+        // minute per group from a fixed epoch (an HH:mm format would
+        // wrap at some size — i % 60 at 1,200 docs, hour rollover at
+        // ~16,800 — and flip the min-doc_id first-writer attribution;
+        // round-6 advice + round-7 review)
+        val t0 = ts("10:00").getTime
         mem.addData(batch.map { case (id, text) =>
-          Streams.DocEvent(id, ts(f"${10 + i / 60}%02d:${i % 60}%02d"), text)
+          Streams.DocEvent(id, new Timestamp(t0 + i * 60000L), text)
         }.toSeq)
         if (i % 5 == 0) q.processAllAvailable()
       }
