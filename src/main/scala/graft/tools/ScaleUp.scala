@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   *   - `nation`/`region` are dimensions: copied once, nationkeys untouched,
   *     so dimension-grouped aggregates see rep× larger groups (the correct
   *     100 TB shape: facts grow, dims don't).
-  *   - `documents.text` is vowel-rotated per replica (length-preserving
-  *     `translate`). Without this, every doc would gain rep-1 exact clones
-  *     and LSH/minhash candidate sets would grow quadratically in rep for
-  *     data reasons, not plan reasons; rotation keeps near-dup structure
-  *     within a replica and makes cross-replica shingle sets disjoint.
+  *   - `documents.text` is letter-rotated per replica (length-preserving
+  *     `translate`; vowel rotation composed with a consonant rotation —
+  *     combined period 105). Without this, every doc would gain exact
+  *     cross-replica clones and LSH/minhash candidate sets would grow
+  *     quadratically in rep for data reasons, not plan reasons; rotation
+  *     keeps near-dup structure within a replica and makes cross-replica
+  *     shingle sets disjoint.
   *   - `embeddings.embedding` is cyclically shifted by `r` positions:
   *     norms and intra-replica geometry are preserved; cross-replica
   *     cosine structure is decorrelated so ANN candidate counts scale
