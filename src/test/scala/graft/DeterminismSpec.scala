@@ -27,7 +27,13 @@ class DeterminismSpec extends SparkTestBase {
     "stat_mann_whitney",
     "graph_scc_full",
     "sim_ivf_pq_adc",
-    "sql_recursive_cte")
+    "sql_recursive_cte",
+    // late round-7: one-rollup multi-statistic FP chains (readout),
+    // window-moment band filters (control chart), md5-order windows +
+    // broadcast min-count (balanced classes)
+    "pipeline_experiment_readout",
+    "window_control_chart",
+    "sample_balanced_classes")
 
   test("results are bit-identical at 2 vs 9 shuffle partitions") {
     val conf = spark.conf
