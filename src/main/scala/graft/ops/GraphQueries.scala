@@ -54,6 +54,66 @@ object GraphQueries {
     * the sf fixtures converge in ≤ 8). */
   val SccMaxRounds = 32
 
+  /** Row cap under which an iteration-invariant join side (adjacency,
+    * residual vertex set) is broadcast inside a convergence loop. The
+    * loops track these counts exactly (their fixpoint probes), so the
+    * guard is free and exact where plan-stat guards estimate: ≤ 4M rows
+    * of 2-3 long columns ≈ 64-96 MB per executor — comfortably inside a
+    * production executor's broadcast budget, and the win is structural:
+    * a broadcast-hash join has NO shuffle stage, so each loop round
+    * drops its AQE stage-materialization barriers (measured: these
+    * loops are driver-barrier-bound at every SF, not data-bound). Above
+    * the cap the shuffled form runs unchanged at any scale. */
+  val IterBroadcastMaxRows = 4 * 1000 * 1000
+
+  /** Run `body` with AQE disabled, restoring the session's ORIGINAL
+    * setting afterwards (recorded once per session, so nested/
+    * concurrent scopes can never leave the flag stuck on "false").
+    *
+    * Why (round-8, thread-sampled): the convergence loops' wall time
+    * sits inside `AdaptiveSparkPlanExec.withFinalPlanUpdate` — AQE
+    * materializes every exchange of every tiny round-statement as its
+    * own sequential query-stage job, so a 2-shuffle round pays 3-4
+    * scheduler barriers instead of 1. AQE's value is re-planning
+    * UNKNOWN-sized shuffles; a round plan here is fully known
+    * (checkpointed inputs with exact tracked counts, size-guarded
+    * broadcasts picked by hand), so adaptivity only adds latency —
+    * scoping it off inside the loop is the same call Pregel-style
+    * engines make for their supersteps. Queries RETURNED to callers
+    * still plan adaptively: the scope only covers loop-internal
+    * materializations. */
+  private val aqeOriginal =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private val shuffleOriginal =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private[graft] def withAqeOff[T](s: SparkSession)(body: => T): T =
+    withLoopExec(s, stateRows = -1L)(body)
+
+  /** [[withAqeOff]] plus STATE-SIZED shuffle width: a convergence
+    * round's shuffles carry the loop state (frontier/residual/label
+    * frames), whose row count the loop tracks exactly — so size the
+    * stage to the state (1 partition per ~2M state rows, floor 4)
+    * instead of the session width. At fixture scale that turns a
+    * 32+32-task round stage (per-task dispatch ≈ 2-3 ms dominates KB
+    * of data) into a 4-task one; at 100 TB a billion-row state still
+    * gets hundreds of partitions, and anything above the session
+    * width keeps the session width. stateRows < 0 skips the resize. */
+  private[graft] def withLoopExec[T](s: SparkSession, stateRows: Long)(body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val shKey = "spark.sql.shuffle.partitions"
+    val aqeOrig = aqeOriginal.computeIfAbsent(s, sess => sess.conf.get(aqeKey, "true"))
+    val shOrig = shuffleOriginal.computeIfAbsent(s, sess => sess.conf.get(shKey, "200"))
+    s.conf.set(aqeKey, "false")
+    if (stateRows >= 0) {
+      val sized = math.max(4L, stateRows / (2L * 1000 * 1000))
+      s.conf.set(shKey, math.min(shOrig.toLong, sized).toString)
+    }
+    try body finally {
+      s.conf.set(aqeKey, aqeOrig)
+      s.conf.set(shKey, shOrig)
+    }
+  }
+
   /** BFS frontier-exhaustion cap — also the unroll depth of the layered
     * DuckDB oracle, so engine and oracle label EXACTLY the same depth
     * range by construction (depths beyond it are `-1` on both sides).
@@ -266,7 +326,15 @@ object GraphQueries {
     */
   private[graft] def pagerankConvergedOnAdjacency(adj: DataFrame,
       verts: DataFrame, relTol: Double, maxRounds: Int): DataFrame = {
+    // base snapshot — per-round plans reference adj dozens of times
+    // across the loop; a LogicalRDD keeps each round's analysis cost
+    // independent of the adjacency's own (windowed-scan) plan size —
+    // plus the guarded broadcast (see IterBroadcastMaxRows)
+    val adjC = adj.localCheckpoint()
+    val nAdj = adjC.count()
+    val adjS = if (nAdj <= IterBroadcastMaxRows) broadcast(adjC) else adjC
     val n = verts.count()
+    withLoopExec(s = adjC.sparkSession, stateRows = math.max(n, nAdj)) {
     val tol = relTol / n
     // Warm start from the DEGREE-PROPORTIONAL distribution: for an
     // undirected graph the undamped random walk's stationary vector IS
@@ -278,7 +346,7 @@ object GraphQueries {
     // (possible only in spec-synthetic graphs) start at their exact
     // fixed point 0.15/n. degSum is exact integer → the division is
     // bit-identical cross-engine.
-    val degs = adj.select(col("src").as("x"), col("deg")).distinct()
+    val degs = adjS.select(col("src").as("x"), col("deg")).distinct()
     val degSum = degs.agg(sum("deg")).head.getLong(0).toDouble
     var ranks = verts.join(degs, Seq("x"), "left_outer")
       .select(col("x"),
@@ -288,7 +356,7 @@ object GraphQueries {
     var delta = Double.MaxValue
     while (delta >= tol && rounds < maxRounds) {
       rounds += 1
-      val sums = ranks.join(adj, col("x") === col("src"))
+      val sums = ranks.join(adjS, col("x") === col("src"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy("dst").agg(sum("c").as("sc"))
       val next = ranks.select(col("x"), col("pr").as("prev"))
@@ -296,7 +364,9 @@ object GraphQueries {
         .select(col("x"),
           (lit(0.15 / n) + lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"),
           col("prev"))
-        .localCheckpoint()
+        // lazy: the delta agg below is the materializing action — one
+        // driver barrier per round instead of two (see sccLabels note)
+        .localCheckpoint(eager = false)
       delta = next.agg(max(abs(col("pr") - col("prev")))).head.getDouble(0)
       ranks = next.select("x", "pr")
     }
@@ -307,6 +377,7 @@ object GraphQueries {
         s"before convergence (max delta $delta >= tol $tol)")
     ranks.select(col("x"), round(col("pr"), 9).as("pr"),
       lit(rounds).as("n_rounds"))
+    }
   }
 
   /** Degree DISTRIBUTION of the co-purchase graph — the first health
@@ -376,11 +447,18 @@ object GraphQueries {
     * deeper at −1 — semantics aligned by construction, with the
     * fixture eccentricity (10 at sf0.1) comfortably inside. */
   def graphBfsConverged(s: SparkSession, d: String): DataFrame = {
-    val dir = supportDir(s, d)
+    // base snapshot — see sccLabels: keeps per-round plan analysis
+    // independent of the adjacency's own plan size
+    val dirS = supportDir(s, d).localCheckpoint()
+    // guarded broadcast (see IterBroadcastMaxRows): count on the
+    // checkpointed blocks is one cheap job, paid once per query
+    val nDir = dirS.count()
+    val dir = if (nDir <= IterBroadcastMaxRows) broadcast(dirS) else dirS
     val verts = supportVerts(s, d)
+    withLoopExec(s, stateRows = nDir) {
     var depth = verts.filter(col("x") % 20 === 0)
       .select(col("x"), lit(0).as("depth"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var newly = depth.count()
     var r = 0
     while (newly > 0 && r < BfsMaxDepth) {
@@ -388,8 +466,10 @@ object GraphQueries {
       val frontier = depth.filter(col("depth") === r - 1)
       val nbrs = frontier.join(dir, col("x") === col("src"))
         .select(col("dst").as("x"), lit(r).as("depth"))
+      // lazy: the frontier-count probe below materializes this round's
+      // blocks — one driver barrier per round instead of two
       depth = depth.union(nbrs).groupBy("x").agg(min("depth").as("depth"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       newly = depth.filter(col("depth") === r).count()
     }
     if (newly > 0)
@@ -399,6 +479,7 @@ object GraphQueries {
       .select(coalesce(col("depth"), lit(-1)).as("depth"))
       .groupBy("depth").agg(count(lit(1)).as("n_vertices"))
       .orderBy("depth")
+    }
   }
 
   /** K-core decomposition (k = [[KCoreK]]) by iterative peeling: drop
@@ -424,20 +505,24 @@ object GraphQueries {
     * the same layers by fixed unroll (MATERIALIZED, the BFS lesson) and
     * derives n_rounds as the first round whose survivor count repeats. */
   def graphKcore(s: SparkSession, d: String): DataFrame = {
-    val dir = supportDir(s, d)
-    var active = supportVerts(s, d).localCheckpoint()
+    // base snapshot — see sccLabels
+    val dir = supportDir(s, d).localCheckpoint()
+    var active = supportVerts(s, d).localCheckpoint(eager = false)
     var nActive = active.count()
+    withLoopExec(s, stateRows = nActive) {
     var rounds = 0
     var converged = false
     while (!converged && rounds < KCoreMaxRounds) {
       rounds += 1
+      // lazy: the survivor count is the materializing action — one
+      // driver barrier per peel round instead of two
       val keep = dir
         .join(active.select(col("x").as("src")), "src")
         .join(active.select(col("x").as("dst")), "dst")
         .groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KCoreK)
         .select(col("src").as("x"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val n = keep.count()
       converged = n == nActive
       nActive = n
@@ -452,6 +537,7 @@ object GraphQueries {
       .groupBy(col("src").as("l_partkey")).agg(count(lit(1)).as("core_deg"))
       .select(col("l_partkey"), col("core_deg"), lit(rounds).as("n_rounds"))
       .orderBy("l_partkey")
+    }
   }
 
   /** Common-neighbor Jaccard similarity — the classic link-prediction /
@@ -580,8 +666,11 @@ object GraphQueries {
     * bipartite flip-prone 4-cycle; two cliques joined by a bridge). */
   private[graft] def lpaConvergedOnAdjacency(dir: DataFrame,
       verts: DataFrame, maxRounds: Int): DataFrame = {
+    // base snapshot — see sccLabels
+    val dirS = dir.localCheckpoint()
+    withLoopExec(dirS.sparkSession, stateRows = dirS.count()) {
     def step(lbl: DataFrame): DataFrame =
-      dir.join(lbl.select(col("x").as("dst"), col("lbl")), "dst")
+      dirS.join(lbl.select(col("x").as("dst"), col("lbl")), "dst")
         .select(col("src"), col("lbl"))
         .unionAll(lbl.select(col("x").as("src"), col("lbl")))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
@@ -593,7 +682,9 @@ object GraphQueries {
     var changed = Long.MaxValue
     while (changed > 0 && rounds < maxRounds) {
       rounds += 1
-      val next = step(cur).localCheckpoint()
+      // lazy: the changed-label probe below materializes this round's
+      // blocks — one driver barrier per round instead of two
+      val next = step(cur).localCheckpoint(eager = false)
       changed = next.join(cur.select(col("x"), col("lbl").as("prev")), Seq("x"))
         .filter(col("lbl") =!= col("prev")).count()
       cur = next
@@ -602,6 +693,7 @@ object GraphQueries {
       System.err.println(s"[graft] lpa: round cap $maxRounds reached " +
         s"before fixpoint ($changed labels still changing)")
     cur.select(col("x"), col("lbl"), lit(rounds).as("n_rounds"))
+    }
   }
 
   /** HIERARCHY FLATTEN by POINTER JUMPING — the BOM-explosion /
@@ -677,26 +769,35 @@ object GraphQueries {
     * repeats this operator on the residual graph, which is driver
     * orchestration of the same plan, not a new plan shape. */
   def graphSccPivot(s: SparkSession, d: String): DataFrame = {
-    val edges = seqEdges(s, d)
+    // base snapshot — see sccLabels; guarded broadcast of the adjacency
+    // inside reach() — see IterBroadcastMaxRows
+    val edges = seqEdges(s, d).localCheckpoint()
+    val nEdges = edges.count()
+    val edgesSmall = nEdges <= IterBroadcastMaxRows
+    withLoopExec(s, stateRows = nEdges) {
     val pivot = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
       .orderBy(col("odeg").desc, col("src")).limit(1)
       .select(col("src").as("x"))
-    def reach(adj: DataFrame): DataFrame = {
-      var visited = pivot.localCheckpoint()
+    def reach(adj0: DataFrame): DataFrame = {
+      val adj = if (edgesSmall) broadcast(adj0) else adj0
+      var visited = pivot.localCheckpoint(eager = false)
       var frontier = visited
       var n = visited.count()
       var r = 0
       var grew = true
       while (grew && r < SccMaxRounds) {
         r += 1
+        // lazy: the added-count probe materializes the round — one
+        // driver barrier per round instead of two; the union checkpoint
+        // materializes inside the NEXT round's probe (anti-join side)
         val next = frontier.join(adj, Seq("x"))
           .select(col("y").as("x")).distinct()
           .join(visited, Seq("x"), "left_anti")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val added = next.count()
         if (added == 0) grew = false
         else {
-          visited = visited.unionAll(next).localCheckpoint()
+          visited = visited.unionAll(next).localCheckpoint(eager = false)
           frontier = next
           n += added
         }
@@ -710,6 +811,7 @@ object GraphQueries {
     val bwd = reach(edges.select(col("dst").as("x"), col("src").as("y")))
     fwd.join(bwd, Seq("x"), "left_semi")
       .select(col("x").as("member")).orderBy("member")
+    }
   }
 
   /** Caps for the FULL SCC decomposition: component-extraction count
@@ -720,8 +822,13 @@ object GraphQueries {
   val SccTrimMaxRounds = 24
   /** Pivots extracted per FW-BW round of [[graphSccFull]] — bounds the
     * serial depth at ⌈#nontrivial-SCCs / pivots⌉ rounds (production
-    * batches thousands). */
-  val SccPivotsPerRound = 8
+    * batches thousands). 8 → 32 in round 8: the per-pivot cost is one
+    * extra label column value in the shared direction-tagged BFS
+    * (data-parallel, fan-out bounded), while each SAVED extraction
+    * round saves a whole trim+BFS loop of driver barriers — at the
+    * fixture scales 32 collapses the decomposition to 1-2 extraction
+    * rounds (20 components at sf1). */
+  val SccPivotsPerRound = 32
 
   /** Round cap for [[graphTopologicalLayers]] — the sf0.001 fixture's
     * deepest longest path is 40 (densest corpus relative to its part
@@ -748,9 +855,11 @@ object GraphQueries {
     * DAG depth, frames never exceed |V| rows, per-round
     * `localCheckpoint` truncates lineage. */
   def graphTopologicalLayers(s: SparkSession, d: String): DataFrame = {
-    val edges = supportEdges(s, d)
+    // base snapshot — see sccLabels
+    val edges = supportEdges(s, d).localCheckpoint()
     val verts = supportVerts(s, d)
-    var layers = verts.withColumn("l", lit(0L)).localCheckpoint()
+    withLoopExec(s, stateRows = edges.count()) {
+    var layers = verts.withColumn("l", lit(0L)).localCheckpoint(eager = false)
     var prevSum = -1L
     var r = 0
     var converged = false
@@ -758,9 +867,11 @@ object GraphQueries {
       r += 1
       val cand = layers.join(edges, layers("x") === edges("u"))
         .select(col("v").as("x"), (col("l") + 1L).as("lv"))
+      // lazy: the layer-sum convergence probe below materializes the
+      // round — one driver barrier per round instead of two
       layers = layers.select(col("x"), col("l").as("lv")).unionAll(cand)
         .groupBy("x").agg(max(col("lv")).as("l"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val sumL = layers.agg(sum(col("l"))).collect()(0).getLong(0)
       if (sumL == prevSum) converged = true else prevSum = sumL
     }
@@ -769,6 +880,7 @@ object GraphQueries {
         "reached — layering may be incomplete")
     layers.select(col("x").as("l_partkey"), col("l").as("layer"))
       .orderBy("l_partkey")
+    }
   }
 
   /** Bellman-relaxation oracle for [[graphTopologicalLayers]], unrolled
@@ -872,27 +984,65 @@ object GraphQueries {
     * session. */
   private def sccLabels(s: SparkSession, d: String): DataFrame =
     PipelineCache.getOrPersist(s"graph_scc_labels:$d") {
-    val edges = brandSeqEdges(s, d)
+    // Base snapshot (round-8): per-round plan BUILD, not job time, was
+    // the measured cost of this loop (trim-round build 0.3 s vs probe
+    // job 0.05 s at sf0.1 AND sf0.001 — scale-independent driver CPU):
+    // every round's new plan referenced the persisted edge base through
+    // its FULL logical plan (lineitem scan + window), which analysis +
+    // optimization re-traverse per round. One localCheckpoint collapses
+    // the base to a LogicalRDD so each round analyzes a constant-size
+    // plan — the driver-side analogue of checkpointing iteration state.
+    val edges = brandSeqEdges(s, d).localCheckpoint()
+    withLoopExec(s, stateRows = 2 * edges.count()) {
     val verts = edges.select(col("src").as("x"))
       .unionAll(edges.select(col("dst").as("x"))).distinct()
-    var residual = verts.localCheckpoint()
+    // Lazy-checkpoint discipline (round-8, the driver-barrier cut): a
+    // LAZY localCheckpoint still truncates the logical plan immediately,
+    // but defers block materialization to the NEXT action whose lineage
+    // includes it — so each round's "materialize + read one scalar"
+    // pair collapses into ONE scheduler round-trip instead of two. The
+    // loops here are driver-latency-bound, not data-bound (measured:
+    // condensation 9.3 s at sf0.001 where data ≈ 0), so halving the
+    // barrier count halves the wall time at every scale. Frames that a
+    // later plan references TWICE before any action would race-compute
+    // under lazy blocks, so those (and one-shot round frames with no
+    // scalar probe, e.g. graphBfsReach/hierarchyFlatten) stay eager.
+    var residual = verts.localCheckpoint(eager = false)
     var nResidual = residual.count()
     val labeled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var trims = 0
     var trimCapWarned = false
+    // SIZE-GUARDED broadcast of the residual vertex set: nResidual is
+    // tracked exactly (each round's fixpoint probe), so the guard costs
+    // nothing — under [[IterBroadcastMaxRows]] the semi-joins become
+    // broadcast-hash (no shuffle stage, no AQE stage barrier), above it
+    // the shuffled form survives any scale. The dedup incremental-batch
+    // guard pattern, driven by a known count instead of plan stats.
+    def resB(): DataFrame =
+      if (nResidual <= IterBroadcastMaxRows) broadcast(residual) else residual
     // residual-restricted edge list, refreshed after every residual change
     def resEdges(): DataFrame = edges
-      .join(residual.select(col("x").as("src")), Seq("src"), "left_semi")
-      .join(residual.select(col("x").as("dst")), Seq("dst"), "left_semi")
-      .localCheckpoint()
+      .join(resB().select(col("x").as("src")), Seq("src"), "left_semi")
+      .join(resB().select(col("x").as("dst")), Seq("dst"), "left_semi")
     def trimToFixpoint(): Unit = {
       var again = nResidual > 0
       while (again && trims < SccTrimMaxRounds) {
+        // e is inlined (not checkpointed): both endpoint projections
+        // below re-derive it from the CACHED edge base within keep's
+        // single materializing job. keep = residual vertices carrying
+        // BOTH an in- and an out-edge of e, computed as ONE partial-
+        // aggregated shuffle over e's endpoint roles (round 8) — the
+        // previous two distinct-projections + two semi-joins formulation
+        // was 4 extra AQE stage barriers per trim round for the same set
+        // (e's endpoints lie in residual by construction, so the degree
+        // aggregate needs no re-join against residual).
         val e = resEdges()
-        val keep = residual
-          .join(e.select(col("dst").as("x")).distinct(), Seq("x"), "left_semi")
-          .join(e.select(col("src").as("x")).distinct(), Seq("x"), "left_semi")
-          .localCheckpoint()
+        val keep = e.select(col("src").as("x"), lit(1).as("o"), lit(0).as("i"))
+          .unionAll(e.select(col("dst").as("x"), lit(0).as("o"), lit(1).as("i")))
+          .groupBy("x").agg(max(col("o")).as("o"), max(col("i")).as("i"))
+          .filter(col("o") === 1 && col("i") === 1)
+          .select("x")
+          .localCheckpoint(eager = false)
         val nKeep = keep.count()
         if (nKeep == nResidual) again = false
         else {
@@ -901,9 +1051,10 @@ object GraphQueries {
           // the up-to-12 extraction rounds' confirming call would eat a
           // round and trimming could silently disable mid-decomposition
           trims += 1
+          // shallow lineage over two checkpointed frames — no checkpoint
+          // needed; the final union consume computes it once
           labeled += residual.join(keep, Seq("x"), "left_anti")
             .select(col("x").as("member"), col("x").as("scc_id"))
-            .localCheckpoint()
           residual = keep
           nResidual = nKeep
           again = nResidual > 0
@@ -921,7 +1072,9 @@ object GraphQueries {
     var rounds = 0
     while (nResidual > 0 && rounds < SccMaxComponents) {
       rounds += 1
-      val e = resEdges()
+      // EAGER here: e feeds both pivots and adj2, which materialize in
+      // the same BFS round-1 job — lazy blocks would race-compute e twice
+      val e = resEdges().localCheckpoint()
       // MULTI-pivot extraction (round-7 upgrade, measured necessary):
       // one pivot per round made the loop depth equal the nontrivial-
       // SCC count — at the generated sf1 (10 disjoint replicas × 2
@@ -939,46 +1092,62 @@ object GraphQueries {
       val pivots = e.groupBy("src").agg(count(lit(1)).as("odeg"))
         .orderBy(col("odeg").desc, col("src")).limit(SccPivotsPerRound)
         .select(col("src").as("x"), col("src").as("pid"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // BOTH closures in ONE loop: the forward and backward adjacencies
       // carry a direction tag and every frontier row is (x, pid, dir) —
       // the loop runs max(fwdDepth, bwdDepth) rounds instead of their
       // SUM (measured ~2× on the driver-round-dominated cost: the two
       // closures spend wall time on scheduler round-trips, not data).
-      val adj2 = e.select(col("src").as("x"), col("dst").as("y"), lit(0).as("dir"))
+      val nE = e.count()
+      val adj2raw = e.select(col("src").as("x"), col("dst").as("y"), lit(0).as("dir"))
         .unionAll(e.select(col("dst").as("x"), col("src").as("y"), lit(1).as("dir")))
         .localCheckpoint()
-      var visited = pivots.crossJoin(
-        broadcast(s.range(2).select(col("id").cast("int").as("dir"))))
-      var frontier = visited
+      // guarded broadcast of the residual adjacency (2·|e| rows, count
+      // known from the probe above): under the cap each BFS round's
+      // frontier join is broadcast-hash — the round's only shuffle is
+      // then the min-round fold, halving the AQE stage barriers that
+      // dominate this loop's wall time
+      val adj2 = if (2 * nE <= IterBroadcastMaxRows) broadcast(adj2raw) else adj2raw
+      // MIN-ROUND DEPTH MAP instead of visited/next anti-join
+      // bookkeeping (round 8): depth(x, pid, dir, r) keeps the first
+      // round each (vertex, pivot, direction) was reached — one
+      // union + partial-aggregated min per round (the graphBfsReach
+      // fold) replaces join+distinct+anti-join, cutting per-round
+      // shuffle stages from 3 to 1-2. The reached SET is identical:
+      // rows of depth ARE the old visited set.
+      var depth = pivots.crossJoin(
+          broadcast(s.range(2).select(col("id").cast("int").as("dir"))))
+        .withColumn("r", lit(0))
+        .localCheckpoint()
+      var frontier = depth
       var r = 0
       var grew = true
       while (grew && r < SccMaxRounds) {
         r += 1
-        val next = frontier.join(adj2, Seq("x", "dir"))
-          .select(col("y").as("x"), col("pid"), col("dir")).distinct()
-          .join(visited, Seq("x", "pid", "dir"), "left_anti")
-          .localCheckpoint()
-        if (next.count() == 0) grew = false
-        else {
-          visited = visited.unionAll(next).localCheckpoint()
-          frontier = next
-        }
+        val cand = frontier.join(adj2, Seq("x", "dir"))
+          .select(col("y").as("x"), col("pid"), col("dir"), lit(r).as("r"))
+        depth = depth.unionAll(cand)
+          .groupBy("x", "pid", "dir").agg(min(col("r")).as("r"))
+          .localCheckpoint(eager = false)
+        if (depth.filter(col("r") === r).count() == 0) grew = false
+        else frontier = depth.filter(col("r") === r)
       }
       if (grew)
         System.err.println(s"[graft] scc_full: round cap $SccMaxRounds " +
           "reached — closure may be incomplete")
       val wp = org.apache.spark.sql.expressions.Window.partitionBy("pid")
-      val extracted = visited.groupBy("x", "pid")
+      // lazy: residual's count below materializes extracted's blocks in
+      // the same job; the labeled-union consume then reads them cached
+      val extracted = depth.groupBy("x", "pid")
         .agg(count_distinct(col("dir")).as("nd"))
         .filter(col("nd") === 2)
         .withColumn("scc_id", min(col("x")).over(wp))
         .select(col("x").as("member"), col("scc_id")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       labeled += extracted
       residual = residual
         .join(extracted.select(col("member").as("x")), Seq("x"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       nResidual = residual.count()
       trimToFixpoint()
     }
@@ -987,6 +1156,11 @@ object GraphQueries {
         s"$SccMaxComponents reached with $nResidual vertices unlabeled")
     labeled.reduceOption(_ unionAll _)
       .getOrElse(verts.select(col("x").as("member"), col("x").as("scc_id")))
+      // snapshot the union-of-rounds plan too: consumers (full listing,
+      // condensation, their window/join plans) otherwise re-analyze the
+      // whole loop history every time they build on the labeling
+      .localCheckpoint()
+    }
   }
 
   /** CONDENSATION of the SCC decomposition — the quotient DAG every
