@@ -145,25 +145,30 @@ object AdvancedQueries {
     // climb steps) legitimately exceeds it (measured:
     // RECURSION_ROW_LIMIT_EXCEEDED at sf1). The walk is provably
     // terminating (cur strictly shrinks by ÷4 until < 4), so size the
-    // guard to data like any production recursive job would. SCOPE
-    // NOTE, deliberate: the conf is session-level and read at
-    // EXECUTION time, so it cannot be set-and-restored around the lazy
-    // sql() — the raised guard persists for the session. 50M (≈2×
-    // sf1's legitimate need) keeps it a real backstop: a diverging
-    // recursion still dies ~50× sooner than memory pressure would
-    // notice, and 200× later than a default that rejects legitimate
-    // fixture-scale work.
-    s.conf.set("spark.sql.cteRecursionRowLimit", (50L * 1000 * 1000).toString)
-    Tables.part(s, d).createOrReplaceTempView("graft_part_rc")
-    s.sql(
-      """WITH RECURSIVE walk(k, cur, depth) AS (
-        |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM graft_part_rc
-        |  UNION ALL
-        |  SELECT k, cur DIV 4, depth + 1 FROM walk WHERE cur >= 4
-        |)
-        |SELECT k AS p_partkey, cur AS root, depth
-        |FROM walk WHERE cur < 4
-        |ORDER BY p_partkey""".stripMargin)
+    // guard to data like any production recursive job would — but
+    // SCOPED (round-8, r7 verdict #6): the conf is read at EXECUTION
+    // time, so the recursion is materialized EAGERLY inside the raised
+    // window (PipelineCache persist + count) and the session default is
+    // restored in the finally — downstream consumers read the persisted
+    // blocks, never re-running the recursion, and every other statement
+    // in the session keeps the 1M runaway backstop. 50M ≈ 2× sf1's
+    // legitimate need: a diverging recursion still dies ~50× sooner
+    // than memory pressure would notice.
+    val key = "spark.sql.cteRecursionRowLimit"
+    val orig = s.conf.get(key)
+    s.conf.set(key, (50L * 1000 * 1000).toString)
+    try PipelineCache.getOrPersist(s"sql_recursive_cte:$d") {
+      Tables.part(s, d).createOrReplaceTempView("graft_part_rc")
+      s.sql(
+        """WITH RECURSIVE walk(k, cur, depth) AS (
+          |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM graft_part_rc
+          |  UNION ALL
+          |  SELECT k, cur DIV 4, depth + 1 FROM walk WHERE cur >= 4
+          |)
+          |SELECT k AS p_partkey, cur AS root, depth
+          |FROM walk WHERE cur < 4
+          |ORDER BY p_partkey""".stripMargin)
+    } finally s.conf.set(key, orig)
   }
 
   def windowNtilePercent(s: SparkSession, d: String): DataFrame = {

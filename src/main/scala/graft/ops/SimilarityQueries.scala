@@ -132,7 +132,7 @@ object SimilarityQueries {
     * 2-bit codes into one BIGINT — 64 floats → 16 bits/vector, with the
     * quantization error Σ_m d2(m, chosen) carried as the QA column
     * (the countmin/bloom/minhash "sketch + measured error" discipline).
-    * Codebooks are the subvectors of vec_id 1..K — the deterministic
+    * Codebooks are the subvectors of vec_id 0..K−1 — the deterministic
     * seed choice [[simIvfCoarseTopk]] uses, so the oracle mirrors the
     * assignment bit-for-bit; production trains per-subspace k-means
     * offline and broadcasts it, same plan shape.

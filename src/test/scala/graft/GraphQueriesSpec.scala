@@ -427,6 +427,19 @@ class GraphQueriesSpec extends SparkTestBase {
     assert(viaLoop == viaCte)
   }
 
+  test("recursive CTE leaves the session recursion guard at its default") {
+    // r7 advice: the 50M row-limit raise must be scoped to the query's
+    // own (eager) materialization — a session-wide raise weakens the
+    // runaway guard for every later recursive statement.
+    val key = "spark.sql.cteRecursionRowLimit"
+    val before = spark.conf.get(key)
+    SparkEntry.queries("sql_recursive_cte")(spark, sfDir).collect()
+    assert(spark.conf.get(key) == before,
+      s"recursion guard leaked: $before -> ${spark.conf.get(key)}")
+    assert(before.toLong <= 1000000L,
+      s"suite session entered the test with a raised guard ($before)")
+  }
+
   test("hierarchy flatten equals a scala per-node climb and respects the doubling bound") {
     val out = graft.ops.GraphQueries.graphHierarchyFlatten(spark, sfDir)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap

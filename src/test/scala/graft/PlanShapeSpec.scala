@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
@@ -458,5 +458,65 @@ class PlanShapeSpec extends SparkTestBase {
     assert(ops(p).collect {
       case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
       s"global sort crept in:\n$p")
+  }
+
+  test("AQE splits a skewed join partition (the non-manual skew defense engages)") {
+    // r7 verdict #7: the engine ships manual salting (join_skew_salted,
+    // agg_salted_twophase); this pins the OTHER half of the 100 TB skew
+    // story — Spark's own OptimizeSkewedJoin must actually engage at
+    // bench settings (AQE on, as in Bench/Verify sessions) when a join
+    // key is hot. Thresholds are scaled to fixture bytes (the defaults
+    // trigger at a 256 MB partition; the MECHANISM, a skew-split
+    // sort-merge join, is byte-scale-invariant): a synthetic 90%-hot
+    // key must come out the other side as an isSkewJoin SMJ, i.e. AQE
+    // replaced the hot partition with parallel partial-reads.
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "4096")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+        "suite session must run AQE like the bench session does")
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      val left = spark.range(400000).select(
+        when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = spark.range(40000).select(
+        when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("w"))
+      // keep both payload columns live through the join (a bare count
+      // would prune them and the hot partition would compress away)
+      val joined = left.join(right, "k")
+        .groupBy().agg(org.apache.spark.sql.functions.sum(col("v") + col("w")))
+      joined.collect() // AQE finalizes (and skew-optimizes) during execution
+      val p = joined.queryExecution.executedPlan
+      // post-execution AQE plans wrap operators in query stages, which
+      // report no children — this walker (local to this test: the shared
+      // ops() keeps the pre-execution main-tree scope every other pin
+      // was written against) descends into materialized stage plans
+      def deep(x: SparkPlan): Seq[SparkPlan] = {
+        val kids = x match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case other => other.children
+        }
+        x +: kids.flatMap(deep)
+      }
+      val skewJoins = deep(p).collect {
+        case j: SortMergeJoinExec if j.isSkewJoin => j
+        case j: ShuffledHashJoinExec if j.isSkewJoin => j
+      }
+      assert(skewJoins.nonEmpty,
+        s"OptimizeSkewedJoin did not engage on a 90%-hot key:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }
