@@ -37,6 +37,17 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   * once a later sweep lands, and a warm slowest-50 "steady_partial"
   * pass banks steady-state evidence right after it (the r6 safety net).
   *
+  * Round-8 refinements (VERDICT r7 #1 + advice): the compile pass runs
+  * on an 8-thread worker pool (it is cache warming — its products,
+  * Janino cache entries and JIT state, are JVM-wide; measured 190 s →
+  * 30 s), which buys the driver window a SECOND warm sweep; from sweep
+  * 2 on the on-disk artifact is re-banked every 25 queries with the
+  * completed sweeps merged with the running sweep's prefix (a kill
+  * mid-sweep loses nothing); the total line carries "stat":
+  * single/min/lower_median so a best-of-two is never read as a median;
+  * and the keep-sweeping gate projects the next sweep's cost instead
+  * of applying a blanket wall.
+  *
   * Retained from earlier rounds: checksum consumption (count() lets
   * Catalyst prune whole subtrees — r4 smoking gun), per-sweep compact
   * summaries (head/tail-bounded driver capture), {"metric":"note"}
@@ -158,31 +169,59 @@ object Bench {
       case None =>
         note(s"compile pass skipped: no sf0.001 sibling of $sfDir")
       case Some(cd) =>
+        // PARALLEL pass (round 8, r7 verdict #1): the pass is cache
+        // warming, not measurement — its only products are JVM-wide
+        // (Janino codegen cache entries, JIT-compiled Spark paths), so
+        // queries can compile CONCURRENTLY on a worker pool and the
+        // wall cost drops ~4× (measured 190 s sequential → the win that
+        // buys the driver window its second warm sweep). Shared-state
+        // audit behind this: PipelineCache is synchronized, temp-view
+        // names are unique per query, function-registry registration is
+        // synchronized in Spark, the install() helpers are synchronized
+        // (this round), and sink queries write JVM-tagged per-query
+        // paths. Per-query times under contention are inflated —
+        // reported top-8 is a diagnostic, never a total.
         val deadline = 0.9 * budgetSec
         val t0 = elapsedSec
-        var nRun = 0
-        var bailed = false
-        val slowest = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-        ordered.foreach { case (name, fn) =>
-          if (!bailed) {
-            val tq = System.nanoTime()
-            try { consume(fn(spark, cd)); nRun += 1 } catch {
-              case e: Throwable =>
-                System.err.println(s"[bench] compile $name FAILED: ${e.getMessage}")
+        val nThreads = math.max(2, math.min(8, cpus.toInt / 4))
+        val queue = new java.util.concurrent.ConcurrentLinkedQueue[(String, (SparkSession, String) => DataFrame)]()
+        ordered.foreach(queue.add)
+        val nRun = new java.util.concurrent.atomic.AtomicInteger(0)
+        val bailed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val slowest = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+        val workers = (1 to nThreads).map { _ =>
+          val th = new Thread(() => {
+            SparkSession.setActiveSession(spark)
+            var item = queue.poll()
+            while (item != null) {
+              if (elapsedSec > deadline) {
+                if (bailed.compareAndSet(false, true)) {
+                  note(s"compile pass bail after ${nRun.get}/${ordered.size} " +
+                    s"(deadline ${f3(deadline)}s) — remaining queries pay compile in sweep 1")
+                  queue.clear()
+                }
+                item = null
+              } else {
+                val (name, fn) = item
+                val tq = System.nanoTime()
+                try { consume(fn(spark, cd)); nRun.incrementAndGet() } catch {
+                  case e: Throwable =>
+                    System.err.println(s"[bench] compile $name FAILED: ${e.getMessage}")
+                }
+                slowest.add((name, (System.nanoTime() - tq) / 1e9))
+                item = queue.poll()
+              }
             }
-            slowest += ((name, (System.nanoTime() - tq) / 1e9))
-            if (elapsedSec > deadline) {
-              bailed = true
-              note(s"compile pass bail after $nRun/${ordered.size} " +
-                s"(deadline ${f3(deadline)}s) — remaining queries pay compile in sweep 1")
-            }
-          }
+          })
+          th.setDaemon(true); th.start(); th
         }
+        workers.foreach(_.join())
         ops.PipelineCache.releaseAll()
-        compilePassComplete = !bailed
-        val top8 = slowest.sortBy(-_._2).take(8)
+        compilePassComplete = !bailed.get
+        import scala.jdk.CollectionConverters._
+        val top8 = slowest.asScala.toSeq.sortBy(-_._2).take(8)
           .map { case (n, v) => "\"" + n + "\":" + f3(v) }.mkString("{", ",", "}")
-        println(s"""{"metric":"compile_pass","value":${f3(elapsedSec - t0)},"unit":"sec","n_queries":$nRun,"complete":$compilePassComplete,"queries":$top8,"sf":"$cd"}""")
+        println(s"""{"metric":"compile_pass","value":${f3(elapsedSec - t0)},"unit":"sec","n_queries":${nRun.get},"threads":$nThreads,"complete":$compilePassComplete,"queries":$top8,"sf":"$cd"}""")
     }
 
     // ---- TIMED SWEEPS ------------------------------------------------
@@ -206,6 +245,13 @@ object Bench {
           acc += ((name, elapsed, ok))
           if (emitPartials && acc.size % 25 == 0)
             println(s"""{"metric":"partial_total","value":${f3(acc.filter(_._3).map(_._2).sum)},"unit":"sec","n_queries":${acc.size},"sf":"$sfDir"}""")
+          // BANK mid-sweep (round 8, r7 verdict #1): from sweep 2 on,
+          // refresh the on-disk artifact every 25 queries with the
+          // completed sweeps MERGED with this sweep's prefix — a driver
+          // kill anywhere mid-sweep still leaves best-of-both evidence
+          // for the prefix and full sweep-1 coverage for the rest.
+          if (sweeps.nonEmpty && acc.size % 25 == 0)
+            writeFull(summarize(partialExtra = acc.toSeq)._2)
           if (elapsedSec > deadlineSec) {
             bailed = true
             note(s"emergency bail after ${acc.size}/${ordered.size} queries " +
@@ -262,41 +308,52 @@ object Bench {
     // whichever transient stall (major GC, IO flush) lands mid-run —
     // observed 80 s vs 37 s totals on an idle box, the excess each time
     // smeared over a DIFFERENT alphabetically-contiguous query block.
-    def summarize(): (String, String) = {
+    def summarize(partialExtra: Seq[(String, Double, Boolean)] = Nil): (String, String) = {
       // without a compile pass, sweep 1 carries whole-registry compile:
       // drop it from the medians once a steady-state sweep exists
       val measured =
         if (!compilePassComplete && sweeps.size > 1) sweeps.tail else sweeps.toSeq
       // a truncated (emergency-bailed) sweep covers only a prefix of the
-      // registry: summarize what every measured sweep ran, flag the rest
+      // registry: summarize what every measured sweep ran, flag the rest.
+      // partialExtra (mid-sweep banking) adds this sweep's prefix as an
+      // extra sample per covered query WITHOUT shrinking coverage.
       val covered = measured.map(_.map(_._1).toSet).reduce(_ intersect _)
+      val extraByName = partialExtra.map(r => r._1 -> r).toMap
       val results = ordered.filter(p => covered(p._1)).map { case (name, _) =>
-        val runs = measured.map(_.find(_._1 == name).get)
+        val runs = measured.map(_.find(_._1 == name).get) ++ extraByName.get(name)
         // a failed rep reports -1 (not its time-to-crash) so a
         // regression can never masquerade as a speedup
         val ok = runs.forall(_._3)
         // LOWER median: host stalls only ever INFLATE a sample (sweeps
         // are data-cold by design, so a fast sample is a legit quiet-box
-        // measurement, not a cache artifact) — with 2 sweeps the upper
-        // median would report max(a, b), i.e. whichever sweep caught
-        // the stall
+        // measurement, not a cache artifact) — with 2 sweeps this
+        // selects the MIN of the pair, and the artifact says so: the
+        // "stat" field reports single/min/lower_median by sample count
+        // (advice r7) instead of letting a best-of-two read as a median
         val median = runs.map(_._2).sorted.apply((runs.size - 1) / 2)
-        (name, if (ok) median else -1.0, ok)
+        (name, if (ok) median else -1.0, ok, runs.size)
       }
       val total = results.filter(_._3).map(_._2).sum
       val failed = results.filterNot(_._3).map(r => "\"" + r._1 + "\"")
         .mkString("[", ",", "]")
+      val minSamples = if (results.isEmpty) 0 else results.map(_._4).min
+      val stat = minSamples match {
+        case 0 | 1 => "single"
+        case 2 => "min"
+        case _ => "lower_median"
+      }
       // The driver's capture window is bounded and clips from the head
       // (round-3 evidence: only a truncated TAIL of the long per-query
       // line survived). Compact line = short, self-contained,
       // schema-conforming, `queries` restricted to the slowest 8.
       val slowest = results.filter(_._3).sortBy(-_._2).take(8)
-        .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
+        .map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
-      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
+      val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
       val trunc = if (results.size < ordered.size) ""","truncated":true""" else ""
-      val head = s""""metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"sweeps":${sweeps.size},"compile_pass":$compilePassComplete$trunc"""
+      val banked = if (partialExtra.nonEmpty) s""","banked_partial":${partialExtra.size}""" else ""
+      val head = s""""metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"sweeps":${sweeps.size},"stat":"$stat","compile_pass":$compilePassComplete$trunc$banked"""
       val compact = s"""{$head,"queries":$slowest,"failed":$failed,"sf":"$sfDir"}"""
       val full = s"""{$head,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
       (compact, full)
@@ -319,13 +376,15 @@ object Bench {
     // computed so far on stdout and on disk.
     var continue = true
     var steadyPartialLine: Option[String] = None
+    var lastSweepSec = Double.MaxValue
     while (continue) {
       val deadline =
         if (sweeps.isEmpty) elapsedSec + 1.5 * budgetSec else elapsedSec + budgetSec
       val sweepStart = elapsedSec
       val (sweep, complete) = runSweep(emitPartials = sweeps.isEmpty, deadline)
+      lastSweepSec = elapsedSec - sweepStart
       note(s"sweep ${sweeps.size + 1} ${if (complete) "complete" else "TRUNCATED"} " +
-        s"in ${f3(elapsedSec - sweepStart)}s (${sweep.size}/${ordered.size} queries)")
+        s"in ${f3(lastSweepSec)}s (${sweep.size}/${ordered.size} queries)")
       // keep a truncated FIRST sweep (sole evidence); a truncated later
       // sweep is dropped — the earlier complete sweeps already summarize
       if (complete || sweeps.isEmpty) sweeps += sweep
@@ -342,20 +401,22 @@ object Bench {
       val (compact, full) = summarize()
       println(compact)
       writeFull(full)
-      // Stop when: a sweep bailed; the rep count is met; or there is no
-      // longer comfortable room for ANOTHER full sweep (1.6× budget —
-      // a further sweep costs ~0.75× budget, so starting one beyond
-      // this line risks the driver's outer kill window; with the
-      // compile pass done, a single full sweep is already steady-state
-      // and full-coverage, so stopping early sacrifices only the
-      // stall-voting median, never coverage or warmth).
+      // Stop when: a sweep bailed; the rep count is met; or the PROJECTED
+      // end of another sweep (1.15× the one just measured — sweeps are
+      // stable to ~10% on a quiet box) would cross the wall. The wall is
+      // 1.75× budget of MAIN time (420 s at the default 240): with the
+      // driver's ~165 s of sbt overhead on top that leaves ~15 s of
+      // margin inside its observed ~600 s kill window — a projection-
+      // based gate lets the parallel compile pass buy sweep 2 where
+      // r7's blanket 1.6×-budget check refused it, without letting a
+      // marginal third sweep gamble the rc=0.
       // EXCEPTION: without a compile pass, sweep 1 is compile-cold and
       // its numbers are ~3-4× steady-state — the round-5/6 guarantee of
       // a warm second sweep must survive the wall check, or the
       // published total would be the cold number the old protocol
       // existed to avoid.
       continue = complete && sweeps.size < reps &&
-        (elapsedSec < 1.6 * budgetSec ||
+        (elapsedSec + 1.15 * lastSweepSec < 1.75 * budgetSec ||
           (!compilePassComplete && sweeps.size < 2))
       if (!continue && sweeps.size < reps)
         note(s"stopping after ${sweeps.size}/$reps sweeps " +

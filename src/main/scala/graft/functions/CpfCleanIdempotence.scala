@@ -20,8 +20,10 @@ object CpfCleanIdempotence extends Rule[LogicalPlan] {
       case CpfClean(inner @ CpfClean(_)) => inner
     }
 
-  /** Install on a running session (extensions only apply at build). */
-  def install(spark: SparkSession): Unit = {
+  /** Install on a running session (extensions only apply at build).
+    * Synchronized: the bench's parallel compile pass can race two
+    * queries into the same session's check-then-append. */
+  def install(spark: SparkSession): Unit = synchronized {
     val o = spark.sessionState.experimentalMethods
     if (!o.extraOptimizations.contains(this))
       o.extraOptimizations = o.extraOptimizations :+ this

@@ -125,8 +125,10 @@ object AsofJoinStrategy extends SparkStrategy {
     case _ => Nil
   }
 
-  /** Install on a running session (extensions only apply at build). */
-  def install(spark: SparkSession): Unit = {
+  /** Install on a running session (extensions only apply at build).
+    * Synchronized: the bench's parallel compile pass can race two
+    * queries into the same session's check-then-append. */
+  def install(spark: SparkSession): Unit = synchronized {
     val em = spark.sessionState.experimentalMethods
     if (!em.extraStrategies.contains(this))
       em.extraStrategies = em.extraStrategies :+ this
