@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.{broadcast, col, min, struct}
+
+/** Streaming INSERT-IF-ABSENT JDBC sink — the streaming counterpart of
+  * the reference's L3/L4 upserts (`/root/reference/etl_process.py:37-41`
+  * planos, `:72-78` clientes), shaped for `writeStream.foreachBatch`
+  * (r7 verdict #4).
+  *
+  * Semantics per micro-batch:
+  *   1. DETERMINISTIC within-batch key pick: one row per key, chosen by
+  *      `min(struct(valueCols))` — the [[graft.etl.Load.upsertPlanos]]
+  *      "deterministic pair pick" generalized to any column set, so a
+  *      replayed batch re-picks the same rows regardless of partition
+  *      order.
+  *   2. Cross-batch first-writer-wins: broadcast anti-join against the
+  *      sink's current key set — exactly the reference's sequential
+  *      insert-if-absent, batched.
+  *   3. Batch-id LEDGER (`<table>_batch_ledger`): a fully-committed
+  *      batch records its id; a replay of that id is a no-op before any
+  *      read of the data table.
+  *
+  * Exactly-once under replay comes from the PAIR of guards: the ledger
+  * short-circuits clean replays, and for the crash window between the
+  * data append and the ledger insert, the key anti-join makes the
+  * replayed append vacuous (every key the failed attempt managed to
+  * commit is now in the sink and filters itself out). This is the
+  * standard idempotent-sink contract foreachBatch asks of the user —
+  * Structured Streaming guarantees the same batch id is re-presented
+  * with the same data, the sink must make re-application harmless.
+  *
+  * Scale posture: one ledger probe + one dimension read per
+  * micro-batch; the anti-join broadcasts the EXISTING key set, which is
+  * dimension-sized here (the reference's plans/clients tables) — a
+  * fact-sized sink would flip to a shuffled anti-join exactly like
+  * [[graft.ops.DedupQueries]]'s guarded incremental batch. Writes batch
+  * 10k rows per round trip over at most 8 connections, the
+  * [[graft.etl.Load]] contract.
+  */
+final class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
+    props: Properties = new Properties)
+  extends ((DataFrame, Long) => Unit) with Serializable {
+
+  private val ledger = s"${table}_batch_ledger"
+
+  private def withConn[T](f: java.sql.Connection => T): T = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def ensureLedger(): Unit = withConn { c =>
+    val rs = c.getMetaData.getTables(null, null, ledger.toUpperCase, null)
+    if (!rs.next())
+      c.createStatement()
+        .executeUpdate(s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
+  }
+
+  private def alreadyCommitted(batchId: Long): Boolean = withConn { c =>
+    val st = c.prepareStatement(s"SELECT 1 FROM $ledger WHERE batch_id = ?")
+    st.setLong(1, batchId)
+    st.executeQuery().next()
+  }
+
+  private def record(batchId: Long): Unit = withConn { c =>
+    val st = c.prepareStatement(s"INSERT INTO $ledger VALUES (?)")
+    st.setLong(1, batchId)
+    st.executeUpdate()
+  }
+
+  override def apply(batch: DataFrame, batchId: Long): Unit = {
+    graft.etl.DerbyVarcharDialect.ensureRegistered()
+    ensureLedger()
+    if (alreadyCommitted(batchId)) return
+    val spark = batch.sparkSession
+    val valueCols = batch.columns.filterNot(keyCols.contains).toSeq
+    val uniq =
+      if (valueCols.isEmpty) batch.dropDuplicates(keyCols)
+      else batch.groupBy(keyCols.map(col): _*)
+        .agg(min(struct(valueCols.map(col): _*)).as("_pick"))
+        .select(keyCols.map(col) ++
+          valueCols.map(v => col(s"_pick.$v").as(v)): _*)
+        // restore the sink table's column order
+        .select(batch.columns.map(col).toIndexedSeq: _*)
+    val existing = spark.read.jdbc(url, table, props)
+      .select(keyCols.map(col): _*)
+    val novel = uniq.join(broadcast(existing), keyCols, "left_anti")
+    val p = new Properties
+    p.putAll(props)
+    if (!p.containsKey("batchsize")) p.setProperty("batchsize", "10000")
+    if (!p.containsKey("numPartitions")) p.setProperty("numPartitions", "8")
+    novel.write.mode(SaveMode.Append).jdbc(url, table, p)
+    record(batchId)
+  }
+}

@@ -63,7 +63,13 @@ def main():
             print(f"SKIP {name}: oracle exceeded {budget:.0f}s budget", flush=True)
             n_skip += 1
             continue
-        msg = q.get() if not q.empty() else f"FAIL {name}: no result (crashed)"
+        # blocking get with a grace timeout, not q.empty(): the feeder
+        # thread's data can still be in flight right after p.join(), and
+        # the empty() probe misreported finished checks as crashes
+        try:
+            msg = q.get(timeout=5)
+        except Exception:
+            msg = f"FAIL {name}: no result (crashed)"
         print(msg, flush=True)
         if msg.startswith("PASS"):
             n_pass += 1
