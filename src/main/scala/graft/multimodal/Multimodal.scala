@@ -20,11 +20,15 @@ import org.apache.spark.sql.types._
   * audio rows through `javax.sound.sampled` WAV/PCM parsing (also
   * JDK-built-in), and MOVING-PICTURE rows in animated-GIF containers
   * through ImageIO's multi-image reads (`decodeGifFrames` — true frame
-  * count and dimensions). Bytes that aren't parseable (synthetic
-  * fixtures) and codec-less containers (MP4/WebM — the JDK ships none)
-  * fall back to `decodeFake`, a clearly-marked deterministic stand-in
-  * (pixel bytes derived from the content hash). Swapping `decodeFake`
-  * for an ffmpeg/JNI call changes no plumbing.
+  * count and dimensions). CONTAINER metadata of codec-bearing video is
+  * real for both major families — ISO-BMFF ([[parseMp4]]) and
+  * EBML/Matroska ([[parseWebm]]) — so the pre-decode curation gates
+  * (codec allow-list, duration cap, track inventory) run on true
+  * parsed structure. Bytes that aren't parseable (synthetic fixtures)
+  * and frame DECODE of codec-bearing containers (the JDK ships no
+  * H.264/VP9) fall back to `decodeFake`, a clearly-marked
+  * deterministic stand-in (pixel bytes derived from the content hash).
+  * Swapping `decodeFake` for an ffmpeg/JNI call changes no plumbing.
   */
 object Multimodal {
 
@@ -288,6 +292,138 @@ object Multimodal {
             meta.sample_formats)
           case None =>
             VideoMeta(m.media_id, parsed = false, "", 0.0, 0, Seq.empty)
+        }
+      }
+    }
+  }
+
+  final case class WebmMeta(doc_type: String, timecode_scale: Long,
+      duration_s: Double, n_tracks: Int, track_types: Seq[Int],
+      codec_ids: Seq[String])
+
+  /** REAL WebM/Matroska CONTAINER parsing (r7 verdict #5) — pure EBML
+    * byte walking, the sibling of [[parseMp4]] for the other container
+    * family a video curation pipeline meets: a stream of elements, each
+    * a variable-length ID (1-4 bytes, length signalled by the leading
+    * set bit, marker KEPT in the ID value per the EBML spec) + a
+    * variable-length size (1-8 bytes, marker STRIPPED) + payload.
+    * Recurses into the structural containers (EBML header, Segment,
+    * Info, Tracks, TrackEntry) and reads: DocType (0x4282 —
+    * "webm"/"matroska"), TimecodeScale (0x2AD7B1, ns per tick, default
+    * 1,000,000), Duration (0x4489 — an IEEE FLOAT of 4 or 8 bytes, in
+    * ticks), per-track TrackType (0x83) and CodecID (0x86). That is
+    * the full pre-decode gate surface — codec allow-list, duration
+    * cap, track inventory — with zero codec dependency.
+    *
+    * Malformation contract (same as parseMp4): `None`, never a throw,
+    * for anything that is not well-formed EBML — truncated varints,
+    * sizes overrunning the parent, recursion deeper than [[EbmlMaxDepth]]
+    * (a crafted container chain is the same stack bomb the MP4 walker
+    * caps), or a missing/empty EBML header. An UNKNOWN-size element
+    * (all size bits set — unbounded live streams) is accepted only as
+    * extending to the parent's end, the standard reader behavior. */
+  val EbmlMaxDepth = 16
+  def parseWebm(content: Array[Byte]): Option[WebmMeta] = {
+    val IdEbml = 0x1A45DFA3L; val IdDocType = 0x4282L
+    val IdSegment = 0x18538067L; val IdInfo = 0x1549A966L
+    val IdTimecodeScale = 0x2AD7B1L; val IdDuration = 0x4489L
+    val IdTracks = 0x1654AE6BL; val IdTrackEntry = 0xAEL
+    val IdTrackType = 0x83L; val IdCodecId = 0x86L
+    val containers = Set(IdEbml, IdSegment, IdInfo, IdTracks, IdTrackEntry)
+    var docType: Option[String] = None
+    var timecodeScale = 1000000L // EBML default: 1 ms ticks
+    var durationTicks = 0.0
+    var nTracks = 0
+    val trackTypes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val codecIds = scala.collection.mutable.ArrayBuffer.empty[String]
+    // varint: (value, bytesRead); keepMarker for IDs, strip for sizes.
+    // Returns None on truncation or a 0x00 lead byte (no length bit in
+    // the allowed range — malformed).
+    def varint(off: Int, to: Int, maxLen: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (off >= to) return None
+      val lead = content(off) & 0xFF
+      val len = Integer.numberOfLeadingZeros(lead) - 24 + 1 // 1..9 for lead>=1
+      if (lead == 0 || len > maxLen || off + len > to) return None
+      var v = (if (keepMarker) lead else lead & (0xFF >>> len)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (content(off + i) & 0xFFL); i += 1 }
+      Some((v, len))
+    }
+    def uintAt(off: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (content(off + i) & 0xFFL); i += 1 }
+      v
+    }
+    def floatAt(off: Int, len: Int): Option[Double] = len match {
+      case 4 => Some(java.lang.Float.intBitsToFloat(uintAt(off, 4).toInt).toDouble)
+      case 8 => Some(java.lang.Double.longBitsToDouble(uintAt(off, 8)))
+      case _ => None
+    }
+    def walk(from: Int, to: Int, depth: Int): Boolean = {
+      if (depth > EbmlMaxDepth) return false
+      var off = from
+      while (off < to) {
+        val id = varint(off, to, 4, keepMarker = true) match {
+          case Some(x) => x; case None => return false
+        }
+        val sz = varint(off + id._2, to, 8, keepMarker = false) match {
+          case Some(x) => x; case None => return false
+        }
+        val body = off + id._2 + sz._2
+        // all-ones size = unknown: runs to the parent's end
+        val unknown = sz._1 == (1L << (7 * sz._2)) - 1
+        val end = if (unknown) to else body + sz._1
+        if (end > to || end < body) return false
+        id._1 match {
+          case IdDocType =>
+            // EBML strings may be zero-padded: strip at the first NUL
+            docType = Some(new String(content, body, (end - body).toInt,
+              java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != '\u0000'))
+          case IdTimecodeScale => timecodeScale = uintAt(body, (end - body).toInt)
+          case IdDuration =>
+            floatAt(body, (end - body).toInt) match {
+              case Some(d) => durationTicks = d
+              case None => return false // a Duration that is not float-sized
+            }
+          case IdTrackEntry =>
+            nTracks += 1
+            if (!walk(body, end.toInt, depth + 1)) return false
+          case IdTrackType => trackTypes += uintAt(body, (end - body).toInt).toInt
+          case IdCodecId =>
+            codecIds += new String(content, body, (end - body).toInt,
+              java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != '\u0000')
+          case other if containers(other) =>
+            if (!walk(body, end.toInt, depth + 1)) return false
+          case _ => ()
+        }
+        off = end.toInt
+      }
+      off == to
+    }
+    if (content.length < 4) None
+    else if (!scala.util.Try(walk(0, content.length, 0)).getOrElse(false)) None
+    else if (docType.isEmpty) None // no EBML header: not Matroska/WebM
+    else Some(WebmMeta(docType.get, timecodeScale,
+      durationTicks * timecodeScale / 1e9, nTracks,
+      trackTypes.toSeq, codecIds.toSeq))
+  }
+
+  final case class WebmVideoMeta(media_id: Long, parsed: Boolean,
+      doc_type: String, duration_s: Double, n_tracks: Int,
+      codec_ids: Seq[String])
+
+  /** Partition-wise WebM/Matroska metadata gate over [[parseWebm]] —
+    * the [[videoMeta]] shape for the EBML container family; rows that
+    * are not well-formed EBML report `parsed = false` with the stub
+    * shape, keeping the pipeline total. */
+  def webmMeta(media: Dataset[MediaRow]): Dataset[WebmVideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        parseWebm(m.content) match {
+          case Some(meta) => WebmVideoMeta(m.media_id, parsed = true,
+            meta.doc_type, meta.duration_s, meta.n_tracks, meta.codec_ids)
+          case None => WebmVideoMeta(m.media_id, parsed = false, "", 0.0, 0, Seq.empty)
         }
       }
     }

@@ -405,6 +405,120 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  // ---- EBML / WebM container parsing (r7 verdict #5) -----------------
+
+  /** Minimal EBML element encoder: raw ID bytes + minimal-length size
+    * varint + payload. Sizes < 0x7F fit one byte (avoiding the
+    * all-ones unknown-size pattern); larger use the 2-byte form. */
+  private def ebml(id: Array[Int], payload: Array[Byte]): Array[Byte] = {
+    val size =
+      if (payload.length < 0x7F) Array((0x80 | payload.length).toByte)
+      else {
+        require(payload.length < 0x3FFF)
+        Array((0x40 | (payload.length >> 8)).toByte, (payload.length & 0xFF).toByte)
+      }
+    id.map(_.toByte) ++ size ++ payload
+  }
+  private def ebmlStr(id: Array[Int], s: String): Array[Byte] =
+    ebml(id, s.getBytes("US-ASCII"))
+  private def ebmlUint(id: Array[Int], v: Long): Array[Byte] = {
+    val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+    ebml(id, (1 to n).map(i => ((v >> (8 * (n - i))) & 0xFF).toByte).toArray)
+  }
+  private def ebmlF4(id: Array[Int], v: Float): Array[Byte] = {
+    val bits = java.lang.Float.floatToIntBits(v)
+    ebml(id, (1 to 4).map(i => ((bits >> (8 * (4 - i))) & 0xFF).toByte).toArray)
+  }
+  private def ebmlF8(id: Array[Int], v: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    ebml(id, (1 to 8).map(i => ((bits >> (8 * (8 - i))) & 0xFF).toByte).toArray)
+  }
+  private val IdHeader = Array(0x1A, 0x45, 0xDF, 0xA3)
+  private val IdDocType = Array(0x42, 0x82)
+  private val IdSegment = Array(0x18, 0x53, 0x80, 0x67)
+  private val IdInfo = Array(0x15, 0x49, 0xA9, 0x66)
+  private val IdTcScale = Array(0x2A, 0xD7, 0xB1)
+  private val IdDuration = Array(0x44, 0x89)
+  private val IdTracks = Array(0x16, 0x54, 0xAE, 0x6B)
+  private val IdTrackEntry = Array(0xAE)
+  private val IdTrackType = Array(0x83)
+  private val IdCodecId = Array(0x86)
+  private def trackEntry(tpe: Int, codec: String): Array[Byte] =
+    ebml(IdTrackEntry, ebmlUint(IdTrackType, tpe) ++ ebmlStr(IdCodecId, codec))
+  private def webmBytes(docType: String = "webm", tcScale: Long = 1000000L,
+      durationTicks: Either[Float, Double] = Left(2500.0f)): Array[Byte] = {
+    val dur = durationTicks.fold(ebmlF4(IdDuration, _), ebmlF8(IdDuration, _))
+    ebml(IdHeader, ebmlStr(IdDocType, docType)) ++
+      ebml(IdSegment,
+        ebml(IdInfo, ebmlUint(IdTcScale, tcScale) ++ dur) ++
+          ebml(IdTracks, trackEntry(1, "V_VP9") ++ trackEntry(2, "A_OPUS")))
+  }
+
+  test("parseWebm reads DocType, duration, and the track inventory from real EBML") {
+    val Some(m) = parseWebm(webmBytes())
+    assert(m.doc_type == "webm")
+    assert(m.timecode_scale == 1000000L)
+    // 2500 ticks × 1 ms/tick = 2.5 s
+    assert(math.abs(m.duration_s - 2.5) < 1e-9)
+    assert(m.n_tracks == 2)
+    assert(m.track_types == Seq(1, 2))
+    assert(m.codec_ids == Seq("V_VP9", "A_OPUS"))
+  }
+
+  test("parseWebm handles matroska doctype, 8-byte float duration, custom timescale") {
+    // 4000 ticks × 0.5 ms/tick = 2.0 s, double-precision duration
+    val Some(m) = parseWebm(webmBytes("matroska", 500000L, Right(4000.0)))
+    assert(m.doc_type == "matroska")
+    assert(math.abs(m.duration_s - 2.0) < 1e-9)
+    assert(m.codec_ids == Seq("V_VP9", "A_OPUS"))
+  }
+
+  test("parseWebm accepts an unknown-size segment extending to end of stream") {
+    val body = ebml(IdInfo, ebmlUint(IdTcScale, 1000000L) ++
+      ebmlF4(IdDuration, 1000.0f)) ++ ebml(IdTracks, trackEntry(1, "V_VP8"))
+    // size byte 0xFF = all data bits set in the 1-byte form → unknown
+    val seg = IdSegment.map(_.toByte) ++ Array(0xFF.toByte) ++ body
+    val Some(m) = parseWebm(ebml(IdHeader, ebmlStr(IdDocType, "webm")) ++ seg)
+    assert(math.abs(m.duration_s - 1.0) < 1e-9 && m.codec_ids == Seq("V_VP8"))
+  }
+
+  test("parseWebm rejects malformed streams, never throws") {
+    val good = webmBytes()
+    assert(parseWebm(good.dropRight(3)).isEmpty, "truncated stream")
+    assert(parseWebm(Array.empty[Byte]).isEmpty, "empty")
+    assert(parseWebm("not ebml at all".getBytes).isEmpty, "garbage")
+    assert(parseWebm(png(Array(Array(0xFF0000)))).isEmpty, "PNG bytes")
+    // child size overruns its parent: an Info claiming 0x70 payload
+    // bytes inside a Segment that only carries 4
+    val overrun = ebml(IdHeader, ebmlStr(IdDocType, "webm")) ++
+      ebml(IdSegment, IdInfo.map(_.toByte) ++ Array[Byte](0xF0.toByte, 1, 2, 3))
+    assert(parseWebm(overrun).isEmpty, "child overruns parent")
+    // depth bomb: TrackEntry nested 20 deep must hit the recursion cap
+    val bomb = (1 to 20).foldLeft(ebmlUint(IdTrackType, 1)) {
+      (inner, _) => ebml(IdTrackEntry, inner)
+    }
+    assert(parseWebm(ebml(IdHeader, ebmlStr(IdDocType, "webm")) ++
+      ebml(IdSegment, ebml(IdTracks, bomb))).isEmpty, "depth bomb")
+    // a Duration that is not 4 or 8 bytes is malformed
+    val badDur = ebml(IdHeader, ebmlStr(IdDocType, "webm")) ++
+      ebml(IdSegment, ebml(IdInfo, ebml(IdDuration, Array[Byte](1, 2, 3))))
+    assert(parseWebm(badDur).isEmpty, "3-byte float duration")
+    // missing EBML header: structurally valid but not Matroska
+    assert(parseWebm(ebml(IdSegment, ebml(IdTracks,
+      trackEntry(1, "V_VP9")))).isEmpty, "no header/doctype")
+  }
+
+  test("webmMeta gates parseable EBML rows and stubs the rest (pipeline total)") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("video", 0, 0, 0, 0), webmBytes()),
+      MediaRow(2L, MediaMeta("video", 0, 0, 0, 0), "junk".getBytes))
+    val out = webmMeta(spark.createDataset(rows)).collect().sortBy(_.media_id)
+    assert(out(0).parsed && out(0).doc_type == "webm" &&
+      out(0).n_tracks == 2 && out(0).codec_ids == Seq("V_VP9", "A_OPUS"))
+    assert(!out(1).parsed && out(1).codec_ids.isEmpty)
+  }
+
   test("binaryMeta stays codegen (no decode) and matches byte lengths") {
     import spark.implicits._
     val df = Seq((1L, "abc"), (2L, "")).toDF("id", "txt")
