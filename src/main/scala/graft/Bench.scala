@@ -217,6 +217,14 @@ object Bench {
         }
         workers.foreach(_.join())
         ops.PipelineCache.releaseAll()
+        // Re-pin the session confs the loop scopes (withLoopExec)
+        // save/restore: concurrent compile-pass workers can interleave
+        // those save/restores and leave a scope's temporary value stuck
+        // — harmless at sf0.001, but a stuck 4-partition width would
+        // distort every timed sweep. The timed sweeps are sequential,
+        // so scopes nest correctly from here on.
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
         compilePassComplete = !bailed.get
         import scala.jdk.CollectionConverters._
         val top8 = slowest.asScala.toSeq.sortBy(-_._2).take(8)

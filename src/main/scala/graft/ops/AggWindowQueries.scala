@@ -823,7 +823,40 @@ object AggWindowQueries {
         avg(col("ic")).as("theil_sen_intercept"))
   }
 
+  /** SHANNON ENTROPY of the order-priority mix per order status —
+    * the distribution-health scalar a data-mix owner tracks (a
+    * collapsing entropy means one priority is swallowing the class;
+    * the same operator monitors label balance or domain mix in a
+    * training corpus).
+    *
+    * Determinism: p·ln p terms are double (ln agrees cross-engine at
+    * these magnitudes — the lm_bigram precedent), but their SUM is
+    * order-sensitive, so the fold runs in explicit key order
+    * (sort_array(collect_list(struct)) left fold ↔ DuckDB list_reduce
+    * over list(... ORDER BY ...) — the round-4 m-ordered recipe);
+    * round 9 on the result. Scale posture: two partial-aggregated
+    * keyed shuffles; group count is the (tiny) status × priority grid,
+    * so the collect_list is bounded by the domain, not the data. */
+  def aggEntropyByGroup(s: SparkSession, d: String): DataFrame = {
+    val wt = Window.partitionBy("o_orderstatus")
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(wt))
+      .withColumn("plogp",
+        (col("c").cast("double") / col("tot").cast("double")) *
+          log(col("c").cast("double") / col("tot").cast("double")))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_priorities"),
+        round(-aggregate(
+          sort_array(collect_list(struct(col("o_orderpriority").as("k"),
+            col("plogp").as("v")))),
+          lit(0.0), (acc, x) => acc + x("v")), 9).as("entropy_nats"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_entropy_by_group"   -> aggEntropyByGroup _,
     "time_autocorr"         -> timeAutocorr _,
     "time_weekday_profile"  -> timeWeekdayProfile _,
     "window_rolling_corr"   -> windowRollingCorr _,
@@ -862,6 +895,20 @@ object AggWindowQueries {
     s"(((2*rr.r + 3)*h + rr.r*2654435761) % 4294967311) % $CmBuckets"
 
   val oracle: Map[String, String] = Map(
+    "agg_entropy_by_group" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT o_orderstatus, o_orderpriority,
+        |    (CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY o_orderstatus) AS DOUBLE)) *
+        |      ln(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY o_orderstatus) AS DOUBLE))
+        |      AS plogp
+        |  FROM c)
+        |SELECT o_orderstatus, COUNT(*) AS n_priorities,
+        |  ROUND(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(plogp ORDER BY o_orderpriority)), (s, x) -> s + x)), 9)
+        |    AS entropy_nats
+        |FROM p GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "time_autocorr" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', ts) AS day, COUNT(*) AS x

@@ -647,7 +647,63 @@ object CurationQueries {
       .orderBy("lang")
   }
 
+  /** TOKEN-BUDGET PACKING REPORT — greedy per-language doc selection
+    * under a fixed token budget (the "fill 20k tokens per language
+    * from the longest docs first" shape of epoch planning): docs
+    * ordered by (n_chars DESC, doc_id), cumulative whitespace-token
+    * count, keep while the running total fits. Reports per language
+    * the kept docs, their tokens, and budget utilization.
+    *
+    * Determinism: the order key is unique (doc_id tiebreak), the
+    * cumulative sum is pure BIGINT, one final double division.
+    * Scale posture: one keyed window shuffle per language + a rollup;
+    * the cumulative-sum frame is the default
+    * RANGE-UNBOUNDED-PRECEDING, identical in both engines because the
+    * order key is unique. */
+  def curationTokenBudgetPack(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextAnalysis.tokenCount
+    val budget = 20000L
+    val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= budget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tokens")).as("tokens_kept"),
+        max(col("cum")).as("budget_used"))
+      .withColumn("utilization",
+        round(col("budget_used").cast(DoubleType) / lit(budget.toDouble), 9))
+      .orderBy("lang")
+  }
+
+  /** SEEDED BERNOULLI SAMPLE — the keyed p=0.1 coin flip every
+    * subsampling stage needs to be REPRODUCIBLE: u = fold32(md5(seed ∥
+    * doc_id)) compared against ⌊p·2³²⌋, a pure function of the row key
+    * (no RNG, no partition sensitivity — the determinism contract of
+    * this module). Reports per language the sampled count, chars, and
+    * an id checksum so the exact membership (not just the size) is
+    * pinned cross-engine.
+    *
+    * Scale posture: embarrassingly parallel filter + one partial-
+    * aggregated rollup. */
+  def sampleBernoulliSeeded(s: SparkSession, d: String): DataFrame = {
+    val threshold = (0.1 * (1L << 32)).toLong // ⌊p·2³²⌋ = 429496729
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        md5(concat(lit("bern42:"), col("doc_id").cast(StringType))).as("h"))
+      .filter(hexFold32(col("h")) < threshold)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("chars_sampled"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_token_budget_pack" -> curationTokenBudgetPack _,
+    "sample_bernoulli_seeded"    -> sampleBernoulliSeeded _,
     "sample_balanced_classes" -> sampleBalancedClasses _,
     "curation_contamination_embedding" -> curationContaminationEmbedding _,
     "curation_dsir_weights"    -> curationDsirWeights _,
@@ -675,6 +731,27 @@ object CurationQueries {
   private def ceDot(a: String, b: String): String = OracleSql.dotFold(a, b)
 
   val oracle: Map[String, String] = Map(
+    "curation_token_budget_pack" ->
+      s"""WITH t AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    CAST(len(${TextQueries.tokensSqlOf("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT lang, doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY n_chars DESC, doc_id) AS cum
+         |  FROM t)
+         |SELECT lang, COUNT(*) AS n_docs_kept,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+         |  CAST(MAX(cum) AS BIGINT) AS budget_used,
+         |  ROUND(CAST(MAX(cum) AS DOUBLE) / 20000.0, 9) AS utilization
+         |FROM c WHERE cum <= 20000 GROUP BY lang ORDER BY lang""".stripMargin,
+    "sample_bernoulli_seeded" ->
+      s"""SELECT lang, COUNT(*) AS n_sampled,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sampled,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM documents
+         |WHERE (${fold32("'bern42:' || CAST(doc_id AS VARCHAR)")}) < 429496729
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "sample_balanced_classes" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

@@ -758,7 +758,29 @@ object DedupQueries {
         .as("recall"))
   }
 
+  /** DUPLICATE-CLUSTER PROFILE — the dedup ROI report a pipeline owner
+    * reads before paying for near-dup passes: exact-hash clusters
+    * folded to a cluster-size histogram with, per size, how many
+    * clusters, how many docs they hold, and the characters a
+    * keep-one-per-cluster dedup would delete (cluster members share
+    * identical text, so (size − 1) × n_chars is exact, not an
+    * estimate).
+    *
+    * Determinism: md5-equality clusters and pure integer arithmetic.
+    * Scale posture: two partial-aggregated keyed shuffles (hash, then
+    * size) — the histogram is bounded by the largest cluster size. */
+  def dedupDuplicateProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("sz"), max(col("n_chars")).as("chars"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum((col("sz") - 1L) * col("chars")).as("dedup_savings_chars"))
+      .orderBy("cluster_size")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_duplicate_profile"   -> dedupDuplicateProfile _,
     "dedup_threshold_sweep"     -> dedupThresholdSweep _,
     "dedup_lsh_recall_eval"     -> dedupLshRecallEval _,
     "text_tfidf_cosine"         -> textTfidfCosine _,
@@ -842,6 +864,14 @@ object DedupQueries {
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_duplicate_profile" ->
+      """WITH c AS (
+        |  SELECT md5(text) AS h, COUNT(*) AS sz, MAX(n_chars) AS chars
+        |  FROM documents GROUP BY md5(text))
+        |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+        |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+        |  CAST(SUM((sz - 1) * chars) AS BIGINT) AS dedup_savings_chars
+        |FROM c GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "dedup_threshold_sweep" ->
       // prefix length uses (1.0 - 0.7) — the IDENTICAL double the
       // engine's prefixShingles computes (a 0.3 literal parses to a

@@ -82,10 +82,6 @@ object GraphQueries {
     * engines make for their supersteps. Queries RETURNED to callers
     * still plan adaptively: the scope only covers loop-internal
     * materializations. */
-  private val aqeOriginal =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
-  private val shuffleOriginal =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
   private[graft] def withAqeOff[T](s: SparkSession)(body: => T): T =
     withLoopExec(s, stateRows = -1L)(body)
 
@@ -101,8 +97,15 @@ object GraphQueries {
   private[graft] def withLoopExec[T](s: SparkSession, stateRows: Long)(body: => T): T = {
     val aqeKey = "spark.sql.adaptive.enabled"
     val shKey = "spark.sql.shuffle.partitions"
-    val aqeOrig = aqeOriginal.computeIfAbsent(s, sess => sess.conf.get(aqeKey, "true"))
-    val shOrig = shuffleOriginal.computeIfAbsent(s, sess => sess.conf.get(shKey, "200"))
+    // Save-at-entry / restore-at-exit: callers legitimately change these
+    // confs (DeterminismSpec's 2-vs-9 partition experiment; a memoized
+    // "session original" would clobber them on scope exit). The one
+    // concurrent context — Bench's parallel compile pass — can
+    // interleave saves and leave a scope's temporary stuck; Bench
+    // re-pins both confs after that pass, bounding the race to the
+    // sf0.001 warmup where neither flag affects anything measured.
+    val aqeOrig = s.conf.get(aqeKey, "true")
+    val shOrig = s.conf.get(shKey, "200")
     s.conf.set(aqeKey, "false")
     if (stateRows >= 0) {
       val sized = math.max(4L, stateRows / (2L * 1000 * 1000))
@@ -1199,7 +1202,30 @@ object GraphQueries {
       .orderBy("scc_id")
   }
 
+  /** 2-HOP NEIGHBORHOOD CARDINALITY per vertex of the support graph —
+    * the "how fast does influence spread from here" profile (friend-of-
+    * friend reach, blast-radius estimation) and the cost model input
+    * for any 2-hop join an ANN/graph feature would run.
+    *
+    * Scale posture: the 2-hop expansion is one self-equi-join of the
+    * persisted adjacency (fan-out Σdeg², the standard wedge budget the
+    * triangle/jaccard queries already carry) + distinct + rollup — all
+    * keyed shuffles. Determinism: pure set arithmetic. */
+  def graph2HopCard(s: SparkSession, d: String): DataFrame = {
+    val one = supportDir(s, d).select(col("src").as("x"), col("dst").as("y"))
+    val n1 = one.groupBy("x").agg(count(lit(1)).as("n_1hop"))
+    val two = one.join(one.select(col("x").as("y"), col("y").as("z")), Seq("y"))
+      .select(col("x"), col("z").as("y"))
+      .filter(col("y") =!= col("x"))
+    val n2 = one.unionAll(two).distinct()
+      .groupBy("x").agg(count(lit(1)).as("n_2hop"))
+    n1.join(n2, Seq("x"))
+      .select(col("x").as("l_partkey"), col("n_1hop"), col("n_2hop"))
+      .orderBy("l_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_2hop_card"          -> graph2HopCard _,
     "graph_scc_full"          -> graphSccFull _,
     "graph_condensation_dag"  -> graphCondensationDag _,
     "graph_topo_layers"       -> graphTopologicalLayers _,
@@ -1351,6 +1377,17 @@ object GraphQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_2hop_card" ->
+      s"""WITH $edgesCte,
+         |one AS (SELECT src AS x, dst AS y FROM dir),
+         |n1 AS (SELECT x, COUNT(*) AS n_1hop FROM one GROUP BY x),
+         |two AS (SELECT a.x, b.y FROM one a JOIN one b ON a.y = b.x
+         |        WHERE b.y <> a.x),
+         |reach AS (SELECT DISTINCT x, y FROM
+         |  (SELECT x, y FROM one UNION ALL SELECT x, y FROM two)),
+         |n2 AS (SELECT x, COUNT(*) AS n_2hop FROM reach GROUP BY x)
+         |SELECT n1.x AS l_partkey, n_1hop, n_2hop
+         |FROM n1 JOIN n2 ON n1.x = n2.x ORDER BY l_partkey""".stripMargin,
     "graph_topo_layers" -> topoLayeredSql(TopoMaxRounds),
     // Reachability-closure labeling: scc_id(v) = MIN u with u⇝v AND
     // v⇝u (closure seeded with (v,v) so singletons label themselves) —

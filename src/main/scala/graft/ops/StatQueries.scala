@@ -1208,7 +1208,94 @@ object StatQueries {
       .orderBy("l_returnflag")
   }
 
+  /** PAIRWISE Pearson CORRELATION MATRIX over the lineitem numeric
+    * columns (quantity, extendedprice, discount, tax), unpivoted to one
+    * row per pair — the feature-correlation screen a feature-store
+    * owner runs before shipping redundant columns.
+    *
+    * Determinism (the cross-engine moment recipe): every moment
+    * (Σx, Σx², Σxy) accumulates in EXACT decimal — values cast to
+    * DECIMAL(18,2), products to (37,4), sums to (38,4) in BOTH engines
+    * — then hops to double THROUGH VARCHAR (decimal→double direct
+    * casts double-round at high precision, round-4 recipe), and the
+    * final r formula is the same IEEE expression tree on identical
+    * operands, rounded to 9. One aggregation pass computes all 14
+    * moments; the 6 pair rows explode from one array of structs (no
+    * re-scan per pair).
+    *
+    * Scale posture: a single partial-aggregated global aggregate (14
+    * partial sums, no shuffle wider than one row) — the cheapest shape
+    * statistics can take at 100 TB. */
+  def statPairwiseCorr(s: SparkSession, d: String): DataFrame = {
+    val names = Seq("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "dc" -> "l_discount", "tx" -> "l_tax")
+    val li = Tables.lineitem(s, d).select(names.map { case (a, c) =>
+      col(c).cast(DecimalType(18, 2)).as(a) }: _*)
+    val keys = names.map(_._1)
+    val momentCols =
+      keys.map(v => sum(col(v)).as(s"s_$v")) ++
+        (for { i <- keys.indices; j <- i until keys.length }
+          yield sum(col(keys(i)) * col(keys(j))).as(s"s_${keys(i)}_${keys(j)}"))
+    val sums = li.agg(count(lit(1)).as("n"), momentCols: _*)
+    // decimal → double through VARCHAR: correctly-rounded in both engines
+    def dd(c: String) = col(c).cast(StringType).cast(DoubleType)
+    val nD = col("n").cast(DoubleType)
+    def rFor(a: String, b: String) =
+      round((nD * dd(s"s_${a}_$b") - dd(s"s_$a") * dd(s"s_$b")) /
+        (sqrt(nD * dd(s"s_${a}_$a") - dd(s"s_$a") * dd(s"s_$a")) *
+          sqrt(nD * dd(s"s_${b}_$b") - dd(s"s_$b") * dd(s"s_$b"))), 9)
+    val pairs = Seq(("quantity_price", "q", "p"), ("quantity_discount", "q", "dc"),
+      ("quantity_tax", "q", "tx"), ("price_discount", "p", "dc"),
+      ("price_tax", "p", "tx"), ("discount_tax", "dc", "tx"))
+    sums.select(array(pairs.map { case (lbl, a, b) =>
+        struct(lit(lbl).as("pair"), rFor(a, b).as("r")) }: _*).as("rs"))
+      .select(explode(col("rs")).as("e"))
+      .select(col("e.pair").as("pair"), col("e.r").as("r"))
+      .orderBy("pair")
+  }
+
+  /** BURSTINESS COEFFICIENT per event type — Goh-Barabási
+    * B = (σ−μ)/(σ+μ) over the inter-arrival gaps (−1 ⇒ periodic,
+    * 0 ⇒ Poisson, →1 ⇒ bursty): the one-number traffic-shape summary
+    * on top of [[timeGapStats]]'s distribution.
+    *
+    * Determinism: gaps are exact BIGINT seconds; Σg stays BIGINT and
+    * Σg² accumulates in DECIMAL (a BIGINT square overflows at the
+    * 10×-scale corpus), both hopping to double through VARCHAR; σ/μ/B
+    * are then the same IEEE tree on identical operands, rounded 9.
+    * The degenerate all-equal-gap case (σ+μ could be 0 only if every
+    * gap is 0) reports NULL under the same CASE on both sides. */
+  def timeBurstiness(s: SparkSession, d: String): DataFrame = {
+    val wu = Window.partitionBy("event_type", "user_id")
+      .orderBy("sec", "event_id")
+    val gaps = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).cast(LongType).as("sec"))
+      .withColumn("prev", lag(col("sec"), 1).over(wu))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("sec") - col("prev")).as("gap"))
+    val agg = gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("s1"),
+        sum(col("gap").cast(DecimalType(18, 0)) *
+          col("gap").cast(DecimalType(18, 0))).as("s2"))
+    val nD = col("n_gaps").cast(DoubleType)
+    val s1d = col("s1").cast(StringType).cast(DoubleType)
+    val s2d = col("s2").cast(StringType).cast(DoubleType)
+    agg
+      .withColumn("mu", s1d / nD)
+      .withColumn("sigma", sqrt(nD * s2d - s1d * s1d) / nD)
+      .select(col("event_type"), col("n_gaps"),
+        round(col("mu"), 9).as("mean_gap_s"),
+        round(col("sigma"), 9).as("sd_gap_s"),
+        when(col("sigma") + col("mu") > 0.0,
+          round((col("sigma") - col("mu")) / (col("sigma") + col("mu")), 9))
+          .as("burstiness"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_pairwise_corr"        -> statPairwiseCorr _,
+    "time_burstiness"           -> timeBurstiness _,
     "agg_winsorized_mean" -> aggWinsorizedMean _,
     "stat_bootstrap_ci" -> statBootstrapCi _,
     "agg_percentile_interp"     -> aggPercentileInterp _,
@@ -1242,6 +1329,59 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "stat_pairwise_corr" -> {
+      val keys = Seq("q" -> "l_quantity", "p" -> "l_extendedprice",
+        "dc" -> "l_discount", "tx" -> "l_tax")
+      val ks = keys.map(_._1)
+      val castCols = keys.map { case (a, c) =>
+        s"CAST($c AS DECIMAL(18,2)) AS $a" }.mkString(", ")
+      val moments = (ks.map(v => s"SUM($v) AS s_$v") ++
+        (for { i <- ks.indices; j <- i until ks.length }
+          yield s"SUM(${ks(i)} * ${ks(j)}) AS s_${ks(i)}_${ks(j)}")).mkString(", ")
+      val dbls = (ks.map(v => s"CAST(CAST(s_$v AS VARCHAR) AS DOUBLE) AS s_$v") ++
+        (for { i <- ks.indices; j <- i until ks.length }
+          yield s"CAST(CAST(s_${ks(i)}_${ks(j)} AS VARCHAR) AS DOUBLE) AS s_${ks(i)}_${ks(j)}"))
+        .mkString(", ")
+      def rSel(lbl: String, a: String, b: String) =
+        s"SELECT '$lbl' AS pair, ROUND((nd * s_${a}_$b - s_$a * s_$b) / " +
+          s"(sqrt(nd * s_${a}_$a - s_$a * s_$a) * " +
+          s"sqrt(nd * s_${b}_$b - s_$b * s_$b)), 9) AS r FROM d"
+      s"""WITH li AS (SELECT $castCols FROM lineitem),
+         |m AS (SELECT COUNT(*) AS n, $moments FROM li),
+         |d AS (SELECT CAST(n AS DOUBLE) AS nd, $dbls FROM m)
+         |${rSel("quantity_price", "q", "p")}
+         |UNION ALL ${rSel("quantity_discount", "q", "dc")}
+         |UNION ALL ${rSel("quantity_tax", "q", "tx")}
+         |UNION ALL ${rSel("price_discount", "p", "dc")}
+         |UNION ALL ${rSel("price_tax", "p", "tx")}
+         |UNION ALL ${rSel("discount_tax", "dc", "tx")}
+         |ORDER BY pair""".stripMargin
+    },
+    "time_burstiness" ->
+      """WITH e AS (SELECT event_type, user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    sec - LAG(sec, 1) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY sec, event_id) AS gap
+        |  FROM e),
+        |a AS (SELECT event_type, COUNT(*) AS n_gaps,
+        |    CAST(SUM(gap) AS BIGINT) AS s1,
+        |    SUM(CAST(gap AS DECIMAL(18,0)) * CAST(gap AS DECIMAL(18,0))) AS s2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY event_type),
+        |d AS (SELECT event_type, n_gaps,
+        |    CAST(n_gaps AS DOUBLE) AS nd,
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+        |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d
+        |  FROM a),
+        |f AS (SELECT event_type, n_gaps, s1d / nd AS mu,
+        |    sqrt(nd * s2d - s1d * s1d) / nd AS sigma
+        |  FROM d)
+        |SELECT event_type, n_gaps, ROUND(mu, 9) AS mean_gap_s,
+        |  ROUND(sigma, 9) AS sd_gap_s,
+        |  CASE WHEN sigma + mu > 0.0
+        |       THEN ROUND((sigma - mu) / (sigma + mu), 9) END AS burstiness
+        |FROM f ORDER BY event_type""".stripMargin,
     "agg_winsorized_mean" ->
       """WITH r AS (
         |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,

@@ -529,7 +529,32 @@ object TextQueries {
       .orderBy("doc_id", "feature_idx")
   }
 
+  /** HAPAX-LEGOMENA profile per language — the vocabulary-tail health
+    * metric corpus linguists (and tokenizer trainers) read first: a
+    * natural corpus keeps ~40-60% of its vocabulary at frequency 1
+    * (Zipf tail); template-generated or heavily-duplicated text
+    * collapses the ratio, making it a cheap corpus-quality signal
+    * before any model sees the data.
+    *
+    * Determinism: pure integer counts; the single ratio division has
+    * identical operands cross-engine (round 9 for belt and braces).
+    * Scale posture: one token explode + two partial-aggregated keyed
+    * shuffles ((lang, tok) then lang) — the text_doc_frequency shape. */
+  def textHapaxRatio(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("freq"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("freq") === 1, 1L).otherwise(0L)).as("hapax_count"),
+        sum(col("freq")).as("total_tokens"))
+      .withColumn("hapax_ratio",
+        round(col("hapax_count").cast("double") /
+          col("vocab_size").cast("double"), 9))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hapax_ratio"      -> textHapaxRatio _,
     "text_feature_hashing"  -> textFeatureHashing _,
     "text_rake_keyphrases"  -> textRakeKeyphrases _,
     "text_chunk_dedup"      -> textChunkDedup _,
@@ -607,6 +632,15 @@ object TextQueries {
   private val ratioSql = ratioSqlOf("text")
 
   val oracle: Map[String, String] = Map(
+    "text_hapax_ratio" ->
+      s"""WITH t AS (SELECT lang, unnest($tokensSql) AS tok FROM documents),
+         |f AS (SELECT lang, tok, COUNT(*) AS freq FROM t GROUP BY 1, 2)
+         |SELECT lang, COUNT(*) AS vocab_size,
+         |  CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+         |  CAST(SUM(freq) AS BIGINT) AS total_tokens,
+         |  ROUND(CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |        CAST(COUNT(*) AS DOUBLE), 9) AS hapax_ratio
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     "text_feature_hashing" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(${tokensSqlOf("text")}) AS tok

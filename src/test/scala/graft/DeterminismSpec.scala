@@ -33,7 +33,13 @@ class DeterminismSpec extends SparkTestBase {
     // broadcast min-count (balanced classes)
     "pipeline_experiment_readout",
     "window_control_chart",
-    "sample_balanced_classes")
+    "sample_balanced_classes",
+    // round-8 risk classes: key-ordered FP folds of ln terms (entropy),
+    // 14-moment decimal→varchar→double chains (pairwise corr), 2-hop
+    // set expansion through distinct (neighborhood cardinality)
+    "agg_entropy_by_group",
+    "stat_pairwise_corr",
+    "graph_2hop_card")
 
   test("results are bit-identical at 2 vs 9 shuffle partitions") {
     val conf = spark.conf
