@@ -351,13 +351,19 @@ object DedupQueries {
       maxRounds: Int): (DataFrame, Int, Boolean) = {
     val pairs = PipelineCache.getOrPersist(s"dedup:verifiedPairs:$d")(
       dedupMinhashLsh(s, d).select(col("a_id"), col("b_id")))
-    val edges = PipelineCache.getOrPersist(s"dedup:ccEdges:$d")(
+    val edges0 = PipelineCache.getOrPersist(s"dedup:ccEdges:$d")(
       pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
-    // eager localCheckpoint: materializes AND truncates lineage (see
-    // scaladoc — without it planning goes exponential in rounds)
+    // Round-8 loop discipline (see GraphQueries.sccLabels): snapshot the
+    // edge base to a LogicalRDD so per-round analysis stops re-walking
+    // the whole minhash plan; lazy-checkpoint each round, materialized
+    // by its own lblSum probe (one scheduler barrier per round, not
+    // two); state-sized static round plans via withLoopExec.
+    val edges = edges0.localCheckpoint()
+    val nEdges = edges.count()
+    GraphQueries.withLoopExec(s, stateRows = nEdges) {
     var labels = edges.select(col("a_id").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // convergence check: labels are MONOTONICALLY non-increasing under
     // min-propagation, so the label sum strictly decreases until the
     // fixpoint — one cheap agg on the checkpointed round result replaces
@@ -376,7 +382,7 @@ object DedupQueries {
         .select(col("a_id").as("id"), col("lbl"))
         .union(labels)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint() // eager: the materializing action per round
+        .localCheckpoint(eager = false) // lblSum below materializes it
       val s = lblSum(next)
       changed = s != prevSum
       prevSum = s
@@ -397,6 +403,7 @@ object DedupQueries {
     PipelineCache.register(s"dedup:ccConverged:$d", labels)
     (labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id"), rounds, !changed)
+    }
   }
 
   /** Diameter cap for [[dedupClusterConverged]] (see its scaladoc). */
