@@ -83,6 +83,31 @@ object DedupQueries {
       .distinct()
   }
 
+  /** LSH BAND OCCUPANCY REPORT — the ops dashboard behind
+    * [[dedupMinhashLsh]]: per band, bucket count, max bucket size,
+    * colliding buckets, and the candidate-pair budget Σ k·(k−1)/2 the
+    * band contributes. This is the number an operator watches to catch
+    * a degenerate band (one mega-bucket → quadratic candidate blowup)
+    * BEFORE the candidate join pays for it — the skew pre-check of the
+    * LSH family. Pure integer arithmetic over the shared signature
+    * base; two partial-aggregated keyed shuffles. */
+  def dedupMinhashBandStats(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSig(s, d)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys(col("sig"), 4, 2): _*)).as(Seq("band", "bkey")))
+      // long band index: the oracle's range(0,4) is BIGINT
+      .withColumn("band", col("band").cast("long"))
+    bands.groupBy("band", "bkey").agg(count(lit(1)).as("k"))
+      .withColumn("pairs", expr("k * (k - 1) DIV 2"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("k")).as("n_docs"),
+        max(col("k")).as("max_bucket"),
+        sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_colliding_buckets"),
+        sum(col("pairs")).as("n_cand_pairs"))
+      .orderBy("band")
+  }
+
   /** MinHash + LSH banding: 8 md5-minhashes, 4 bands × 2 rows; docs
     * sharing a band key are candidates; exact Jaccard ≥ 0.8 verified on
     * candidates only. */
@@ -787,6 +812,7 @@ object DedupQueries {
       .orderBy("cluster_size")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_band_stats"  -> dedupMinhashBandStats _,
     "dedup_duplicate_profile"   -> dedupDuplicateProfile _,
     "dedup_threshold_sweep"     -> dedupThresholdSweep _,
     "dedup_lsh_recall_eval"     -> dedupLshRecallEval _,
@@ -1083,6 +1109,17 @@ object DedupQueries {
       """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS survivor_id,
         |  CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+    "dedup_minhash_band_stats" ->
+      s"""$minhashCandCte,
+         |bk AS (SELECT b AS band, bkey, COUNT(*) AS k
+         |  FROM bands GROUP BY b, bkey)
+         |SELECT band, COUNT(*) AS n_buckets,
+         |  CAST(SUM(k) AS BIGINT) AS n_docs,
+         |  MAX(k) AS max_bucket,
+         |  CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_colliding_buckets,
+         |  CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS n_cand_pairs
+         |FROM bk GROUP BY band ORDER BY band""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""$minhashCandCte
          |$verifySql""".stripMargin,

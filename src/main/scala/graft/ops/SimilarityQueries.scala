@@ -822,7 +822,58 @@ object SimilarityQueries {
       .limit(10)
   }
 
+
+  /** SIMPLIFIED SILHOUETTE per label — the clustering-quality readout
+    * (how separable the label structure is in embedding space) that
+    * gates cluster-based curation: a(i) = distance to the OWN label's
+    * centroid, b(i) = distance to the nearest OTHER centroid,
+    * s(i) = (b−a)/max(a,b); report each label's mean. The "simplified"
+    * variant (centroid distances, not all-pairs) is the one that scales
+    * — O(N·K) instead of O(N²).
+    *
+    * Determinism: centroid coordinates use the [[simKmeansStep]] recipe
+    * (double sum / count, round 12 — differential-pinned against the
+    * ordered fold); every distance is an index-ordered squared-diff
+    * fold (the dotFold convention); the per-label mean folds in vec_id
+    * order; round 9. Scale posture: centroid build is one partial-agg
+    * (label, dim) shuffle; the N×K distance pass broadcasts the K-row
+    * centroid frame; the rollup is K groups. */
+  def simSilhouette(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val centDims = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast(LongType).as("dim"))
+      .agg(round(sum(col("v").cast(DoubleType)) /
+        count(lit(1)).cast(DoubleType), 12).as("c"))
+    val cents = centDims.groupBy(col("label").as("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x("c")).as("cemb"))
+    def sqdistFold(a: Column, b: Column) =
+      aggregate(zip_with(a, b,
+          (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val ab = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        sqdistFold(col("embedding"), col("cemb")).as("d2"))
+      .groupBy("vec_id", "label")
+      .agg(sqrt(max(when(col("clabel") === col("label"), col("d2")))).as("a"),
+        sqrt(min(when(col("clabel") =!= col("label"), col("d2")))).as("b"))
+    ab.select(col("vec_id"), col("label"),
+        when(greatest(col("a"), col("b")) > 0.0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)).as("sil"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_points"),
+        round(aggregate(array_sort(collect_list(struct(col("vec_id"), col("sil")))),
+          lit(0.0), (acc, x) => acc + x("sil")) /
+          count(lit(1)).cast(DoubleType), 9).as("mean_silhouette"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_silhouette"        -> simSilhouette _,
     "sim_matryoshka_topk"  -> simMatryoshkaTopk _,
     "sim_hybrid_rrf"       -> simHybridRrf _,
     "dedup_srp_lsh"        -> dedupSrpLsh _,
@@ -880,6 +931,33 @@ object SimilarityQueries {
   }.mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    "sim_silhouette" ->
+      """WITH x AS (SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        |    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |cent AS (SELECT label, dim, ROUND(SUM(v) / COUNT(*), 12) AS c
+        |  FROM x GROUP BY 1, 2),
+        |carr AS (SELECT label AS clabel, list(c ORDER BY dim) AS cemb
+        |  FROM cent GROUP BY label),
+        |dd AS (SELECT e.vec_id, e.label, carr.clabel,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(e.embedding) + 1),
+        |        i -> (CAST(e.embedding[i] AS DOUBLE) - carr.cemb[i]) *
+        |             (CAST(e.embedding[i] AS DOUBLE) - carr.cemb[i]))),
+        |      (s, z) -> s + z) AS d2
+        |  FROM embeddings e CROSS JOIN carr),
+        |ab AS (SELECT vec_id, label,
+        |    sqrt(MAX(CASE WHEN clabel = label THEN d2 END)) AS a,
+        |    sqrt(MIN(CASE WHEN clabel <> label THEN d2 END)) AS b
+        |  FROM dd GROUP BY vec_id, label),
+        |sil AS (SELECT vec_id, label,
+        |    CASE WHEN GREATEST(a, b) > 0.0
+        |         THEN (b - a) / GREATEST(a, b) ELSE 0.0 END AS sil
+        |  FROM ab)
+        |SELECT label, COUNT(*) AS n_points,
+        |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(sil ORDER BY vec_id)), (s, z) -> s + z) /
+        |    CAST(COUNT(*) AS DOUBLE), 9) AS mean_silhouette
+        |FROM sil GROUP BY label ORDER BY label""".stripMargin,
     "sim_matryoshka_topk" ->
       s"""WITH p AS (SELECT embedding AS q,
          |    list_slice(embedding, 1, 16) AS qhead

@@ -1293,7 +1293,43 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** WEEKDAY SEASONAL INDEX of order revenue — the multiplicative
+    * seasonality profile (index 1.0 = an average day) a forecaster
+    * divides out before trend-fitting, and the capacity planner's
+    * staffing curve. Day numbering is weekday()+1 ↔ DuckDB isodow —
+    * the one numbering both engines share (round-3 recipe).
+    *
+    * Determinism: daily revenue aggregates in exact DECIMAL; per-dow
+    * and global sums stay decimal; the index is one fixed double tree
+    * over VARCHAR-hopped operands, round 9. Scale posture: one keyed
+    * date rollup, a 7-group rollup, and a broadcast 1-row globals
+    * cross — the globals pattern. */
+  def timeSeasonalIndex(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val byDow = daily
+      .withColumn("dow", (weekday(col("o_orderdate")) + 1).cast(LongType))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("rev")).as("srev"))
+    val globals = daily.agg(count(lit(1)).as("tot_days"),
+      sum(col("rev")).as("tot_rev"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast(StringType).cast(DoubleType)
+    byDow.crossJoin(broadcast(globals))
+      .select(col("dow"), col("n_days"),
+        // cents precision: at ~1e6 magnitude a 9-decimal round needs 16
+        // significant digits — past double precision, so the engines'
+        // decimal expansions differ sub-ulp; 2 decimals is magnitude-safe
+        round(dd(col("srev")) / col("n_days").cast(DoubleType), 2)
+          .as("avg_daily_rev"),
+        round((dd(col("srev")) / col("n_days").cast(DoubleType)) /
+          (dd(col("tot_rev")) / col("tot_days").cast(DoubleType)), 9)
+          .as("seasonal_index"))
+      .orderBy("dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_seasonal_index"       -> timeSeasonalIndex _,
     "stat_pairwise_corr"        -> statPairwiseCorr _,
     "time_burstiness"           -> timeBurstiness _,
     "agg_winsorized_mean" -> aggWinsorizedMean _,
@@ -1329,6 +1365,23 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "time_seasonal_index" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY o_orderdate),
+        |dw AS (SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+        |    COUNT(*) AS n_days, SUM(rev) AS srev
+        |  FROM daily GROUP BY 1),
+        |g AS (SELECT COUNT(*) AS tot_days, SUM(rev) AS tot_rev FROM daily)
+        |SELECT dow, n_days,
+        |  ROUND(CAST(CAST(srev AS VARCHAR) AS DOUBLE) /
+        |        CAST(n_days AS DOUBLE), 2) AS avg_daily_rev,
+        |  ROUND((CAST(CAST(srev AS VARCHAR) AS DOUBLE) /
+        |         CAST(n_days AS DOUBLE)) /
+        |        (CAST(CAST(tot_rev AS VARCHAR) AS DOUBLE) /
+        |         CAST(tot_days AS DOUBLE)), 9) AS seasonal_index
+        |FROM dw CROSS JOIN g ORDER BY dow""".stripMargin,
     "stat_pairwise_corr" -> {
       val keys = Seq("q" -> "l_quantity", "p" -> "l_extendedprice",
         "dc" -> "l_discount", "tx" -> "l_tax")
