@@ -326,7 +326,12 @@ object Bench {
       // partialExtra (mid-sweep banking) adds this sweep's prefix as an
       // extra sample per covered query WITHOUT shrinking coverage.
       val covered = measured.map(_.map(_._1).toSet).reduce(_ intersect _)
-      val extraByName = partialExtra.map(r => r._1 -> r).toMap
+      // only SUCCESSFUL partial samples merge in: a transient failure in
+      // the in-flight sweep must never downgrade a query's banked
+      // evidence from the completed sweeps (a genuinely-broken query
+      // still reports failed once its sweep COMPLETES and joins
+      // `sweeps`)
+      val extraByName = partialExtra.filter(_._3).map(r => r._1 -> r).toMap
       val results = ordered.filter(p => covered(p._1)).map { case (name, _) =>
         val runs = measured.map(_.find(_._1 == name).get) ++ extraByName.get(name)
         // a failed rep reports -1 (not its time-to-crash) so a

@@ -301,6 +301,11 @@ object Multimodal {
       duration_s: Double, n_tracks: Int, track_types: Seq[Int],
       codec_ids: Seq[String])
 
+  /** Recursion cap for [[parseWebm]]'s container walk — the EBML
+    * sibling of the BMFF walker's depth bound (legitimate Matroska
+    * nests ~4 structural levels; 16 is headroom). */
+  val EbmlMaxDepth = 16
+
   /** REAL WebM/Matroska CONTAINER parsing (r7 verdict #5) — pure EBML
     * byte walking, the sibling of [[parseMp4]] for the other container
     * family a video curation pipeline meets: a stream of elements, each
@@ -322,7 +327,6 @@ object Multimodal {
     * caps), or a missing/empty EBML header. An UNKNOWN-size element
     * (all size bits set — unbounded live streams) is accepted only as
     * extending to the parent's end, the standard reader behavior. */
-  val EbmlMaxDepth = 16
   def parseWebm(content: Array[Byte]): Option[WebmMeta] = {
     val IdEbml = 0x1A45DFA3L; val IdDocType = 0x4282L
     val IdSegment = 0x18538067L; val IdInfo = 0x1549A966L

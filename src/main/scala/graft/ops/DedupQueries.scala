@@ -71,10 +71,19 @@ object DedupQueries {
 
   /** LSH band-bucket candidate pairs (4 bands × 2 rows), shared by the
     * verified near-dup query and the sketch-accuracy query. */
-  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSig(s, d)
-    val bands = sig.select(col("doc_id"),
+  /** (doc_id, band, bkey) rows of the 4-band × 2-row LSH banding over
+    * the shared signature base — the ONE definition of the banding
+    * scheme, consumed by both the candidate join and the occupancy
+    * report (changing the scheme in one place keeps them describing the
+    * same banding). */
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    minhashSig(s, d).select(col("doc_id"),
       posexplode(array(bandKeys(col("sig"), 4, 2): _*)).as(Seq("band", "bkey")))
+      // long band index: the oracle's range(0,4) is BIGINT
+      .withColumn("band", col("band").cast("long"))
+
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashBands(s, d)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -91,13 +100,8 @@ object DedupQueries {
     * BEFORE the candidate join pays for it — the skew pre-check of the
     * LSH family. Pure integer arithmetic over the shared signature
     * base; two partial-aggregated keyed shuffles. */
-  def dedupMinhashBandStats(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSig(s, d)
-    val bands = sig.select(col("doc_id"),
-      posexplode(array(bandKeys(col("sig"), 4, 2): _*)).as(Seq("band", "bkey")))
-      // long band index: the oracle's range(0,4) is BIGINT
-      .withColumn("band", col("band").cast("long"))
-    bands.groupBy("band", "bkey").agg(count(lit(1)).as("k"))
+  def dedupMinhashBandStats(s: SparkSession, d: String): DataFrame =
+    minhashBands(s, d).groupBy("band", "bkey").agg(count(lit(1)).as("k"))
       .withColumn("pairs", expr("k * (k - 1) DIV 2"))
       .groupBy("band")
       .agg(count(lit(1)).as("n_buckets"),
@@ -106,7 +110,6 @@ object DedupQueries {
         sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_colliding_buckets"),
         sum(col("pairs")).as("n_cand_pairs"))
       .orderBy("band")
-  }
 
   /** MinHash + LSH banding: 8 md5-minhashes, 4 bands × 2 rows; docs
     * sharing a band key are candidates; exact Jaccard ≥ 0.8 verified on

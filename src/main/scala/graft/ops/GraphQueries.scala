@@ -66,11 +66,8 @@ object GraphQueries {
     * the cap the shuffled form runs unchanged at any scale. */
   val IterBroadcastMaxRows = 4 * 1000 * 1000
 
-  /** Run `body` with AQE disabled, restoring the session's ORIGINAL
-    * setting afterwards (recorded once per session, so nested/
-    * concurrent scopes can never leave the flag stuck on "false").
-    *
-    * Why (round-8, thread-sampled): the convergence loops' wall time
+  /** Why AQE goes off inside loops (round-8, thread-sampled): the
+    * convergence loops' wall time
     * sits inside `AdaptiveSparkPlanExec.withFinalPlanUpdate` — AQE
     * materializes every exchange of every tiny round-statement as its
     * own sequential query-stage job, so a 2-shuffle round pays 3-4
@@ -82,10 +79,7 @@ object GraphQueries {
     * engines make for their supersteps. Queries RETURNED to callers
     * still plan adaptively: the scope only covers loop-internal
     * materializations. */
-  private[graft] def withAqeOff[T](s: SparkSession)(body: => T): T =
-    withLoopExec(s, stateRows = -1L)(body)
-
-  /** [[withAqeOff]] plus STATE-SIZED shuffle width: a convergence
+  /** AQE-off + STATE-SIZED shuffle width: a convergence
     * round's shuffles carry the loop state (frontier/residual/label
     * frames), whose row count the loop tracks exactly — so size the
     * stage to the state (1 partition per ~2M state rows, floor 4)

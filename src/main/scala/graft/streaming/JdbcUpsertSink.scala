@@ -48,13 +48,21 @@ final class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
   private val ledger = s"${table}_batch_ledger"
 
   private def withConn[T](f: java.sql.Connection => T): T = {
-    val c = DriverManager.getConnection(url)
+    // props carry credentials for spark.read/write.jdbc — the ledger's
+    // direct connections must authenticate the same way
+    val c = DriverManager.getConnection(url, props)
     try f(c) finally c.close()
   }
 
   private def ensureLedger(): Unit = withConn { c =>
-    val rs = c.getMetaData.getTables(null, null, ledger.toUpperCase, null)
-    if (!rs.next())
+    // portable existence probe: SELECT against the table instead of a
+    // DatabaseMetaData.getTables pattern match (identifier case folding
+    // differs per sink — Derby upper-cases, Postgres lower-cases — and
+    // '_' in the name is a LIKE wildcard there)
+    val exists =
+      try { c.createStatement().executeQuery(s"SELECT 1 FROM $ledger WHERE 1 = 0"); true }
+      catch { case _: java.sql.SQLException => false }
+    if (!exists)
       c.createStatement()
         .executeUpdate(s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
   }
