@@ -8,7 +8,10 @@ val qs = Seq(
   "text_chunk_dedup", "curation_dsir_weights", "time_autocorr",
   "sim_ivf_pq_adc", "text_feature_hashing", "sql_recursive_cte",
   "stat_mann_whitney", "curation_contamination_embedding",
-  "etl_compaction_plan")
+  "etl_compaction_plan",
+  // round 8
+  "stat_pairwise_corr", "sim_silhouette", "dedup_minhash_band_stats",
+  "time_seasonal_index", "agg_entropy_by_group", "graph_2hop_card")
 val sb = new StringBuilder
 sb.append("# Flagship physical plans (sf0.001, shuffle.partitions=8)\n\n")
 sb.append("Regenerate: `spark-shell --driver-class-path target/scala-2.13/classes -i tools/dump_plans.scala`.\n")
