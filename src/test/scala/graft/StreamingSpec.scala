@@ -530,6 +530,69 @@ class StreamingSpec extends SparkTestBase {
     indexed.unpersist()
   }
 
+  test("upsert sink: checkpoint restart replays the uncommitted batch as a no-op") {
+    // The REAL replay path, not a hand-invoked one: run a checkpointed
+    // file-source stream through the sink, then simulate a crash in the
+    // window after the sink committed but before the engine wrote its
+    // commit marker (delete the latest checkpoint commit), and restart.
+    // Structured Streaming re-presents that batch with the SAME id; the
+    // ledger must short-circuit it and the table must not change.
+    import org.apache.spark.sql.functions._
+    graft.etl.DerbyVarcharDialect.ensureRegistered()
+    val url = s"jdbc:derby:/tmp/graft-derby-ckpt-${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      """CREATE TABLE tbl_planos (
+        |  id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        |  descricao VARCHAR(255) NOT NULL UNIQUE, valor DECIMAL(15,2))""".stripMargin)
+    finally conn.close()
+    val cleaned = graft.etl.Clean.dedupDeterministic(graft.etl.Clean.transform(
+      spark.read.format("xlsx").schema(graft.etl.Schemas.fixtureSchema)
+        .load("/root/reference/uploads/dados_importacao.xlsx")))
+      .select(col("Plano").as("descricao"), col("Plano_Valor").as("valor"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ups-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ups-ckpt").toString
+    // three single-file slices → three file-source micro-batches
+    Seq(400, 800, 1198).zip(Seq(0, 400, 800)).foreach { case (hi, lo) =>
+      cleaned.limit(hi).exceptAll(cleaned.limit(lo)).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val schema = spark.read.parquet(srcDir).schema
+    val sink = new graft.streaming.JdbcUpsertSink(url, "tbl_planos", Seq("descricao"))
+    def runQuery(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      // stop() can return before the engine releases its claim on the
+      // checkpoint dir; a same-JVM restart then dies with "multiple
+      // streaming queries are concurrently using <ckpt>/commits"
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      q.awaitTermination()
+    }
+    runQuery()
+    def snap(): Seq[String] = spark.read.jdbc(url, "tbl_planos", new java.util.Properties)
+      .select("descricao", "valor").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    val after = snap()
+    assert(after.size == 16, s"expected the 16 golden planos, got ${after.size}")
+    // crash window: the engine's commit marker for the last batch vanishes
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete())
+    // Hadoop's local FS keeps a ".N.crc" checksum sidecar; leaving it
+    // stale makes the replay's commit rewrite fail as a spurious
+    // "concurrently modified" checkpoint
+    val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    runQuery() // restart: replays the last batch id through foreachBatch
+    assert(snap() == after, "checkpoint replay mutated the sink")
+  }
+
   test("batch-equivalence: streamed tumbling counts fold to the oracle-checked " +
       "time_bucket_tumbling result on the real corpus") {
     import org.apache.spark.sql.functions._
