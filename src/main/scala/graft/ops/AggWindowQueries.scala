@@ -855,7 +855,36 @@ object AggWindowQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** HERFINDAHL–HIRSCHMAN concentration of supplier revenue per nation
+    * — the "is one supplier swallowing the market" scalar (the domain-
+    * dominance check a data-mix owner runs on source shares looks
+    * exactly like this). HHI = Σ share², computed EXACTLY as
+    * Σrev² / (Σrev)² so no per-supplier double share sum exists to be
+    * order-sensitive: both moments accumulate in exact decimal, hop to
+    * double through VARCHAR, and divide once (round 9). Includes the
+    * top supplier's share for the headline. Scale posture: one keyed
+    * (nation, supplier) rollup + a 25-group rollup. */
+  def aggHhiConcentration(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev"))
+    def dd(c: org.apache.spark.sql.Column) =
+      c.cast(StringType).cast(DoubleType)
+    rev.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev")).as("tot"),
+        sum(col("rev") * col("rev")).as("sq"),
+        max(col("rev")).as("top"))
+      .select(col("s_nationkey"), col("n_suppliers"),
+        round(dd(col("sq")) / (dd(col("tot")) * dd(col("tot"))), 9).as("hhi"),
+        round(dd(col("top")) / dd(col("tot")), 9).as("top_share"))
+      .orderBy("s_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hhi_concentration"  -> aggHhiConcentration _,
     "agg_entropy_by_group"   -> aggEntropyByGroup _,
     "time_autocorr"         -> timeAutocorr _,
     "time_weekday_profile"  -> timeWeekdayProfile _,
@@ -895,6 +924,22 @@ object AggWindowQueries {
     s"(((2*rr.r + 3)*h + rr.r*2654435761) % 4294967311) % $CmBuckets"
 
   val oracle: Map[String, String] = Map(
+    "agg_hhi_concentration" ->
+      """WITH r AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |a AS (SELECT s_nationkey, COUNT(*) AS n_suppliers,
+        |    SUM(rev) AS tot, SUM(rev * rev) AS sq, MAX(rev) AS top
+        |  FROM r GROUP BY s_nationkey)
+        |SELECT s_nationkey, n_suppliers,
+        |  ROUND(CAST(CAST(sq AS VARCHAR) AS DOUBLE) /
+        |    (CAST(CAST(tot AS VARCHAR) AS DOUBLE) *
+        |     CAST(CAST(tot AS VARCHAR) AS DOUBLE)), 9) AS hhi,
+        |  ROUND(CAST(CAST(top AS VARCHAR) AS DOUBLE) /
+        |        CAST(CAST(tot AS VARCHAR) AS DOUBLE), 9) AS top_share
+        |FROM a ORDER BY s_nationkey""".stripMargin,
     "agg_entropy_by_group" ->
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c

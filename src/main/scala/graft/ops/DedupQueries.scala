@@ -111,6 +111,25 @@ object DedupQueries {
         sum(col("pairs")).as("n_cand_pairs"))
       .orderBy("band")
 
+  /** CANDIDATE-JACCARD HISTOGRAM — the threshold-picking view of the
+    * LSH candidate set (what [[dedupThresholdSweep]] summarizes as
+    * pair counts, laid out as the 0.05-bucket distribution a curator
+    * eyeballs to place the dedup cutoff): every LSH candidate pair's
+    * EXACT Jaccard, bucketed by floor(J·20). The bucket boundary
+    * arithmetic is the same IEEE double on identical rational
+    * operands in both engines, so bucket membership cannot straddle.
+    * Reuses the persisted candidate/shingle bases. */
+  def dedupJaccardHistogram(s: SparkSession, d: String): DataFrame = {
+    val base = shingled(s, d)
+    lshCandidates(s, d)
+      .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .select(floor(jaccard(col("sha"), col("shb")) * 20.0).cast("long")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+  }
+
   /** MinHash + LSH banding: 8 md5-minhashes, 4 bands × 2 rows; docs
     * sharing a band key are candidates; exact Jaccard ≥ 0.8 verified on
     * candidates only. */
@@ -816,6 +835,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_band_stats"  -> dedupMinhashBandStats _,
+    "dedup_jaccard_histogram"   -> dedupJaccardHistogram _,
     "dedup_duplicate_profile"   -> dedupDuplicateProfile _,
     "dedup_threshold_sweep"     -> dedupThresholdSweep _,
     "dedup_lsh_recall_eval"     -> dedupLshRecallEval _,
@@ -1112,6 +1132,13 @@ object DedupQueries {
       """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS survivor_id,
         |  CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+    "dedup_jaccard_histogram" ->
+      s"""$minhashCandCte
+         |SELECT CAST(floor(($jaccardSql) * 20.0) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_pairs
+         |FROM cand
+         |JOIN base x ON x.doc_id = a_id JOIN base y ON y.doc_id = b_id
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "dedup_minhash_band_stats" ->
       s"""$minhashCandCte,
          |bk AS (SELECT b AS band, bkey, COUNT(*) AS k

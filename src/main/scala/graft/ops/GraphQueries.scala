@@ -1218,7 +1218,37 @@ object GraphQueries {
       .orderBy("l_partkey")
   }
 
+  /** DEGREE ASSORTATIVITY of the support graph — Newman's r: the
+    * Pearson correlation of endpoint degrees over every directed edge
+    * (r > 0: hubs attach to hubs — social-network shape; r < 0: hubs
+    * attach to leaves — star/infrastructure shape). The one-scalar
+    * topology fingerprint read before choosing skew defenses.
+    *
+    * Determinism: degrees and all five moments are exact BIGINT sums
+    * over the symmetric edge list; r is one fixed double tree, round 9.
+    * Scale posture: a degree rollup + two broadcast-or-hash joins of
+    * the edge list against it + one global partial-agg. */
+  def graphAssortativity(s: SparkSession, d: String): DataFrame = {
+    val dir = supportDir(s, d)
+    val degs = dir.groupBy(col("src").as("x")).agg(count(lit(1)).as("deg"))
+    val edges = dir
+      .join(degs.select(col("x").as("src"), col("deg").as("dx")), "src")
+      .join(degs.select(col("x").as("dst"), col("deg").as("dy")), "dst")
+    val m = edges.agg(count(lit(1)).as("n"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val nD = col("n").cast("double")
+    def dc(c: String) = col(c).cast("double")
+    m.select(col("n").as("n_directed_edges"),
+      round((nD * dc("sxy") - dc("sx") * dc("sy")) /
+        (sqrt(nD * dc("sxx") - dc("sx") * dc("sx")) *
+          sqrt(nD * dc("syy") - dc("sy") * dc("sy"))), 9).as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity"      -> graphAssortativity _,
     "graph_2hop_card"          -> graph2HopCard _,
     "graph_scc_full"          -> graphSccFull _,
     "graph_condensation_dag"  -> graphCondensationDag _,
@@ -1371,6 +1401,26 @@ object GraphQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_assortativity" ->
+      s"""WITH $edgesCte,
+         |degs AS (SELECT src AS x, COUNT(*) AS deg FROM dir GROUP BY src),
+         |e AS (SELECT a.deg AS dx, b.deg AS dy
+         |  FROM dir JOIN degs a ON dir.src = a.x JOIN degs b ON dir.dst = b.x),
+         |m AS (SELECT COUNT(*) AS n,
+         |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         |    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |    CAST(SUM(dy * dy) AS BIGINT) AS syy
+         |  FROM e)
+         |SELECT n AS n_directed_edges,
+         |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+         |          CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+         |    AS assortativity
+         |FROM m""".stripMargin,
     "graph_2hop_card" ->
       s"""WITH $edgesCte,
          |one AS (SELECT src AS x, dst AS y FROM dir),

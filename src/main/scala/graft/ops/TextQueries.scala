@@ -553,7 +553,29 @@ object TextQueries {
           col("vocab_size").cast("double"), 9))
       .orderBy("lang")
 
+  /** TOKENIZER FERTILITY per language — subword tokens per word (the
+    * number a tokenizer owner tracks per language: high fertility means
+    * the vocabulary splits that language's words into many pieces and
+    * its token budget buys less text). Uses the suite's deterministic
+    * BPE-ish count over the whitespace tokenizer; ratio is one double
+    * division over exact BIGINT sums, round 9. One partial-aggregated
+    * rollup per language. */
+  def textTokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextAnalysis.{approxBpeCount, tokenCount}
+    Tables.documents(s, d)
+      .select(col("lang"), tokenCount(col("text")).cast("long").as("words"),
+        approxBpeCount(col("text")).as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("total_words"),
+        sum(col("bpe")).as("total_subwords"))
+      .withColumn("fertility",
+        round(col("total_subwords").cast("double") /
+          col("total_words").cast("double"), 9))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokenizer_fertility" -> textTokenizerFertility _,
     "text_hapax_ratio"      -> textHapaxRatio _,
     "text_feature_hashing"  -> textFeatureHashing _,
     "text_rake_keyphrases"  -> textRakeKeyphrases _,
@@ -632,6 +654,14 @@ object TextQueries {
   private val ratioSql = ratioSqlOf("text")
 
   val oracle: Map[String, String] = Map(
+    "text_tokenizer_fertility" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CAST(len($tokensSql) AS BIGINT)) AS BIGINT) AS total_words,
+         |  CAST(SUM($bpeSql) AS BIGINT) AS total_subwords,
+         |  ROUND(CAST(SUM($bpeSql) AS DOUBLE) /
+         |    CAST(SUM(CAST(len($tokensSql) AS BIGINT)) AS DOUBLE), 9)
+         |    AS fertility
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "text_hapax_ratio" ->
       s"""WITH t AS (SELECT lang, unnest($tokensSql) AS tok FROM documents),
          |f AS (SELECT lang, tok, COUNT(*) AS freq FROM t GROUP BY 1, 2)
