@@ -26,7 +26,8 @@ object SparkEntry {
       SourceSinkQueries.queries ++ AsofQueries.queries ++
       RangeTfQueries.queries ++ CurationQueries.queries ++
       GraphQueries.queries ++ StatQueries.queries ++
-      DecisionQueries.queries ++ DecisionQueriesB.queries
+      DecisionQueries.queries ++ DecisionQueriesB.queries ++
+      FrontierQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       SourceSinkQueries.oracle ++ AsofQueries.oracle ++
       RangeTfQueries.oracle ++ CurationQueries.oracle ++
       GraphQueries.oracle ++ StatQueries.oracle ++
-      DecisionQueries.oracle ++ DecisionQueriesB.oracle
+      DecisionQueries.oracle ++ DecisionQueriesB.oracle ++
+      FrontierQueries.oracle
 }

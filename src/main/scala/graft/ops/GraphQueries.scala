@@ -388,6 +388,62 @@ object GraphQueries {
       .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
       .orderBy("deg")
 
+  /** LOCAL CLUSTERING COEFFICIENT by degree class — for each vertex,
+    * the fraction of its neighbor pairs that are themselves connected
+    * (2·triangles / deg·(deg−1)), averaged over every vertex of the
+    * same degree. The curve a graph owner reads next to the degree
+    * histogram: real co-occurrence graphs show falling coefficient with
+    * degree (hubs bridge communities); a flat-high curve means cliquey
+    * duplication, flat-low means noise.
+    *
+    * Determinism: triangle counts and degrees are exact integers, and
+    * because the degree is CONSTANT within each output group the group
+    * mean collapses to 2·ΣT / (deg·(deg−1)·n) — one double division per
+    * row, no order-sensitive double sum anywhere (round 9).
+    *
+    * Scale posture: reuses the degree-oriented triangle enumeration
+    * (O(m^1.5) wedge bound, see [[graphTriangleCount]]) and the shared
+    * persisted adjacency; adds one left join and a rollup over the
+    * degree domain. The DuckDB oracle enumerates triangles with the
+    * simpler id-order orientation — a different traversal of the same
+    * triangle set that must agree exactly. */
+  def graphClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val edges = supportEdges(s, d)
+    val deg = edges.select(col("u").as("x"))
+      .unionAll(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("x").as("u"), col("deg").as("udeg")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("deg").as("vdeg")), Seq("v"))
+    val uFirst = col("udeg") < col("vdeg") ||
+      (col("udeg") === col("vdeg") && col("u") < col("v"))
+    val oriented = PipelineCache.getOrPersist(s"graph_oriented_edges:$d") {
+      withDeg.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("vdeg")).otherwise(col("udeg")).as("ddeg"))
+    }
+    val o1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("bdeg"))
+    val o2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("cdeg"))
+    val wedges = o1.join(o2, Seq("src"))
+      .filter(col("bdeg") < col("cdeg") ||
+        (col("bdeg") === col("cdeg") && col("b") < col("c")))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val perVertex = wedges.join(closing, Seq("b", "c"))
+      .select(explode(array(col("src"), col("b"), col("c"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perVertex, Seq("x"), "left")
+      .select(col("deg"), coalesce(col("n_tri"), lit(0L)).as("t"))
+      .groupBy("deg")
+      .agg(count(lit(1)).as("n_vertices"), sum(col("t")).as("sum_triangles"))
+      .select(col("deg"), col("n_vertices"), col("sum_triangles"),
+        round(lit(2.0) * col("sum_triangles").cast("double") /
+          (col("deg") * (col("deg") - 1L) * col("n_vertices")).cast("double"),
+          9).as("avg_clustering"))
+      .orderBy("deg")
+  }
+
   /** Multi-source BFS reachability profile — depth-of-reach histogram
     * from a deterministic seed set (every 20th part id), 3 rounds deep:
     * how much of the co-purchase graph is within k hops of the seeds,
@@ -1261,6 +1317,7 @@ object GraphQueries {
     "graph_pagerank_iter"       -> graphPagerankIter _,
     "graph_pagerank_converged"  -> graphPagerankConverged _,
     "graph_degree_hist"         -> graphDegreeHist _,
+    "graph_clustering_coeff"    -> graphClusteringCoeff _,
     "graph_bfs_reach"           -> graphBfsReach _,
     "graph_bfs_converged"       -> graphBfsConverged _,
     "graph_kcore"               -> graphKcore _,
@@ -1566,6 +1623,26 @@ object GraphQueries {
          |degs AS (SELECT x, COUNT(*) AS deg FROM verts GROUP BY x)
          |SELECT deg, COUNT(*) AS n_vertices FROM degs GROUP BY deg
          |ORDER BY deg""".stripMargin,
+    "graph_clustering_coeff" ->
+      s"""WITH $edgesCte,
+         |tris AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+         |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |tverts AS (
+         |  SELECT a AS v FROM tris UNION ALL SELECT b FROM tris
+         |  UNION ALL SELECT c FROM tris),
+         |tcnt AS (SELECT v AS x, COUNT(*) AS n_tri FROM tverts GROUP BY 1),
+         |degs AS (SELECT src AS x, COUNT(*) AS deg FROM dir GROUP BY 1),
+         |cc AS (
+         |  SELECT degs.deg, COALESCE(tcnt.n_tri, 0) AS t
+         |  FROM degs LEFT JOIN tcnt ON degs.x = tcnt.x
+         |  WHERE degs.deg >= 2)
+         |SELECT deg, COUNT(*) AS n_vertices,
+         |  CAST(SUM(t) AS BIGINT) AS sum_triangles,
+         |  ROUND(2.0 * CAST(SUM(t) AS DOUBLE) /
+         |    CAST(deg * (deg - 1) * COUNT(*) AS DOUBLE), 9) AS avg_clustering
+         |FROM cc GROUP BY deg ORDER BY deg""".stripMargin,
     "graph_triangle_count" ->
       s"""WITH $edgesCte,
          |tris AS (
