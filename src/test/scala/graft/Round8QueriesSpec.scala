@@ -138,6 +138,95 @@ class Round8QueriesSpec extends SparkTestBase {
     assert(distinctPairs > 0, "fixture should produce LSH candidates")
   }
 
+  // ---- frontier batch (second round-8 wave) ----
+
+  test("AUC is a probability and the rank pass covers every document") {
+    val perLang = graft.ops.Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows("stat_auc_rank").foreach { r =>
+      val np = r.getLong(r.fieldIndex("n_pos"))
+      val nn = r.getLong(r.fieldIndex("n_neg"))
+      assert(np + nn == perLang(r.getString(0)),
+        s"lang ${r.get(0)}: $np+$nn misses documents")
+      val i = r.fieldIndex("auc")
+      if (!r.isNullAt(i))
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0,
+          s"lang ${r.get(0)}: auc ${r.getDouble(i)} outside [0,1]")
+    }
+  }
+
+  test("clustering coefficients are probabilities") {
+    val rs = rows("graph_clustering_coeff")
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val c = r.getDouble(r.fieldIndex("avg_clustering"))
+      assert(c >= 0.0 && c <= 1.0, s"deg ${r.get(0)}: $c outside [0,1]")
+      assert(r.getLong(r.fieldIndex("sum_triangles")) >= 0L)
+    }
+  }
+
+  test("JL distortion histogram conserves the non-degenerate vector count") {
+    val binned = rows("sim_jl_distortion")
+      .map(r => r.getLong(r.fieldIndex("n_vecs"))).sum
+    val total = graft.ops.Tables.embeddings(spark, sfDir).count()
+    assert(binned == total, s"histogram covers $binned of $total vectors")
+  }
+
+  test("Zipf slope is negative over a head capped at 1000 ranks") {
+    rows("text_zipf_slope").foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_ranks")) <= 1000L)
+      assert(r.getDouble(r.fieldIndex("zipf_slope")) < 0.0,
+        s"lang ${r.get(0)}: rank-frequency slope not decreasing")
+    }
+  }
+
+  test("BPE merge candidates rank by nonincreasing count within language") {
+    rows("text_bpe_merge_step").groupBy(_.getString(0)).foreach {
+      case (lang, rs) =>
+        val byRank = rs.sortBy(_.getLong(rs.head.fieldIndex("rank")))
+        val cnts = byRank.map(_.getLong(rs.head.fieldIndex("cnt")))
+        assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+          s"lang $lang: counts not sorted: ${cnts.toSeq}")
+    }
+  }
+
+  test("systematic sample takes exactly ceil(n/k) per stratum, first row in") {
+    val perLang = graft.ops.Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("doc_id").as("mn"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows("sample_systematic").groupBy(_.getString(0)).foreach {
+      case (lang, rs) =>
+        val (n, mn) = perLang(lang)
+        assert(rs.length == ((n + 9) / 10),
+          s"lang $lang: ${rs.length} sampled of $n")
+        assert(rs.map(_.getLong(1)).min == mn,
+          s"lang $lang: first document not in the sample")
+    }
+  }
+
+  test("late-arriving dim report conserves the fact table") {
+    val rs = rows("etl_late_arriving_dim")
+    rs.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_resolved")) +
+        r.getLong(r.fieldIndex("n_late")) ==
+        r.getLong(r.fieldIndex("n_orders")), s"month ${r.get(0)} leaks orders")
+    }
+    val total = rs.map(r => r.getLong(r.fieldIndex("n_orders"))).sum
+    assert(total == graft.ops.Tables.orders(spark, sfDir).count())
+  }
+
+  test("changepoint splits are interior and the statistic is nonnegative") {
+    rows("time_changepoint_binseg").foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_left")) >= 1L)
+      assert(r.getLong(r.fieldIndex("n_right")) >= 1L)
+      assert(r.getDouble(r.fieldIndex("cusum_stat")) >= 0.0)
+    }
+  }
+
   test("seasonal indexes average to exactly 1 when weighted by day counts") {
     val rs = rows("time_seasonal_index")
     val totDays = rs.map(r => r.getLong(r.fieldIndex("n_days"))).sum.toDouble
