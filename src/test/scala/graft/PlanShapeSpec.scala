@@ -519,4 +519,40 @@ class PlanShapeSpec extends SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("JL distortion broadcasts the sign matrix; one exchange for the bucket rollup") {
+    // the 16x64 Rademacher matrix is ONE row: it must reach the scan
+    // side as a broadcast (BNLJ over a single build row is the right
+    // plan), and the only hash exchange is the ~30-bucket histogram
+    // rollup - the embedding table itself never shuffles
+    val p = plan("sim_jl_distortion")
+    assert(ops(p).exists(o => o.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+      o.isInstanceOf[BroadcastExchangeExec]), p)
+    assert(hashExchanges(p).size <= 1, p)
+  }
+
+  test("late-arriving dim resolves through an equi-join, no cartesian") {
+    val p = plan("etl_late_arriving_dim")
+    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
+    assert(ops(p).collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty, p)
+    assert(ops(p).exists(_.isInstanceOf[BaseJoinExec]), p)
+  }
+
+  test("clustering coefficient's wedge enumeration stays equi-join only") {
+    noCartesian(plan("graph_clustering_coeff"), "graph_clustering_coeff")
+  }
+
+  test("Zipf head cap pushes a window group-limit below the rank shuffle") {
+    // rank <= 1000 must prune per-group BEFORE materializing the full
+    // vocabulary window - the cap is what bounds the per-lang fold state
+    val p = plan("text_zipf_slope")
+    assert(ops(p).exists(_.isInstanceOf[WindowGroupLimitExec]), p)
+  }
+
+  test("BPE merge step partial-aggregates the pair counts before the shuffle") {
+    val p = plan("text_bpe_merge_step")
+    assert(partialAggs(p).exists(_.aggregateExpressions.exists(
+      _.aggregateFunction.isInstanceOf[Count])), p.toString)
+    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
+  }
 }
