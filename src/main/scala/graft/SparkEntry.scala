@@ -27,7 +27,7 @@ object SparkEntry {
       RangeTfQueries.queries ++ CurationQueries.queries ++
       GraphQueries.queries ++ StatQueries.queries ++
       DecisionQueries.queries ++ DecisionQueriesB.queries ++
-      FrontierQueries.queries
+      FrontierQueries.queries ++ FrontierQueriesB.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +41,5 @@ object SparkEntry {
       RangeTfQueries.oracle ++ CurationQueries.oracle ++
       GraphQueries.oracle ++ StatQueries.oracle ++
       DecisionQueries.oracle ++ DecisionQueriesB.oracle ++
-      FrontierQueries.oracle
+      FrontierQueries.oracle ++ FrontierQueriesB.oracle
 }

@@ -306,6 +306,148 @@ object FrontierQueries {
       .orderBy("bucket")
   }
 
+  /** SPEARMAN RANK CORRELATION of quantity vs line price per return
+    * flag — the monotone-association screen that survives outliers and
+    * nonlinearity (the robust sibling of [[StatQueries]]' Pearson
+    * matrix; in a curation stack the same operator screens "does
+    * quality score rise with length" without trusting either scale).
+    *
+    * Determinism: mid-ranks stay INTEGER (2·midrank = 2·rank+ties−1);
+    * the five moments accumulate in DECIMAL(38,0) — Σ(2r)² reaches
+    * ~3·10¹⁹ at sf1, past BIGINT — then VARCHAR-hop to double for one
+    * fixed Pearson tree, round 9.
+    *
+    * Scale posture: two rank windows over the same partition key + one
+    * moment rollup; no joins. */
+  def statSpearmanCorr(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wq = Window.partitionBy("l_returnflag").orderBy("q")
+    val wqt = Window.partitionBy("l_returnflag", "q")
+    val wp = Window.partitionBy("l_returnflag").orderBy("p")
+    val wpt = Window.partitionBy("l_returnflag", "p")
+    val ranked = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").as("q"),
+        col("l_extendedprice").as("p"))
+      .withColumn("rx", lit(2L) * rank().over(wq).cast(LongType) +
+        count(lit(1)).over(wqt) - 1L)
+      .withColumn("ry", lit(2L) * rank().over(wp).cast(LongType) +
+        count(lit(1)).over(wpt) - 1L)
+    def hop(c: Column): Column = c.cast("string").cast(DoubleType)
+    val m = ranked.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("rx").cast(dec)).as("sx"), sum(col("ry").cast(dec)).as("sy"),
+      sum((col("rx") * col("ry")).cast(dec)).as("sxy"),
+      sum((col("rx") * col("rx")).cast(dec)).as("sxx"),
+      sum((col("ry") * col("ry")).cast(dec)).as("syy"))
+    val nd = col("n").cast(DoubleType)
+    val num = nd * hop(col("sxy")) - hop(col("sx")) * hop(col("sy"))
+    val den = sqrt((nd * hop(col("sxx")) - hop(col("sx")) * hop(col("sx"))) *
+      (nd * hop(col("syy")) - hop(col("sy")) * hop(col("sy"))))
+    m.select(col("l_returnflag"), col("n"),
+      round(num / den, 9).as("spearman_rho"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TYPE-TOKEN-RATIO CURVE per language — vocabulary richness at
+    * fixed prefix depths (50/100/200 tokens), the length-controlled
+    * lexical-diversity readout (raw TTR is confounded by document
+    * length; fixing the prefix makes languages and sources comparable —
+    * the standard complement to [[TextQueries.textHapaxRatio]]).
+    *
+    * Determinism: a type "appears in the first k tokens" iff its MIN
+    * position < k — pure integer counts, one division per depth,
+    * round 9.
+    *
+    * Scale posture: one posexplode + a (doc, tok) rollup (partial-
+    * aggregated min/count) + a per-doc rollup + a per-lang rollup —
+    * all keyed shuffles, no windows, no joins. */
+  def textTtrCurve(s: SparkSession, d: String): DataFrame = {
+    val depths = Seq(50, 100, 200)
+    val perTok = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .groupBy("lang", "doc_id", "tok")
+      .agg(min(col("pos")).cast(LongType).as("mp"), count(lit(1)).as("c"))
+    val docAggs = Seq(sum(col("c")).as("len")) ++ depths.map(k =>
+      sum(when(col("mp") < k, 1L).otherwise(0L)).as(s"types_$k"))
+    val perDoc = perTok.groupBy("lang", "doc_id")
+      .agg(docAggs.head, docAggs.tail: _*)
+    val langAggs = Seq(count(lit(1)).as("n_docs")) ++ depths.flatMap(k => Seq(
+      sum(col(s"types_$k")).as(s"st_$k"),
+      sum(least(lit(k.toLong), col("len"))).as(s"sl_$k")))
+    perDoc.groupBy("lang")
+      .agg(langAggs.head, langAggs.tail: _*)
+      .select((Seq(col("lang"), col("n_docs")) ++ depths.map(k =>
+        round(col(s"st_$k").cast(DoubleType) /
+          col(s"sl_$k").cast(DoubleType), 9).as(s"ttr_$k"))): _*)
+      .orderBy("lang")
+  }
+
+  /** LORENZ CURVE DECILES of customer revenue — the cumulative-share
+    * points behind the Gini number ([[AggWindowQueries]] has the
+    * scalar; an inequality REPORT needs the curve): customers ranked
+    * by revenue, cut into ntile(10), cumulative revenue share per
+    * decile. The same operator profiles "what share of the corpus do
+    * the heaviest domains contribute" in a data-mix review.
+    *
+    * Determinism: revenue sums are exact DECIMAL(18,2); ntile over a
+    * totally-ordered ranking (revenue, custkey) is the standard
+    * first-buckets-get-the-remainder split in both engines; cumulative
+    * decimal sums are exact, VARCHAR-hop + one division, round 9.
+    *
+    * Scale posture: one keyed rollup + a single-partition 10-row
+    * window — the decile table is constant-size whatever the corpus;
+    * the per-customer ranking window is the only data-sized sort. */
+  def aggLorenzPoints(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("v"))
+      .groupBy("o_custkey").agg(sum(col("v")).as("rev"))
+    val wn = Window.orderBy(col("rev"), col("o_custkey"))
+    val wd = Window.orderBy(col("decile"))
+    def hop(c: Column): Column = c.cast("string").cast(DoubleType)
+    val deciles = rev.withColumn("decile", ntile(10).over(wn).cast(LongType))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("drev"))
+    deciles
+      .withColumn("cum", sum(col("drev")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("drev")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("decile"), col("n_customers"),
+        round(hop(col("cum")) / hop(col("tot")), 9).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  /** 2-D PARETO FRONT of vocabulary richness vs length per language —
+    * the documents no strictly-longer document beats on distinct-token
+    * count ("richest for their length"). The skyline query a curation
+    * owner uses to pick exemplar documents per stratum; the naive form
+    * is O(n²) ALL-PAIRS — the operator's point is the one-pass window
+    * formulation that scales: sort by length descending, a document
+    * survives iff its vocabulary exceeds the running max over STRICTLY
+    * longer documents (RANGE frame to 1 PRECEDING). Convention:
+    * equal-length documents never dominate each other.
+    *
+    * Determinism: pure integer comparisons.
+    * Scale posture: one (doc, tok) rollup + one range-frame window per
+    * language partition; no self-join anywhere. */
+  def curationParetoFront(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang", "doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"))
+    val w = Window.partitionBy("lang").orderBy(col("n_tokens").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    perDoc
+      .withColumn("best_longer", max(col("n_types")).over(w))
+      .filter(col("n_types") > coalesce(col("best_longer"), lit(-1L)))
+      .select("lang", "doc_id", "n_tokens", "n_types")
+      .orderBy(col("lang"), col("n_tokens").desc, col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_zipf_slope"         -> textZipfSlope _,
     "text_bpe_merge_step"     -> textBpeMergeStep _,
@@ -314,6 +456,10 @@ object FrontierQueries {
     "stat_auc_rank"           -> statAucRank _,
     "time_changepoint_binseg" -> timeChangepointBinseg _,
     "sim_jl_distortion"       -> simJlDistortion _,
+    "stat_spearman_corr"      -> statSpearmanCorr _,
+    "text_ttr_curve"          -> textTtrCurve _,
+    "agg_lorenz_points"       -> aggLorenzPoints _,
+    "curation_pareto_front"   -> curationParetoFront _,
   )
 
   private val toks = TextQueries.tokensSql
@@ -466,5 +612,93 @@ object FrontierQueries {
          |  COUNT(*) AS n_vecs
          |FROM pv WHERE nsq > 0 GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "stat_spearman_corr" -> {
+      def hop(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      s"""WITH r AS (
+         |  SELECT l_returnflag,
+         |    2 * CAST(rank() OVER (PARTITION BY l_returnflag
+         |      ORDER BY l_quantity) AS BIGINT)
+         |      + CAST(COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+         |        AS BIGINT) - 1 AS rx,
+         |    2 * CAST(rank() OVER (PARTITION BY l_returnflag
+         |      ORDER BY l_extendedprice) AS BIGINT)
+         |      + CAST(COUNT(*) OVER (PARTITION BY l_returnflag,
+         |        l_extendedprice) AS BIGINT) - 1 AS ry
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    SUM(CAST(rx AS DECIMAL(38,0))) AS sx,
+         |    SUM(CAST(ry AS DECIMAL(38,0))) AS sy,
+         |    SUM(CAST(rx * ry AS DECIMAL(38,0))) AS sxy,
+         |    SUM(CAST(rx * rx AS DECIMAL(38,0))) AS sxx,
+         |    SUM(CAST(ry * ry AS DECIMAL(38,0))) AS syy
+         |  FROM r GROUP BY 1)
+         |SELECT l_returnflag, n,
+         |  ROUND((CAST(n AS DOUBLE) * ${hop("sxy")} -
+         |      ${hop("sx")} * ${hop("sy")}) /
+         |    SQRT((CAST(n AS DOUBLE) * ${hop("sxx")} -
+         |        ${hop("sx")} * ${hop("sx")}) *
+         |      (CAST(n AS DOUBLE) * ${hop("syy")} -
+         |        ${hop("sy")} * ${hop("sy")})), 9) AS spearman_rho
+         |FROM m ORDER BY l_returnflag""".stripMargin
+    },
+    "text_ttr_curve" ->
+      s"""WITH pt AS (
+         |  SELECT lang, doc_id, p.w AS tok,
+         |    CAST(MIN(p.pos) - 1 AS BIGINT) AS mp, COUNT(*) AS c
+         |  FROM (
+         |    SELECT lang, doc_id, unnest(list_transform(
+         |      range(1, len(toks) + 1),
+         |      i -> struct_pack(pos := i, w := toks[i]))) AS p
+         |    FROM (SELECT lang, doc_id, $toks AS toks FROM documents))
+         |  GROUP BY 1, 2, 3),
+         |pd AS (
+         |  SELECT lang, doc_id, CAST(SUM(c) AS BIGINT) AS len,
+         |    CAST(SUM(CASE WHEN mp < 50 THEN 1 ELSE 0 END) AS BIGINT) AS t50,
+         |    CAST(SUM(CASE WHEN mp < 100 THEN 1 ELSE 0 END) AS BIGINT) AS t100,
+         |    CAST(SUM(CASE WHEN mp < 200 THEN 1 ELSE 0 END) AS BIGINT) AS t200
+         |  FROM pt GROUP BY 1, 2)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  ROUND(CAST(SUM(t50) AS DOUBLE) /
+         |    CAST(SUM(LEAST(50, len)) AS DOUBLE), 9) AS ttr_50,
+         |  ROUND(CAST(SUM(t100) AS DOUBLE) /
+         |    CAST(SUM(LEAST(100, len)) AS DOUBLE), 9) AS ttr_100,
+         |  ROUND(CAST(SUM(t200) AS DOUBLE) /
+         |    CAST(SUM(LEAST(200, len)) AS DOUBLE), 9) AS ttr_200
+         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
+    "agg_lorenz_points" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT CAST(ntile(10) OVER (ORDER BY rev, o_custkey) AS BIGINT)
+        |    AS decile, rev
+        |  FROM rev),
+        |g AS (
+        |  SELECT decile, COUNT(*) AS n_customers, SUM(rev) AS drev
+        |  FROM d GROUP BY 1)
+        |SELECT decile, n_customers,
+        |  ROUND(CAST(CAST(SUM(drev) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+        |      AS DOUBLE) /
+        |    CAST(CAST(SUM(drev) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS VARCHAR) AS DOUBLE), 9) AS cum_share
+        |FROM g ORDER BY decile""".stripMargin,
+    "curation_pareto_front" ->
+      s"""WITH pd AS (
+         |  SELECT lang, doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+         |  FROM (SELECT lang, doc_id, unnest($toks) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |f AS (
+         |  SELECT lang, doc_id, n_tokens, n_types,
+         |    MAX(n_types) OVER (PARTITION BY lang ORDER BY n_tokens DESC
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS best_longer
+         |  FROM pd)
+         |SELECT lang, doc_id, n_tokens, n_types
+         |FROM f WHERE n_types > COALESCE(best_longer, -1)
+         |ORDER BY lang, n_tokens DESC, doc_id""".stripMargin,
   )
 }

@@ -1303,7 +1303,55 @@ object GraphQueries {
           sqrt(nD * dc("syy") - dc("sy") * dc("sy"))), 9).as("assortativity"))
   }
 
+  /** RESOURCE-ALLOCATION LINK PREDICTION — the top-30 NON-adjacent part
+    * pairs most likely to co-purchase next, scored by the RA index
+    * (Zhou/Lü/Zhang '09): Σ over common neighbors z of 1/deg(z). Each
+    * shared neighbor votes with weight inversely proportional to its
+    * degree — a hub co-neighbor says almost nothing, a degree-2 bridge
+    * says a lot — which is why RA beats raw common-neighbor counts on
+    * product graphs. No logarithm (the Adamic–Adar sibling needs ln;
+    * RA is its log-free refinement and the cross-engine-stable choice).
+    *
+    * Algorithm: the [[graphJaccardNeighbors]] wedge join (middles
+    * capped by [[JaccardMiddleDegreeCap]] — same hub defense, same
+    * no-op-on-fixture argument) produces (u, v, z) wedges; an anti-join
+    * against the canonical u<v edge list keeps only NON-edges (link
+    * prediction scores absent links — the anti-join is what makes this
+    * a different operator from Jaccard similarity); per-pair RA is an
+    * ordered fold over z (each term one IEEE division of deg, the
+    * m-ordered double-sum recipe), round 9.
+    *
+    * Scale posture: wedge fan-out bounded by the middle cap; the
+    * anti-join broadcasts nothing data-sized (edges ⋈ wedges on the
+    * pair key); the per-pair collect is bounded by min-degree. */
+  def graphLinkPredictionRa(s: SparkSession, d: String): DataFrame = {
+    val dir = supportDir(s, d)
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    val okMiddles = deg.filter(col("deg") <= JaccardMiddleDegreeCap)
+      .select(col("src").as("dst"), col("deg").as("zdeg"))
+    val wedgeBase = dir.join(okMiddles, "dst")
+    val wedges = wedgeBase.as("a").join(wedgeBase.as("b"),
+        col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+      .select(col("a.src").as("u"), col("b.src").as("v"),
+        col("a.dst").as("z"), col("a.zdeg").as("zdeg"))
+    val edges = dir.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val nonEdge = wedges.join(edges, Seq("u", "v"), "left_anti")
+    nonEdge.groupBy("u", "v")
+      .agg(count(lit(1)).as("common"),
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("z"), col("zdeg")))),
+            p => lit(1.0) / p("zdeg").cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("ra_raw"))
+      .select(col("u"), col("v"), col("common"),
+        round(col("ra_raw"), 9).as("ra_score"))
+      .orderBy(col("ra_score").desc, col("u"), col("v"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_prediction_ra" -> graphLinkPredictionRa _,
     "graph_assortativity"      -> graphAssortativity _,
     "graph_2hop_card"          -> graph2HopCard _,
     "graph_scc_full"          -> graphSccFull _,
@@ -1690,6 +1738,26 @@ object GraphQueries {
          |JOIN degs du ON c.u = du.src
          |JOIN degs dv ON c.v = dv.src
          |ORDER BY jaccard DESC, c.u, c.v LIMIT 20""".stripMargin,
+    "graph_link_prediction_ra" ->
+      // ordered 1/deg fold per pair (the list_reduce recipe); NOT
+      // EXISTS keeps only absent links — the canonical u<v edge set is
+      // re-derived from the textbook self-join prelude
+      s"""WITH $edgesCte,
+         |degs AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),
+         |wedges AS (
+         |  SELECT a.src AS u, b.src AS v, a.dst AS z, dz.deg AS zdeg
+         |  FROM dir a JOIN dir b ON a.dst = b.dst AND a.src < b.src
+         |  JOIN degs dz ON a.dst = dz.src),
+         |ne AS (
+         |  SELECT u, v, z, zdeg FROM wedges w
+         |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+         |    WHERE e.u = w.u AND e.v = w.v))
+         |SELECT u, v, COUNT(*) AS common,
+         |  ROUND(list_reduce(list_prepend(0.0,
+         |    list(1.0 / CAST(zdeg AS DOUBLE) ORDER BY z)),
+         |    (a, x) -> a + x), 9) AS ra_score
+         |FROM ne GROUP BY u, v
+         |ORDER BY ra_score DESC, u, v LIMIT 30""".stripMargin,
     "graph_pagerank_iter" ->
       // production sum on both sides; round(12) absorbs the sum-order
       // ulp drift between engines (see graphPagerankIter scaladoc)

@@ -227,6 +227,48 @@ class Round8QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("Spearman rho is a valid correlation coefficient") {
+    // the synthetic generator draws quantity and price independently
+    // (unlike TPC-H's qty-proportional pricing), so the EXPECTED value
+    // is near zero — the invariant is the bound, and near-zero is
+    // itself evidence the rank plumbing isn't leaking association
+    rows("stat_spearman_corr").foreach { r =>
+      val rho = r.getDouble(r.fieldIndex("spearman_rho"))
+      assert(rho >= -1.0 && rho <= 1.0, s"flag ${r.get(0)}: rho $rho")
+      assert(math.abs(rho) < 0.2,
+        s"flag ${r.get(0)}: independent draws should give near-zero rho, got $rho")
+    }
+  }
+
+  test("TTR values are valid ratios in (0, 1]") {
+    rows("text_ttr_curve").foreach { r =>
+      Seq("ttr_50", "ttr_100", "ttr_200").foreach { c =>
+        val v = r.getDouble(r.fieldIndex(c))
+        assert(v > 0.0 && v <= 1.0, s"lang ${r.get(0)} $c: $v")
+      }
+    }
+  }
+
+  test("Lorenz curve is nondecreasing and ends at exactly 1") {
+    val rs = rows("agg_lorenz_points").sortBy(_.getLong(0))
+    assert(rs.length == 10)
+    val shares = rs.map(r => r.getDouble(r.fieldIndex("cum_share")))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b },
+      s"cumulative shares decrease: ${shares.toSeq}")
+    assert(shares.last == 1.0, s"final share ${shares.last} != 1")
+  }
+
+  test("no Pareto front member dominates another") {
+    rows("curation_pareto_front").groupBy(_.getString(0)).foreach {
+      case (lang, rs) =>
+        val pts = rs.map(r => (r.getLong(r.fieldIndex("n_tokens")),
+          r.getLong(r.fieldIndex("n_types"))))
+        for (a <- pts; b <- pts if a != b)
+          assert(!(a._1 > b._1 && a._2 >= b._2),
+            s"lang $lang: $a dominates front member $b")
+    }
+  }
+
   test("seasonal indexes average to exactly 1 when weighted by day counts") {
     val rs = rows("time_seasonal_index")
     val totDays = rs.map(r => r.getLong(r.fieldIndex("n_days"))).sum.toDouble
@@ -238,5 +280,110 @@ class Round8QueriesSpec extends SparkTestBase {
     // the 9-dp rounding of each index leaves ~1e-6 slack at worst
     assert(math.abs(weighted / totDays - 1.0) < 1e-6,
       s"weighted mean index ${weighted / totDays} != 1")
+  }
+
+  test("Palma shares are consistent: top + bottom <= 1 and ratio = top/bottom") {
+    rows("agg_palma_ratio").foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_customers"))
+      val top = r.getDouble(r.fieldIndex("top10_share"))
+      val bot = r.getDouble(r.fieldIndex("bottom40_share"))
+      val palma = r.getDouble(r.fieldIndex("palma_ratio"))
+      // nations with < 10 purchasing customers leave decile 10 empty
+      // (ntile assigns buckets 1..n) — top is legitimately 0 there
+      assert(bot > 0 && top + bot <= 1.0 + 1e-9,
+        s"${r.getString(0)}: shares $top/$bot")
+      if (n >= 10) assert(top > 0, s"${r.getString(0)}: empty top decile")
+      // the ratio is computed from the exact decimals, not the rounded
+      // shares — allow the compounded 9-dp rounding
+      assert(math.abs(palma - top / bot) < 1e-6,
+        s"${r.getString(0)}: palma $palma vs ${top / bot}")
+    }
+  }
+
+  test("shrunk rates move at most alpha/(n+alpha) from the raw rate") {
+    rows("agg_bayes_shrinkage").foreach { r =>
+      val n = r.getLong(r.fieldIndex("n")).toDouble
+      val raw = r.getDouble(r.fieldIndex("raw_rate"))
+      val shr = r.getDouble(r.fieldIndex("shrunk_rate"))
+      assert(shr >= 0.0 && shr <= 1.0, s"supplier ${r.get(0)}: $shr")
+      // |shrunk - raw| = alpha|g - raw|/(n+alpha) <= alpha/(n+alpha)
+      assert(math.abs(shr - raw) <= 20.0 / (n + 20.0) + 1e-9,
+        s"supplier ${r.get(0)}: |$shr - $raw| > bound")
+    }
+  }
+
+  test("kappa is chance-corrected agreement in [-1, 1] with consistent cells") {
+    rows("stat_cohens_kappa").foreach { r =>
+      val cells = Seq("n11", "n10", "n01", "n00")
+        .map(c => r.getLong(r.fieldIndex(c)))
+      assert(cells.sum == r.getLong(r.fieldIndex("n")),
+        s"${r.getString(0)}: cells don't partition n")
+      if (!r.isNullAt(r.fieldIndex("kappa"))) {
+        val k = r.getDouble(r.fieldIndex("kappa"))
+        assert(k >= -1.0 - 1e-9 && k <= 1.0, s"${r.getString(0)}: kappa $k")
+      }
+    }
+  }
+
+  test("OLS R-squared lies in [0, 1] and betas are finite") {
+    rows("stat_ols_multi").foreach { r =>
+      val r2 = r.getDouble(r.fieldIndex("r2"))
+      assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9, s"${r.getString(0)}: r2 $r2")
+      Seq("beta0", "beta1", "beta2").foreach { b =>
+        val v = r.getDouble(r.fieldIndex(b))
+        assert(!v.isNaN && !v.isInfinite, s"${r.getString(0)} $b: $v")
+      }
+    }
+  }
+
+  test("ATR rows are nonnegative and start at bar 14 of the Holt day count") {
+    val atr = rows("window_atr")
+    atr.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("true_range")) >= 0.0)
+      assert(r.getDouble(r.fieldIndex("atr_14")) >= 0.0)
+    }
+    // cross-query conservation: both queries bucket the same events by
+    // day, so rows per type must be n_days - 13 (or absent if < 14)
+    val holtDays = rows("time_holt_linear")
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("n_days"))).toMap
+    val atrCounts = atr.groupBy(_.getString(0)).view.mapValues(_.length)
+    holtDays.foreach { case (t, nd) =>
+      val expected = math.max(0L, nd - 13)
+      assert(atrCounts.getOrElse(t, 0) == expected,
+        s"type $t: ${atrCounts.getOrElse(t, 0)} ATR rows, expected $expected")
+    }
+  }
+
+  test("Holt forecast equals level plus trend") {
+    rows("time_holt_linear").foreach { r =>
+      val l = r.getDouble(r.fieldIndex("level"))
+      val t = r.getDouble(r.fieldIndex("trend"))
+      val f = r.getDouble(r.fieldIndex("forecast_1"))
+      // all three are independently rounded to 9 dp
+      assert(math.abs(f - (l + t)) < 2e-9, s"${r.getString(0)}: $f vs ${l + t}")
+    }
+  }
+
+  test("importance sample keeps a subset with sane expectation accounting") {
+    rows("sample_importance_weighted").foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_docs"))
+      val kept = r.getLong(r.fieldIndex("n_kept"))
+      val exp = r.getDouble(r.fieldIndex("expected_kept"))
+      assert(kept >= 0 && kept <= n, s"${r.getString(0)}: $kept of $n")
+      assert(exp > 0 && exp <= n.toDouble, s"${r.getString(0)}: expected $exp")
+    }
+  }
+
+  test("RA link-prediction pairs are canonical with positive scores") {
+    val rs = rows("graph_link_prediction_ra")
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      assert(r.getLong(r.fieldIndex("u")) < r.getLong(r.fieldIndex("v")))
+      assert(r.getLong(r.fieldIndex("common")) >= 1)
+      assert(r.getDouble(r.fieldIndex("ra_score")) > 0.0)
+    }
+    val scores = rs.map(_.getDouble(rs.head.fieldIndex("ra_score")))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores not descending")
   }
 }
