@@ -555,4 +555,90 @@ class PlanShapeSpec extends SparkTestBase {
       _.aggregateFunction.isInstanceOf[Count])), p.toString)
     assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
   }
+
+  test("Spearman's two rank windows and the moment rollup share ONE exchange") {
+    // both rank windows cluster by l_returnflag and the (flag, q)/(flag, p)
+    // tie windows + the final groupBy are satisfied by the same hash(flag)
+    // partitioning (subset rule) - the plan must not reshuffle per window
+    val p = plan("stat_spearman_corr")
+    assert(hashExchanges(p).size <= 1, p)
+    assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, p)
+  }
+
+  test("TTR curve is a pure aggregation cascade: no joins, no windows") {
+    // the (lang, doc, tok) -> (lang, doc) -> lang rollup chain reshuffles
+    // on progressively coarser keys as the data shrinks - what it must
+    // NOT do is join or single-partition anything
+    val p = plan("text_ttr_curve")
+    assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, p)
+    assert(ops(p).collect { case w: WindowExec => w }.isEmpty, p)
+    assert(partialAggs(p).nonEmpty, p)
+  }
+
+  test("Pareto front needs no self-join: one range-frame window per language") {
+    // the whole point of the operator: the skyline comes from a window,
+    // never the O(n^2) all-pairs join
+    val p = plan("curation_pareto_front")
+    assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, p)
+    assert(ops(p).exists(_.isInstanceOf[WindowExec]), p)
+  }
+
+  test("Lorenz deciles: one data-sized rollup, window only on the decile table") {
+    val p = plan("agg_lorenz_points")
+    assert(hashExchanges(p).size == 1, p)
+    assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, p)
+  }
+
+  test("Palma joins the nation dim by broadcast, never cartesian") {
+    val p = plan("agg_palma_ratio")
+    assert(ops(p).exists(_.isInstanceOf[BroadcastHashJoinExec]), p)
+    noCartesian(p, "agg_palma_ratio")
+  }
+
+  test("Bayes shrinkage's global rate rides the broadcast 1-row pattern") {
+    // the cross join against the 1-row global aggregate is the module's
+    // allowed BNLJ shape; the supplier rollup is the only hash exchange
+    // and the top-20 must be a TakeOrdered, not a global sort
+    val p = plan("agg_bayes_shrinkage")
+    assert(ops(p).collect {
+      case b: BroadcastNestedLoopJoinExec => b }.size <= 1, p)
+    assert(ops(p).exists(_.isInstanceOf[BroadcastExchangeExec]), p)
+    assert(hashExchanges(p).size == 1, p)
+    assert(ops(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]), p)
+  }
+
+  test("OLS normal equations collapse in one partial-aggregated rollup") {
+    val p = plan("stat_ols_multi")
+    assert(hashExchanges(p).size == 1, p)
+    assert(partialAggs(p).exists(_.aggregateExpressions.exists(
+      _.aggregateFunction.isInstanceOf[Sum])), p.toString)
+    assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, p)
+  }
+
+  test("ATR and Holt reshuffle only the day-granular bar frame") {
+    // rollup to daily bars on (type, day) keeps event-level parallelism;
+    // only the shrunken bar/series frame reshuffles to hash(type) for
+    // the window/collect - two exchanges, no joins, and the second one
+    // moves day-granular rows, not events
+    Seq("window_atr", "time_holt_linear").foreach { q =>
+      val p = plan(q)
+      assert(hashExchanges(p).size <= 2, s"$q:\n$p")
+      assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, s"$q:\n$p")
+    }
+  }
+
+  test("importance sample is one filter pass plus one rollup") {
+    val p = plan("sample_importance_weighted")
+    assert(hashExchanges(p).size <= 1, p)
+    assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, p)
+    assert(ops(p).collect { case w: WindowExec => w }.isEmpty, p)
+  }
+
+  test("RA link prediction anti-joins the edge set with equi-joins only") {
+    val p = plan("graph_link_prediction_ra")
+    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
+    assert(ops(p).collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty, p)
+    assert(ops(p).collect {
+      case j: BaseJoinExec if j.joinType == LeftAnti => j }.nonEmpty, p)
+  }
 }
