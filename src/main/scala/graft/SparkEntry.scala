@@ -27,7 +27,8 @@ object SparkEntry {
       RangeTfQueries.queries ++ CurationQueries.queries ++
       GraphQueries.queries ++ StatQueries.queries ++
       DecisionQueries.queries ++ DecisionQueriesB.queries ++
-      FrontierQueries.queries ++ FrontierQueriesB.queries
+      FrontierQueries.queries ++ FrontierQueriesB.queries ++
+      FrontierQueriesC.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       RangeTfQueries.oracle ++ CurationQueries.oracle ++
       GraphQueries.oracle ++ StatQueries.oracle ++
       DecisionQueries.oracle ++ DecisionQueriesB.oracle ++
-      FrontierQueries.oracle ++ FrontierQueriesB.oracle
+      FrontierQueries.oracle ++ FrontierQueriesB.oracle ++
+      FrontierQueriesC.oracle
 }

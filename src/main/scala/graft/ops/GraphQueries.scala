@@ -1303,6 +1303,17 @@ object GraphQueries {
           sqrt(nD * dc("syy") - dc("sy") * dc("sy"))), 9).as("assortativity"))
   }
 
+  /** The shared symmetric adjacency, exposed to sibling ops modules
+    * (graph-topology audits like [[FrontierQueriesC.graphRichClub]])
+    * so they reuse the one persisted materialization instead of
+    * re-deriving the basket expansion. */
+  private[ops] def sharedAdjacency(s: SparkSession, d: String): DataFrame =
+    supportDir(s, d)
+
+  /** The oracle edge-list prelude, shared with sibling modules for the
+    * same reason (one textbook self-join construction to agree with). */
+  private[ops] def sharedEdgesCte: String = edgesCte
+
   /** RESOURCE-ALLOCATION LINK PREDICTION — the top-30 NON-adjacent part
     * pairs most likely to co-purchase next, scored by the RA index
     * (Zhou/Lü/Zhang '09): Σ over common neighbors z of 1/deg(z). Each

@@ -641,4 +641,56 @@ class PlanShapeSpec extends SparkTestBase {
     assert(ops(p).collect {
       case j: BaseJoinExec if j.joinType == LeftAnti => j }.nonEmpty, p)
   }
+
+  test("Heaps fit joins only the two tiny checkpoint histograms") {
+    // the (lang, tok) explode rollup and the doc-length rollup each
+    // shuffle; the only JOIN is decile-histogram x decile-histogram
+    // (<= 10 rows per lang per side) - never token-granular frames
+    val p = plan("text_vocab_growth_heaps")
+    noCartesian(p, "text_vocab_growth_heaps")
+    assert(ops(p).collect { case j: BaseJoinExec => j }.size <= 1, p)
+  }
+
+  test("Wilcoxon joins the customer dim by broadcast before its rank windows") {
+    val p = plan("stat_wilcoxon_signed_rank")
+    assert(ops(p).exists(_.isInstanceOf[BroadcastHashJoinExec]), p)
+    noCartesian(p, "stat_wilcoxon_signed_rank")
+  }
+
+  test("Kendall's pair grid is built AFTER the day rollup, never on events") {
+    // the theta join is a BNLJ by nature; what must hold is that both
+    // of its inputs are the day-granular aggregate, i.e. every BNLJ
+    // input subtree contains an aggregation below it
+    val p = plan("stat_kendall_tau_daily")
+    val bnljs = ops(p).collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnljs.nonEmpty, p)
+    bnljs.foreach { j =>
+      j.children.foreach { side =>
+        assert(ops(side).exists(_.isInstanceOf[BaseAggregateExec]),
+          s"BNLJ side without a day rollup below it:\n$side")
+      }
+    }
+  }
+
+  test("rich club annotates edges once and fans out thresholds from 1-row aggs") {
+    val p = plan("graph_rich_club")
+    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
+    // the threshold fan-out rides the broadcast of a 1-row aggregate;
+    // data-sized joins stay equi (edge-degree annotation)
+    assert(ops(p).collect { case b: BroadcastNestedLoopJoinExec => b }.size <= 1, p)
+  }
+
+  test("Neyman allocation broadcasts the per-stratum table both times") {
+    val p = plan("sample_stratified_neyman")
+    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
+    // the cross-stratum weight total rides the allowed 1-row-global
+    // BNLJ shape; the per-doc membership joins must be broadcast hash
+    assert(ops(p).collect { case j: BroadcastHashJoinExec => j }.size >= 2, p)
+  }
+
+  test("ulcer index windows only the day-granular close series") {
+    val p = plan("window_ulcer_index")
+    assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, p)
+    assert(hashExchanges(p).size <= 2, p)
+  }
 }

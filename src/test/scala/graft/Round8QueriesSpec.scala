@@ -374,6 +374,76 @@ class Round8QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("Heaps exponent is a plausible vocabulary-growth rate") {
+    rows("text_vocab_growth_heaps").foreach { r =>
+      val b = r.getDouble(r.fieldIndex("heaps_beta"))
+      // sublinear-or-linear growth; the 31-word synthetic vocabulary
+      // saturates in the first decile at tiny SF, so beta = 0 is the
+      // CORRECT readout there (total saturation), not a failure
+      assert(b >= 0.0 && b <= 1.05, s"${r.getString(0)}: beta $b")
+    }
+  }
+
+  test("Wilcoxon W2 stays inside the doubled rank-sum range") {
+    rows("stat_wilcoxon_signed_rank").foreach { r =>
+      val n = r.getLong(r.fieldIndex("n"))
+      val w2 = r.getLong(r.fieldIndex("w2_plus"))
+      // sum of doubled mid-ranks over ALL diffs is exactly n(n+1)
+      assert(w2 >= 0 && w2 <= n * (n + 1), s"${r.getString(0)}: $w2 vs n=$n")
+      val z = r.getDouble(r.fieldIndex("z"))
+      assert(!z.isNaN && !z.isInfinite, s"${r.getString(0)}: z $z")
+    }
+  }
+
+  test("Kendall tau-b is a valid rank correlation") {
+    val r = rows("stat_kendall_tau_daily").head
+    val (np, nc, nd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nc + nd <= np, s"concordant $nc + discordant $nd > pairs $np")
+    val tau = r.getDouble(r.fieldIndex("tau_b"))
+    assert(tau >= -1.0 && tau <= 1.0, s"tau $tau")
+  }
+
+  test("rich-club membership and density behave monotonically in k") {
+    val rs = rows("graph_rich_club").sortBy(_.getLong(0))
+    assert(rs.length == 4)
+    val ns = rs.map(_.getLong(rs.head.fieldIndex("n_nodes")))
+    val es = rs.map(_.getLong(rs.head.fieldIndex("n_edges")))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      s"club sizes grow with k: ${ns.toSeq}")
+    assert(es.zip(es.tail).forall { case (a, b) => a >= b },
+      s"club edges grow with k: ${es.toSeq}")
+    rs.filter(r => !r.isNullAt(r.fieldIndex("phi"))).foreach { r =>
+      val phi = r.getDouble(r.fieldIndex("phi"))
+      assert(phi >= 0.0 && phi <= 1.0, s"k=${r.getLong(0)}: phi $phi")
+    }
+  }
+
+  test("Neyman allocation respects the budget and stratum sizes") {
+    val rs = rows("sample_stratified_neyman")
+    val totAlloc = rs.map(r => r.getLong(r.fieldIndex("allocated"))).sum
+    assert(totAlloc <= 100, s"allocated $totAlloc over budget")
+    val shares = rs.map(r => r.getDouble(r.fieldIndex("weight_share"))).sum
+    assert(math.abs(shares - 1.0) < 1e-6, s"weight shares sum to $shares")
+    rs.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_kept")) ==
+        r.getLong(r.fieldIndex("allocated")),
+        s"${r.getString(0)}: kept != allocated")
+      assert(r.getLong(r.fieldIndex("allocated")) <=
+        r.getLong(r.fieldIndex("n_docs")))
+    }
+  }
+
+  test("ulcer index is bounded by the max drawdown depth") {
+    rows("window_ulcer_index").foreach { r =>
+      val mdd = r.getDouble(r.fieldIndex("max_drawdown"))
+      val ui = r.getDouble(r.fieldIndex("ulcer_index"))
+      assert(mdd <= 0.0, s"${r.getString(0)}: mdd $mdd positive")
+      // sqrt(mean dd^2) <= max |dd|; both independently rounded to 9 dp
+      assert(ui >= 0.0 && ui <= -mdd + 2e-9,
+        s"${r.getString(0)}: ulcer $ui vs mdd $mdd")
+    }
+  }
+
   test("RA link-prediction pairs are canonical with positive scores") {
     val rs = rows("graph_link_prediction_ra")
     assert(rs.nonEmpty)
