@@ -28,7 +28,7 @@ object SparkEntry {
       GraphQueries.queries ++ StatQueries.queries ++
       DecisionQueries.queries ++ DecisionQueriesB.queries ++
       FrontierQueries.queries ++ FrontierQueriesB.queries ++
-      FrontierQueriesC.queries
+      FrontierQueriesC.queries ++ FrontierQueriesD.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +43,5 @@ object SparkEntry {
       GraphQueries.oracle ++ StatQueries.oracle ++
       DecisionQueries.oracle ++ DecisionQueriesB.oracle ++
       FrontierQueries.oracle ++ FrontierQueriesB.oracle ++
-      FrontierQueriesC.oracle
+      FrontierQueriesC.oracle ++ FrontierQueriesD.oracle
 }

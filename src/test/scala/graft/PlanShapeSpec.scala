@@ -693,4 +693,35 @@ class PlanShapeSpec extends SparkTestBase {
     assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, p)
     assert(hashExchanges(p).size <= 2, p)
   }
+
+  test("Kaufman ER and runs test stay join-free on the shared bar base") {
+    Seq("window_kaufman_er", "stat_runs_test").foreach { q =>
+      val p = plan(q)
+      assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, s"$q:\n$p")
+      assert(hashExchanges(p).size <= 2, s"$q:\n$p")
+    }
+  }
+
+  test("decomposition broadcasts the 7-row seasonal profile back") {
+    val p = plan("time_classical_decompose")
+    assert(ops(p).exists(_.isInstanceOf[BroadcastHashJoinExec]), p)
+    noCartesian(p, "time_classical_decompose")
+  }
+
+  test("source divergence keeps the pair grid vocabulary-capped") {
+    // the data-sized side is only the (source, tok) rollup; the pair
+    // self-join runs over the 100-token densified profiles
+    val p = plan("text_source_divergence_chi2")
+    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
+    assert(ops(p).exists(_.isInstanceOf[BroadcastExchangeExec]), p)
+  }
+
+  test("k-center greedy is k broadcast stages, never a pairwise join") {
+    // each stage crossJoins ONE broadcast center row; the pairwise
+    // NxN distance matrix must never materialize
+    val p = plan("sim_kcenter_greedy")
+    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
+    assert(ops(p).collect { case j: SortMergeJoinExec => j }.isEmpty, p)
+    assert(ops(p).collect { case j: ShuffledHashJoinExec => j }.isEmpty, p)
+  }
 }

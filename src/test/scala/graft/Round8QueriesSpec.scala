@@ -444,6 +444,74 @@ class Round8QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("efficiency ratios are valid fractions of path length") {
+    rows("window_kaufman_er").foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("efficiency_ratio"))) {
+        val er = r.getDouble(r.fieldIndex("efficiency_ratio"))
+        // |net| <= sum |steps| by triangle inequality
+        assert(er >= 0.0 && er <= 1.0 + 1e-9,
+          s"${r.getString(0)} ${r.getString(1)}: ER $er")
+      }
+    }
+  }
+
+  test("classical decomposition reconstructs the series and centers residuals") {
+    val rs = rows("time_classical_decompose")
+    rs.foreach { r =>
+      val cnt = r.getLong(r.fieldIndex("cnt")).toDouble
+      val sum = r.getDouble(r.fieldIndex("trend")) +
+        r.getDouble(r.fieldIndex("seasonal")) +
+        r.getDouble(r.fieldIndex("remainder"))
+      assert(math.abs(sum - cnt) < 1e-6,
+        s"${r.getString(0)} ${r.getString(1)}: $sum != $cnt")
+    }
+    // the seasonal means absorb the detrended series: per-type residual
+    // totals vanish (each weekday cell sums to zero by construction)
+    rs.groupBy(_.getString(0)).foreach { case (t, trs) =>
+      val tot = trs.map(r => r.getDouble(r.fieldIndex("remainder"))).sum
+      assert(math.abs(tot) < 1e-5, s"type $t: residual total $tot")
+    }
+  }
+
+  test("chi-square divergences are nonnegative over the full pair grid") {
+    val rs = rows("text_source_divergence_chi2")
+    val nSources = (1 + math.sqrt(1 + 8.0 * rs.length)) / 2
+    assert(nSources == nSources.floor, s"${rs.length} rows is not C(s,2)")
+    // every pair profiles the SAME head vocabulary (<= 100: the tiny
+    // synthetic corpus has only 31 types, so the cap may not bind)
+    val nToks = rs.map(_.getLong(rs.head.fieldIndex("n_tokens"))).distinct
+    assert(nToks.length == 1 && nToks.head >= 1 && nToks.head <= 100,
+      s"vocab sizes $nToks")
+    rs.foreach { r =>
+      val d = r.getDouble(r.fieldIndex("chi2_divergence"))
+      // chi-square distance is bounded by 2 for distributions
+      assert(d >= 0.0 && d <= 2.0 + 1e-9,
+        s"${r.getString(0)}/${r.getString(1)}: $d")
+    }
+  }
+
+  test("k-center greedy selection distances shrink monotonically") {
+    val rs = rows("sim_kcenter_greedy").sortBy(_.getLong(0))
+    assert(rs.length == 5)
+    val d2 = rs.map(r => r.getDouble(r.fieldIndex("sel_d2")))
+    // seed row carries 0; from k=2 on the max-min distance is
+    // nonincreasing, and the final coverage radius is below the last
+    // selection distance
+    assert(d2(1) >= d2(2) && d2(2) >= d2(3), s"selection distances grow: $d2")
+    assert(d2(4) <= d2(3) + 1e-9, s"radius ${d2(4)} above last pick ${d2(3)}")
+    assert(rs.map(_.getLong(1)).distinct.length == 5, "duplicate centers")
+  }
+
+  test("runs counts partition the direction sequence") {
+    rows("stat_runs_test").foreach { r =>
+      val n = r.getLong(r.fieldIndex("n"))
+      assert(r.getLong(r.fieldIndex("n_up")) +
+        r.getLong(r.fieldIndex("n_down")) == n)
+      val runs = r.getLong(r.fieldIndex("runs"))
+      assert(runs >= 1 && runs <= n, s"${r.getString(0)}: $runs runs of $n")
+    }
+  }
+
   test("RA link-prediction pairs are canonical with positive scores") {
     val rs = rows("graph_link_prediction_ra")
     assert(rs.nonEmpty)
