@@ -433,6 +433,94 @@ object Multimodal {
     }
   }
 
+  final case class FlacMeta(sample_rate: Int, n_channels: Int,
+      bits_per_sample: Int, total_samples: Long, duration_s: Double,
+      audio_md5: String, block_types: Seq[Int])
+
+  /** REAL FLAC CONTAINER parsing — the audio sibling of [[parseMp4]]
+    * and [[parseWebm]], completing the container-metadata family for
+    * every media kind the pipeline meets: "fLaC" magic, then a chain
+    * of metadata blocks (1-byte header: last-flag bit + 7-bit type;
+    * 24-bit big-endian length), with STREAMINFO (type 0, exactly 34
+    * bytes, REQUIRED first by the spec) carrying the full pre-decode
+    * gate surface — sample rate (20 bits), channels (3), bits/sample
+    * (5), total samples (36), and the MD5 of the unencoded audio
+    * (the integrity anchor a dedup pipeline can key on WITHOUT
+    * decoding). Duration falls out as samples/rate; the block-type
+    * inventory (VORBIS_COMMENT=4, PICTURE=6, …) is the "has tags /
+    * has cover art" curation signal.
+    *
+    * Malformation contract (same as the siblings): `None`, never a
+    * throw — bad magic, truncated header chain, a block length
+    * overrunning the buffer, a STREAMINFO that is not first or not
+    * 34 bytes, the invalid type 127, or a zero sample rate (invalid
+    * per spec). */
+  def parseFlac(content: Array[Byte]): Option[FlacMeta] = {
+    if (content.length < 4 + 4 + 34) return None
+    if (content(0) != 'f' || content(1) != 'L' ||
+      content(2) != 'a' || content(3) != 'C') return None
+    var pos = 4
+    var last = false
+    var first = true
+    var meta: Option[FlacMeta] = None
+    val types = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (!last) {
+      if (pos + 4 > content.length) return None
+      val hdr = content(pos) & 0xFF
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7F
+      if (btype == 127) return None
+      val len = ((content(pos + 1) & 0xFF) << 16) |
+        ((content(pos + 2) & 0xFF) << 8) | (content(pos + 3) & 0xFF)
+      pos += 4
+      if (pos + len > content.length) return None
+      if (first && btype != 0) return None
+      if (btype == 0) {
+        if (!first || len != 34) return None
+        def u8(i: Int): Int = content(pos + i) & 0xFF
+        val rate = (u8(10) << 12) | (u8(11) << 4) | (u8(12) >> 4)
+        if (rate == 0) return None
+        val channels = ((u8(12) >> 1) & 0x7) + 1
+        val bps = (((u8(12) & 0x1) << 4) | (u8(13) >> 4)) + 1
+        val totalSamples = ((u8(13) & 0xF).toLong << 32) |
+          (u8(14).toLong << 24) | (u8(15).toLong << 16) |
+          (u8(16).toLong << 8) | u8(17).toLong
+        val md5 = (18 until 34).map(i => f"${u8(i)}%02x").mkString
+        meta = Some(FlacMeta(rate, channels, bps, totalSamples,
+          totalSamples.toDouble / rate, md5, Seq.empty))
+      }
+      types += btype
+      first = false
+      pos += len
+    }
+    meta.map(_.copy(block_types = types.toSeq))
+  }
+
+  final case class FlacAudioMeta(media_id: Long, parsed: Boolean,
+      sample_rate: Int, n_channels: Int, bits_per_sample: Int,
+      total_samples: Long, duration_s: Double, audio_md5: String,
+      block_types: Seq[Int])
+
+  /** FLAC curation gate over a media frame — same mapPartitions shape
+    * as [[videoMeta]]/[[webmMeta]] (byte walking is not a Catalyst
+    * expression's job): sample-rate/channel/duration caps and the
+    * audio-content MD5 dedup key, all pre-decode. */
+  def flacMeta(media: Dataset[MediaRow]): Dataset[FlacAudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        parseFlac(m.content) match {
+          case Some(meta) => FlacAudioMeta(m.media_id, parsed = true,
+            meta.sample_rate, meta.n_channels, meta.bits_per_sample,
+            meta.total_samples, meta.duration_s, meta.audio_md5,
+            meta.block_types)
+          case None => FlacAudioMeta(m.media_id, parsed = false,
+            0, 0, 0, 0L, 0.0, "", Seq.empty)
+        }
+      }
+    }
+  }
+
   /** Decode dispatcher: image rows try the real `javax.imageio` path
     * first (true decoded dimensions override the metadata); unparseable
     * bytes (synthetic fixtures) and audio/video rows use the

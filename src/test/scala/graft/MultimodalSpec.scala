@@ -532,4 +532,93 @@ class MultimodalSpec extends SparkTestBase {
     val plan = binaryMeta(df, "content").queryExecution.executedPlan.toString
     assert(!plan.contains("MapPartitions") && !plan.contains("SerializeFromObject"))
   }
+
+  // ------------------------------------------------------------------ FLAC
+
+  /** Build a STREAMINFO payload by hand-packing the bit layout. */
+  private def streaminfo(rate: Int, channels: Int, bps: Int,
+      totalSamples: Long): Array[Byte] = {
+    val b = new Array[Byte](34)
+    b(0) = 0x10; b(1) = 0x00; b(2) = 0x10; b(3) = 0x00 // block sizes 4096
+    // bytes 4-9: min/max frame size 0 (unknown)
+    b(10) = (rate >> 12).toByte
+    b(11) = ((rate >> 4) & 0xFF).toByte
+    b(12) = (((rate & 0xF) << 4) | ((channels - 1) << 1) |
+      ((bps - 1) >> 4)).toByte
+    b(13) = ((((bps - 1) & 0xF) << 4) | ((totalSamples >> 32) & 0xF).toInt).toByte
+    b(14) = ((totalSamples >> 24) & 0xFF).toByte
+    b(15) = ((totalSamples >> 16) & 0xFF).toByte
+    b(16) = ((totalSamples >> 8) & 0xFF).toByte
+    b(17) = (totalSamples & 0xFF).toByte
+    (18 until 34).foreach(i => b(i) = (i - 18).toByte) // fake audio md5
+    b
+  }
+
+  private def flacBlock(btype: Int, last: Boolean,
+      payload: Array[Byte]): Array[Byte] =
+    Array(((if (last) 0x80 else 0) | btype).toByte,
+      ((payload.length >> 16) & 0xFF).toByte,
+      ((payload.length >> 8) & 0xFF).toByte,
+      (payload.length & 0xFF).toByte) ++ payload
+
+  private def flacBytes(rate: Int = 44100, channels: Int = 2, bps: Int = 16,
+      totalSamples: Long = 88200L, extraBlocks: Boolean = true): Array[Byte] = {
+    val si = streaminfo(rate, channels, bps, totalSamples)
+    if (extraBlocks)
+      "fLaC".getBytes ++ flacBlock(0, last = false, si) ++
+        flacBlock(4, last = true, "vendor=graft".getBytes)
+    else "fLaC".getBytes ++ flacBlock(0, last = true, si)
+  }
+
+  test("parseFlac reads the full STREAMINFO gate surface") {
+    val Some(m) = parseFlac(flacBytes())
+    assert(m.sample_rate == 44100 && m.n_channels == 2 &&
+      m.bits_per_sample == 16)
+    assert(m.total_samples == 88200L)
+    assert(math.abs(m.duration_s - 2.0) < 1e-12) // 88200 / 44100
+    assert(m.audio_md5 == "000102030405060708090a0b0c0d0e0f")
+    assert(m.block_types == Seq(0, 4))
+  }
+
+  test("parseFlac handles edge widths: mono 8-bit, 36-bit sample counts") {
+    // a >32-bit total-sample count exercises the high nibble of byte 13
+    val big = (1L << 35) + 7L
+    val Some(m) = parseFlac(flacBytes(rate = 8000, channels = 1, bps = 8,
+      totalSamples = big, extraBlocks = false))
+    assert(m.sample_rate == 8000 && m.n_channels == 1 && m.bits_per_sample == 8)
+    assert(m.total_samples == big)
+    assert(m.block_types == Seq(0))
+  }
+
+  test("parseFlac rejects malformed streams, never throws") {
+    assert(parseFlac(Array.empty[Byte]).isEmpty, "empty")
+    assert(parseFlac("not flac at all padding".getBytes).isEmpty, "garbage")
+    assert(parseFlac(flacBytes().dropRight(5)).isEmpty, "truncated tail")
+    // a block length overrunning the buffer
+    val overrun = "fLaC".getBytes ++
+      Array(0x80.toByte, 0x00.toByte, 0x10.toByte, 0x00.toByte) ++
+      streaminfo(44100, 2, 16, 1000L)
+    assert(parseFlac(overrun).isEmpty, "length overrun")
+    // STREAMINFO must come first
+    val tagFirst = "fLaC".getBytes ++
+      flacBlock(4, last = false, "x".getBytes) ++
+      flacBlock(0, last = true, streaminfo(44100, 2, 16, 1L))
+    assert(parseFlac(tagFirst).isEmpty, "STREAMINFO not first")
+    // zero sample rate is invalid per spec
+    assert(parseFlac(flacBytes(rate = 0)).isEmpty, "zero rate")
+    // the reserved invalid block type
+    assert(parseFlac("fLaC".getBytes ++
+      flacBlock(127, last = true, Array.empty)).isEmpty, "type 127")
+  }
+
+  test("flacMeta gates parseable audio rows and stubs the rest") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("audio", 0, 0, 0, 0), flacBytes()),
+      MediaRow(2L, MediaMeta("audio", 0, 0, 0, 0), "junk".getBytes))
+    val out = flacMeta(spark.createDataset(rows)).collect().sortBy(_.media_id)
+    assert(out(0).parsed && out(0).sample_rate == 44100 &&
+      out(0).audio_md5.nonEmpty && out(0).block_types == Seq(0, 4))
+    assert(!out(1).parsed && out(1).audio_md5.isEmpty)
+  }
 }
