@@ -284,7 +284,126 @@ object FrontierQueriesD {
       .orderBy("event_type")
   }
 
+  // ------------------------------------------------------------ readability
+
+  /** FLESCH–KINCAID GRADE LEVEL per language — the classic readability
+    * screen (0.39·words/sentences + 11.8·syllables/word − 15.59) from
+    * a vowel-run syllable proxy, computed CORPUS-LEVEL from aggregate
+    * ratios (per-doc grades averaged would need an unbounded double
+    * fold; the ratio-of-sums form is the scale-correct statement and
+    * the standard corpus readability convention). On this synthetic
+    * corpus sentences degenerate to 1 per doc (no terminal
+    * punctuation) — the GRADE is then dominated by words/sentences,
+    * which the oracle reproduces exactly; on punctuated text the same
+    * query reads normally.
+    *
+    * Determinism: words, sentences (greatest(1, non-empty [.!?]
+    * splits)) and vowel-run syllables are pure integer counts; the
+    * grade is one fixed double tree, round 9.
+    *
+    * Scale posture: embarrassingly-parallel projection + one
+    * partial-aggregated rollup. */
+  def textReadabilityFk(s: SparkSession, d: String): DataFrame = {
+    val sylls = expr(
+      """aggregate(transform(tks,
+        |  t -> greatest(CAST(1 AS BIGINT),
+        |    CAST(size(regexp_extract_all(t, '[aeiou]+', 0)) AS BIGINT))),
+        |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+    val sents = greatest(lit(1L),
+      size(filter(split(col("text"), "[.!?]+"), p => trim(p) =!= ""))
+        .cast(LongType))
+    val base = Tables.documents(s, d)
+      .select(col("lang"), col("text"), tokens(col("text")).as("tks"))
+      .select(col("lang"),
+        size(col("tks")).cast(LongType).as("w"), sents.as("sn"),
+        sylls.as("y"))
+    val g = base.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+      sum(col("w")).as("tw"), sum(col("sn")).as("ts"), sum(col("y")).as("ty"))
+    g.select(col("lang"), col("n_docs"),
+      round(col("ty").cast(DoubleType) / col("tw").cast(DoubleType), 9)
+        .as("syllables_per_word"),
+      round(lit(0.39) * (col("tw").cast(DoubleType) /
+        col("ts").cast(DoubleType)) +
+        lit(11.8) * (col("ty").cast(DoubleType) /
+          col("tw").cast(DoubleType)) - lit(15.59), 9).as("fk_grade"))
+      .orderBy("lang")
+  }
+
+  // ----------------------------------------------------- directional index
+
+  /** WILDER DIRECTIONAL INDEX (+DI/−DI/DX, 14-bar) per event type —
+    * the trend-direction composite behind ADX: directional movements
+    * (+DM = up-move when it beats the down-move, −DM mirrored) and
+    * true range, Wilder-smoothed (first 14 summed, then
+    * s ← s − s/14 + x) to the end of the series. DX near 100 means
+    * one direction dominates; near 0 means chop — the directional
+    * complement to [[windowKaufmanEr]]'s efficiency.
+    *
+    * Determinism — the VECTOR-STATE FOLD recipe at full stretch: the
+    * recursion carries FOUR doubles ([bar index, smTR, +DM sum,
+    * −DM sum]) with a CASE per component (accumulate ≤ 14, Wilder
+    * update after); elements are the hopped exact-decimal
+    * [tr, +dm, −dm] triples in day order; the DI/DX output tree is
+    * fixed, round 9. Bars before the second day drop (no previous
+    * close), matching the oracle's lag-not-null filter.
+    *
+    * Scale posture: day-granular after one keyed rollup; one bounded
+    * per-type fold. */
+  def windowAdxDi(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_id"), col("value").cast(dec).as("v"))
+      .groupBy("event_type", "day")
+      .agg(max(col("v")).as("high"), min(col("v")).as("low"),
+        max_by(col("v"), col("event_id")).as("close"))
+    val wo = Window.partitionBy("event_type").orderBy("day")
+    val moves = daily
+      .withColumn("ph", lag(col("high"), 1).over(wo))
+      .withColumn("pl", lag(col("low"), 1).over(wo))
+      .withColumn("pc", lag(col("close"), 1).over(wo))
+      .filter(col("pc").isNotNull)
+      .select(col("event_type"), col("day"),
+        hop(greatest(col("high") - col("low"),
+          abs(col("high") - col("pc")),
+          abs(col("low") - col("pc")))).as("tr"),
+        when(col("high") - col("ph") > col("pl") - col("low") &&
+          col("high") - col("ph") > lit(0).cast(dec),
+          hop(col("high") - col("ph"))).otherwise(lit(0.0)).as("pdm"),
+        when(col("pl") - col("low") > col("high") - col("ph") &&
+          col("pl") - col("low") > lit(0).cast(dec),
+          hop(col("pl") - col("low"))).otherwise(lit(0.0)).as("mdm"))
+    def wilder(acc: Column, idx: Int, x: Column): Column =
+      when(element_at(acc, 1) < 14.0,
+        element_at(acc, idx + 1) + element_at(x, idx))
+        .otherwise(element_at(acc, idx + 1) -
+          element_at(acc, idx + 1) / lit(14.0) + element_at(x, idx))
+    val folded = moves.groupBy("event_type").agg(
+      count(lit(1)).as("n_bars"),
+      aggregate(
+        transform(
+          sort_array(collect_list(struct(col("day"), col("tr"),
+            col("pdm"), col("mdm")))),
+          p => array(p("tr"), p("pdm"), p("mdm"))),
+        array(lit(0.0), lit(0.0), lit(0.0), lit(0.0)),
+        (acc, x) => array(element_at(acc, 1) + lit(1.0),
+          wilder(acc, 1, x), wilder(acc, 2, x), wilder(acc, 3, x)))
+        .as("st"))
+    val pdi = lit(100.0) * element_at(col("st"), 3) / element_at(col("st"), 2)
+    val mdi = lit(100.0) * element_at(col("st"), 4) / element_at(col("st"), 2)
+    folded
+      .filter(col("n_bars") >= 14)
+      .select(col("event_type"), col("n_bars"),
+        round(pdi, 9).as("plus_di"),
+        round(mdi, 9).as("minus_di"),
+        round(lit(100.0) * abs(pdi - mdi) / (pdi + mdi), 9).as("dx"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability_fk"        -> textReadabilityFk _,
+    "window_adx_di"              -> windowAdxDi _,
     "window_kaufman_er"          -> windowKaufmanEr _,
     "time_classical_decompose"   -> timeClassicalDecompose _,
     "text_source_divergence_chi2" -> textSourceDivergenceChi2 _,
@@ -304,6 +423,77 @@ object FrontierQueriesD {
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_readability_fk" ->
+      s"""WITH base AS (
+         |  SELECT lang,
+         |    CAST(len($toks) AS BIGINT) AS w,
+         |    GREATEST(1, CAST(len(list_filter(
+         |      string_split_regex(text, '[.!?]+'), p -> trim(p) <> ''))
+         |      AS BIGINT)) AS sn,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($toks, t -> GREATEST(CAST(1 AS BIGINT),
+         |        CAST(len(regexp_extract_all(t, '[aeiou]+')) AS BIGINT)))),
+         |      (a, x) -> a + x) AS y
+         |  FROM documents),
+         |g AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(sn) AS BIGINT) AS ts,
+         |    CAST(SUM(y) AS BIGINT) AS ty
+         |  FROM base GROUP BY 1)
+         |SELECT lang, n_docs,
+         |  ROUND(CAST(ty AS DOUBLE) / CAST(tw AS DOUBLE), 9)
+         |    AS syllables_per_word,
+         |  ROUND(0.39 * (CAST(tw AS DOUBLE) / CAST(ts AS DOUBLE)) +
+         |    11.8 * (CAST(ty AS DOUBLE) / CAST(tw AS DOUBLE)) - 15.59, 9)
+         |    AS fk_grade
+         |FROM g ORDER BY lang""".stripMargin,
+    "window_adx_di" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    MAX(CAST(value AS DECIMAL(18,2))) AS high,
+        |    MIN(CAST(value AS DECIMAL(18,2))) AS low,
+        |    arg_max(CAST(value AS DECIMAL(18,2)), event_id) AS close
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, day, high, low,
+        |    lag(high) OVER w AS ph, lag(low) OVER w AS pl,
+        |    lag(close) OVER w AS pc
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |moves AS (
+        |  SELECT event_type, day,
+        |    CAST(CAST(GREATEST(high - low, ABS(high - pc), ABS(low - pc))
+        |      AS VARCHAR) AS DOUBLE) AS tr,
+        |    CASE WHEN high - ph > pl - low AND
+        |        high - ph > CAST(0 AS DECIMAL(18,2))
+        |      THEN CAST(CAST(high - ph AS VARCHAR) AS DOUBLE)
+        |      ELSE 0.0 END AS pdm,
+        |    CASE WHEN pl - low > high - ph AND
+        |        pl - low > CAST(0 AS DECIMAL(18,2))
+        |      THEN CAST(CAST(pl - low AS VARCHAR) AS DOUBLE)
+        |      ELSE 0.0 END AS mdm
+        |  FROM lagged WHERE pc IS NOT NULL),
+        |folded AS (
+        |  SELECT event_type, COUNT(*) AS n_bars,
+        |    list_reduce(
+        |      list_prepend([0.0, 0.0, 0.0, 0.0],
+        |        list([tr, pdm, mdm] ORDER BY day)),
+        |      (acc, x) -> [acc[1] + 1.0,
+        |        CASE WHEN acc[1] < 14.0 THEN acc[2] + x[1]
+        |          ELSE acc[2] - acc[2] / 14.0 + x[1] END,
+        |        CASE WHEN acc[1] < 14.0 THEN acc[3] + x[2]
+        |          ELSE acc[3] - acc[3] / 14.0 + x[2] END,
+        |        CASE WHEN acc[1] < 14.0 THEN acc[4] + x[3]
+        |          ELSE acc[4] - acc[4] / 14.0 + x[3] END]) AS st
+        |  FROM moves GROUP BY 1)
+        |SELECT event_type, n_bars,
+        |  ROUND(100.0 * st[3] / st[2], 9) AS plus_di,
+        |  ROUND(100.0 * st[4] / st[2], 9) AS minus_di,
+        |  ROUND(100.0 * ABS(100.0 * st[3] / st[2] - 100.0 * st[4] / st[2]) /
+        |    (100.0 * st[3] / st[2] + 100.0 * st[4] / st[2]), 9) AS dx
+        |FROM folded WHERE n_bars >= 14
+        |ORDER BY event_type""".stripMargin,
     "window_kaufman_er" ->
       s"""WITH $dailyCloseCte,
          |bars AS (

@@ -659,18 +659,64 @@ object GraphQueries {
     * round, never materializing neighbor LISTS (the count→argmin fold
     * keeps rows constant-width; `min(struct(-cnt, lbl))` is the
     * max-count-min-label rule as a single partial-aggregable min). */
-  def graphLabelPropagation(s: SparkSession, d: String): DataFrame = {
-    val dir = supportDir(s, d)
-    def step(lbl: DataFrame): DataFrame =
-      dir.join(lbl.select(col("x").as("dst"), col("lbl")), "dst")
-        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
-        .groupBy("src")
-        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
-        .select(col("src").as("x"), col("m.l").as("lbl"))
-    val init = supportVerts(s, d).select(col("x"), col("x").as("lbl"))
-    step(step(init))
+  /** The 2-round sync-LPA labeling, persisted: shared by the declared
+    * LPA query and [[graphModularity]]'s quality audit of it. */
+  private def lpaLabels2(s: SparkSession, d: String): DataFrame =
+    PipelineCache.getOrPersist(s"graph_lpa2:$d") {
+      val dir = supportDir(s, d)
+      def step(lbl: DataFrame): DataFrame =
+        dir.join(lbl.select(col("x").as("dst"), col("lbl")), "dst")
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          .groupBy("src")
+          .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+          .select(col("src").as("x"), col("m.l").as("lbl"))
+      val init = supportVerts(s, d).select(col("x"), col("x").as("lbl"))
+      step(step(init))
+    }
+
+  def graphLabelPropagation(s: SparkSession, d: String): DataFrame =
+    lpaLabels2(s, d)
       .select(col("x").as("l_partkey"), col("lbl").as("community"))
       .orderBy("l_partkey")
+
+  /** NEWMAN MODULARITY of the 2-round LPA communities — the quality
+    * number for a community structure: Q = intra/m − Σ_c d_c²/(4m²),
+    * the intra-community edge fraction minus what a degree-preserving
+    * random rewire would give. Q near 0 means the "communities" are
+    * noise; this is the acceptance gate a clustering step needs before
+    * anything downstream trusts its labels (the graph sibling of
+    * [[SimilarityQueries]]' silhouette).
+    *
+    * Determinism: the collapsed form needs NO per-community fold —
+    * Σe_c (intra edges) and Σd_c² are plain BIGINT sums, so Q is one
+    * fixed double tree with two divisions; round 9.
+    *
+    * Scale posture: two broadcast-or-shuffle equi-joins of the edge
+    * list against the constant-width label frame + one keyed degree
+    * rollup; nothing wider than the adjacency itself, and no
+    * unbounded collect (the naive per-community Σ formulation would
+    * need one — the algebraic collapse is the scale fix). */
+  def graphModularity(s: SparkSession, d: String): DataFrame = {
+    val dir = supportDir(s, d)
+    val labels = lpaLabels2(s, d)
+    val edges = dir.filter(col("src") < col("dst"))
+    val lu = labels.select(col("x").as("src"), col("lbl").as("lu"))
+    val lv = labels.select(col("x").as("dst"), col("lbl").as("lv"))
+    val eAgg = edges.join(lu, Seq("src")).join(lv, Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).as("intra"))
+    val degSum = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+      .join(labels.select(col("x").as("src"), col("lbl")), Seq("src"))
+      .groupBy("lbl").agg(sum(col("deg")).as("dc"))
+    val cAgg = degSum.agg(count(lit(1)).as("n_communities"),
+      sum(col("dc") * col("dc")).as("sd2"))
+    val md = col("m").cast("double")
+    eAgg.crossJoin(broadcast(cAgg))
+      .select(col("m").as("n_edges"), col("intra").as("intra_edges"),
+        col("n_communities"),
+        round(col("intra").cast("double") / md -
+          col("sd2").cast("double") / (lit(4.0) * md * md), 9)
+          .as("modularity"))
   }
 
   /** LPA round cap — also the oracle's fixed unroll depth, the
@@ -1362,6 +1408,7 @@ object GraphQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity"         -> graphModularity _,
     "graph_link_prediction_ra" -> graphLinkPredictionRa _,
     "graph_assortativity"      -> graphAssortativity _,
     "graph_2hop_card"          -> graph2HopCard _,
@@ -1676,6 +1723,38 @@ object GraphQueries {
          |      ORDER BY cnt DESC, lbl) AS rk FROM c2) WHERE rk = 1)
          |SELECT x AS l_partkey, lbl AS community FROM l2
          |ORDER BY l_partkey""".stripMargin,
+    "graph_modularity" ->
+      // same 2-round unrolled labeling; Q from the collapsed integer
+      // sums (intra, sum of squared community degrees)
+      s"""WITH $edgesCte,
+         |verts AS (SELECT DISTINCT src AS x FROM dir),
+         |l0 AS (SELECT x, x AS lbl FROM verts),
+         |c1 AS (SELECT d.src, l.lbl, COUNT(*) AS cnt
+         |  FROM dir d JOIN l0 l ON d.dst = l.x GROUP BY d.src, l.lbl),
+         |l1 AS (SELECT src AS x, lbl FROM (
+         |    SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY cnt DESC, lbl) AS rk FROM c1) WHERE rk = 1),
+         |c2 AS (SELECT d.src, l.lbl, COUNT(*) AS cnt
+         |  FROM dir d JOIN l1 l ON d.dst = l.x GROUP BY d.src, l.lbl),
+         |l2 AS (SELECT src AS x, lbl FROM (
+         |    SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY cnt DESC, lbl) AS rk FROM c2) WHERE rk = 1),
+         |ea AS (
+         |  SELECT COUNT(*) AS m,
+         |    CAST(SUM(CASE WHEN a.lbl = b.lbl THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS intra
+         |  FROM edges e JOIN l2 a ON e.u = a.x JOIN l2 b ON e.v = b.x),
+         |ds AS (
+         |  SELECT l.lbl, CAST(SUM(g.deg) AS BIGINT) AS dc
+         |  FROM (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src) g
+         |  JOIN l2 l ON g.src = l.x GROUP BY l.lbl),
+         |ca AS (SELECT COUNT(*) AS n_communities,
+         |  CAST(SUM(dc * dc) AS BIGINT) AS sd2 FROM ds)
+         |SELECT m AS n_edges, intra AS intra_edges, n_communities,
+         |  ROUND(CAST(intra AS DOUBLE) / CAST(m AS DOUBLE) -
+         |    CAST(sd2 AS DOUBLE) /
+         |    (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 9) AS modularity
+         |FROM ea CROSS JOIN ca""".stripMargin,
     "graph_degree_hist" ->
       s"""WITH $edgesCte,
          |verts AS (SELECT src AS x FROM dir),

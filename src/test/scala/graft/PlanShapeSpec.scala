@@ -716,6 +716,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(ops(p).exists(_.isInstanceOf[BroadcastExchangeExec]), p)
   }
 
+  test("modularity collapses to integer sums: no per-community collect") {
+    // the label joins stay equi; the only BNLJ is the 1-row global
+    // pattern joining the two collapsed aggregates
+    val p = plan("graph_modularity")
+    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
+    assert(ops(p).collect { case b: BroadcastNestedLoopJoinExec => b }.size <= 1, p)
+  }
+
+  test("readability and ADX stay join-free single-rollup plans") {
+    Seq("text_readability_fk", "window_adx_di").foreach { q =>
+      val p = plan(q)
+      assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, s"$q:\n$p")
+      assert(hashExchanges(p).size <= 2, s"$q:\n$p")
+    }
+  }
+
   test("k-center greedy is k broadcast stages, never a pairwise join") {
     // each stage crossJoins ONE broadcast center row; the pairwise
     // NxN distance matrix must never materialize

@@ -512,6 +512,39 @@ class Round8QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("modularity is a valid community-quality score") {
+    val r = rows("graph_modularity").head
+    val q = r.getDouble(r.fieldIndex("modularity"))
+    // Newman Q is bounded by [-1/2, 1)
+    assert(q >= -0.5 && q < 1.0, s"Q $q")
+    assert(r.getLong(r.fieldIndex("intra_edges")) <=
+      r.getLong(r.fieldIndex("n_edges")))
+    assert(r.getLong(r.fieldIndex("n_communities")) >= 1)
+  }
+
+  test("readability aggregates keep at least one syllable per word") {
+    rows("text_readability_fk").foreach { r =>
+      val spw = r.getDouble(r.fieldIndex("syllables_per_word"))
+      assert(spw >= 1.0, s"${r.getString(0)}: $spw syllables/word")
+      val fk = r.getDouble(r.fieldIndex("fk_grade"))
+      assert(!fk.isNaN && !fk.isInfinite)
+    }
+  }
+
+  test("directional index components are consistent") {
+    rows("window_adx_di").foreach { r =>
+      val p = r.getDouble(r.fieldIndex("plus_di"))
+      val m = r.getDouble(r.fieldIndex("minus_di"))
+      val dx = r.getDouble(r.fieldIndex("dx"))
+      assert(p >= 0 && m >= 0, s"${r.getString(0)}: DI $p/$m")
+      assert(dx >= 0 && dx <= 100.0 + 1e-9, s"${r.getString(0)}: DX $dx")
+      // DX is definitionally 100|+DI - -DI|/(+DI + -DI); all three are
+      // independently rounded to 9 dp
+      assert(math.abs(dx - 100.0 * math.abs(p - m) / (p + m)) < 1e-5,
+        s"${r.getString(0)}: DX $dx vs DI $p/$m")
+    }
+  }
+
   test("RA link-prediction pairs are canonical with positive scores") {
     val rs = rows("graph_link_prediction_ra")
     assert(rs.nonEmpty)
