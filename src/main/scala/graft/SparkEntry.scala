@@ -28,7 +28,8 @@ object SparkEntry {
       GraphQueries.queries ++ StatQueries.queries ++
       DecisionQueries.queries ++ DecisionQueriesB.queries ++
       FrontierQueries.queries ++ FrontierQueriesB.queries ++
-      FrontierQueriesC.queries ++ FrontierQueriesD.queries
+      FrontierQueriesC.queries ++ FrontierQueriesD.queries ++
+      FrontierQueriesE.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       GraphQueries.oracle ++ StatQueries.oracle ++
       DecisionQueries.oracle ++ DecisionQueriesB.oracle ++
       FrontierQueries.oracle ++ FrontierQueriesB.oracle ++
-      FrontierQueriesC.oracle ++ FrontierQueriesD.oracle
+      FrontierQueriesC.oracle ++ FrontierQueriesD.oracle ++
+      FrontierQueriesE.oracle
 }

@@ -1360,6 +1360,39 @@ object GraphQueries {
     * same reason (one textbook self-join construction to agree with). */
   private[ops] def sharedEdgesCte: String = edgesCte
 
+  /** AVERAGE-NEIGHBOR-DEGREE CURVE k_nn(k) (Pastor-Satorras '01) —
+    * the degree-correlation profile behind [[graphAssortativity]]'s
+    * scalar: for each degree class k, the mean degree of the
+    * neighbors of degree-k vertices. A falling curve
+    * (disassortative) says hubs attach to leaves — the hub-and-spoke
+    * catalog shape; a rising one says a rich-club core
+    * ([[FrontierQueriesC.graphRichClub]] measures its density). The
+    * curve DIAGNOSES what the scalar only summarizes.
+    *
+    * Determinism: Σ deg(v) over edges from degree-k vertices and the
+    * class sizes are plain BIGINT sums; one division per class,
+    * round 9.
+    *
+    * Scale posture: one degree rollup + two equi-joins of the
+    * adjacency against the constant-width degree frame + a per-class
+    * rollup — never wider than the adjacency. */
+  def graphKnnDegreeCurve(s: SparkSession, d: String): DataFrame = {
+    val dir = supportDir(s, d)
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("src"), col("deg").as("du"))
+    val dv = deg.select(col("src").as("dst"), col("deg").as("dv"))
+    val nk = deg.groupBy(col("deg").as("k"))
+      .agg(count(lit(1)).as("n_vertices"))
+    dir.join(du, Seq("src")).join(dv, Seq("dst"))
+      .groupBy(col("du").as("k"))
+      .agg(sum(col("dv")).as("snd"), count(lit(1)).as("n_ends"))
+      .join(nk, Seq("k"))
+      .select(col("k"), col("n_vertices"),
+        round(col("snd").cast("double") / col("n_ends").cast("double"), 9)
+          .as("knn_mean"))
+      .orderBy("k")
+  }
+
   /** RESOURCE-ALLOCATION LINK PREDICTION — the top-30 NON-adjacent part
     * pairs most likely to co-purchase next, scored by the RA index
     * (Zhou/Lü/Zhang '09): Σ over common neighbors z of 1/deg(z). Each
@@ -1409,6 +1442,7 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_modularity"         -> graphModularity _,
+    "graph_knn_degree_curve"   -> graphKnnDegreeCurve _,
     "graph_link_prediction_ra" -> graphLinkPredictionRa _,
     "graph_assortativity"      -> graphAssortativity _,
     "graph_2hop_card"          -> graph2HopCard _,
@@ -1828,6 +1862,22 @@ object GraphQueries {
          |JOIN degs du ON c.u = du.src
          |JOIN degs dv ON c.v = dv.src
          |ORDER BY jaccard DESC, c.u, c.v LIMIT 20""".stripMargin,
+    "graph_knn_degree_curve" ->
+      s"""WITH $edgesCte,
+         |degs AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),
+         |nk AS (SELECT deg AS k, COUNT(*) AS n_vertices
+         |  FROM degs GROUP BY 1),
+         |ends AS (
+         |  SELECT du.deg AS k, CAST(SUM(dv.deg) AS BIGINT) AS snd,
+         |    COUNT(*) AS n_ends
+         |  FROM dir d JOIN degs du ON d.src = du.src
+         |  JOIN degs dv ON d.dst = dv.src
+         |  GROUP BY 1)
+         |SELECT e.k, nk.n_vertices,
+         |  ROUND(CAST(e.snd AS DOUBLE) / CAST(e.n_ends AS DOUBLE), 9)
+         |    AS knn_mean
+         |FROM ends e JOIN nk ON e.k = nk.k
+         |ORDER BY e.k""".stripMargin,
     "graph_link_prediction_ra" ->
       // ordered 1/deg fold per pair (the list_reduce recipe); NOT
       // EXISTS keeps only absent links — the canonical u<v edge set is

@@ -732,6 +732,23 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("MATTR's closed form needs one lag window, no window enumeration join") {
+    val p = plan("text_mattr")
+    noCartesian(p, "text_mattr")
+    // one equi-join: the per-lang contribution x window-count rollups
+    assert(ops(p).collect { case j: BaseJoinExec => j }.size <= 1, p)
+    assert(ops(p).exists(_.isInstanceOf[WindowExec]), p)
+  }
+
+  test("PPS sampling is windows plus one rollup, join-free") {
+    val p = plan("sample_pps_systematic")
+    assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, p)
+  }
+
+  test("degree curve joins stay on the constant-width degree frame") {
+    noCartesian(plan("graph_knn_degree_curve"), "graph_knn_degree_curve")
+  }
+
   test("k-center greedy is k broadcast stages, never a pairwise join") {
     // each stage crossJoins ONE broadcast center row; the pairwise
     // NxN distance matrix must never materialize

@@ -545,6 +545,53 @@ class Round8QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("pooled MATTR is a valid windowed type-token ratio") {
+    rows("text_mattr").foreach { r =>
+      val m = r.getDouble(r.fieldIndex("pooled_mattr"))
+      // each 50-token window holds between 1 and 50 types; pooled is a
+      // convex combination of per-window TTRs in (0, 1]
+      assert(m > 0.0 && m <= 1.0, s"${r.getString(0)}: MATTR $m")
+      assert(r.getLong(r.fieldIndex("n_windows")) > 0)
+    }
+  }
+
+  test("PPS systematic sampling hits the target count within the edge slack") {
+    rows("sample_pps_systematic").foreach { r =>
+      val hits = r.getLong(r.fieldIndex("total_hits"))
+      // the floor-division telescope over the full axis gives exactly
+      // k grid points, plus/minus one at the boundary offsets
+      assert(math.abs(hits - 20) <= 1, s"${r.getString(0)}: $hits hits")
+      val sel = r.getLong(r.fieldIndex("n_selected"))
+      assert(sel >= 1 && sel <= hits, s"${r.getString(0)}: $sel of $hits")
+    }
+  }
+
+  test("MCC agrees with kappa's confusion cells and stays in [-1, 1]") {
+    val kap = rows("stat_cohens_kappa")
+      .map(r => r.getString(0) -> Seq("n11", "n10", "n01", "n00")
+        .map(c => r.getLong(r.fieldIndex(c)))).toMap
+    rows("stat_mcc_confusion").foreach { r =>
+      val cells = Seq("n11", "n10", "n01", "n00")
+        .map(c => r.getLong(r.fieldIndex(c)))
+      // same raters, same corpus: the two evaluation queries must see
+      // the IDENTICAL confusion matrix
+      assert(kap(r.getString(0)) == cells,
+        s"${r.getString(0)}: cells differ from kappa's")
+      if (!r.isNullAt(r.fieldIndex("mcc"))) {
+        val m = r.getDouble(r.fieldIndex("mcc"))
+        assert(m >= -1.0 - 1e-9 && m <= 1.0 + 1e-9, s"mcc $m")
+      }
+    }
+  }
+
+  test("average neighbor degrees are at least 1 across the degree curve") {
+    rows("graph_knn_degree_curve").foreach { r =>
+      assert(r.getLong(r.fieldIndex("k")) >= 1)
+      assert(r.getLong(r.fieldIndex("n_vertices")) >= 1)
+      assert(r.getDouble(r.fieldIndex("knn_mean")) >= 1.0)
+    }
+  }
+
   test("RA link-prediction pairs are canonical with positive scores") {
     val rs = rows("graph_link_prediction_ra")
     assert(rs.nonEmpty)
