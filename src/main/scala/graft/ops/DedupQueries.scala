@@ -136,6 +136,38 @@ object DedupQueries {
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     verifyPairs(lshCandidates(s, d), shingled(s, d))
 
+  /** EDIT-DISTANCE CONFIRMATION of the verified near-dup pairs —
+    * Levenshtein distance and its normalized similarity
+    * (1 − d/max_len) for every [[dedupMinhashLsh]] survivor: the
+    * character-level second opinion a curator reads before trusting a
+    * shingle-level verdict (high Jaccard + low edit similarity =
+    * shuffled-paragraph duplication, a different removal decision than
+    * a true near-copy). Both engines run the textbook
+    * insert/delete/substitute DP via their `levenshtein` builtin —
+    * integer output, no FP anywhere in the distance. CAVEAT: Spark
+    * counts CHARACTERS, DuckDB counts BYTES — identical on this
+    * all-ASCII corpus (asserted in spec); Unicode text needs a
+    * byte-normalized restatement.
+    *
+    * Scale posture: the O(len²) DP runs ONLY on pairs that already
+    * passed the Jaccard ≥ 0.8 gate — a set bounded by true duplicate
+    * density, not corpus size (the expression is referenced twice in
+    * the projection, so the DP runs twice per surviving pair — bounded
+    * by the same density; a checkpoint barrier would cost more). */
+  def dedupEditdistVerify(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val ed = levenshtein(col("ta"), col("tb")).cast("long")
+    val ml = greatest(length(col("ta")), length(col("tb"))).cast("long")
+    verifyPairs(lshCandidates(s, d), shingled(s, d))
+      .join(docs.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+      .select(col("a_id"), col("b_id"), ed.as("edit_distance"),
+        ml.as("max_len"),
+        round(lit(1.0) - ed.cast("double") / ml.cast("double"), 9)
+          .as("edit_similarity"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Sketch-accuracy measurement: for every LSH candidate pair, the
     * minhash Jaccard ESTIMATE (matching signature slots / k) next to the
     * exact shingle Jaccard and the absolute error — the query an engine
@@ -850,6 +882,7 @@ object DedupQueries {
     "dedup_contamination_ngram" -> dedupContaminationNgram _,
     "dedup_exact_text"       -> dedupExactText _,
     "dedup_minhash_lsh"      -> dedupMinhashLsh _,
+    "dedup_editdist_verify"  -> dedupEditdistVerify _,
     "dedup_minhash_error"    -> dedupMinhashError _,
     "dedup_prefix_jaccard"   -> dedupPrefixJaccard _,
     "dedup_simhash"          -> dedupSimhash _,
@@ -1153,6 +1186,20 @@ object DedupQueries {
     "dedup_minhash_lsh" ->
       s"""$minhashCandCte
          |$verifySql""".stripMargin,
+    "dedup_editdist_verify" ->
+      s"""$minhashCandCte,
+         |ver AS (SELECT a_id, b_id FROM cand
+         |  JOIN base x ON x.doc_id = a_id JOIN base y ON y.doc_id = b_id
+         |  WHERE $jaccardSql >= $J)
+         |SELECT a_id, b_id,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+         |  CAST(GREATEST(len(da.text), len(db.text)) AS BIGINT) AS max_len,
+         |  ROUND(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |    CAST(GREATEST(len(da.text), len(db.text)) AS DOUBLE), 9)
+         |    AS edit_similarity
+         |FROM ver JOIN documents da ON da.doc_id = a_id
+         |JOIN documents db ON db.doc_id = b_id
+         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_minhash_error" ->
       s"""$minhashCandCte
          |SELECT a_id, b_id, est_jaccard, jaccard,

@@ -29,7 +29,7 @@ object FrontierQueriesD {
   /** Daily DECIMAL close bars per event type — the shared base of the
     * bar-series operators in this module (same construction as
     * [[FrontierQueriesB.windowAtr]]'s bars). */
-  private def dailyClose(s: SparkSession, d: String): DataFrame =
+  private[ops] def dailyClose(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_type"),
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
@@ -415,7 +415,7 @@ object FrontierQueriesD {
 
   /** Shared oracle prelude: daily close bars (arg_max on the unique
     * event_id matches the engine's max_by exactly). */
-  private val dailyCloseCte =
+  private[ops] val dailyCloseCte =
     """daily AS (
       |  SELECT event_type,
       |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -749,6 +749,25 @@ class PlanShapeSpec extends SparkTestBase {
     noCartesian(plan("graph_knn_degree_curve"), "graph_knn_degree_curve")
   }
 
+  test("RSI / stochastic / markov / best-split are join-free window plans") {
+    for (q <- Seq("window_rsi", "window_stochastic_osc",
+        "time_markov_transitions", "stat_best_split_gini")) {
+      val p = plan(q)
+      assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, s"$q:\n$p")
+    }
+  }
+
+  test("MMR is k broadcast stages, never a pairwise similarity join") {
+    val p = plan("sim_mmr_diversify")
+    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
+    assert(ops(p).collect { case j: SortMergeJoinExec => j }.isEmpty, p)
+    assert(ops(p).collect { case j: ShuffledHashJoinExec => j }.isEmpty, p)
+  }
+
+  test("edit-distance DP only ever joins the verified-pair frame") {
+    noCartesian(plan("dedup_editdist_verify"), "dedup_editdist_verify")
+  }
+
   test("k-center greedy is k broadcast stages, never a pairwise join") {
     // each stage crossJoins ONE broadcast center row; the pairwise
     // NxN distance matrix must never materialize

@@ -592,6 +592,87 @@ class Round8QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("RSI stays on the [0, 100] scale over full windows") {
+    val rs = rows("window_rsi")
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_bars")) >= 14)
+      val v = r.getDouble(r.fieldIndex("rsi"))
+      assert(v >= 0.0 && v <= 100.0, s"${r.getString(0)}: rsi $v")
+    }
+  }
+
+  test("stochastic %K and %D stay on the [0, 100] scale") {
+    val rs = rows("window_stochastic_osc")
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      for (c <- Seq("pct_k", "pct_d") if !r.isNullAt(r.fieldIndex(c))) {
+        val v = r.getDouble(r.fieldIndex(c))
+        assert(v >= -1e-9 && v <= 100.0 + 1e-9, s"$c $v")
+      }
+    }
+  }
+
+  test("Cramér's V is the effect size of the chi-square grid") {
+    val r = rows("stat_cramers_v").head
+    val v = r.getDouble(r.fieldIndex("cramers_v"))
+    assert(v >= 0.0 && v <= 1.0, s"V $v")
+    // same densified contingency as the independence test: the chi2
+    // statistics must agree to the output rounding
+    val chi = rows("agg_chisq_independence").head
+    assert(math.abs(r.getDouble(r.fieldIndex("chi2")) -
+      chi.getDouble(chi.fieldIndex("chi2"))) < 1e-8,
+      "chi2 differs from agg_chisq_independence")
+  }
+
+  test("the best Gini split never increases weighted impurity") {
+    val rs = rows("stat_best_split_gini")
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val gain = r.getDouble(r.fieldIndex("gain"))
+      // Gini impurity is concave: a split cannot be worse than the parent
+      assert(gain >= -1e-9, s"${r.getString(0)}: gain $gain")
+      val nl = r.getLong(r.fieldIndex("n_left"))
+      assert(nl >= 1 && nl < r.getLong(r.fieldIndex("n")))
+    }
+  }
+
+  test("Markov transition rows are distributions per from-state") {
+    val rs = rows("time_markov_transitions")
+    assert(rs.nonEmpty && rs.size <= 25)
+    rs.groupBy(_.getString(0)).foreach { case (from, g) =>
+      val mass = g.map(r => r.getDouble(r.fieldIndex("prob"))).sum
+      assert(math.abs(mass - 1.0) < 1e-6, s"$from: mass $mass")
+    }
+  }
+
+  test("MMR picks are distinct non-probe vectors with decaying scores") {
+    val rs = rows("sim_mmr_diversify").sortBy(_.getLong(0))
+    assert(rs.size == 4)
+    val ids = rs.map(r => r.getLong(r.fieldIndex("vec_id")))
+    assert(ids.distinct.size == 4 && !ids.contains(1L))
+    // msim is non-decreasing per candidate and the pool shrinks, so the
+    // mixed scores (k >= 2) cannot increase stage over stage
+    val mixed = rs.drop(1).map(r => r.getDouble(r.fieldIndex("score")))
+    mixed.sliding(2).foreach { w =>
+      assert(w(1) <= w(0) + 1e-9, s"MMR scores rose: ${w(0)} -> ${w(1)}")
+    }
+  }
+
+  test("edit-distance verdicts cover exactly the verified near-dup pairs") {
+    val lsh = rows("dedup_minhash_lsh")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ed = rows("dedup_editdist_verify")
+    assert(ed.map(r => (r.getLong(0), r.getLong(1))).toSet == lsh)
+    ed.foreach { r =>
+      val d = r.getLong(r.fieldIndex("edit_distance"))
+      val ml = r.getLong(r.fieldIndex("max_len"))
+      assert(d >= 0 && d <= ml, s"d $d of $ml")
+      val sim = r.getDouble(r.fieldIndex("edit_similarity"))
+      assert(sim >= 0.0 && sim <= 1.0, s"sim $sim")
+    }
+  }
+
   test("RA link-prediction pairs are canonical with positive scores") {
     val rs = rows("graph_link_prediction_ra")
     assert(rs.nonEmpty)
