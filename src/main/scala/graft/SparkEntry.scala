@@ -29,7 +29,7 @@ object SparkEntry {
       DecisionQueries.queries ++ DecisionQueriesB.queries ++
       FrontierQueries.queries ++ FrontierQueriesB.queries ++
       FrontierQueriesC.queries ++ FrontierQueriesD.queries ++
-      FrontierQueriesE.queries
+      FrontierQueriesE.queries ++ FrontierQueriesF.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +45,5 @@ object SparkEntry {
       DecisionQueries.oracle ++ DecisionQueriesB.oracle ++
       FrontierQueries.oracle ++ FrontierQueriesB.oracle ++
       FrontierQueriesC.oracle ++ FrontierQueriesD.oracle ++
-      FrontierQueriesE.oracle
+      FrontierQueriesE.oracle ++ FrontierQueriesF.oracle
 }

@@ -36,6 +36,31 @@ object FrontierQueriesE {
 
   private def hop(c: Column): Column = c.cast(StringType).cast(DoubleType)
 
+  /** Daily DECIMAL OHLC-style bars (high/low/close) per event type —
+    * shared by the stochastic oscillator here and
+    * [[FrontierQueriesF.windowDonchianChannel]] (same construction as
+    * [[FrontierQueriesD.windowAdxDi]]'s). */
+  private[ops] def dailyHlc(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    Tables.events(s, d)
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_id"), col("value").cast(dec).as("v"))
+      .groupBy("event_type", "day")
+      .agg(max(col("v")).as("high"), min(col("v")).as("low"),
+        max_by(col("v"), col("event_id")).as("close"))
+  }
+
+  /** Oracle prelude matching [[dailyHlc]]. */
+  private[ops] val dailyHlcCte =
+    """daily AS (
+      |  SELECT event_type,
+      |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    MAX(CAST(value AS DECIMAL(18,2))) AS high,
+      |    MIN(CAST(value AS DECIMAL(18,2))) AS low,
+      |    arg_max(CAST(value AS DECIMAL(18,2)), event_id) AS close
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
   // ------------------------------------------------------------- diversity
 
   /** POOLED MATTR (moving-average type-token ratio, window 50) per
@@ -228,14 +253,7 @@ object FrontierQueriesE {
     * Scale posture: day-granular after one keyed rollup; both window
     * passes share the one (event_type, day) sort. */
   def windowStochasticOsc(s: SparkSession, d: String): DataFrame = {
-    val dec = DecimalType(18, 2)
-    val daily = Tables.events(s, d)
-      .select(col("event_type"),
-        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
-        col("event_id"), col("value").cast(dec).as("v"))
-      .groupBy("event_type", "day")
-      .agg(max(col("v")).as("high"), min(col("v")).as("low"),
-        max_by(col("v"), col("event_id")).as("close"))
+    val daily = dailyHlc(s, d)
     val wo = Window.partitionBy("event_type").orderBy("day")
     val frame = wo.rowsBetween(-(StochN - 1), Window.currentRow)
     val k = daily
@@ -557,13 +575,7 @@ object FrontierQueriesE {
          |FROM folded WHERE n_bars >= $RsiN
          |ORDER BY event_type""".stripMargin,
     "window_stochastic_osc" ->
-      s"""WITH daily AS (
-         |  SELECT event_type,
-         |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-         |    MAX(CAST(value AS DECIMAL(18,2))) AS high,
-         |    MIN(CAST(value AS DECIMAL(18,2))) AS low,
-         |    arg_max(CAST(value AS DECIMAL(18,2)), event_id) AS close
-         |  FROM events GROUP BY 1, 2),
+      s"""WITH $dailyHlcCte,
          |ext AS (
          |  SELECT event_type, day, close,
          |    ROW_NUMBER() OVER w AS rn,

@@ -1,0 +1,467 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
+
+import graft.text.TextAnalysis.tokens
+
+/** Round-8 ninth frontier wave: intermittent-demand forecasting,
+  * blocked nonparametric testing, centroid classification, stylometry
+  * and channel-breakout operators. Module conventions as the earlier
+  * frontier waves: integer/DECIMAL arithmetic to one final fixed
+  * double tree, m-ordered folds for double sums, VARCHAR-hop for
+  * DECIMAL→DOUBLE. */
+object FrontierQueriesF {
+
+  /** Croston smoothing constant. */
+  private val CrostonAlpha = 0.1
+
+  /** Croston: minimum demand days per part. */
+  private val CrostonMinDays = 6L
+
+  /** Burrows' Delta vocabulary size. */
+  private val DeltaTopK = 30
+
+  private def hop(c: Column): Column = c.cast(StringType).cast(DoubleType)
+
+  // ------------------------------------------------------------ forecasting
+
+  /** CROSTON'S METHOD (α = 0.1) per part — the intermittent-demand
+    * forecast: separate exponential smoothing of the non-zero demand
+    * SIZES and the INTER-DEMAND INTERVALS, forecast = size/interval.
+    * Per-part order streams are exactly the sparse series Croston
+    * exists for (most days no order) — the spare-parts/tail-SKU
+    * planning standard where plain SES chases zeros
+    * ([[DecisionQueriesB]]'s Holt handles the dense trend case).
+    *
+    * Determinism: daily demand sums are exact DECIMAL hopped to
+    * double; intervals are integer day gaps; the fold carries
+    * [n, z, p] with the SEED CONVENTION stated identically on both
+    * engines — z and p seed from the FIRST gap-bearing demand (the
+    * first demand day has no interval and only starts the clock);
+    * SES updates z ← z + α(q−z), p ← p + α(g−p) are fixed trees;
+    * forecast is ONE division, round 9.
+    *
+    * Scale posture: one (part, day) rollup + one bounded per-part
+    * fold — part-granular after the first exchange. */
+  def timeCrostonForecast(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .select(col("l_partkey"), to_date(col("l_shipdate")).as("dd"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("q"))
+      .groupBy("l_partkey", "dd").agg(sum(col("q")).as("qty"))
+    val wo = Window.partitionBy("l_partkey").orderBy("dd")
+    val gapped = daily
+      .withColumn("gap",
+        datediff(col("dd"), lag(col("dd"), 1).over(wo)).cast(LongType))
+    val folded = gapped.groupBy("l_partkey").agg(
+      count(lit(1)).as("n_demand_days"),
+      aggregate(
+        transform(
+          sort_array(collect_list(when(col("gap").isNotNull,
+            struct(col("dd"), hop(col("qty")).as("q"),
+              col("gap").cast(DoubleType).as("g"))))),
+          p => array(p("q"), p("g"))),
+        array(lit(0.0), lit(0.0), lit(0.0)),
+        (acc, x) => when(element_at(acc, 1) === 0.0,
+          array(lit(1.0), element_at(x, 1), element_at(x, 2)))
+          .otherwise(array(element_at(acc, 1) + 1.0,
+            element_at(acc, 2) + lit(CrostonAlpha) *
+              (element_at(x, 1) - element_at(acc, 2)),
+            element_at(acc, 3) + lit(CrostonAlpha) *
+              (element_at(x, 2) - element_at(acc, 3))))).as("st"))
+    folded
+      .filter(col("n_demand_days") >= CrostonMinDays)
+      .select(col("l_partkey"), col("n_demand_days"),
+        round(element_at(col("st"), 2), 9).as("smoothed_size"),
+        round(element_at(col("st"), 3), 9).as("smoothed_interval"),
+        round(element_at(col("st"), 2) /
+          nullif(element_at(col("st"), 3), lit(0.0)), 9).as("demand_rate"))
+      .orderBy("l_partkey")
+  }
+
+  // --------------------------------------------------------------- testing
+
+  /** FRIEDMAN TEST over the day × event-type count grid — the blocked
+    * nonparametric ANOVA: do the event types keep the same intensity
+    * ORDERING across days, or does some type systematically dominate?
+    * The k-sample extension of [[FrontierQueriesC]]'s Wilcoxon — days
+    * are the blocks, so day-level volume swings cancel by design.
+    *
+    * Determinism — the doubled-mid-rank collapse at full stretch:
+    * with D = 2·midrank = 2·rank + ties − 1 (INTEGER), the
+    * tie-corrected statistic is
+    * Q = (k−1)·[Σ_j S_j² − n²k(k+1)²] / [Σ D² − nk(k+1)²]
+    * where S_j = Σ_days D — every term BIGINT, ONE final division
+    * (the /4's cancel). The grid densifies (a type with no events
+    * that day ranks at count 0 and TIES with other zeros) — both
+    * engines state the same spine. NULL via nullif when every block
+    * is fully tied.
+    *
+    * Scale posture: day-granular after one keyed rollup; the rank
+    * window partitions by day over k rows each. */
+  def statFriedmanTest(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    val cells = counts.select("day").distinct()
+      .crossJoin(counts.select("event_type").distinct())
+      .join(counts, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val ranked = cells
+      .withColumn("r", rank().over(
+        Window.partitionBy("day").orderBy("cnt")).cast(LongType))
+      .withColumn("t", count(lit(1)).over(
+        Window.partitionBy("day", "cnt")))
+      .withColumn("dd", lit(2L) * col("r") + col("t") - 1L)
+    val perType = ranked.groupBy("event_type")
+      .agg(sum(col("dd")).as("sj"), count(lit(1)).as("n"),
+        sum(col("dd") * col("dd")).as("sumd2"))
+    val g = perType.agg(
+      max(col("n")).as("n"), count(lit(1)).as("k"),
+      sum(col("sj") * col("sj")).as("ss"),
+      sum(col("sumd2")).as("d2"))
+    g.select(col("n").as("n_blocks"), col("k"), (col("k") - 1L).as("dof"),
+      round((col("k") - 1L).cast(DoubleType) *
+        (col("ss") - col("n") * col("n") * col("k") *
+          (col("k") + 1L) * (col("k") + 1L)).cast(DoubleType) /
+        nullif((col("d2") - col("n") * col("k") *
+          (col("k") + 1L) * (col("k") + 1L)).cast(DoubleType), lit(0.0)),
+        9).as("q"))
+  }
+
+  // ---------------------------------------------------------- classification
+
+  /** NEAREST-CENTROID CLASSIFIER EVALUATION — train per-label mean
+    * vectors on the even vec_ids, classify the odd ones by nearest
+    * centroid (squared L2), report per-label accuracy: the Rocchio
+    * baseline every embedding-quality review starts from (if label
+    * centroids can't separate the classes, neither will anything
+    * downstream that trusts those embeddings).
+    *
+    * Determinism: centroid components are vec_id-ordered folds over
+    * one division; distances are dim-ordered folds of identically-
+    * computed squared differences; the argmin is rank 1 by
+    * (d², label); accuracy is ONE division, round 9.
+    *
+    * Scale posture: centroids are labels × dims rows (constant);
+    * the test join fans each exploded test component out by #labels
+    * only — O(N·dims·labels) work, embarrassingly parallel, with the
+    * per-(vec, label) reduction partial-aggregated. */
+  def simNearestCentroid(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        col("embedding"))
+    val expl = (f: DataFrame) => f
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim").cast(LongType).as("dim"),
+        col("x").cast(DoubleType).as("x"))
+    val cents = expl(e.filter(col("vec_id") % 2 === 0))
+      .groupBy("label", "dim")
+      .agg((aggregate(
+        transform(sort_array(collect_list(struct(col("vec_id"), col("x")))),
+          p => p("x")),
+        lit(0.0), (a, x) => a + x) /
+        count(lit(1)).cast(DoubleType)).as("c"))
+    val test = expl(e.filter(col("vec_id") % 2 === 1))
+      .select(col("vec_id"), col("label").as("true_label"), col("dim"),
+        col("x"))
+    val d2 = test
+      .join(broadcast(cents.select(col("label").as("cand"), col("dim"),
+        col("c"))), Seq("dim"))
+      .select(col("vec_id"), col("true_label"), col("cand"), col("dim"),
+        ((col("x") - col("c")) * (col("x") - col("c"))).as("term"))
+      .groupBy("vec_id", "true_label", "cand")
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("dim"), col("term")))),
+          p => p("term")),
+        lit(0.0), (a, x) => a + x).as("d2"))
+    val pred = d2
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cand").asc)))
+      .filter(col("rk") === 1)
+    pred.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("cand") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy", round(col("n_correct").cast(DoubleType) /
+        col("n_test").cast(DoubleType), 9))
+      .orderBy("label")
+  }
+
+  // -------------------------------------------------------------- stylometry
+
+  /** BURROWS' DELTA between source pairs — the stylometric
+    * attribution distance: z-score each source's relative frequency
+    * of the corpus top-30 words against the across-source
+    * distribution, Delta = mean |z_a − z_b|. High Delta = the
+    * sources "write differently" — the authorship/register screen a
+    * corpus review runs next to [[FrontierQueriesD]]'s χ² divergence
+    * (χ² weighs mass, Delta weighs STYLE: every word counts equally
+    * once standardized).
+    *
+    * Determinism: relative frequencies are one division of integer
+    * counts; the across-source mean and variance are SOURCE-ordered
+    * folds; σ = one sqrt; z = one division (σ = 0 → z = 0 stated
+    * identically — a word used at the same rate everywhere carries no
+    * style signal); Delta folds in word order, one final division by
+    * k, round 9. The grid densifies (a source missing a top word has
+    * f = 0).
+    *
+    * Scale posture: after the (source, token) rollup everything is
+    * sources × 30 cells; the head vocabulary is integer-ranked. */
+  def textBurrowsDelta(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val topVocab = st.groupBy("tok").agg(sum(col("cnt")).as("gfreq"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("gfreq").desc, col("tok"))))
+      .filter(col("rank") <= DeltaTopK)
+      .select("tok")
+    val totals = st.groupBy("source").agg(sum(col("cnt")).as("tot"))
+    val dense = totals.crossJoin(broadcast(topVocab))
+      .join(st, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"),
+        (coalesce(col("cnt"), lit(0L)).cast(DoubleType) /
+          col("tot").cast(DoubleType)).as("f"))
+    def srcFold(v: Column): Column =
+      aggregate(
+        transform(sort_array(collect_list(struct(col("source"), v.as("v")))),
+          p => p("v")),
+        lit(0.0), (a, x) => a + x)
+    val stats = dense.groupBy("tok").agg(
+      count(lit(1)).as("ns"),
+      (srcFold(col("f")) / count(lit(1)).cast(DoubleType)).as("mu"))
+    val zs = dense.join(broadcast(stats), Seq("tok"))
+      .withColumn("dev", (col("f") - col("mu")) * (col("f") - col("mu")))
+    val sds = zs.groupBy("tok").agg(
+      sqrt(aggregate(
+        transform(sort_array(collect_list(struct(col("source"), col("dev")))),
+          p => p("dev")),
+        lit(0.0), (a, x) => a + x) /
+        count(lit(1)).cast(DoubleType)).as("sd"))
+    val z = zs.join(broadcast(sds), Seq("tok"))
+      .select(col("source"), col("tok"),
+        when(col("sd") > 0.0, (col("f") - col("mu")) / col("sd"))
+          .otherwise(lit(0.0)).as("z"))
+    z.as("a").join(z.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"),
+        col("a.tok").as("tok"), abs(col("a.z") - col("b.z")).as("az"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n_words"),
+        round(aggregate(
+          transform(sort_array(collect_list(struct(col("tok"), col("az")))),
+            p => p("az")),
+          lit(0.0), (a, x) => a + x) / lit(DeltaTopK.toDouble), 9)
+          .as("delta"))
+      .orderBy("sa", "sb")
+  }
+
+  // --------------------------------------------------------------- channels
+
+  /** DONCHIAN CHANNEL BREAKOUTS (20-bar, prior window) per event
+    * type — close vs the PREVIOUS 20 bars' high-low channel: the
+    * turtle-trading breakout signal, and on telemetry the
+    * "today left the recent operating envelope" flag
+    * ([[FrontierQueriesE.windowStochasticOsc]] locates the close
+    * inside the range; this flags leaving it).
+    *
+    * Determinism: channel extremes are exact DECIMAL window min/max
+    * over the −20..−1 frame (current bar excluded — a close can't
+    * break a channel it helped form); the breakout predicates compare
+    * DECIMALs exactly; channel edges hop to double only at output,
+    * round 9.
+    *
+    * Scale posture: day-granular after one keyed rollup; one window
+    * pass. */
+  def windowDonchianChannel(s: SparkSession, d: String): DataFrame = {
+    val wo = Window.partitionBy("event_type").orderBy("day")
+    val frame = wo.rowsBetween(-20, -1)
+    FrontierQueriesE.dailyHlc(s, d)
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("chh", max(col("high")).over(frame))
+      .withColumn("chl", min(col("low")).over(frame))
+      .filter(col("rn") > 20)
+      .select(col("event_type"), col("day"),
+        round(hop(col("chh")), 9).as("channel_high"),
+        round(hop(col("chl")), 9).as("channel_low"),
+        (col("close") > col("chh")).as("breakout_up"),
+        (col("close") < col("chl")).as("breakout_down"))
+      .orderBy("event_type", "day")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_croston_forecast"   -> timeCrostonForecast _,
+    "stat_friedman_test"      -> statFriedmanTest _,
+    "sim_nearest_centroid"    -> simNearestCentroid _,
+    "text_burrows_delta"      -> textBurrowsDelta _,
+    "window_donchian_channel" -> windowDonchianChannel _,
+  )
+
+  private val toks = TextQueries.tokensSql
+
+  val oracle: Map[String, String] = Map(
+    "time_croston_forecast" ->
+      s"""WITH daily AS (
+         |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS dd,
+         |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+         |  FROM lineitem GROUP BY 1, 2),
+         |gapped AS (
+         |  SELECT l_partkey, dd,
+         |    CAST(CAST(qty AS VARCHAR) AS DOUBLE) AS q,
+         |    CAST(date_diff('day',
+         |      lag(dd) OVER (PARTITION BY l_partkey ORDER BY dd), dd)
+         |      AS DOUBLE) AS g
+         |  FROM daily),
+         |folded AS (
+         |  SELECT l_partkey, COUNT(*) AS n_demand_days,
+         |    list_reduce(
+         |      list_prepend([0.0, 0.0, 0.0],
+         |        list([q, g] ORDER BY dd) FILTER (WHERE g IS NOT NULL)),
+         |      (acc, x) -> CASE WHEN acc[1] = 0.0
+         |        THEN [1.0, x[1], x[2]]
+         |        ELSE [acc[1] + 1.0,
+         |          acc[2] + $CrostonAlpha * (x[1] - acc[2]),
+         |          acc[3] + $CrostonAlpha * (x[2] - acc[3])] END) AS st
+         |  FROM gapped GROUP BY 1)
+         |SELECT l_partkey, n_demand_days,
+         |  ROUND(st[2], 9) AS smoothed_size,
+         |  ROUND(st[3], 9) AS smoothed_interval,
+         |  ROUND(st[2] / NULLIF(st[3], 0.0), 9) AS demand_rate
+         |FROM folded WHERE n_demand_days >= $CrostonMinDays
+         |ORDER BY l_partkey""".stripMargin,
+    "stat_friedman_test" ->
+      """WITH counts AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT d.day, t.event_type, COALESCE(c.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT day FROM counts) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+        |  LEFT JOIN counts c ON c.day = d.day
+        |    AND c.event_type = t.event_type),
+        |ranked AS (
+        |  SELECT event_type,
+        |    2 * CAST(RANK() OVER (PARTITION BY day ORDER BY cnt) AS BIGINT)
+        |      + CAST(COUNT(*) OVER (PARTITION BY day, cnt) AS BIGINT)
+        |      - 1 AS dd
+        |  FROM cells),
+        |per_type AS (
+        |  SELECT event_type, CAST(SUM(dd) AS BIGINT) AS sj,
+        |    COUNT(*) AS n, CAST(SUM(dd * dd) AS BIGINT) AS sumd2
+        |  FROM ranked GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS n, COUNT(*) AS k,
+        |    CAST(SUM(sj * sj) AS BIGINT) AS ss,
+        |    CAST(SUM(sumd2) AS BIGINT) AS d2
+        |  FROM per_type)
+        |SELECT n AS n_blocks, k, k - 1 AS dof,
+        |  ROUND(CAST(k - 1 AS DOUBLE) *
+        |    CAST(ss - n * n * k * (k + 1) * (k + 1) AS DOUBLE) /
+        |    NULLIF(CAST(d2 - n * k * (k + 1) * (k + 1) AS DOUBLE), 0.0), 9)
+        |    AS q
+        |FROM g""".stripMargin,
+    "sim_nearest_centroid" ->
+      """WITH expl AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(p.d - 1 AS BIGINT) AS dim, CAST(p.x AS DOUBLE) AS x
+        |  FROM (
+        |    SELECT vec_id, label, unnest(list_transform(
+        |      range(1, len(embedding) + 1),
+        |      i -> struct_pack(d := i, x := embedding[i]))) AS p
+        |    FROM embeddings)),
+        |cents AS (
+        |  SELECT label AS cand, dim,
+        |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+        |      (a, v) -> a + v) / CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM expl WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT t.vec_id, t.label AS true_label, c.cand,
+        |    list_reduce(list_prepend(0.0,
+        |      list((t.x - c.c) * (t.x - c.c) ORDER BY t.dim)),
+        |      (a, v) -> a + v) AS d2
+        |  FROM expl t JOIN cents c ON t.dim = c.dim
+        |  WHERE t.vec_id % 2 = 1
+        |  GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT vec_id, true_label, cand,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY d2 ASC, cand ASC) AS rk
+        |  FROM d2)
+        |SELECT true_label AS label, COUNT(*) AS n_test,
+        |  CAST(SUM(CASE WHEN cand = true_label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  ROUND(CAST(SUM(CASE WHEN cand = true_label THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS accuracy
+        |FROM pred WHERE rk = 1
+        |GROUP BY 1 ORDER BY label""".stripMargin,
+    "text_burrows_delta" ->
+      s"""WITH st AS (
+         |  SELECT source, tok, COUNT(*) AS cnt FROM (
+         |    SELECT source, unnest($toks) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |topv AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, ROW_NUMBER() OVER (
+         |      ORDER BY SUM(cnt) DESC, tok) AS rank
+         |    FROM st GROUP BY tok)
+         |  WHERE rank <= $DeltaTopK),
+         |tots AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot
+         |  FROM st GROUP BY 1),
+         |dense AS (
+         |  SELECT tots.source, topv.tok,
+         |    CAST(COALESCE(st.cnt, 0) AS DOUBLE) / CAST(tots.tot AS DOUBLE)
+         |      AS f
+         |  FROM tots CROSS JOIN topv
+         |  LEFT JOIN st ON st.source = tots.source AND st.tok = topv.tok),
+         |mus AS (
+         |  SELECT tok, COUNT(*) AS ns,
+         |    list_reduce(list_prepend(0.0, list(f ORDER BY source)),
+         |      (a, x) -> a + x) / CAST(COUNT(*) AS DOUBLE) AS mu
+         |  FROM dense GROUP BY 1),
+         |sds AS (
+         |  SELECT d.tok,
+         |    SQRT(list_reduce(list_prepend(0.0,
+         |      list((d.f - m.mu) * (d.f - m.mu) ORDER BY d.source)),
+         |      (a, x) -> a + x) / CAST(COUNT(*) AS DOUBLE)) AS sd
+         |  FROM dense d JOIN mus m ON d.tok = m.tok GROUP BY 1),
+         |z AS (
+         |  SELECT d.source, d.tok,
+         |    CASE WHEN s.sd > 0.0 THEN (d.f - m.mu) / s.sd
+         |      ELSE 0.0 END AS z
+         |  FROM dense d JOIN mus m ON d.tok = m.tok
+         |  JOIN sds s ON d.tok = s.tok)
+         |SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_words,
+         |  ROUND(list_reduce(list_prepend(0.0,
+         |    list(ABS(a.z - b.z) ORDER BY a.tok)),
+         |    (acc, x) -> acc + x) / ${DeltaTopK.toDouble}, 9) AS delta
+         |FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "window_donchian_channel" ->
+      s"""WITH ${FrontierQueriesE.dailyHlcCte},
+         |ch AS (
+         |  SELECT event_type, day, close,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    MAX(high) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS chh,
+         |    MIN(low) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS chl
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, day,
+         |  ROUND(CAST(CAST(chh AS VARCHAR) AS DOUBLE), 9) AS channel_high,
+         |  ROUND(CAST(CAST(chl AS VARCHAR) AS DOUBLE), 9) AS channel_low,
+         |  close > chh AS breakout_up,
+         |  close < chl AS breakout_down
+         |FROM ch WHERE rn > 20
+         |ORDER BY event_type, day""".stripMargin,
+  )
+}

@@ -444,6 +444,56 @@ object GraphQueries {
       .orderBy("deg")
   }
 
+  /** TOP-20 VERTICES BY LOCAL CLUSTERING COEFFICIENT — the per-vertex
+    * view behind [[graphClusteringCoeff]]'s per-degree curve:
+    * c(v) = 2·t(v)/(deg(v)·(deg(v)−1)) for deg ≥ 2, ranked
+    * (c DESC, part ASC). These are the tightest ego-neighborhoods —
+    * the "always bought as a clique" parts a bundling review reads
+    * first. Reuses the persisted degree-ordered orientation, so the
+    * O(m^1.5) wedge enumeration is paid once across both queries.
+    *
+    * Determinism: triangle counts and degrees are integers; c is ONE
+    * division, round 9; rank ties break on the vertex id.
+    *
+    * Scale posture: identical to the shared triangle base —
+    * orientation bounds wedge fan-out by the max LOW-degree, hubs
+    * never enumerate their own neighborhoods. */
+  def graphLocalClusteringTopk(s: SparkSession, d: String): DataFrame = {
+    val edges = supportEdges(s, d)
+    val deg = edges.select(col("u").as("x"))
+      .unionAll(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("x").as("u"), col("deg").as("udeg")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("deg").as("vdeg")), Seq("v"))
+    val uFirst = col("udeg") < col("vdeg") ||
+      (col("udeg") === col("vdeg") && col("u") < col("v"))
+    val oriented = PipelineCache.getOrPersist(s"graph_oriented_edges:$d") {
+      withDeg.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("vdeg")).otherwise(col("udeg")).as("ddeg"))
+    }
+    val o1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("bdeg"))
+    val o2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("cdeg"))
+    val wedges = o1.join(o2, Seq("src"))
+      .filter(col("bdeg") < col("cdeg") ||
+        (col("bdeg") === col("cdeg") && col("b") < col("c")))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val perVertex = wedges.join(closing, Seq("b", "c"))
+      .select(explode(array(col("src"), col("b"), col("c"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perVertex, Seq("x"), "left")
+      .select(col("x").as("part"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"))
+      .withColumn("local_cc",
+        round(lit(2.0) * col("n_triangles").cast("double") /
+          (col("deg") * (col("deg") - 1L)).cast("double"), 9))
+      .orderBy(col("local_cc").desc, col("part"))
+      .limit(20)
+  }
+
   /** Multi-source BFS reachability profile — depth-of-reach histogram
     * from a deterministic seed set (every 20th part id), 3 rounds deep:
     * how much of the co-purchase graph is within k hops of the seeds,
@@ -1443,6 +1493,7 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_modularity"         -> graphModularity _,
     "graph_knn_degree_curve"   -> graphKnnDegreeCurve _,
+    "graph_local_clustering_topk" -> graphLocalClusteringTopk _,
     "graph_link_prediction_ra" -> graphLinkPredictionRa _,
     "graph_assortativity"      -> graphAssortativity _,
     "graph_2hop_card"          -> graph2HopCard _,
@@ -1862,6 +1913,24 @@ object GraphQueries {
          |JOIN degs du ON c.u = du.src
          |JOIN degs dv ON c.v = dv.src
          |ORDER BY jaccard DESC, c.u, c.v LIMIT 20""".stripMargin,
+    "graph_local_clustering_topk" ->
+      s"""WITH $edgesCte,
+         |tris AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+         |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |tverts AS (
+         |  SELECT a AS v FROM tris UNION ALL SELECT b FROM tris
+         |  UNION ALL SELECT c FROM tris),
+         |tcnt AS (SELECT v AS x, COUNT(*) AS n_tri FROM tverts GROUP BY 1),
+         |degs AS (SELECT src AS x, COUNT(*) AS deg FROM dir GROUP BY 1)
+         |SELECT degs.x AS part, degs.deg,
+         |  COALESCE(tcnt.n_tri, 0) AS n_triangles,
+         |  ROUND(2.0 * CAST(COALESCE(tcnt.n_tri, 0) AS DOUBLE) /
+         |    CAST(degs.deg * (degs.deg - 1) AS DOUBLE), 9) AS local_cc
+         |FROM degs LEFT JOIN tcnt ON degs.x = tcnt.x
+         |WHERE degs.deg >= 2
+         |ORDER BY local_cc DESC, part LIMIT 20""".stripMargin,
     "graph_knn_degree_curve" ->
       s"""WITH $edgesCte,
          |degs AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),

@@ -757,6 +757,49 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("Croston and Donchian are join-free keyed-rollup window plans") {
+    for (q <- Seq("time_croston_forecast", "window_donchian_channel")) {
+      val p = plan(q)
+      assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, s"$q:\n$p")
+    }
+  }
+
+  test("Friedman's grid joins stay on the day/type rollups, never events") {
+    val p = plan("stat_friedman_test")
+    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
+    ops(p).collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { j =>
+      j.children.foreach { side =>
+        assert(ops(side).exists(_.isInstanceOf[BaseAggregateExec]),
+          s"BNLJ side without a rollup below it:\n$side")
+      }
+    }
+  }
+
+  test("nearest-centroid broadcasts the constant centroid table") {
+    val p = plan("sim_nearest_centroid")
+    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
+    assert(ops(p).collect { case j: SortMergeJoinExec => j }.isEmpty, p)
+    assert(ops(p).exists(_.isInstanceOf[BroadcastHashJoinExec]), p)
+  }
+
+  test("Burrows' Delta never widens past sources x the head vocabulary") {
+    val p = plan("text_burrows_delta")
+    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
+    // the spine fan-out rides broadcasts of the 30-word head; the only
+    // BNLJs allowed are those with an aggregate below both sides
+    ops(p).collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { j =>
+      j.children.foreach { side =>
+        assert(ops(side).exists(_.isInstanceOf[BaseAggregateExec]),
+          s"BNLJ side without a rollup below it:\n$side")
+      }
+    }
+  }
+
+  test("local-clustering top-k rides the shared oriented-edge base") {
+    noCartesian(plan("graph_local_clustering_topk"),
+      "graph_local_clustering_topk")
+  }
+
   test("MMR is k broadcast stages, never a pairwise similarity join") {
     val p = plan("sim_mmr_diversify")
     assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)

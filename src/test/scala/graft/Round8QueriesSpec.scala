@@ -673,6 +673,72 @@ class Round8QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("Croston smoothing stays on the demand scale") {
+    val rs = rows("time_croston_forecast")
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_demand_days")) >= 6)
+      val z = r.getDouble(r.fieldIndex("smoothed_size"))
+      val p = r.getDouble(r.fieldIndex("smoothed_interval"))
+      assert(z > 0.0, s"size $z")
+      // intervals are day gaps >= 1, so their smoothing stays >= 1
+      assert(p >= 1.0, s"interval $p")
+      assert(r.getDouble(r.fieldIndex("demand_rate")) <= z + 1e-9)
+    }
+  }
+
+  test("Friedman statistic is a nonnegative chi-square value") {
+    val r = rows("stat_friedman_test").head
+    assert(r.getLong(r.fieldIndex("dof")) ==
+      r.getLong(r.fieldIndex("k")) - 1)
+    assert(r.getDouble(r.fieldIndex("q")) >= 0.0)
+  }
+
+  test("nearest-centroid covers every odd vector with sane accuracies") {
+    val rs = rows("sim_nearest_centroid")
+    assert(rs.nonEmpty)
+    val total = rs.map(r => r.getLong(r.fieldIndex("n_test"))).sum
+    val odd = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter("vec_id % 2 = 1").count()
+    assert(total == odd, s"covered $total of $odd test vectors")
+    rs.foreach { r =>
+      val a = r.getDouble(r.fieldIndex("accuracy"))
+      assert(a >= 0.0 && a <= 1.0, s"accuracy $a")
+      assert(r.getLong(r.fieldIndex("n_correct")) <=
+        r.getLong(r.fieldIndex("n_test")))
+    }
+  }
+
+  test("Burrows' Delta is a nonnegative pairwise distance over the head") {
+    val rs = rows("text_burrows_delta")
+    assert(rs.nonEmpty)
+    val n = rs.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.size
+    assert(rs.size == n * (n - 1) / 2, s"${rs.size} pairs for $n sources")
+    rs.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_words")) == 30L)
+      assert(r.getDouble(r.fieldIndex("delta")) >= 0.0)
+    }
+  }
+
+  test("Donchian channels are ordered and breakouts are one-sided") {
+    rows("window_donchian_channel").foreach { r =>
+      assert(r.getDouble(r.fieldIndex("channel_high")) >=
+        r.getDouble(r.fieldIndex("channel_low")))
+      assert(!(r.getBoolean(r.fieldIndex("breakout_up")) &&
+        r.getBoolean(r.fieldIndex("breakout_down"))))
+    }
+  }
+
+  test("local clustering coefficients are a sorted [0, 1] head") {
+    val rs = rows("graph_local_clustering_topk")
+    assert(rs.nonEmpty && rs.size <= 20)
+    val ccs = rs.map(r => r.getDouble(r.fieldIndex("local_cc")))
+    assert(ccs.forall(c => c >= 0.0 && c <= 1.0))
+    ccs.sliding(2).foreach { w =>
+      if (w.size == 2) assert(w(1) <= w(0) + 1e-12, "head not sorted")
+    }
+  }
+
   test("RA link-prediction pairs are canonical with positive scores") {
     val rs = rows("graph_link_prediction_ra")
     assert(rs.nonEmpty)
