@@ -501,6 +501,98 @@ object Multimodal {
       total_samples: Long, duration_s: Double, audio_md5: String,
       block_types: Seq[Int])
 
+  final case class JpegMeta(width: Int, height: Int, precision: Int,
+      n_components: Int, progressive: Boolean, has_jfif: Boolean,
+      has_exif: Boolean)
+
+  /** REAL JPEG/JFIF CONTAINER parsing — the still-image sibling of
+    * [[parseMp4]]/[[parseWebm]]/[[parseFlac]]: a marker walk (every
+    * segment is 0xFF + marker + 2-byte big-endian length including
+    * itself; 0x01/0xD0–0xD9 are standalone; fill 0xFF bytes before a
+    * marker are legal) reading the frame header (SOF: precision,
+    * height, width, component count; markers 0xC0–0xCF minus
+    * DHT/JPG/DAC, with low-bits 2 ⇒ progressive DCT), JFIF presence
+    * (APP0 "JFIF\0") and EXIF presence (APP1 "Exif\0\0"). Dimensions,
+    * progressive-ness and EXIF are exactly what an image curation
+    * pipeline gates on BEFORE paying a decode (resolution floors,
+    * progressive re-encode policies, EXIF PII stripping) — and unlike
+    * the video parsers this family also has the REAL decode behind it
+    * ([[decodeImage]]'s ImageIO path reads JPEG natively), so the gate
+    * is verifiable against true decoded dimensions.
+    *
+    * Malformation contract (same as the siblings): `None`, never a
+    * throw — bad SOI, truncated segments, a length overrunning the
+    * buffer, reaching SOS/EOI without a frame header, or the
+    * DNL-deferred height-0 form. */
+  def parseJpeg(content: Array[Byte]): Option[JpegMeta] = {
+    if (content.length < 4) return None
+    if ((content(0) & 0xFF) != 0xFF || (content(1) & 0xFF) != 0xD8) return None
+    var pos = 2
+    var sof: Option[JpegMeta] = None
+    var jfif = false
+    var exif = false
+    def u8(i: Int): Int = content(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    while (pos < content.length) {
+      if (u8(pos) != 0xFF) return None
+      while (pos < content.length && u8(pos) == 0xFF) pos += 1 // fill bytes
+      if (pos >= content.length) return None
+      val marker = u8(pos); pos += 1
+      if (marker == 0xD9 || marker == 0xDA) {             // EOI / SOS
+        return sof.map(_.copy(has_jfif = jfif, has_exif = exif))
+      } else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD8)) {
+        // standalone: no length
+      } else {
+        if (pos + 2 > content.length) return None
+        val len = u16(pos)
+        if (len < 2 || pos + len > content.length) return None
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (len < 8) return None
+          val nf = u8(pos + 7)
+          if (len != 8 + 3 * nf) return None
+          val h = u16(pos + 3)
+          val w = u16(pos + 5)
+          if (h == 0 || w == 0) return None               // DNL-deferred
+          sof = Some(JpegMeta(w, h, u8(pos + 2), nf,
+            progressive = (marker & 0x3) == 2, has_jfif = false,
+            has_exif = false))
+        } else if (marker == 0xE0 && len >= 7 &&
+          new String(content, pos + 2, 5, "ISO-8859-1") == "JFIF\u0000") {
+          jfif = true
+        } else if (marker == 0xE1 && len >= 8 &&
+          new String(content, pos + 2, 6, "ISO-8859-1") == "Exif\u0000\u0000") {
+          exif = true
+        }
+        pos += len
+      }
+    }
+    None // ran off the end without SOS/EOI
+  }
+
+  final case class JpegImageMeta(media_id: Long, parsed: Boolean,
+      width: Int, height: Int, precision: Int, n_components: Int,
+      progressive: Boolean, has_jfif: Boolean, has_exif: Boolean)
+
+  /** JPEG curation gate over a media frame — same mapPartitions shape
+    * as the sibling gates. */
+  def jpegMeta(media: Dataset[MediaRow]): Dataset[JpegImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        parseJpeg(m.content) match {
+          case Some(j) => JpegImageMeta(m.media_id, parsed = true,
+            j.width, j.height, j.precision, j.n_components,
+            j.progressive, j.has_jfif, j.has_exif)
+          case None => JpegImageMeta(m.media_id, parsed = false,
+            0, 0, 0, 0, progressive = false, has_jfif = false,
+            has_exif = false)
+        }
+      }
+    }
+  }
+
   /** FLAC curation gate over a media frame — same mapPartitions shape
     * as [[videoMeta]]/[[webmMeta]] (byte walking is not a Catalyst
     * expression's job): sample-rate/channel/duration caps and the

@@ -621,4 +621,99 @@ class MultimodalSpec extends SparkTestBase {
       out(0).audio_md5.nonEmpty && out(0).block_types == Seq(0, 4))
     assert(!out(1).parsed && out(1).audio_md5.isEmpty)
   }
+
+  // ---- JPEG container parsing + real decode --------------------------
+
+  private def jpeg(rgbRows: Array[Array[Int]]): Array[Byte] = {
+    val h = rgbRows.length
+    val w = rgbRows.head.length
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbRows(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def jpegGradient(w: Int, h: Int): Array[Array[Int]] =
+    Array.tabulate(h, w) { (y, x) =>
+      val v = 140 * x / (w - 1) + 46 * y / (h - 1)
+      (v << 16) | (v << 8) | v
+    }
+
+  test("parseJpeg reads the frame header of a real ImageIO-encoded JPEG") {
+    val bytes = jpeg(jpegGradient(40, 28))
+    val Some(m) = parseJpeg(bytes)
+    assert(m.width == 40 && m.height == 28)
+    assert(m.n_components == 3 && m.precision == 8)
+    assert(!m.progressive)
+    assert(m.has_jfif, "ImageIO's writer emits a JFIF APP0")
+    // the gate's dimensions must agree with the REAL decode behind it
+    val Some((dw, dh, _)) = decodeImage(bytes)
+    assert((dw, dh) == (m.width, m.height))
+  }
+
+  test("JPEG round-trip stays dHash-close to the lossless original") {
+    val scene = jpegGradient(36, 24)
+    val Some((_, _, losslessPx)) = decodeImage(png(scene))
+    val Some((w, h, lossyPx)) = decodeImage(jpeg(scene))
+    val drift = java.lang.Long.bitCount(
+      dHash64(36, 24, losslessPx) ^ dHash64(w, h, lossyPx))
+    // lossy DCT wiggles pixels; the gradient structure must survive
+    assert(drift <= 8, s"dHash drifted $drift bits across JPEG round-trip")
+  }
+
+  private def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+    Array(0xFF.toByte, marker.toByte,
+      ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xFF).toByte
+    ) ++ payload
+
+  private def sofPayload(w: Int, h: Int, nf: Int): Array[Byte] =
+    Array(8.toByte, (h >> 8).toByte, (h & 0xFF).toByte,
+      (w >> 8).toByte, (w & 0xFF).toByte, nf.toByte) ++
+      Array.fill(3 * nf)(0.toByte)
+
+  test("parseJpeg reads a handcrafted progressive grayscale EXIF stream") {
+    val exifPayload = "Exif\u0000\u0000".getBytes("ISO-8859-1") ++
+      Array.fill(4)(0.toByte)
+    val bytes = Array(0xFF.toByte, 0xD8.toByte) ++
+      seg(0xE1, exifPayload) ++
+      seg(0xC2, sofPayload(123, 45, 1)) ++       // SOF2 = progressive DCT
+      Array(0xFF.toByte, 0xDA.toByte)            // SOS ends the header walk
+    val Some(m) = parseJpeg(bytes)
+    assert(m.width == 123 && m.height == 45 && m.n_components == 1)
+    assert(m.progressive && m.has_exif && !m.has_jfif)
+  }
+
+  test("parseJpeg rejects malformed streams, never throws") {
+    assert(parseJpeg(Array.empty[Byte]).isEmpty, "empty")
+    assert(parseJpeg("not a jpeg".getBytes).isEmpty, "bad magic")
+    val good = jpeg(jpegGradient(16, 16))
+    assert(parseJpeg(good.take(8)).isEmpty, "truncated header")
+    // a segment whose declared length overruns the buffer
+    assert(parseJpeg(Array(0xFF.toByte, 0xD8.toByte) ++
+      seg(0xC0, sofPayload(9, 9, 1)).dropRight(3)).isEmpty, "overrun")
+    // SOS reached without any frame header
+    assert(parseJpeg(Array(0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xDA.toByte)).isEmpty, "no SOF")
+    // the DNL-deferred zero-height form
+    assert(parseJpeg(Array(0xFF.toByte, 0xD8.toByte) ++
+      seg(0xC0, sofPayload(9, 0, 1)) ++
+      Array(0xFF.toByte, 0xDA.toByte)).isEmpty, "zero height")
+    // a bad SOF component-count/length mismatch
+    assert(parseJpeg(Array(0xFF.toByte, 0xD8.toByte) ++
+      seg(0xC0, sofPayload(9, 9, 1) ++ Array(0.toByte)) ++
+      Array(0xFF.toByte, 0xDA.toByte)).isEmpty, "sof length mismatch")
+  }
+
+  test("jpegMeta gates parseable image rows and stubs the rest") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("image", 0, 0, 1, 0), jpeg(jpegGradient(20, 12))),
+      MediaRow(2L, MediaMeta("image", 0, 0, 1, 0), "junk".getBytes))
+    val out = jpegMeta(spark.createDataset(rows)).collect().sortBy(_.media_id)
+    assert(out(0).parsed && out(0).width == 20 && out(0).height == 12 &&
+      out(0).n_components == 3 && out(0).has_jfif)
+    assert(!out(1).parsed && out(1).width == 0)
+  }
 }
