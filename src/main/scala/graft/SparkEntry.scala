@@ -29,7 +29,8 @@ object SparkEntry {
       DecisionQueries.queries ++ DecisionQueriesB.queries ++
       FrontierQueries.queries ++ FrontierQueriesB.queries ++
       FrontierQueriesC.queries ++ FrontierQueriesD.queries ++
-      FrontierQueriesE.queries ++ FrontierQueriesF.queries
+      FrontierQueriesE.queries ++ FrontierQueriesF.queries ++
+      FrontierQueriesG.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       DecisionQueries.oracle ++ DecisionQueriesB.oracle ++
       FrontierQueries.oracle ++ FrontierQueriesB.oracle ++
       FrontierQueriesC.oracle ++ FrontierQueriesD.oracle ++
-      FrontierQueriesE.oracle ++ FrontierQueriesF.oracle
+      FrontierQueriesE.oracle ++ FrontierQueriesF.oracle ++
+      FrontierQueriesG.oracle
 }

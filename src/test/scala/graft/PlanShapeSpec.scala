@@ -800,6 +800,46 @@ class PlanShapeSpec extends SparkTestBase {
       "graph_local_clustering_topk")
   }
 
+  test("the permutation test scans events once and reuses the 32-row frame") {
+    val p = plan("stat_permutation_test")
+    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
+    // the only BNLJ is the broadcast of the 1-row observed aggregate
+    ops(p).collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { j =>
+      j.children.foreach { side =>
+        assert(ops(side).exists(o => o.isInstanceOf[BaseAggregateExec] ||
+          o.isInstanceOf[InMemoryTableScanExec]),
+          s"BNLJ side without a rollup/cache below it:\n$side")
+      }
+    }
+    // the per-permutation frame is persisted: both the main branch and
+    // the broadcast observed-split branch read the SAME cached 32-row
+    // frame, so events is scanned once (digest below the Generate in
+    // the cached subplan — the bootstrap lesson)
+    assert(ops(p, intoCache = false)
+      .count(_.isInstanceOf[InMemoryTableScanExec]) == 2,
+      s"expected two cache reads of the per-permutation frame:\n$p")
+    assert(scans(p).map(_.relation.location.rootPaths.mkString).distinct
+      .size <= 1, s"more than one distinct file relation scanned:\n$p")
+  }
+
+  test("ANOVA / Kruskal-Wallis / Cochran-Armitage collapse to rollup folds") {
+    for (q <- Seq("stat_anova_f", "stat_cochran_armitage")) {
+      val p = plan(q)
+      assert(ops(p).collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"$q:\n$p")
+      assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$q:\n$p")
+    }
+    val kw = plan("stat_kruskal_wallis")
+    assert(ops(kw).collect { case c: CartesianProductExec => c }.isEmpty, kw)
+    ops(kw).collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { j =>
+      j.children.foreach { side =>
+        assert(ops(side).exists(_.isInstanceOf[BaseAggregateExec]),
+          s"BNLJ side without a rollup below it:\n$side")
+      }
+    }
+  }
+
   test("MMR is k broadcast stages, never a pairwise similarity join") {
     val p = plan("sim_mmr_diversify")
     assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)

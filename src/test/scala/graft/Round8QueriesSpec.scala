@@ -739,6 +739,44 @@ class Round8QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("Kruskal-Wallis H and ANOVA F are nonnegative with k-1 dof") {
+    val kw = rows("stat_kruskal_wallis").head
+    assert(kw.getLong(kw.fieldIndex("dof")) ==
+      kw.getLong(kw.fieldIndex("k")) - 1)
+    assert(kw.getDouble(kw.fieldIndex("h")) >= 0.0)
+    val f = rows("stat_anova_f").head
+    assert(f.getDouble(f.fieldIndex("f")) >= 0.0)
+    assert(f.getLong(f.fieldIndex("dof_within")) ==
+      f.getLong(f.fieldIndex("n")) - f.getLong(f.fieldIndex("k")))
+  }
+
+  test("permutation p-value includes the observed split and is proper") {
+    val r = rows("stat_permutation_test").head
+    val ne = r.getLong(r.fieldIndex("n_extreme"))
+    val np = r.getLong(r.fieldIndex("n_perms"))
+    assert(np == 32L)
+    // the observed assignment is permutation 0, so it always counts
+    assert(ne >= 1L && ne <= np)
+    val p = r.getDouble(r.fieldIndex("p_value"))
+    assert(p >= 1.0 / 32.0 - 1e-12 && p <= 1.0)
+  }
+
+  test("Cochran-Armitage counts are consistent marginals") {
+    val r = rows("stat_cochran_armitage").head
+    assert(r.getLong(r.fieldIndex("r")) <= r.getLong(r.fieldIndex("n")))
+    assert(r.getLong(r.fieldIndex("k")) <= 4L)
+  }
+
+  test("two-stage cluster sample keeps about one third of picked-user events") {
+    val rs = rows("sample_two_stage_cluster")
+    assert(rs.nonEmpty)
+    val sampled = rs.map(r => r.getLong(r.fieldIndex("n_events"))).sum
+    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    // 1-in-5 users x 1-in-3 events ~ 1/15 of all events, loose band
+    assert(sampled > total / 60 && sampled < total / 4,
+      s"$sampled of $total events sampled")
+  }
+
   test("RA link-prediction pairs are canonical with positive scores") {
     val rs = rows("graph_link_prediction_ra")
     assert(rs.nonEmpty)
