@@ -30,7 +30,7 @@ object SparkEntry {
       FrontierQueries.queries ++ FrontierQueriesB.queries ++
       FrontierQueriesC.queries ++ FrontierQueriesD.queries ++
       FrontierQueriesE.queries ++ FrontierQueriesF.queries ++
-      FrontierQueriesG.queries
+      FrontierQueriesG.queries ++ FrontierQueriesH.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +47,5 @@ object SparkEntry {
       FrontierQueries.oracle ++ FrontierQueriesB.oracle ++
       FrontierQueriesC.oracle ++ FrontierQueriesD.oracle ++
       FrontierQueriesE.oracle ++ FrontierQueriesF.oracle ++
-      FrontierQueriesG.oracle
+      FrontierQueriesG.oracle ++ FrontierQueriesH.oracle
 }

@@ -140,23 +140,7 @@ object FrontierQueriesD {
     * the corpus; the only data-sized work is the (source, tok)
     * rollup. */
   def textSourceDivergenceChi2(s: SparkSession, d: String): DataFrame = {
-    val st = Tables.documents(s, d)
-      .select(col("source"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
-    val topVocab = st.groupBy("tok").agg(sum(col("cnt")).as("gfreq"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("gfreq").desc, col("tok"))))
-      .filter(col("rank") <= DivergenceTopK)
-      .select("tok")
-    val totals = st.groupBy("source").agg(sum(col("cnt")).as("tot"))
-    // prune to the head vocabulary BEFORE densifying: the spine join
-    // then only ever sees sources x 100 rows on either side
-    val stTop = st.join(broadcast(topVocab), Seq("tok"))
-    val dense = totals.crossJoin(broadcast(topVocab))
-      .join(stTop, Seq("source", "tok"), "left")
-      .select(col("source"), col("tok"),
-        (coalesce(col("cnt"), lit(0L)).cast(DoubleType) /
-          col("tot").cast(DoubleType)).as("p"))
+    val dense = sourceDenseProfiles(s, d)
     val pairs = dense.as("a").join(dense.as("b"),
         col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
       .select(col("a.source").as("sa"), col("b.source").as("sb"),
@@ -171,6 +155,33 @@ object FrontierQueriesD {
           p => p("term")),
         lit(0.0), (a, x) => a + x), 9).as("chi2_divergence"))
       .orderBy("sa", "sb")
+  }
+
+  /** Densified per-source top-100-vocabulary profiles — the shared
+    * base of the drift screens ([[textSourceDivergenceChi2]] and
+    * [[FrontierQueriesH.textJsDivergence]]): (source, tok, cnt, tot,
+    * p) with missing cells densified to zero via the source × vocab
+    * spine. Pure builder (no cache) so each caller's plan is exactly
+    * what it was inline; unused columns prune away. */
+  private[ops] def sourceDenseProfiles(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val topVocab = st.groupBy("tok").agg(sum(col("cnt")).as("gfreq"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("gfreq").desc, col("tok"))))
+      .filter(col("rank") <= DivergenceTopK)
+      .select("tok")
+    val totals = st.groupBy("source").agg(sum(col("cnt")).as("tot"))
+    // prune to the head vocabulary BEFORE densifying: the spine join
+    // then only ever sees sources x 100 rows on either side
+    val stTop = st.join(broadcast(topVocab), Seq("tok"))
+    totals.crossJoin(broadcast(topVocab))
+      .join(stTop, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"), col("tot"),
+        (coalesce(col("cnt"), lit(0L)).cast(DoubleType) /
+          col("tot").cast(DoubleType)).as("p"))
   }
 
   // ------------------------------------------------------------- diversity

@@ -840,6 +840,27 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("Levene broadcasts the k-row median frame; SRM/capture are join-free") {
+    val lv = plan("stat_levene_bf")
+    noCartesian(lv, "stat_levene_bf")
+    assert(ops(lv).exists(_.isInstanceOf[BroadcastHashJoinExec]), lv)
+    for (q <- Seq("stat_srm_check", "stat_capture_recapture")) {
+      val p = plan(q)
+      assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, s"$q:\n$p")
+    }
+  }
+
+  test("MACD is a join-free rollup fold; JSD keeps the vocab-capped grid") {
+    val m = plan("window_macd")
+    assert(ops(m).collect { case j: BaseJoinExec => j }.isEmpty, m)
+    // same discipline as the chi2 screen: the data-sized side is only
+    // the (source, tok) rollup, the pair join runs over 100-token
+    // densified profiles
+    val j = plan("text_js_divergence")
+    assert(ops(j).collect { case c: CartesianProductExec => c }.isEmpty, j)
+    assert(ops(j).exists(_.isInstanceOf[BroadcastExchangeExec]), j)
+  }
+
   test("MMR is k broadcast stages, never a pairwise similarity join") {
     val p = plan("sim_mmr_diversify")
     assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)

@@ -777,6 +777,64 @@ class Round8QueriesSpec extends SparkTestBase {
       s"$sampled of $total events sampled")
   }
 
+  test("Brown-Forsythe W is a nonnegative F with consistent dofs") {
+    val r = rows("stat_levene_bf").head
+    assert(r.getDouble(r.fieldIndex("w_stat")) >= 0.0)
+    assert(r.getLong(r.fieldIndex("dof_between")) ==
+      r.getLong(r.fieldIndex("k")) - 1)
+    assert(r.getLong(r.fieldIndex("dof_within")) ==
+      r.getLong(r.fieldIndex("n")) - r.getLong(r.fieldIndex("k")))
+  }
+
+  test("MACD histogram is the macd-signal residual per type") {
+    val rs = rows("window_macd")
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val macd = r.getDouble(r.fieldIndex("macd"))
+      val sig = r.getDouble(r.fieldIndex("signal"))
+      val hist = r.getDouble(r.fieldIndex("histogram"))
+      // all three are independently rounded to 9 decimals
+      assert(math.abs(hist - (macd - sig)) < 2e-9, s"$hist vs ${macd - sig}")
+      assert(r.getLong(r.fieldIndex("n_days")) >= 1L)
+    }
+  }
+
+  test("SRM chi-square is nonnegative over exactly 4 hash variants") {
+    val r = rows("stat_srm_check").head
+    assert(r.getLong(r.fieldIndex("k")) == 4L)
+    assert(r.getLong(r.fieldIndex("dof")) == 3L)
+    assert(r.getDouble(r.fieldIndex("chi2")) >= 0.0)
+    assert(r.getLong(r.fieldIndex("min_units")) <=
+      r.getLong(r.fieldIndex("max_units")))
+  }
+
+  test("capture-recapture overlap and Chapman estimate are consistent") {
+    val r = rows("stat_capture_recapture").head
+    val (n1, n2, m) = (r.getLong(r.fieldIndex("n1")),
+      r.getLong(r.fieldIndex("n2")), r.getLong(r.fieldIndex("m")))
+    assert(m <= math.min(n1, n2))
+    val nHat = r.getDouble(r.fieldIndex("n_hat"))
+    assert(nHat > 0.0)
+    val nTrue = r.getLong(r.fieldIndex("n_true"))
+    assert(math.abs(r.getDouble(r.fieldIndex("rel_error")) -
+      (nHat / nTrue - 1.0)) < 2e-9)
+  }
+
+  test("JS divergence is bounded by ln 2 over the same grid as chi2") {
+    val rs = rows("text_js_divergence")
+    val chi2 = rows("text_source_divergence_chi2")
+    assert(rs.length == chi2.length)
+    // the grid is the shared head vocabulary (<= 100 at tiny SFs) —
+    // both screens must see exactly the same token count per pair
+    val gridSize = chi2.head.getLong(chi2.head.fieldIndex("n_tokens"))
+    rs.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_tokens")) == gridSize)
+      val v = r.getDouble(r.fieldIndex("jsd_nats"))
+      assert(v >= 0.0 && v <= math.log(2.0) + 1e-9,
+        s"${r.getString(0)}/${r.getString(1)}: $v outside [0, ln 2]")
+    }
+  }
+
   test("RA link-prediction pairs are canonical with positive scores") {
     val rs = rows("graph_link_prediction_ra")
     assert(rs.nonEmpty)
