@@ -30,7 +30,8 @@ object SparkEntry {
       FrontierQueries.queries ++ FrontierQueriesB.queries ++
       FrontierQueriesC.queries ++ FrontierQueriesD.queries ++
       FrontierQueriesE.queries ++ FrontierQueriesF.queries ++
-      FrontierQueriesG.queries ++ FrontierQueriesH.queries
+      FrontierQueriesG.queries ++ FrontierQueriesH.queries ++
+      FrontierQueriesI.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       FrontierQueries.oracle ++ FrontierQueriesB.oracle ++
       FrontierQueriesC.oracle ++ FrontierQueriesD.oracle ++
       FrontierQueriesE.oracle ++ FrontierQueriesF.oracle ++
-      FrontierQueriesG.oracle ++ FrontierQueriesH.oracle
+      FrontierQueriesG.oracle ++ FrontierQueriesH.oracle ++
+      FrontierQueriesI.oracle
 }

@@ -880,4 +880,39 @@ class PlanShapeSpec extends SparkTestBase {
     assert(ops(p).collect { case j: SortMergeJoinExec => j }.isEmpty, p)
     assert(ops(p).collect { case j: ShuffledHashJoinExec => j }.isEmpty, p)
   }
+
+  test("funnel joins stay keyed on user_id; KS totals ride one broadcast") {
+    noCartesian(plan("agg_funnel_conversion"), "agg_funnel_conversion")
+    val ks = plan("stat_ks_two_sample")
+    assert(ops(ks).collect { case c: CartesianProductExec => c }.isEmpty, ks)
+    // the n_a/n_b totals frame is the allowed 1-row broadcast
+    assert(ops(ks).collect { case b: BroadcastNestedLoopJoinExec => b }
+      .size <= 1, ks)
+  }
+
+  test("corpus miners keep data-sized joins equi; globals are 1-row BNLJs") {
+    for (q <- Seq("text_pmi_collocations", "text_keyword_chi2", "time_acf")) {
+      val p = plan(q)
+      assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$q: cartesian product in:\n$p")
+      ops(p).collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { b =>
+        val build = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+          case _ => b.left
+        }
+        // globals (1-row aggregates) or the bounded lag/day frames only
+        val buildAggs = ops(build).collect {
+          case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+        }
+        val isBoundedLocal = ops(build).exists {
+          case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+          case _: org.apache.spark.sql.execution.RDDScanExec => true
+          case _ => false
+        }
+        assert(buildAggs.nonEmpty || isBoundedLocal,
+          s"$q: BNLJ build side is neither a global agg nor a bounded " +
+            s"local frame:\n$p")
+      }
+    }
+  }
 }

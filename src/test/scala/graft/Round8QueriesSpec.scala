@@ -847,4 +847,69 @@ class Round8QueriesSpec extends SparkTestBase {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
       "scores not descending")
   }
+
+  test("KS statistic is a [0,1] sup and lambda is its sqrt-scaled form") {
+    val r = rows("stat_ks_two_sample").head
+    val (na, nb) = (r.getLong(r.fieldIndex("n_a")), r.getLong(r.fieldIndex("n_b")))
+    assert(na > 0 && nb > 0)
+    val d = r.getDouble(r.fieldIndex("d_stat"))
+    assert(d >= 0.0 && d <= 1.0)
+    val lam = r.getDouble(r.fieldIndex("ks_lambda"))
+    // d and lambda are rounded to 9 decimals independently
+    assert(math.abs(lam - d * math.sqrt(na.toDouble * nb / (na + nb))) < 1e-8)
+  }
+
+  test("PMI collocations are supported, descending, and 20 deep") {
+    val rs = rows("text_pmi_collocations")
+    assert(rs.length == 20)
+    assert(rs.forall(_.getLong(rs.head.fieldIndex("n_pair")) >= 5L))
+    val ps = rs.map(_.getDouble(rs.head.fieldIndex("pmi")))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b }, "pmi not descending")
+  }
+
+  test("chi2 keywords rank 1..3 per source with nonnegative scores") {
+    val rs = rows("text_keyword_chi2")
+    assert(rs.nonEmpty)
+    rs.groupBy(_.getString(0)).foreach { case (src, g) =>
+      val ranks = g.map(_.getLong(g.head.fieldIndex("rk"))).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"$src ranks $ranks")
+      val cs = g.sortBy(_.getLong(g.head.fieldIndex("rk")))
+        .map(_.getDouble(g.head.fieldIndex("chi2")))
+      assert(cs.forall(_ >= 0.0))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"$src chi2 not descending: $cs")
+    }
+  }
+
+  test("Chao1 never estimates below the observed bigram vocabulary") {
+    val r = rows("stat_chao1_unseen").head
+    val sObs = r.getLong(r.fieldIndex("s_obs"))
+    assert(r.getLong(r.fieldIndex("f1")) + r.getLong(r.fieldIndex("f2")) <= sObs)
+    assert(r.getDouble(r.fieldIndex("chao1")) >= sObs.toDouble)
+    val mm = r.getDouble(r.fieldIndex("gt_missing_mass"))
+    assert(mm >= 0.0 && mm < 1.0)
+  }
+
+  test("ACF is bounded by 1 with term counts shrinking as the lag grows") {
+    val rs = rows("time_acf").sortBy(_.getLong(0))
+    assert(rs.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 7L, 14L))
+    rs.foreach { r =>
+      assert(math.abs(r.getDouble(r.fieldIndex("acf"))) <= 1.0 + 1e-9)
+    }
+    val ns = rs.map(_.getLong(rs.head.fieldIndex("n_terms")))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a > b },
+      s"n_terms not strictly shrinking: $ns")
+  }
+
+  test("funnel steps are monotone and the rates reproduce the counts") {
+    val r = rows("agg_funnel_conversion").head
+    val (v, c, p) = (r.getLong(r.fieldIndex("n_view")),
+      r.getLong(r.fieldIndex("n_click")), r.getLong(r.fieldIndex("n_purchase")))
+    assert(v >= c && c >= p, s"funnel not monotone: $v $c $p")
+    assert(v > c, "time budget did not bite - funnel is degenerate")
+    assert(math.abs(r.getDouble(r.fieldIndex("view_to_click")) -
+      c.toDouble / v) < 2e-9)
+    assert(math.abs(r.getDouble(r.fieldIndex("click_to_purchase")) -
+      p.toDouble / c) < 2e-9)
+  }
 }
