@@ -31,7 +31,7 @@ object SparkEntry {
       FrontierQueriesC.queries ++ FrontierQueriesD.queries ++
       FrontierQueriesE.queries ++ FrontierQueriesF.queries ++
       FrontierQueriesG.queries ++ FrontierQueriesH.queries ++
-      FrontierQueriesI.queries
+      FrontierQueriesI.queries ++ FrontierQueriesJ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +49,5 @@ object SparkEntry {
       FrontierQueriesC.oracle ++ FrontierQueriesD.oracle ++
       FrontierQueriesE.oracle ++ FrontierQueriesF.oracle ++
       FrontierQueriesG.oracle ++ FrontierQueriesH.oracle ++
-      FrontierQueriesI.oracle
+      FrontierQueriesI.oracle ++ FrontierQueriesJ.oracle
 }

@@ -43,6 +43,10 @@ object FrontierQueriesI {
     * √(n·m/(n+m))·D everyone reads against 1.36. THE distribution-free
     * drift check: no binning choices, no moment assumptions — exactly
     * what a feature-drift monitor wants before trusting a comparison.
+    * The REAL-groups, reported-λ sibling of [[StatQueries.aggKsDrift]]
+    * (which runs the same sup over hash-halves per type as a
+    * null-calibration/split audit — there D should be SMALL; here the
+    * two groups genuinely differ).
     *
     * Determinism — the exact-integer numerator: at each distinct cent
     * value, |F̂_a − F̂_b| = |cumA·n_b − cumB·n_a| / (n_a·n_b), so the
@@ -226,7 +230,12 @@ object FrontierQueriesI {
     * [[FrontierQueriesB.timeWeekdayIndex]]'s calendar decomposition:
     * a weekly cycle shows as a ρ₇ spike, trend as slow decay. Run over
     * ingest volume, the same curve tells a pipeline monitor which lag
-    * its anomaly baseline should difference at.
+    * its anomaly baseline should difference at. The CLASSICAL-ACF
+    * sibling of [[AggWindowQueries.timeAutocorr]]: that one reports
+    * per-lag Pearson r over calendar-paired daily counts (each lag its
+    * own mean), this one the textbook γ_ℓ/γ₀ with the FULL-series mean
+    * — the quantity Ljung–Box and ARIMA identification actually
+    * consume.
     *
     * Determinism — the n²-scaled mean-centering identity: with daily
     * cents x_t (BIGINT) and S = Σx, n²·γ_ℓ = Σ_{t≤n−ℓ}(n·x_t − S)
@@ -272,8 +281,11 @@ object FrontierQueriesI {
   /** TIME-BUDGETED CONVERSION FUNNEL — view → click → purchase, each
     * step within 24h of the one before: the product-analytics staple
     * (and, read over pipeline stages, the ingest-latency funnel).
-    * Without the budget this corpus converts 100% everywhere — the
-    * budget makes the drop-off real (150 → 60 → 25 at sf0.01).
+    * The corpus-level RATES sibling of [[AdvancedQueries.windowFunnel]]
+    * (per-user stage times and depth, unbudgeted): without the budget
+    * this corpus converts 100% everywhere — the budget makes the
+    * drop-off real (150 → 60 → 25 at sf0.01) and turns the readout
+    * into the two conversion rates a growth review quotes.
     *
     * Determinism: step times compare as exact epoch MICROSECONDS —
     * both engines floor the parquet ns timestamps to µs identically,

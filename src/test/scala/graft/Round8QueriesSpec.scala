@@ -901,6 +901,66 @@ class Round8QueriesSpec extends SparkTestBase {
       s"n_terms not strictly shrinking: $ns")
   }
 
+  test("retention cohorts lead with their full size at offset zero") {
+    val rs = rows("agg_retention_cohorts")
+    assert(rs.nonEmpty)
+    assert(rs.forall(_.getLong(rs.head.fieldIndex("week_offset")) >= 0L))
+    rs.groupBy(_.getString(0)).foreach { case (cw, g) =>
+      val byOff = g.map(r => r.getLong(g.head.fieldIndex("week_offset")) ->
+        r.getLong(g.head.fieldIndex("n_users"))).toMap
+      assert(byOff.contains(0L), s"$cw missing offset 0")
+      assert(byOff.values.forall(_ <= byOff(0L)),
+        s"$cw retention exceeds cohort size: $byOff")
+    }
+  }
+
+  test("KM survival is a non-increasing curve with honest risk sets") {
+    val rs = rows("stat_kaplan_meier").sortBy(_.getLong(0))
+    assert(rs.map(_.getLong(0)).toSeq == Seq(30L, 90L, 180L, 365L, 730L))
+    val surv = rs.map(_.getDouble(rs.head.fieldIndex("survival")))
+    assert(surv.forall(v => v > 0.0 && v <= 1.0))
+    assert(surv.zip(surv.tail).forall { case (a, b) => a >= b },
+      s"survival not non-increasing: ${surv.toSeq}")
+    val risk = rs.map(_.getLong(rs.head.fieldIndex("n_risk")))
+    assert(risk.zip(risk.tail).forall { case (a, b) => a >= b })
+    val ev = rs.map(_.getLong(rs.head.fieldIndex("n_events")))
+    assert(ev.zip(ev.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("CUSUM peak is a nonnegative excursion on a real day") {
+    val r = rows("stat_cusum_peak").head
+    assert(r.getDouble(r.fieldIndex("peak_excess_dollars")) >= 0.0)
+    assert(r.getString(r.fieldIndex("peak_day")).matches("\\d{4}-\\d{2}-\\d{2}"))
+    assert(r.getLong(r.fieldIndex("n_days")) >= 1L)
+  }
+
+  test("McNemar cells partition the corpus and cross-pin Cochran totals") {
+    val m = rows("stat_mcnemar").head
+    val q = rows("stat_cochran_q").head
+    val cells = Seq("both_pass", "b", "c", "both_fail")
+      .map(f => m.getLong(m.fieldIndex(f)))
+    assert(cells.sum == q.getLong(q.fieldIndex("n_docs")))
+    // gate A/B marginals must agree between the two tests
+    assert(cells(0) + cells(1) == q.getLong(q.fieldIndex("c1")))
+    assert(cells(0) + cells(2) == q.getLong(q.fieldIndex("c2")))
+    assert(m.getDouble(m.fieldIndex("chi2")) >= 0.0)
+    assert(q.getDouble(q.fieldIndex("q_stat")) >= 0.0)
+  }
+
+  test("basket rules are canonical pairs with descending positive lift") {
+    val rs = rows("agg_basket_lift")
+    assert(rs.length == 20)
+    rs.foreach { r =>
+      assert(r.getLong(r.fieldIndex("px")) < r.getLong(r.fieldIndex("py")))
+      assert(r.getLong(r.fieldIndex("cxy")) >= 2L)
+      val conf = r.getDouble(r.fieldIndex("confidence"))
+      assert(conf > 0.0 && conf <= 1.0)
+    }
+    val lifts = rs.map(_.getDouble(rs.head.fieldIndex("lift")))
+    assert(lifts.forall(_ > 0.0))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("funnel steps are monotone and the rates reproduce the counts") {
     val r = rows("agg_funnel_conversion").head
     val (v, c, p) = (r.getLong(r.fieldIndex("n_view")),
