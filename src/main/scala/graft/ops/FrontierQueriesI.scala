@@ -9,12 +9,11 @@ import graft.text.TextAnalysis.tokens
 
 /** Round-8 twelfth frontier wave: the distribution-free two-sample
   * test every drift monitor runs (Kolmogorov–Smirnov, stated so the
-  * statistic's numerator is an exact integer), the two classic
-  * corpus-mining rankers (PMI collocations on the ln-of-integers
-  * recipe, and per-source keyword extraction stated as the
-  * exact-rational 2×2 χ² score — the G² form measurably failed
-  * cross-engine at sf1, see [[textKeywordChi2]]), the
-  * unseen-vocabulary estimators a crawl-coverage review
+  * statistic's numerator is an exact integer), per-source keyword
+  * extraction stated as the exact-rational 2×2 χ² score (the Dunning
+  * G² form measurably failed cross-engine at sf1, see
+  * [[textKeywordChi2]]), the unseen-vocabulary estimators a
+  * crawl-coverage review
   * reports (Chao1 + Good–Turing missing mass, over the bigram space
   * where hapaxes exist), the autocorrelation function behind every
   * seasonality readout (exact DECIMAL moments via the n²-scaled
@@ -26,9 +25,6 @@ object FrontierQueriesI {
 
   /** Funnel step budget: each step must land within 24h of the prior. */
   private val FunnelBudgetUs = 86400000000L
-
-  /** PMI support floor — collocations below it are noise. */
-  private val PmiMinCount = 5L
 
   /** Keywords reported per source by the χ² ranker. */
   private val KeywordTopK = 3
@@ -97,44 +93,12 @@ object FrontierQueriesI {
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
   }
 
-  /** PMI COLLOCATIONS — the top-20 bigrams by pointwise mutual
-    * information (support ≥ 5): the classic phrase-mining ranker that
-    * finds "new york"-style units a tokenizer should learn as one
-    * symbol. The counterpart of [[TextQueries.textBigramFreq]]'s raw
-    * frequency list — PMI surfaces SURPRISE, not volume.
-    *
-    * Determinism: PMI = (ln c_xy − ln N_b) − (ln c_x − ln N_u)
-    * − (ln c_y − ln N_u) — five lns, each of an exact integer count
-    * (never of a ratio), composed in one fixed tree; ties in the
-    * rounded score break on the bigram string.
-    *
-    * Scale posture: token/bigram rollups are the data-sized work; the
-    * marginal joins are vocabulary-keyed (broadcastable at this corpus,
-    * plain equi-joins at 100 TB) and the globals ride one broadcast
-    * 1-row frame. */
-  def textPmiCollocations(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(tokens(col("text")).as("tok"))
-    val uni = docs.select(explode(col("tok")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cw"))
-    val bg = docs.select(explode(bigramPairs(col("tok"))).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
-      .filter(col("cxy") >= PmiMinCount)
-    val globals = broadcast(uni.agg(sum(col("cw")).as("nu"))
-      .crossJoin(bg.agg(sum(col("cxy")).as("nb"))))
-    val scored = bg
-      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
-      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
-      .crossJoin(globals)
-      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
-        col("cxy").as("n_pair"),
-        round((log(col("cxy").cast(DoubleType)) -
-          log(col("nb").cast(DoubleType))) -
-          (log(col("c1").cast(DoubleType)) - log(col("nu").cast(DoubleType))) -
-          (log(col("c2").cast(DoubleType)) - log(col("nu").cast(DoubleType))),
-          9).as("pmi"))
-    scored.orderBy(col("pmi").desc, col("bigram")).limit(20)
-  }
+  // A PMI-collocation ranker was built here and REMOVED the same
+  // round: PMI = ln(lift), a monotone transform of the registry's
+  // existing text_collocation_lift (identical pairs, support floor,
+  // and marginals — TextQueries.textCollocationLift), so it ranked
+  // nothing new. Lesson recorded in ROUND_NOTES: grep the registry
+  // for the statistic's monotone siblings BEFORE building.
 
   /** χ² KEYWORDS — for each source, the top-3 over-represented tokens
     * by the 2×2 chi-square score against the rest of the corpus: the
@@ -322,7 +286,6 @@ object FrontierQueriesI {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_ks_two_sample"     -> statKsTwoSample _,
-    "text_pmi_collocations"  -> textPmiCollocations _,
     "text_keyword_chi2"      -> textKeywordChi2 _,
     "stat_chao1_unseen"      -> statChao1Unseen _,
     "time_acf"               -> timeAcf _,
@@ -367,29 +330,6 @@ object FrontierQueriesI {
         |    SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
         |      CAST(n_a + n_b AS DOUBLE)), 9) AS ks_lambda
         |FROM tot""".stripMargin,
-    "text_pmi_collocations" ->
-      s"""WITH toks AS (SELECT $toks AS tok FROM documents),
-         |uni AS (
-         |  SELECT t AS w, COUNT(*) AS cw FROM
-         |    (SELECT unnest(tok) AS t FROM toks) GROUP BY 1),
-         |bg AS (
-         |  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS cxy FROM (
-         |    SELECT unnest(list_transform(range(1, len(tok)),
-         |      i -> struct_pack(w1 := tok[i], w2 := tok[i+1]))) AS p
-         |    FROM toks WHERE len(tok) >= 2)
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
-         |g AS (SELECT (SELECT CAST(SUM(cw) AS BIGINT) FROM uni) AS nu,
-         |             (SELECT CAST(SUM(cxy) AS BIGINT) FROM bg) AS nb)
-         |SELECT bg.w1 || ' ' || bg.w2 AS bigram, cxy AS n_pair,
-         |  ROUND((LN(CAST(cxy AS DOUBLE)) - LN(CAST(g.nb AS DOUBLE))) -
-         |    (LN(CAST(u1.cw AS DOUBLE)) - LN(CAST(g.nu AS DOUBLE))) -
-         |    (LN(CAST(u2.cw AS DOUBLE)) - LN(CAST(g.nu AS DOUBLE))), 9)
-         |    AS pmi
-         |FROM bg
-         |JOIN uni u1 ON u1.w = bg.w1
-         |JOIN uni u2 ON u2.w = bg.w2
-         |CROSS JOIN g
-         |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
     "text_keyword_chi2" ->
       s"""WITH st AS (
          |  SELECT source, t AS tok, COUNT(*) AS a FROM

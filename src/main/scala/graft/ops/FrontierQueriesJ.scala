@@ -11,11 +11,10 @@ import graft.text.TextAnalysis.{markerCount, tokenCount}
   * growth review opens with (weekly retention cohorts and the
   * Kaplan–Meier survival curve with honest censoring), the sequential
   * drift detector behind quality-regression alarms (CUSUM peak
-  * excursion, an all-integer fold), the two paired-binary experiment
-  * tests (McNemar for two raters, Cochran's Q for k — both exact
-  * integer ratios), and market-basket association rules by lift (the
-  * recommender/co-occurrence primitive, integer counts end to end).
-  * Module conventions as the earlier frontier waves.
+  * excursion, an all-integer fold), and the two paired-binary
+  * experiment tests (McNemar for two raters, Cochran's Q for k — both
+  * exact integer ratios). Module conventions as the earlier frontier
+  * waves.
   */
 object FrontierQueriesJ {
 
@@ -25,9 +24,6 @@ object FrontierQueriesJ {
   /** A customer whose last order predates corpus end by this many days
     * is an observed churn; later last orders are right-censored. */
   private val KmCensorDays = 90
-
-  /** Basket-pair support floor. */
-  private val BasketMinSupport = 2L
 
   /** Paired binary gates for McNemar / Cochran's Q — three cheap
     * quality raters that genuinely disagree on this corpus. */
@@ -248,51 +244,11 @@ object FrontierQueriesJ {
             lit(0.0)), 9).as("q_stat"))
   }
 
-  // ---------------------------------------------------------------- basket
-
-  /** MARKET-BASKET ASSOCIATION RULES BY LIFT — the top-20 part pairs
-    * that co-occur in orders more than independence predicts:
-    * lift = N·c_xy/(c_x·c_y), with support and confidence alongside.
-    * The co-occurrence primitive under recommenders and (read over
-    * document n-grams) phrase tables — [[FrontierQueriesI
-    * .textPmiCollocations]]'s transaction-space sibling (lift IS
-    * exp(PMI) on basket counts).
-    *
-    * Determinism: all counts integer; lift's numerator c_xy·N and
-    * denominator c_x·c_y stay BIGINT (≤ 4×10¹³ at sf1 — audited;
-    * DECIMAL at 100 TB); three fixed one-division trees; rank ties
-    * break on the part-key pair.
-    *
-    * Scale posture: the pair generator is a self-equi-join on
-    * o_orderkey — fan-out bounded by basket size (≤ 7 items TPC-H),
-    * never all-pairs across orders; marginals join on the part
-    * dimension; top-20 is a TakeOrdered, not a global sort. */
-  def aggBasketLift(s: SparkSession, d: String): DataFrame = {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-    val cx = op.groupBy("p").agg(count(lit(1)).as("cp"))
-    val nBaskets = broadcast(op.select(col("k")).distinct()
-      .agg(count(lit(1)).as("n")))
-    val pairs = op.as("a")
-      .join(op.as("b"),
-        col("a.k") === col("b.k") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("px"), col("b.p").as("py"))
-      .agg(count(lit(1)).as("cxy"))
-      .filter(col("cxy") >= BasketMinSupport)
-    pairs
-      .join(cx.select(col("p").as("px"), col("cp").as("cx")), Seq("px"))
-      .join(cx.select(col("p").as("py"), col("cp").as("cy")), Seq("py"))
-      .crossJoin(nBaskets)
-      .select(col("px"), col("py"), col("cxy"),
-        round(col("cxy").cast(DoubleType) / col("n").cast(DoubleType), 9)
-          .as("support"),
-        round(col("cxy").cast(DoubleType) / col("cx").cast(DoubleType), 9)
-          .as("confidence"),
-        round((col("cxy") * col("n")).cast(DoubleType) /
-          (col("cx") * col("cy")).cast(DoubleType), 9).as("lift"))
-      .orderBy(col("lift").desc, col("px"), col("py"))
-      .limit(20)
-  }
+  // A market-basket lift ranker was built here and REMOVED the same
+  // round: the registry already ships the identical statistic as
+  // dsq_basket_lift (DecisionQueriesB — same support/confidence/lift
+  // over part pairs, with the better basket-local i<j pair expansion).
+  // Same lesson as FrontierQueriesI's removed PMI ranker.
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_retention_cohorts" -> aggRetentionCohorts _,
@@ -300,7 +256,6 @@ object FrontierQueriesJ {
     "stat_cusum_peak"       -> statCusumPeak _,
     "stat_mcnemar"          -> statMcnemar _,
     "stat_cochran_q"        -> statCochranQ _,
-    "agg_basket_lift"       -> aggBasketLift _,
   )
 
   private val toks = TextQueries.tokensSql
@@ -429,24 +384,5 @@ object FrontierQueriesJ {
          |    sr * sr AS DOUBLE)) /
          |    NULLIF(CAST(3 * sr - sr2 AS DOUBLE), 0.0), 9) AS q_stat
          |FROM a""".stripMargin,
-    "agg_basket_lift" ->
-      """WITH op AS (
-        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
-        |cx AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS cp FROM op GROUP BY 1),
-        |nb AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n FROM op),
-        |pairs AS (
-        |  SELECT a.p AS px, b.p AS py, CAST(COUNT(*) AS BIGINT) AS cxy
-        |  FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
-        |SELECT px, py, cxy,
-        |  ROUND(CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE), 9) AS support,
-        |  ROUND(CAST(cxy AS DOUBLE) / CAST(u1.cp AS DOUBLE), 9)
-        |    AS confidence,
-        |  ROUND(CAST(cxy * n AS DOUBLE) / CAST(u1.cp * u2.cp AS DOUBLE), 9)
-        |    AS lift
-        |FROM pairs
-        |JOIN cx u1 ON u1.p = px JOIN cx u2 ON u2.p = py
-        |CROSS JOIN nb
-        |ORDER BY lift DESC, px, py LIMIT 20""".stripMargin,
   )
 }

@@ -890,20 +890,12 @@ class PlanShapeSpec extends SparkTestBase {
       .size <= 1, ks)
   }
 
-  test("basket pairs never widen past the per-order fan-out") {
-    // the pair generator must be an equi self-join on o_orderkey (bounded
-    // basket fan-out) with a TakeOrdered top-20 — not a global sort of
-    // the pair space, not an all-pairs product
-    val p = plan("agg_basket_lift")
-    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
-    assert(ops(p).collect { case b: BroadcastNestedLoopJoinExec => b }
-      .size <= 1, p)
-    assert(ops(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]), p)
+  test("retention cohorts reuse the user_id exchange with no cartesians") {
     noCartesian(plan("agg_retention_cohorts"), "agg_retention_cohorts")
   }
 
   test("corpus miners keep data-sized joins equi; globals are 1-row BNLJs") {
-    for (q <- Seq("text_pmi_collocations", "text_keyword_chi2", "time_acf",
+    for (q <- Seq("text_keyword_chi2", "time_acf",
         "stat_kaplan_meier", "stat_cusum_peak")) {
       val p = plan(q)
       assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty,

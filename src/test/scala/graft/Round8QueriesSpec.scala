@@ -859,14 +859,6 @@ class Round8QueriesSpec extends SparkTestBase {
     assert(math.abs(lam - d * math.sqrt(na.toDouble * nb / (na + nb))) < 1e-8)
   }
 
-  test("PMI collocations are supported, descending, and 20 deep") {
-    val rs = rows("text_pmi_collocations")
-    assert(rs.length == 20)
-    assert(rs.forall(_.getLong(rs.head.fieldIndex("n_pair")) >= 5L))
-    val ps = rs.map(_.getDouble(rs.head.fieldIndex("pmi")))
-    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b }, "pmi not descending")
-  }
-
   test("chi2 keywords rank 1..3 per source with nonnegative scores") {
     val rs = rows("text_keyword_chi2")
     assert(rs.nonEmpty)
@@ -945,20 +937,6 @@ class Round8QueriesSpec extends SparkTestBase {
     assert(cells(0) + cells(2) == q.getLong(q.fieldIndex("c2")))
     assert(m.getDouble(m.fieldIndex("chi2")) >= 0.0)
     assert(q.getDouble(q.fieldIndex("q_stat")) >= 0.0)
-  }
-
-  test("basket rules are canonical pairs with descending positive lift") {
-    val rs = rows("agg_basket_lift")
-    assert(rs.length == 20)
-    rs.foreach { r =>
-      assert(r.getLong(r.fieldIndex("px")) < r.getLong(r.fieldIndex("py")))
-      assert(r.getLong(r.fieldIndex("cxy")) >= 2L)
-      val conf = r.getDouble(r.fieldIndex("confidence"))
-      assert(conf > 0.0 && conf <= 1.0)
-    }
-    val lifts = rs.map(_.getDouble(rs.head.fieldIndex("lift")))
-    assert(lifts.forall(_ > 0.0))
-    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
   test("funnel steps are monotone and the rates reproduce the counts") {
