@@ -31,7 +31,8 @@ object SparkEntry {
       FrontierQueriesC.queries ++ FrontierQueriesD.queries ++
       FrontierQueriesE.queries ++ FrontierQueriesF.queries ++
       FrontierQueriesG.queries ++ FrontierQueriesH.queries ++
-      FrontierQueriesI.queries ++ FrontierQueriesJ.queries
+      FrontierQueriesI.queries ++ FrontierQueriesJ.queries ++
+      FrontierQueriesK.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       FrontierQueriesC.oracle ++ FrontierQueriesD.oracle ++
       FrontierQueriesE.oracle ++ FrontierQueriesF.oracle ++
       FrontierQueriesG.oracle ++ FrontierQueriesH.oracle ++
-      FrontierQueriesI.oracle ++ FrontierQueriesJ.oracle
+      FrontierQueriesI.oracle ++ FrontierQueriesJ.oracle ++
+      FrontierQueriesK.oracle
 }

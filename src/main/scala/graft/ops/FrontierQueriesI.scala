@@ -211,7 +211,20 @@ object FrontierQueriesI {
     * Scale posture: one keyed rollup to daily cents; everything after
     * is day-granular (the series is ~30–3000 rows at any corpus size),
     * joined to itself on the row-number axis through a broadcast. */
-  def timeAcf(s: SparkSession, d: String): DataFrame = {
+  def timeAcf(s: SparkSession, d: String): DataFrame =
+    acfMoments(s, d, AcfLags.map(_.toLong))
+      .select(col("lag"), col("n_terms"),
+        round(col("num").cast("string").cast(DoubleType) /
+          col("den").cast("string").cast(DoubleType), 9).as("acf"))
+      .orderBy("lag")
+
+  /** Shared exact ACF moments over the daily purchase-revenue series —
+    * (lag, n_terms, num, den, n) with num/den the n²-scaled exact
+    * DECIMAL autocovariance sums and n the series length. The base of
+    * [[timeAcf]] and [[FrontierQueriesK.statLjungBox]]; pure builder
+    * (no cache), so each caller's plan is what it was inline. */
+  private[ops] def acfMoments(s: SparkSession, d: String,
+      lags: Seq[Long]): DataFrame = {
     val daily = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
@@ -226,18 +239,14 @@ object FrontierQueriesI {
         (col("x").cast(DecimalType(18, 0)) * col("n") -
           col("s").cast(DecimalType(18, 0))).as("dx"))
     import s.implicits._
-    val lagsDf = broadcast(AcfLags.map(_.toLong).toDF("lag"))
+    val lagsDf = broadcast(lags.toDF("lag"))
     val pairs = idx.as("a").crossJoin(lagsDf)
       .join(idx.as("b"), col("b.rn") === col("a.rn") + col("lag"))
     val den = idx.agg(sum(col("dx") * col("dx")).as("den"))
     pairs.groupBy("lag")
-      .agg(count(lit(1)).as("n_terms"),
+      .agg(count(lit(1)).as("n_terms"), max(col("a.n")).as("n"),
         sum(col("a.dx") * col("b.dx")).as("num"))
       .crossJoin(broadcast(den))
-      .select(col("lag"), col("n_terms"),
-        round(col("num").cast("string").cast(DoubleType) /
-          col("den").cast("string").cast(DoubleType), 9).as("acf"))
-      .orderBy("lag")
   }
 
   // ---------------------------------------------------------------- funnel

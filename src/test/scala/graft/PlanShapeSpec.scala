@@ -896,7 +896,9 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("corpus miners keep data-sized joins equi; globals are 1-row BNLJs") {
     for (q <- Seq("text_keyword_chi2", "time_acf",
-        "stat_kaplan_meier", "stat_cusum_peak")) {
+        "stat_kaplan_meier", "stat_cusum_peak", "stat_ljung_box",
+        "stat_dickey_fuller", "time_holt_winters", "stat_grubbs_outlier",
+        "stat_jarque_bera", "agg_rfm_segments")) {
       val p = plan(q)
       assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty,
         s"$q: cartesian product in:\n$p")

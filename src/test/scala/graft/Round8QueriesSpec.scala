@@ -939,6 +939,69 @@ class Round8QueriesSpec extends SparkTestBase {
     assert(q.getDouble(q.fieldIndex("q_stat")) >= 0.0)
   }
 
+  test("Ljung-Box is a nonnegative 10-lag portmanteau") {
+    val r = rows("stat_ljung_box").head
+    assert(r.getLong(r.fieldIndex("n_lags")) == 10L)
+    assert(r.getLong(r.fieldIndex("dof")) == 10L)
+    assert(r.getLong(r.fieldIndex("m")) > 14L)
+    assert(r.getDouble(r.fieldIndex("q_stat")) >= 0.0)
+  }
+
+  test("Dickey-Fuller finds mean reversion in daily revenue") {
+    val r = rows("stat_dickey_fuller").head
+    // white-noise-ish daily revenue: beta near -1, DF deeply negative
+    assert(r.getDouble(r.fieldIndex("beta_hat")) < 0.0)
+    assert(r.getDouble(r.fieldIndex("df_stat")) < 0.0)
+    assert(r.getLong(r.fieldIndex("m")) > 14L)
+  }
+
+  test("Holt-Winters folds all five series past the seed week") {
+    val rs = rows("time_holt_winters")
+    assert(rs.length == 5)
+    rs.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_days")) >= 8L)
+      assert(r.getDouble(r.fieldIndex("level")) > 0.0)
+    }
+  }
+
+  test("Grubbs statistic is positive and bounded by its algebraic max") {
+    val rs = rows("stat_grubbs_outlier")
+    assert(rs.length == 5)
+    rs.foreach { r =>
+      val g = r.getDouble(r.fieldIndex("g_stat"))
+      val n = r.getLong(r.fieldIndex("n"))
+      // G <= (n-1)/sqrt(n) is the algebraic maximum of the statistic
+      assert(g > 0.0 && g <= (n - 1).toDouble / math.sqrt(n.toDouble))
+      assert(r.getDouble(r.fieldIndex("suspect_value")) >= 0.0)
+    }
+  }
+
+  test("Jarque-Bera reproduces from its own skew and kurtosis columns") {
+    val rs = rows("stat_jarque_bera")
+    assert(rs.length == 5)
+    rs.foreach { r =>
+      val (s, k) = (r.getDouble(r.fieldIndex("skewness")),
+        r.getDouble(r.fieldIndex("ex_kurtosis")))
+      val jb = r.getDouble(r.fieldIndex("jb_stat"))
+      val n = r.getLong(r.fieldIndex("n"))
+      assert(jb >= 0.0)
+      assert(math.abs(jb - n / 6.0 * (s * s + k * k / 4.0)) < 1e-4,
+        s"${r.getString(0)}: $jb vs recomputed")
+    }
+  }
+
+  test("RFM segments carry valid 1..5 digit scores and positive spend") {
+    val rs = rows("agg_rfm_segments")
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val seg = r.getLong(r.fieldIndex("segment"))
+      val (d1, d2, d3) = (seg / 100, seg / 10 % 10, seg % 10)
+      assert(Seq(d1, d2, d3).forall(d => d >= 1 && d <= 5), s"segment $seg")
+      assert(r.getLong(r.fieldIndex("n_customers")) >= 1L)
+      assert(r.getLong(r.fieldIndex("avg_spend_cents")) > 0L)
+    }
+  }
+
   test("funnel steps are monotone and the rates reproduce the counts") {
     val r = rows("agg_funnel_conversion").head
     val (v, c, p) = (r.getLong(r.fieldIndex("n_view")),
