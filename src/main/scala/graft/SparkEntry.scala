@@ -32,7 +32,7 @@ object SparkEntry {
       FrontierQueriesE.queries ++ FrontierQueriesF.queries ++
       FrontierQueriesG.queries ++ FrontierQueriesH.queries ++
       FrontierQueriesI.queries ++ FrontierQueriesJ.queries ++
-      FrontierQueriesK.queries
+      FrontierQueriesK.queries ++ FrontierQueriesL.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +51,5 @@ object SparkEntry {
       FrontierQueriesE.oracle ++ FrontierQueriesF.oracle ++
       FrontierQueriesG.oracle ++ FrontierQueriesH.oracle ++
       FrontierQueriesI.oracle ++ FrontierQueriesJ.oracle ++
-      FrontierQueriesK.oracle
+      FrontierQueriesK.oracle ++ FrontierQueriesL.oracle
 }

@@ -898,7 +898,9 @@ class PlanShapeSpec extends SparkTestBase {
     for (q <- Seq("text_keyword_chi2", "time_acf",
         "stat_kaplan_meier", "stat_cusum_peak", "stat_ljung_box",
         "stat_dickey_fuller", "time_holt_winters", "stat_grubbs_outlier",
-        "stat_jarque_bera", "agg_rfm_segments")) {
+        "stat_jarque_bera", "agg_rfm_segments", "stat_poisson_dispersion",
+        "stat_hurst_rs", "stat_markov_entropy", "curation_psi_drift",
+        "agg_abc_analysis")) {
       val p = plan(q)
       assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty,
         s"$q: cartesian product in:\n$p")

@@ -1002,6 +1002,55 @@ class Round8QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("dispersion index is positive and its z recomputes") {
+    val r = rows("stat_poisson_dispersion").head
+    val d = r.getDouble(r.fieldIndex("dispersion"))
+    val n = r.getLong(r.fieldIndex("n"))
+    assert(d > 0.0)
+    assert(math.abs(r.getDouble(r.fieldIndex("z")) -
+      (d - 1.0) * math.sqrt((n - 1).toDouble / 2.0)) < 1e-6)
+  }
+
+  test("Hurst R/S is positive with one shared exponent across block sizes") {
+    val rs = rows("stat_hurst_rs").sortBy(_.getLong(0))
+    assert(rs.map(_.getLong(0)).toSeq == Seq(7L, 14L, 28L))
+    assert(rs.forall(_.getDouble(rs.head.fieldIndex("mean_rs")) > 0.0))
+    val hs = rs.map(_.getDouble(rs.head.fieldIndex("hurst"))).distinct
+    assert(hs.length == 1, s"hurst not shared: $hs")
+    assert(hs.head > -0.5 && hs.head < 1.5, s"hurst ${hs.head} implausible")
+    val bs = rs.map(_.getLong(rs.head.fieldIndex("n_blocks")))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("entropy rate sits inside [0, uniform ceiling]") {
+    val r = rows("stat_markov_entropy").head
+    val h = r.getDouble(r.fieldIndex("entropy_rate_nats"))
+    val ceil = r.getDouble(r.fieldIndex("uniform_ceiling"))
+    assert(h >= 0.0 && h <= ceil + 1e-9, s"$h outside [0, $ceil]")
+    assert(r.getLong(r.fieldIndex("n_states")) == 5L)
+  }
+
+  test("PSI is nonnegative over the full densified bucket grid") {
+    val rs = rows("curation_psi_drift")
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_buckets")) == 11L)
+      // each (p-q)·ln(p/q) term is nonnegative, so PSI must be
+      assert(r.getDouble(r.fieldIndex("psi")) >= 0.0,
+        s"${r.getString(0)}: negative PSI")
+    }
+  }
+
+  test("ABC classes partition revenue with a dominant A share") {
+    val rs = rows("agg_abc_analysis")
+    assert(rs.map(_.getString(0)).sorted.toSeq == Seq("A", "B", "C"))
+    val shares = rs.map(r => r.getString(0) ->
+      r.getDouble(r.fieldIndex("revenue_share"))).toMap
+    assert(math.abs(shares.values.sum - 1.0) < 1e-8)
+    assert(shares("A") > shares("C"))
+    rs.foreach(r => assert(r.getLong(r.fieldIndex("n_parts")) >= 1L))
+  }
+
   test("funnel steps are monotone and the rates reproduce the counts") {
     val r = rows("agg_funnel_conversion").head
     val (v, c, p) = (r.getLong(r.fieldIndex("n_view")),
