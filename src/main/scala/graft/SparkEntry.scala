@@ -32,7 +32,8 @@ object SparkEntry {
       FrontierQueriesE.queries ++ FrontierQueriesF.queries ++
       FrontierQueriesG.queries ++ FrontierQueriesH.queries ++
       FrontierQueriesI.queries ++ FrontierQueriesJ.queries ++
-      FrontierQueriesK.queries ++ FrontierQueriesL.queries
+      FrontierQueriesK.queries ++ FrontierQueriesL.queries ++
+      FrontierQueriesM.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
       FrontierQueriesE.oracle ++ FrontierQueriesF.oracle ++
       FrontierQueriesG.oracle ++ FrontierQueriesH.oracle ++
       FrontierQueriesI.oracle ++ FrontierQueriesJ.oracle ++
-      FrontierQueriesK.oracle ++ FrontierQueriesL.oracle
+      FrontierQueriesK.oracle ++ FrontierQueriesL.oracle ++
+      FrontierQueriesM.oracle
 }

@@ -900,7 +900,8 @@ class PlanShapeSpec extends SparkTestBase {
         "stat_dickey_fuller", "time_holt_winters", "stat_grubbs_outlier",
         "stat_jarque_bera", "agg_rfm_segments", "stat_poisson_dispersion",
         "stat_hurst_rs", "stat_markov_entropy", "curation_psi_drift",
-        "agg_abc_analysis")) {
+        "agg_abc_analysis", "stat_odds_ratio", "agg_revenue_bridge",
+        "stat_durbin_watson", "agg_cohort_ltv")) {
       val p = plan(q)
       assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty,
         s"$q: cartesian product in:\n$p")

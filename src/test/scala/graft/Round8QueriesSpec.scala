@@ -1051,6 +1051,61 @@ class Round8QueriesSpec extends SparkTestBase {
     rs.foreach(r => assert(r.getLong(r.fieldIndex("n_parts")) >= 1L))
   }
 
+  test("odds ratio sits inside its own Woolf interval over full cells") {
+    val r = rows("stat_odds_ratio").head
+    val or = r.getDouble(r.fieldIndex("odds_ratio"))
+    val (lo, hi) = (r.getDouble(r.fieldIndex("ci_low")),
+      r.getDouble(r.fieldIndex("ci_high")))
+    assert(lo > 0.0 && lo <= or && or <= hi, s"$lo / $or / $hi")
+    assert(r.getDouble(r.fieldIndex("relative_risk")) > 0.0)
+    val q = rows("stat_cochran_q").head
+    val cells = Seq("a", "b", "c", "d").map(f => r.getLong(r.fieldIndex(f)))
+    assert(cells.sum == q.getLong(q.fieldIndex("n_docs")))
+  }
+
+  test("revenue bridge effects reconstruct the relative delta per brand") {
+    val rs = rows("agg_revenue_bridge")
+    assert(rs.length == 25)
+    rs.foreach { r =>
+      val (r1, r2) = (r.getLong(r.fieldIndex("r1_cents")),
+        r.getLong(r.fieldIndex("r2_cents")))
+      assert(r.getLong(r.fieldIndex("delta_cents")) == r2 - r1)
+      val recon = r.getDouble(r.fieldIndex("price_effect_ratio")) +
+        r.getDouble(r.fieldIndex("volume_effect_ratio"))
+      assert(math.abs(recon - (r2 - r1).toDouble / r1) < 1e-8,
+        s"${r.getString(0)}: $recon vs ${(r2 - r1).toDouble / r1}")
+    }
+  }
+
+  test("Durbin-Watson stays inside its algebraic [0, 4] range") {
+    val r = rows("stat_durbin_watson").head
+    val dw = r.getDouble(r.fieldIndex("dw"))
+    assert(dw >= 0.0 && dw <= 4.0, s"dw $dw")
+  }
+
+  test("cohort LTV accumulates and cross-pins retention cohort sizes") {
+    val ltv = rows("agg_cohort_ltv")
+    assert(ltv.nonEmpty)
+    ltv.groupBy(_.getString(0)).foreach { case (cw, g) =>
+      val sorted = g.sortBy(_.getLong(g.head.fieldIndex("week_offset")))
+      val cums = sorted.map(_.getLong(g.head.fieldIndex("cum_cents")))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b }, s"$cw")
+      sorted.foreach { r =>
+        assert(r.getLong(r.fieldIndex("ltv_cents")) ==
+          r.getLong(r.fieldIndex("cum_cents")) /
+            r.getLong(r.fieldIndex("n_users")))
+      }
+    }
+    // cohort sizes must agree with the retention matrix's offset-0 cells
+    val ret = rows("agg_retention_cohorts")
+      .filter(_.getLong(1) == 0L).map(r => r.getString(0) -> r.getLong(2))
+      .toMap
+    ltv.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_users")) == ret(r.getString(0)),
+        s"${r.getString(0)} cohort size mismatch vs retention")
+    }
+  }
+
   test("funnel steps are monotone and the rates reproduce the counts") {
     val r = rows("agg_funnel_conversion").head
     val (v, c, p) = (r.getLong(r.fieldIndex("n_view")),
