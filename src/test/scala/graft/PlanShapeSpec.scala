@@ -901,7 +901,9 @@ class PlanShapeSpec extends SparkTestBase {
         "stat_jarque_bera", "agg_rfm_segments", "stat_poisson_dispersion",
         "stat_hurst_rs", "stat_markov_entropy", "curation_psi_drift",
         "agg_abc_analysis", "stat_odds_ratio", "agg_revenue_bridge",
-        "stat_durbin_watson", "agg_cohort_ltv")) {
+        "stat_durbin_watson", "agg_cohort_ltv", "stat_tost_equivalence",
+        "stat_power_mde", "time_seasonal_strength",
+        "stat_cpk_capability")) {
       val p = plan(q)
       assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty,
         s"$q: cartesian product in:\n$p")

@@ -1106,6 +1106,57 @@ class Round8QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("TOST declares hash halves equivalent with a symmetric margin") {
+    val rs = rows("stat_tost_equivalence")
+    assert(rs.length == 5)
+    rs.foreach { r =>
+      // at the tiny spec SF the halves can be underpowered for the
+      // ±5% margin, so pin the MACHINERY: verdict recomputes from the
+      // two one-sided statistics, which must straddle the margin
+      val (tl, tu) = (r.getDouble(r.fieldIndex("t_lower")),
+        r.getDouble(r.fieldIndex("t_upper")))
+      assert(tl > tu)
+      assert(r.getDouble(r.fieldIndex("margin")) > 0.0)
+      assert(r.getBoolean(r.fieldIndex("equivalent")) ==
+        (tl >= 1.645 && tu <= -1.645), s"${r.getString(0)} verdict")
+    }
+  }
+
+  test("power sizing is self-consistent") {
+    val r = rows("stat_power_mde").head
+    val p = r.getDouble(r.fieldIndex("conv_rate"))
+    assert(p > 0.0 && p <= 1.0)
+    val (abs0, rel) = (r.getDouble(r.fieldIndex("mde_abs")),
+      r.getDouble(r.fieldIndex("mde_rel")))
+    assert(math.abs(rel - abs0 / p) < 1e-6)
+    // p = 1 at the tiny spec SF (everyone purchases): variance and
+    // required n are legitimately 0 there, positive otherwise
+    if (p < 1.0) assert(r.getLong(r.fieldIndex("n_per_arm_for_10pct")) > 0L)
+    else assert(r.getLong(r.fieldIndex("n_per_arm_for_10pct")) == 0L)
+  }
+
+  test("seasonal and trend strengths stay inside [0, 1]") {
+    val rs = rows("time_seasonal_strength")
+    assert(rs.length == 5)
+    rs.foreach { r =>
+      for (f <- Seq("seasonal_strength", "trend_strength")) {
+        val v = r.getDouble(r.fieldIndex(f))
+        assert(v >= 0.0 && v <= 1.0, s"${r.getString(0)} $f=$v")
+      }
+    }
+  }
+
+  test("Cpk never exceeds Cp and sigma is positive") {
+    val rs = rows("stat_cpk_capability")
+    assert(rs.length == 5)
+    rs.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("sigma_dollars")) > 0.0)
+      assert(r.getDouble(r.fieldIndex("cpk")) <=
+        r.getDouble(r.fieldIndex("cp")) + 1e-9,
+        s"${r.getString(0)}: cpk above cp")
+    }
+  }
+
   test("funnel steps are monotone and the rates reproduce the counts") {
     val r = rows("agg_funnel_conversion").head
     val (v, c, p) = (r.getLong(r.fieldIndex("n_view")),
