@@ -33,7 +33,8 @@ object SparkEntry {
       FrontierQueriesG.queries ++ FrontierQueriesH.queries ++
       FrontierQueriesI.queries ++ FrontierQueriesJ.queries ++
       FrontierQueriesK.queries ++ FrontierQueriesL.queries ++
-      FrontierQueriesM.queries ++ FrontierQueriesN.queries
+      FrontierQueriesM.queries ++ FrontierQueriesN.queries ++
+      FrontierQueriesO.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
       FrontierQueriesG.oracle ++ FrontierQueriesH.oracle ++
       FrontierQueriesI.oracle ++ FrontierQueriesJ.oracle ++
       FrontierQueriesK.oracle ++ FrontierQueriesL.oracle ++
-      FrontierQueriesM.oracle ++ FrontierQueriesN.oracle
+      FrontierQueriesM.oracle ++ FrontierQueriesN.oracle ++
+      FrontierQueriesO.oracle
 }

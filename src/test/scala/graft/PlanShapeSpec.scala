@@ -903,7 +903,8 @@ class PlanShapeSpec extends SparkTestBase {
         "agg_abc_analysis", "stat_odds_ratio", "agg_revenue_bridge",
         "stat_durbin_watson", "agg_cohort_ltv", "stat_tost_equivalence",
         "stat_power_mde", "time_seasonal_strength",
-        "stat_cpk_capability")) {
+        "stat_cpk_capability", "text_yules_k", "stat_fleiss_kappa",
+        "stat_logrank_test")) {
       val p = plan(q)
       assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty,
         s"$q: cartesian product in:\n$p")

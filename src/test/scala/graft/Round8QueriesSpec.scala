@@ -1157,6 +1157,35 @@ class Round8QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("Yule's K is nonnegative with vocab bounded by token mass") {
+    val r = rows("text_yules_k").head
+    assert(r.getDouble(r.fieldIndex("yules_k")) >= 0.0)
+    assert(r.getLong(r.fieldIndex("vocab")) <=
+      r.getLong(r.fieldIndex("n_tokens")))
+  }
+
+  test("Fleiss kappa is bounded and cross-pins the Cochran gate totals") {
+    val r = rows("stat_fleiss_kappa").head
+    val k = r.getDouble(r.fieldIndex("kappa"))
+    assert(k >= -1.0 && k <= 1.0)
+    // with 3 binary raters the worst per-doc agreement is 1/3
+    assert(r.getDouble(r.fieldIndex("p_bar")) >= 1.0 / 3.0 - 1e-9)
+    val q = rows("stat_cochran_q").head
+    val sx = Seq("c1", "c2", "c3").map(f => q.getLong(q.fieldIndex(f))).sum
+    assert(math.abs(r.getDouble(r.fieldIndex("p_pass")) -
+      sx.toDouble / (3.0 * q.getLong(q.fieldIndex("n_docs")))) < 1e-9)
+  }
+
+  test("log-rank accepts on hash halves with a positive expectation") {
+    val r = rows("stat_logrank_test").head
+    assert(r.getLong(r.fieldIndex("n1_total")) > 0L)
+    assert(r.getLong(r.fieldIndex("n2_total")) > 0L)
+    assert(r.getDouble(r.fieldIndex("e1")) > 0.0)
+    // hash halves of one population: the test must not scream
+    assert(math.abs(r.getDouble(r.fieldIndex("z"))) < 6.0,
+      s"z=${r.getDouble(r.fieldIndex("z"))} on a null split")
+  }
+
   test("funnel steps are monotone and the rates reproduce the counts") {
     val r = rows("agg_funnel_conversion").head
     val (v, c, p) = (r.getLong(r.fieldIndex("n_view")),
