@@ -156,10 +156,94 @@ object FrontierQueriesO {
           .as("z"))
   }
 
+  // ------------------------------------------------------------- retrieval
+
+  /** nDCG@10 + MRR OF INT8-QUANTIZED RETRIEVAL — score the quantized
+    * index's top-10 (integer int8·int8 dot products) against the exact
+    * float cosine top-10 as graded truth (rel = 11 − exact rank): the
+    * RANK-AWARE retrieval eval next to
+    * [[SimilarityQueries.simAnnRecallEval]]'s set-overlap recall —
+    * recall says the right items came back, nDCG says they came back
+    * in the right ORDER, MRR says how deep the best item hides. The
+    * measurement that decides whether the 4×-smaller int8 store
+    * ([[SimilarityQueries.simQuantizeInt8]]) is shippable for ranking.
+    *
+    * Determinism: quantized scores are exact BIGINT dot products
+    * (|q| ≤ 127, 64 dims → |score| ≤ 10⁶), so the approx ranking is
+    * integer-ordered with vec_id tie-break; relevance grades are
+    * integers; each DCG term is rel/(ln(pos+1)/ln 2) — ln of integers,
+    * O(1) weights; per-probe folds run in position order, the probe
+    * mean in pid order; round 9.
+    *
+    * Scale posture: ONE pass over the table fanned ×10 by the
+    * broadcast probe panel (the recall-eval plan), two windowed
+    * top-10s, a (pid, vec_id) equi-join of two 100-row frames. */
+  def simNdcgQuantized(s: SparkSession, d: String): DataFrame = {
+    val toInt8 = (x: org.apache.spark.sql.Column) =>
+      transform(x, v => round(greatest(lit(-1.0),
+        least(lit(1.0), v.cast(DoubleType))) * lit(127.0)).cast("int"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      graft.similarity.Vectors.normSq(col("embedding")).as("nsq"),
+      toInt8(col("embedding")).as("qv"))
+    val probes = broadcast(e.filter(col("vec_id").between(11, 20))
+      .select(col("vec_id").as("pid"), col("embedding").as("q"),
+        col("nsq").as("qnsq"), col("qv").as("pqv")))
+    val scored = PipelineCache.getOrPersist(s"sim:ndcgScored:$d")(
+      e.crossJoin(probes).filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("vec_id"),
+          (graft.similarity.Vectors.dot(col("embedding"), col("q")) /
+            sqrt(col("nsq") * col("qnsq"))).as("cos"),
+          aggregate(zip_with(col("qv"), col("pqv"),
+            (a, b) => (a * b).cast(LongType)), lit(0L), (acc, v) => acc + v)
+            .as("iscore")))
+    val we = Window.partitionBy("pid").orderBy(col("cos").desc, col("vec_id"))
+    val wa = Window.partitionBy("pid")
+      .orderBy(col("iscore").desc, col("vec_id"))
+    val exact = scored.withColumn("rk", row_number().over(we))
+      .filter(col("rk") <= 10)
+      .select(col("pid"), col("vec_id"), (lit(11L) - col("rk")).as("rel"))
+    val approx = scored.withColumn("pos", row_number().over(wa).cast(LongType))
+      .filter(col("pos") <= 10).select(col("pid"), col("vec_id"), col("pos"))
+    val graded = approx.join(exact, Seq("pid", "vec_id"), "left")
+      .select(col("pid"), col("pos"), coalesce(col("rel"), lit(0L)).as("rel"))
+    val ln2Term = (rel: org.apache.spark.sql.Column,
+        pos: org.apache.spark.sql.Column) =>
+      rel.cast(DoubleType) /
+        (log((pos + 1L).cast(DoubleType)) / log(lit(2.0)))
+    val perProbe = graded.groupBy("pid").agg(
+      aggregate(transform(sort_array(collect_list(struct(col("pos"),
+        ln2Term(col("rel"), col("pos")).as("t")))), p => p("t")),
+        lit(0.0), (a, x) => a + x).as("dcg"),
+      sum(when(col("rel") === 10L, 1L).otherwise(0L)).as("hit1"),
+      max(when(col("rel") === 10L,
+        lit(1.0) / col("pos").cast(DoubleType)).otherwise(lit(0.0)))
+        .as("rr"),
+      sum(when(col("rel") > 0L, 1L).otherwise(0L)).as("overlap"))
+    val idcg = exact.groupBy("pid").agg(
+      aggregate(transform(sort_array(collect_list(struct(
+        (lit(11L) - col("rel")).as("rk"),
+        ln2Term(col("rel"), lit(11L) - col("rel")).as("t")))), p => p("t")),
+        lit(0.0), (a, x) => a + x).as("idcg"))
+    perProbe.join(idcg, Seq("pid"))
+      .select(col("pid"), (col("dcg") / col("idcg")).as("ndcg"), col("rr"),
+        col("overlap"))
+      .agg(count(lit(1)).as("n_probes"),
+        round(aggregate(transform(sort_array(collect_list(struct(col("pid"),
+          col("ndcg").as("v")))), p => p("v")),
+          lit(0.0), (a, x) => a + x) / count(lit(1)).cast(DoubleType), 9)
+          .as("mean_ndcg_at10"),
+        round(aggregate(transform(sort_array(collect_list(struct(col("pid"),
+          col("rr").as("v")))), p => p("v")),
+          lit(0.0), (a, x) => a + x) / count(lit(1)).cast(DoubleType), 9)
+          .as("mrr"),
+        sum(col("overlap")).as("total_overlap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_yules_k"      -> textYulesK _,
-    "stat_fleiss_kappa" -> statFleissKappa _,
-    "stat_logrank_test" -> statLogRank _,
+    "text_yules_k"        -> textYulesK _,
+    "stat_fleiss_kappa"   -> statFleissKappa _,
+    "stat_logrank_test"   -> statLogRank _,
+    "sim_ndcg_quantized"  -> simNdcgQuantized _,
   )
 
   private val toks = TextQueries.tokensSql
@@ -200,6 +284,71 @@ object FrontierQueriesO {
          |  ROUND((pbar - (p * p + (1.0 - p) * (1.0 - p))) /
          |    (1.0 - (p * p + (1.0 - p) * (1.0 - p))), 9) AS kappa
          |FROM h""".stripMargin,
+    "sim_ndcg_quantized" -> {
+      def dotF(a: String, b: String) = OracleSql.dotFold(a, b)
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    ${dotF("embedding", "embedding")} AS nsq,
+         |    list_transform(embedding, v -> CAST(round(GREATEST(-1.0,
+         |      LEAST(1.0, CAST(v AS DOUBLE))) * 127.0) AS INTEGER)) AS qv
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS pid, embedding AS q, nsq AS qnsq,
+         |    qv AS pqv
+         |  FROM e WHERE vec_id BETWEEN 11 AND 20),
+         |scored AS (
+         |  SELECT pid, e.vec_id,
+         |    ${dotF("e.embedding", "q")} / SQRT(nsq * qnsq) AS cos,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len(qv) + 1),
+         |        i -> CAST(qv[i] AS BIGINT) * CAST(pqv[i] AS BIGINT))),
+         |      (s, x) -> s + x) AS BIGINT) AS iscore
+         |  FROM e CROSS JOIN p WHERE e.vec_id <> pid),
+         |exact AS (
+         |  SELECT pid, vec_id, 11 - rk AS rel FROM (
+         |    SELECT pid, vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY pid
+         |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rk FROM scored)
+         |  WHERE rk <= 10),
+         |approx AS (
+         |  SELECT pid, vec_id, pos FROM (
+         |    SELECT pid, vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY pid
+         |      ORDER BY iscore DESC, vec_id) AS BIGINT) AS pos FROM scored)
+         |  WHERE pos <= 10),
+         |graded AS (
+         |  SELECT a.pid, a.pos, COALESCE(x.rel, 0) AS rel
+         |  FROM approx a LEFT JOIN exact x
+         |    ON a.pid = x.pid AND a.vec_id = x.vec_id),
+         |perprobe AS (
+         |  SELECT pid,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(CAST(rel AS DOUBLE) /
+         |        (LN(CAST(pos + 1 AS DOUBLE)) / LN(2.0)) ORDER BY pos)),
+         |      (a, x) -> a + x) AS dcg,
+         |    MAX(CASE WHEN rel = 10 THEN 1.0 / CAST(pos AS DOUBLE)
+         |      ELSE 0.0 END) AS rr,
+         |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS overlap
+         |  FROM graded GROUP BY pid),
+         |idcg AS (
+         |  SELECT pid,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(CAST(rel AS DOUBLE) /
+         |        (LN(CAST(11 - rel + 1 AS DOUBLE)) / LN(2.0))
+         |        ORDER BY (11 - rel))),
+         |      (a, x) -> a + x) AS idcg
+         |  FROM exact GROUP BY pid),
+         |j AS (
+         |  SELECT pp.pid, pp.dcg / i.idcg AS ndcg, pp.rr, pp.overlap
+         |  FROM perprobe pp JOIN idcg i ON pp.pid = i.pid)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(ndcg ORDER BY pid)), (a, x) -> a + x) /
+         |    CAST(COUNT(*) AS DOUBLE), 9) AS mean_ndcg_at10,
+         |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(rr ORDER BY pid)), (a, x) -> a + x) /
+         |    CAST(COUNT(*) AS DOUBLE), 9) AS mrr,
+         |  CAST(SUM(overlap) AS BIGINT) AS total_overlap
+         |FROM j""".stripMargin
+    },
     "stat_logrank_test" ->
       s"""WITH o AS (
          |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt FROM orders),

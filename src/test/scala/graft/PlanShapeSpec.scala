@@ -103,6 +103,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashExchanges(p).isEmpty, p)
   }
 
+  test("nDCG eval fans the corpus by broadcast probes, never corpus x corpus") {
+    // one scan fanned x10 by the broadcast probe panel (the recall-eval
+    // plan); the two top-10 frames join equi on (pid, vec_id)
+    val p = plan("sim_ndcg_quantized")
+    graft.ops.PipelineCache.releaseAll()
+    assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
+    assert(ops(p).exists(_.isInstanceOf[BroadcastExchangeExec]), p)
+  }
+
   test("dedup candidate joins are equi-joins on derived keys, no cartesian") {
     Seq("dedup_minhash_lsh", "dedup_prefix_jaccard", "dedup_simhash",
         "dedup_embedding_cosine", "dedup_cluster_labels",

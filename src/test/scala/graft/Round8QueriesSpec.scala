@@ -1186,6 +1186,19 @@ class Round8QueriesSpec extends SparkTestBase {
       s"z=${r.getDouble(r.fieldIndex("z"))} on a null split")
   }
 
+  test("quantized retrieval eval stays in range over the 10-probe panel") {
+    val r = rows("sim_ndcg_quantized").head
+    assert(r.getLong(r.fieldIndex("n_probes")) == 10L)
+    val ndcg = r.getDouble(r.fieldIndex("mean_ndcg_at10"))
+    assert(ndcg > 0.0 && ndcg <= 1.0 + 1e-9, s"ndcg $ndcg")
+    val mrr = r.getDouble(r.fieldIndex("mrr"))
+    assert(mrr >= 0.0 && mrr <= 1.0)
+    val ov = r.getLong(r.fieldIndex("total_overlap"))
+    assert(ov >= 0L && ov <= 100L)
+    // int8 at 64 dims should be a nearly faithful ranker
+    assert(ndcg > 0.8, s"quantized index collapsed: ndcg $ndcg")
+  }
+
   test("funnel steps are monotone and the rates reproduce the counts") {
     val r = rows("agg_funnel_conversion").head
     val (v, c, p) = (r.getLong(r.fieldIndex("n_view")),
