@@ -34,7 +34,7 @@ object SparkEntry {
       FrontierQueriesI.queries ++ FrontierQueriesJ.queries ++
       FrontierQueriesK.queries ++ FrontierQueriesL.queries ++
       FrontierQueriesM.queries ++ FrontierQueriesN.queries ++
-      FrontierQueriesO.queries
+      FrontierQueriesO.queries ++ FrontierQueriesP.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +55,5 @@ object SparkEntry {
       FrontierQueriesI.oracle ++ FrontierQueriesJ.oracle ++
       FrontierQueriesK.oracle ++ FrontierQueriesL.oracle ++
       FrontierQueriesM.oracle ++ FrontierQueriesN.oracle ++
-      FrontierQueriesO.oracle
+      FrontierQueriesO.oracle ++ FrontierQueriesP.oracle
 }

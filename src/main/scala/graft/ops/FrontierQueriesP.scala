@@ -1,0 +1,288 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
+
+/** Round-8 twentieth frontier wave: the generalized ESD multi-outlier
+  * test (Rosner — [[FrontierQueriesK.statGrubbs]] iterated with EXACT
+  * integer moment downdates, because real data has more than one
+  * anomaly and Grubbs masks under a second outlier), and
+  * content-defined chunking (FastCDC-style rolling-hash boundaries —
+  * the shift-resistant dedup primitive: inserting one character into a
+  * document moves every fixed-width chunk boundary after it, but CDC
+  * boundaries are functions of LOCAL content and re-align, which is
+  * why production dedup pipelines chunk this way). Registry novelty
+  * grep-checked first (ROUND_NOTES item 23). Module conventions as
+  * the earlier waves.
+  */
+object FrontierQueriesP {
+
+  /** ESD rounds (outliers tested per type). */
+  private val EsdRounds = 3
+
+  /** CDC parameters: rolling window and boundary mask modulus (plain
+    * LBFS mask rule — expected chunk ≈ 64 chars). */
+  private val CdcW = 8
+  private val CdcMask = 64L
+  /** Rolling-hash modulus — keeps the fold state bounded (≤ 2²⁵ before
+    * each reduction) so ANSI overflow checking never trips. */
+  private val CdcMod = 1048576L
+
+  // ------------------------------------------------------------------- ESD
+
+  /** GENERALIZED ESD (Rosner) — the top-3 outliers per event type,
+    * each tested with the moments of the SAMPLE THAT REMAINS after
+    * removing the previous suspects. Grubbs tests ONE point and masks
+    * when two extremes prop up each other's σ; ESD's sequential
+    * removal is the standard fix. Each round reports its suspect and
+    * its studentized G on the reduced sample.
+    *
+    * Determinism: round 1 is exactly [[FrontierQueriesK.statGrubbs]]'s
+    * integer-encoded max (dev·2²⁰ + cents under plain MAX); the
+    * removal is an EXACT INTEGER moment downdate (n−1, S−c*, SS−c*²)
+    * — no recomputation, no doubles in the state; each later round's
+    * eligibility (one INSTANCE of the suspect value leaves, ties keep
+    * their remaining instances) rides the per-value count grid; G is
+    * one fixed tree per round; round 9.
+    *
+    * Scale posture: ONE (type, cents) rollup is the data-sized work;
+    * the three rounds are joins over the bounded per-type value grid
+    * (value range, not row count) with 5-row moment frames. */
+  def statEsdOutliers(s: SparkSession, d: String): DataFrame = {
+    val grid = PipelineCache.getOrPersist(s"esd:grid:$d")(
+      Tables.events(s, d)
+        .select(col("event_type"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
+            .as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cnt")))
+    val m0 = grid.groupBy("event_type").agg(
+      sum(col("cnt")).as("n"), sum(col("c") * col("cnt")).as("sc"),
+      sum(col("c") * col("c") * col("cnt")).as("scc"))
+    def hop(x: Column): Column = x.cast(StringType).cast(DoubleType)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    // one ESD round: given moments (n, sc, scc) and the multiset of
+    // already-removed values r1/r2 (null when unused), return the
+    // round's suspect and G, plus the downdated moments
+    def round1(m: DataFrame, removed: Seq[String]): DataFrame = {
+      val rem = removed.foldLeft(lit(0L)) { (acc, r) =>
+        acc + when(col("c") === col(r), 1L).otherwise(0L)
+      }
+      val elig = grid.join(broadcast(m), Seq("event_type"))
+        .filter(col("cnt") > rem)
+      elig.groupBy("event_type")
+        .agg(max(abs(col("n") * col("c") - col("sc")) * lit(CdcMod) +
+          col("c")).as("mx"))
+        .join(m, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("sc"), col("scc"),
+          (col("mx") % CdcMod).as("suspect"),
+          expr(s"mx DIV $CdcMod").as("maxdev"))
+    }
+    def gOf(df: DataFrame): DataFrame = df.select(col("event_type"),
+      col("n"), col("sc"), col("scc"), col("suspect"), {
+        val varN = hop(dec(col("n")) * dec(col("scc")) -
+          dec(col("sc")) * dec(col("sc")))
+        round((col("maxdev").cast(DoubleType) / col("n").cast(DoubleType)) /
+          sqrt(varN / (col("n").cast(DoubleType) *
+            (col("n") - 1L).cast(DoubleType))), 9).as("g_stat")
+      })
+    def downdate(df: DataFrame): DataFrame = df.select(col("event_type"),
+      (col("n") - 1L).as("n"), (col("sc") - col("suspect")).as("sc"),
+      (col("scc") - col("suspect") * col("suspect")).as("scc"),
+      col("suspect"))
+    val r1 = gOf(round1(m0, Seq.empty))
+    val m1 = downdate(r1).withColumnRenamed("suspect", "r1")
+    val r2 = gOf(round1(m1.select(col("event_type"), col("n"), col("sc"),
+      col("scc"), col("r1")), Seq("r1")))
+    val m2 = downdate(r2).withColumnRenamed("suspect", "r2")
+      .join(m1.select(col("event_type"), col("r1")), Seq("event_type"))
+    val r3 = gOf(round1(m2.select(col("event_type"), col("n"), col("sc"),
+      col("scc"), col("r1"), col("r2")), Seq("r1", "r2")))
+    def out(df: DataFrame, k: Int) = df.select(col("event_type"),
+      lit(k.toLong).as("esd_round"),
+      round(col("suspect").cast(DoubleType) / lit(100.0), 9)
+        .as("suspect_value"),
+      col("g_stat"))
+    out(r1, 1).unionAll(out(r2, 2)).unionAll(out(r3, 3))
+      .orderBy("event_type", "esd_round")
+  }
+
+  // ------------------------------------------------------------------- CDC
+
+  /** CONTENT-DEFINED CHUNKING — FastCDC-style variable boundaries from
+    * a rolling hash of the last 8 chars (cut when hash % 64 = 0,
+    * min 16 / max 128 chars), then corpus-wide duplicate-chunk
+    * accounting. THE shift-resistant dedup primitive: one inserted
+    * character moves every fixed-width boundary after it
+    * ([[TextQueries.textChunkDedup]]'s failure mode, cross-referenced
+    * there), but CDC boundaries depend only on LOCAL content and
+    * re-align — which is why storage and training-data dedup chunk
+    * this way.
+    *
+    * Determinism: char codes are exact integers (ASCII corpus —
+    * asserted by the editdist precedent), the rolling hash is integer
+    * arithmetic mod 2²⁰, and the boundary rule is the ORIGINAL
+    * LBFS/Rabin mask — cut wherever windowHash % 64 = 0 — which is a
+    * pure position FILTER. FastCDC's min/max clamps were built and
+    * REVERTED: they make the cut sequence sequential (each cut depends
+    * on the last), and DuckDB 1.0's list_reduce corrupts a growing
+    * list accumulator beyond toy sizes (appended garbage, measured) —
+    * the clamp-free rule is the one both engines state identically,
+    * and it is already the shift-resistant property under test. Chunk
+    * identity is md5 of the exact substring; every output is an
+    * integer count or one division; round 9.
+    *
+    * Scale posture: per-document O(len·8) char work with NO
+    * cross-document state; chunks shuffle once keyed by md5 (fixed
+    * 32-byte key — the chunk-dedup argument); constant-width final
+    * rollup. */
+  def dedupCdcChunks(s: SparkSession, d: String): DataFrame = {
+    val codes = transform(split(col("text"), ""), ch => ascii(ch))
+    val n = size(col("codes")).cast(LongType)
+    // candidate positions: a cut AFTER char i needs a full 8-char
+    // window ending at i; the mask rule is a pure filter
+    val winHash = (i: Column) =>
+      aggregate(slice(col("codes"), (i - (CdcW - 1)).cast("int"), lit(CdcW)),
+        lit(0L), (a, c) => (a * 31L + c.cast(LongType)) % CdcMod)
+    val positions = when(n >= CdcW,
+      sequence(lit(CdcW.toLong), n)).otherwise(array().cast("array<bigint>"))
+    val cuts = concat(array(lit(0L)),
+      filter(positions, i => winHash(i) % CdcMask === 0L && i < n),
+      array(n))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("codes", codes)
+      .withColumn("cuts", cuts)
+    val chunks = docs.select(col("doc_id"), col("text"),
+      explode(zip_with(slice(col("cuts"), lit(1), size(col("cuts")) - 1),
+        slice(col("cuts"), lit(2), size(col("cuts")) - 1),
+        (a, b) => struct(a.as("s"), b.as("e")))).as("p"))
+      .filter(col("p.e") > col("p.s"))
+      .select(col("doc_id"),
+        md5(expr("substring(text, CAST(p.s + 1 AS INT), " +
+          "CAST(p.e - p.s AS INT))")).as("h"),
+        (col("p.e") - col("p.s")).as("clen"))
+    val occ = chunks.groupBy("h").agg(count(lit(1)).as("occ"),
+      max(col("clen")).as("clen"))
+    occ.agg(
+      sum(col("occ")).as("n_chunks"),
+      count(lit(1)).as("n_distinct_chunks"),
+      sum(col("occ") * col("clen")).as("total_chars"),
+      sum(when(col("occ") > 1L, col("occ")).otherwise(0L))
+        .as("n_dup_instances"))
+      .select(col("n_chunks"), col("n_distinct_chunks"),
+        expr("total_chars DIV n_chunks").as("avg_chunk_chars"),
+        col("n_dup_instances"),
+        round(col("n_dup_instances").cast(DoubleType) /
+          col("n_chunks").cast(DoubleType), 9).as("dup_chunk_rate"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_esd_outliers" -> statEsdOutliers _,
+    "dedup_cdc_chunks"  -> dedupCdcChunks _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stat_esd_outliers" -> {
+      // one ESD round as a SQL fragment over the shared value grid
+      def roundSql(mom: String, removedCond: String, out: String) =
+        s"""$out AS (
+           |  SELECT g.event_type, m.n, m.sc, m.scc,
+           |    CAST(MAX(ABS(m.n * g.c - m.sc) * 1048576 + g.c) % 1048576
+           |      AS BIGINT) AS suspect,
+           |    CAST(MAX(ABS(m.n * g.c - m.sc) * 1048576 + g.c) // 1048576
+           |      AS BIGINT) AS maxdev
+           |  FROM grid g JOIN $mom m ON g.event_type = m.event_type
+           |  WHERE g.cnt > ($removedCond)
+           |  GROUP BY 1, 2, 3, 4)""".stripMargin
+      val gSql =
+        """ROUND((CAST(maxdev AS DOUBLE) / CAST(n AS DOUBLE)) /
+          |    SQRT(CAST(CAST(CAST(n AS HUGEINT) * scc -
+          |        CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT) AS VARCHAR)
+          |      AS DOUBLE) /
+          |      (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 9)"""
+          .stripMargin
+      s"""WITH grid AS (
+         |  SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |m0 AS (
+         |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+         |    CAST(SUM(c * cnt) AS BIGINT) AS sc,
+         |    CAST(SUM(c * c * cnt) AS HUGEINT) AS scc
+         |  FROM grid GROUP BY 1),
+         |${roundSql("m0", "0", "r1")},
+         |m1 AS (
+         |  SELECT event_type, n - 1 AS n, sc - suspect AS sc,
+         |    scc - CAST(suspect AS HUGEINT) * CAST(suspect AS HUGEINT)
+         |      AS scc,
+         |    suspect AS x1
+         |  FROM r1),
+         |${roundSql("m1", "CASE WHEN g.c = m.x1 THEN 1 ELSE 0 END", "r2")},
+         |m2 AS (
+         |  SELECT r2.event_type, r2.n - 1 AS n, r2.sc - r2.suspect AS sc,
+         |    r2.scc - CAST(r2.suspect AS HUGEINT) *
+         |      CAST(r2.suspect AS HUGEINT) AS scc,
+         |    m1.x1 AS x1, r2.suspect AS x2
+         |  FROM r2 JOIN m1 ON r2.event_type = m1.event_type),
+         |${roundSql("m2",
+            "(CASE WHEN g.c = m.x1 THEN 1 ELSE 0 END) + " +
+              "(CASE WHEN g.c = m.x2 THEN 1 ELSE 0 END)", "r3")}
+         |SELECT event_type, CAST(1 AS BIGINT) AS esd_round,
+         |  ROUND(CAST(suspect AS DOUBLE) / 100.0, 9) AS suspect_value,
+         |  $gSql AS g_stat FROM r1
+         |UNION ALL
+         |SELECT event_type, 2, ROUND(CAST(suspect AS DOUBLE) / 100.0, 9),
+         |  $gSql FROM r2
+         |UNION ALL
+         |SELECT event_type, 3, ROUND(CAST(suspect AS DOUBLE) / 100.0, 9),
+         |  $gSql FROM r3
+         |ORDER BY event_type, esd_round""".stripMargin
+    },
+    "dedup_cdc_chunks" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text,
+         |    list_transform(range(1, strlen(text) + 1),
+         |      i -> ascii(substr(text, CAST(i AS INT), 1))) AS codes,
+         |    CAST(strlen(text) AS BIGINT) AS n
+         |  FROM documents),
+         |cutsd AS (
+         |  SELECT doc_id, text, n,
+         |    list_concat(list_prepend(CAST(0 AS BIGINT),
+         |      list_filter(
+         |        CASE WHEN n >= $CdcW THEN range($CdcW, n + 1)
+         |          ELSE CAST([] AS BIGINT[]) END,
+         |        i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            codes[CAST(i AS INT) - ${CdcW - 1} : CAST(i AS INT)]),
+         |            (a, c) -> (a * 31 + c) % $CdcMod) % $CdcMask = 0
+         |          AND i < n)),
+         |      [n]) AS cuts
+         |  FROM docs),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    md5(substr(text, CAST(p.s + 1 AS INT),
+         |      CAST(p.e - p.s AS INT))) AS h,
+         |    p.e - p.s AS clen
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      unnest(list_transform(range(1, len(cuts)),
+         |        k -> struct_pack(s := cuts[CAST(k AS INT)],
+         |                         e := cuts[CAST(k AS INT) + 1]))) AS p
+         |    FROM cutsd)
+         |  WHERE p.e > p.s),
+         |occ AS (
+         |  SELECT h, CAST(COUNT(*) AS BIGINT) AS occ,
+         |    CAST(MAX(clen) AS BIGINT) AS clen
+         |  FROM chunks GROUP BY 1)
+         |SELECT CAST(SUM(occ) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+         |  CAST(CAST(SUM(occ * clen) AS BIGINT) // CAST(SUM(occ) AS BIGINT)
+         |    AS BIGINT) AS avg_chunk_chars,
+         |  CAST(SUM(CASE WHEN occ > 1 THEN occ ELSE 0 END) AS BIGINT)
+         |    AS n_dup_instances,
+         |  ROUND(CAST(SUM(CASE WHEN occ > 1 THEN occ ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(occ) AS DOUBLE), 9) AS dup_chunk_rate
+         |FROM occ""".stripMargin,
+  )
+}

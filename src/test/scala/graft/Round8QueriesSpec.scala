@@ -1199,6 +1199,37 @@ class Round8QueriesSpec extends SparkTestBase {
     assert(ndcg > 0.8, s"quantized index collapsed: ndcg $ndcg")
   }
 
+  test("ESD round 1 is exactly Grubbs and later rounds stay positive") {
+    val esd = rows("stat_esd_outliers")
+    assert(esd.length == 15)
+    val grubbs = rows("stat_grubbs_outlier")
+      .map(r => r.getString(0) -> (r.getDouble(r.fieldIndex("suspect_value")),
+        r.getDouble(r.fieldIndex("g_stat")))).toMap
+    esd.groupBy(_.getString(0)).foreach { case (tpe, g) =>
+      val byRound = g.map(r => r.getLong(r.fieldIndex("esd_round")) ->
+        (r.getDouble(r.fieldIndex("suspect_value")),
+          r.getDouble(r.fieldIndex("g_stat")))).toMap
+      assert(byRound.keySet == Set(1L, 2L, 3L), s"$tpe rounds")
+      assert(byRound(1L) == grubbs(tpe), s"$tpe round 1 != Grubbs")
+      byRound.values.foreach { case (sv, gs) =>
+        assert(sv >= 0.0 && gs > 0.0)
+      }
+    }
+  }
+
+  test("CDC chunking accounts every chunk with a bounded dup rate") {
+    val r = rows("dedup_cdc_chunks").head
+    val (nc, nd) = (r.getLong(r.fieldIndex("n_chunks")),
+      r.getLong(r.fieldIndex("n_distinct_chunks")))
+    assert(nc >= nd && nd >= 1L)
+    val rate = r.getDouble(r.fieldIndex("dup_chunk_rate"))
+    assert(rate >= 0.0 && rate < 1.0)
+    assert(math.abs(rate -
+      r.getLong(r.fieldIndex("n_dup_instances")).toDouble / nc) < 1e-9)
+    val avg = r.getLong(r.fieldIndex("avg_chunk_chars"))
+    assert(avg >= 1L && avg <= 1000L, s"avg chunk $avg")
+  }
+
   test("funnel steps are monotone and the rates reproduce the counts") {
     val r = rows("agg_funnel_conversion").head
     val (v, c, p) = (r.getLong(r.fieldIndex("n_view")),
