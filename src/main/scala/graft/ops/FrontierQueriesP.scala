@@ -177,9 +177,50 @@ object FrontierQueriesP {
           col("n_chunks").cast(DoubleType), 9).as("dup_chunk_rate"))
   }
 
+  // -------------------------------------------------------------- volatility
+
+  /** PARKINSON RANGE VOLATILITY per event type — the high–low
+    * estimator σ²_P = Σ ln(H/L)² / (4·ln2·n) over daily bars: ~5×
+    * more statistically efficient per bar than close-to-close
+    * variance because the intraday RANGE sees the whole day. The
+    * log-range member of the volatility family next to
+    * [[FrontierQueriesB.windowAtr]] (absolute range) and
+    * [[AggWindowQueries.windowUlcerIndex]] (drawdown-weighted).
+    *
+    * Determinism: H and L are exact integer cents (≥ 1), so each
+    * ln(H) − ln(L) is integer-ln with O(1) weights (the G²-safe
+    * side); the per-type sum folds in day order; 4·ln 2 is the same
+    * ln(2.0) both engines agree on; one sqrt; round 9.
+    *
+    * Scale posture: one keyed rollup to daily (type, H, L) bars +
+    * one per-type fold over the day-granular series. */
+  def statParkinsonVol(s: SparkSession, d: String): DataFrame = {
+    val bars = Tables.events(s, d)
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("c"))
+      .groupBy("event_type", "day")
+      .agg(max(col("c")).as("h"), min(col("c")).as("l"))
+      .filter(col("l") >= 1L)
+    val term = {
+      val lr = log(col("h").cast(DoubleType)) - log(col("l").cast(DoubleType))
+      (lr * lr).as("t")
+    }
+    bars.select(col("event_type"), col("day"), term)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        aggregate(transform(sort_array(collect_list(struct(col("day"),
+          col("t")))), p => p("t")), lit(0.0), (a, x) => a + x).as("ssum"))
+      .select(col("event_type"), col("n_days"),
+        round(sqrt(col("ssum") / (lit(4.0) * log(lit(2.0)) *
+          col("n_days").cast(DoubleType))), 9).as("parkinson_sigma"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stat_esd_outliers" -> statEsdOutliers _,
-    "dedup_cdc_chunks"  -> dedupCdcChunks _,
+    "stat_esd_outliers"  -> statEsdOutliers _,
+    "dedup_cdc_chunks"   -> dedupCdcChunks _,
+    "stat_parkinson_vol" -> statParkinsonVol _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -240,6 +281,26 @@ object FrontierQueriesP {
          |  $gSql FROM r3
          |ORDER BY event_type, esd_round""".stripMargin
     },
+    "stat_parkinson_vol" ->
+      """WITH bars AS (
+        |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+        |      AS day,
+        |    CAST(MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS h,
+        |    CAST(MIN(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS l
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day,
+        |    (LN(CAST(h AS DOUBLE)) - LN(CAST(l AS DOUBLE))) *
+        |    (LN(CAST(h AS DOUBLE)) - LN(CAST(l AS DOUBLE))) AS t
+        |  FROM bars WHERE l >= 1)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  ROUND(SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(t ORDER BY day)), (a, x) -> a + x) /
+        |    (4.0 * LN(2.0) * CAST(COUNT(*) AS DOUBLE))), 9)
+        |    AS parkinson_sigma
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     "dedup_cdc_chunks" ->
       s"""WITH docs AS (
          |  SELECT doc_id, text,

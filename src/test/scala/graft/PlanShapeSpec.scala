@@ -913,7 +913,8 @@ class PlanShapeSpec extends SparkTestBase {
         "stat_durbin_watson", "agg_cohort_ltv", "stat_tost_equivalence",
         "stat_power_mde", "time_seasonal_strength",
         "stat_cpk_capability", "text_yules_k", "stat_fleiss_kappa",
-        "stat_logrank_test", "stat_esd_outliers", "dedup_cdc_chunks")) {
+        "stat_logrank_test", "stat_esd_outliers", "dedup_cdc_chunks",
+        "stat_parkinson_vol")) {
       val p = plan(q)
       assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty,
         s"$q: cartesian product in:\n$p")

@@ -1230,6 +1230,15 @@ class Round8QueriesSpec extends SparkTestBase {
     assert(avg >= 1L && avg <= 1000L, s"avg chunk $avg")
   }
 
+  test("Parkinson volatility is positive across all five types") {
+    val rs = rows("stat_parkinson_vol")
+    assert(rs.length == 5)
+    rs.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("parkinson_sigma")) > 0.0)
+      assert(r.getLong(r.fieldIndex("n_days")) >= 1L)
+    }
+  }
+
   test("funnel steps are monotone and the rates reproduce the counts") {
     val r = rows("agg_funnel_conversion").head
     val (v, c, p) = (r.getLong(r.fieldIndex("n_view")),
