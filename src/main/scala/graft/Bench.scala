@@ -225,6 +225,11 @@ object Bench {
         // so scopes nest correctly from here on.
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        // same interleaving hazard for the recursion guard (r8 advice):
+        // sqlRecursiveCte save/restores spark.sql.cteRecursionRowLimit,
+        // and a concurrent worker's restore can leave the raised 50M
+        // value stuck — re-pin the documented 1M runaway backstop
+        spark.conf.unset("spark.sql.cteRecursionRowLimit")
         compilePassComplete = !bailed.get
         import scala.jdk.CollectionConverters._
         val top8 = slowest.asScala.toSeq.sortBy(-_._2).take(8)
@@ -258,8 +263,17 @@ object Bench {
           // completed sweeps MERGED with this sweep's prefix — a driver
           // kill anywhere mid-sweep still leaves best-of-both evidence
           // for the prefix and full sweep-1 coverage for the rest.
-          if (sweeps.nonEmpty && acc.size % 25 == 0)
-            writeFull(summarize(partialExtra = acc.toSeq)._2)
+          // The merged COMPACT line is also printed (round 9, r8 verdict
+          // #4): the driver's artifact is the stdout tail, and r8's was
+          // killed mid-sweep-2 — banking to disk alone left the driver
+          // seeing only the sweep-1 numbers. The in-flight sweep is
+          // counted in "sweeps" with "banked_partial" marking how much
+          // of it has landed (stat stays honest: min-samples-based).
+          if (sweeps.nonEmpty && acc.size % 25 == 0) {
+            val (compactNow, fullNow) = summarize(partialExtra = acc.toSeq)
+            println(compactNow)
+            writeFull(fullNow)
+          }
           if (elapsedSec > deadlineSec) {
             bailed = true
             note(s"emergency bail after ${acc.size}/${ordered.size} queries " +
@@ -366,7 +380,12 @@ object Bench {
         .mkString("{", ",", "}")
       val trunc = if (results.size < ordered.size) ""","truncated":true""" else ""
       val banked = if (partialExtra.nonEmpty) s""","banked_partial":${partialExtra.size}""" else ""
-      val head = s""""metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"sweeps":${sweeps.size},"stat":"$stat","compile_pass":$compilePassComplete$trunc$banked"""
+      // the in-flight sweep counts once any of it is banked — the
+      // banked_partial field says how much, and "stat" is computed from
+      // MIN samples per query, so a partial second sweep can never
+      // masquerade as two complete ones
+      val sweepCount = sweeps.size + (if (partialExtra.nonEmpty) 1 else 0)
+      val head = s""""metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"sweeps":$sweepCount,"stat":"$stat","compile_pass":$compilePassComplete$trunc$banked"""
       val compact = s"""{$head,"queries":$slowest,"failed":$failed,"sf":"$sfDir"}"""
       val full = s"""{$head,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
       (compact, full)

@@ -103,27 +103,72 @@ object AggWindowQueries {
     * no DuckDB-exact oracle, so the driver records a rows-only check).
     * The sketch's mergeable partial aggregation is the 100 TB path —
     * exact count(distinct) reshuffles raw keys; HLL ships 2–4 KB
-    * buffers per group. */
+    * buffers per group.
+    *
+    * In-engine bound QA (r8 verdict #7): with no cross-engine oracle
+    * possible, the query CARRIES its own check — the exact distinct
+    * (affordable at QA scale) plus `within_3rsd` asserting the HLL++
+    * estimate sits inside 3·rsd of truth — so the driver's rows-only
+    * gate reads a row set whose construction is semantically
+    * load-bearing, and the spec pins the bound at every fixture scale.
+    * The exact column is the QA harness, NOT the scale path: at 100 TB
+    * the sketch ships alone and this QA form runs on a sampled slice. */
   def approxDistinctHll(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
+        col("n"),
+        round(abs(col("approx_parts") - col("exact_parts")).cast(DoubleType) /
+          col("exact_parts").cast(DoubleType), 9).as("rel_err"),
+        (abs(col("approx_parts") - col("exact_parts")).cast(DoubleType) <=
+          lit(3 * 0.02) * col("exact_parts").cast(DoubleType)).as("within_3rsd"))
       .orderBy("l_returnflag")
 
   /** Approximate percentiles via the Greenwald–Khanna summary sketch
     * (engine-only rows-check, like the HLL: no DuckDB-exact oracle).
     * Mergeable bounded-size summaries per group — the 100 TB path where
     * exact percentiles (`percentile_median`) must shuffle or sort full
-    * value sets. Deterministic for fixed data + accuracy. */
-  def approxQuantileSketch(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
+    * value sets. Deterministic for fixed data + accuracy.
+    *
+    * In-engine bound QA (r8 verdict #7), the [[approxDistinctHll]]
+    * pattern applied to GK's rank guarantee: the returned value's rank
+    * must lie within ε·n of the target rank (ε = 1/accuracy). Checked
+    * by counting strict/weak ranks of the returned values against the
+    * group — `count(< p)` may not exceed q·n + ε·n and `count(≤ p)`
+    * may not undershoot q·n − ε·n (the two-sided form that stays
+    * correct under duplicate values), ±1 for rank discreteness. The
+    * rank recount is the QA harness; the sketch alone is the scale
+    * path. */
+  def approxQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val eps = 1.0 / 10000
+    val base = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("price"))
+    val apx = base.groupBy("l_returnflag")
       .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"),
+        percentile_approx(col("price"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("price"), lit(0.99), lit(10000)).as("p99"),
         count(lit(1)).as("n"))
+    def rankOk(q: Double, lt: Column, le: Column): Column = {
+      val slack = lit(eps) * col("n").cast(DoubleType) + lit(1.0)
+      val target = lit(q) * col("n").cast(DoubleType)
+      (lt.cast(DoubleType) <= target + slack) &&
+        (le.cast(DoubleType) >= target - slack)
+    }
+    base.join(broadcast(apx), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(max("p50").as("p50"), max("p99").as("p99"), max("n").as("n"),
+        sum(when(col("price") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("price") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("price") < col("p99"), 1L).otherwise(0L)).as("lt99"),
+        sum(when(col("price") <= col("p99"), 1L).otherwise(0L)).as("le99"))
+      .select(col("l_returnflag"), col("p50"), col("p99"), col("n"),
+        rankOk(0.5, col("lt50"), col("le50")).as("p50_rank_ok"),
+        rankOk(0.99, col("lt99"), col("le99")).as("p99_rank_ok"))
       .orderBy("l_returnflag")
+  }
 
   // Count–min sketch geometry. W=256 buckets × D=4 rows: under-dense at
   // sf0.01 (150 users → most estimates exact, a few hash collisions

@@ -29,6 +29,18 @@ object FrontierQueriesP {
     * each reduction) so ANSI overflow checking never trips. */
   private val CdcMod = 1048576L
 
+  /** ESD argmax encode/decode multiplier (2²⁰) — matches
+    * [[FrontierQueriesK.statGrubbs]]'s literal so both integer-encoded
+    * argmaxes decode identically. A SEPARATE constant from [[CdcMod]]
+    * (r8 advice): the two are numerically equal by coincidence only,
+    * and retuning the CDC chunking modulus must not silently corrupt
+    * the ESD suspect decode. The encode `dev·EsdEncode + cents`
+    * requires 0 ≤ cents < EsdEncode — events.value sits in
+    * [0, ~560] dollars (56,100 cents « 2²⁰), and the grid build below
+    * asserts the bound at the encode site rather than trusting the
+    * fixture. */
+  private val EsdEncode = 1048576L
+
   // ------------------------------------------------------------------- ESD
 
   /** GENERALIZED ESD (Rosner) — the top-3 outliers per event type,
@@ -55,7 +67,15 @@ object FrontierQueriesP {
         .select(col("event_type"),
           (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
             .as("c"))
-        .groupBy("event_type", "c").agg(count(lit(1)).as("cnt")))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+        // encode-site domain guard (r8 advice): the argmax packs
+        // dev·EsdEncode + c, so c outside [0, EsdEncode) would decode
+        // to a WRONG suspect silently — fail loudly instead. Runs on
+        // the bounded value grid, not the raw rows.
+        .filter(when(col("c").between(0L, EsdEncode - 1L), lit(true))
+          .otherwise(raise_error(concat(
+            lit("ESD encode domain violated: cents="),
+            col("c").cast(StringType))).cast("boolean"))))
     val m0 = grid.groupBy("event_type").agg(
       sum(col("cnt")).as("n"), sum(col("c") * col("cnt")).as("sc"),
       sum(col("c") * col("c") * col("cnt")).as("scc"))
@@ -71,12 +91,12 @@ object FrontierQueriesP {
       val elig = grid.join(broadcast(m), Seq("event_type"))
         .filter(col("cnt") > rem)
       elig.groupBy("event_type")
-        .agg(max(abs(col("n") * col("c") - col("sc")) * lit(CdcMod) +
+        .agg(max(abs(col("n") * col("c") - col("sc")) * lit(EsdEncode) +
           col("c")).as("mx"))
         .join(m, Seq("event_type"))
         .select(col("event_type"), col("n"), col("sc"), col("scc"),
-          (col("mx") % CdcMod).as("suspect"),
-          expr(s"mx DIV $CdcMod").as("maxdev"))
+          (col("mx") % EsdEncode).as("suspect"),
+          expr(s"mx DIV $EsdEncode").as("maxdev"))
     }
     def gOf(df: DataFrame): DataFrame = df.select(col("event_type"),
       col("n"), col("sc"), col("scc"), col("suspect"), {

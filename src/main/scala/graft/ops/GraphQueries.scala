@@ -184,33 +184,48 @@ object GraphQueries {
     * the per-vertex counts agree exactly.
     */
   def graphTriangleCount(s: SparkSession, d: String): DataFrame = {
+    val (_, perVertex) = trianglePerVertex(s, d)
+    perVertex.select(col("x").as("l_partkey"), col("n_tri"))
+      .orderBy(col("n_tri").desc, col("l_partkey"))
+      .limit(20)
+  }
+
+  /** Shared degree frame + PER-VERTEX TRIANGLE COUNTS for the triangle/
+    * clustering family (r8 advice: three queries carried the ~25-line
+    * orientation/wedge/close construction verbatim). The algorithm and
+    * its O(m^1.5) wedge bound are documented at [[graphTriangleCount]];
+    * both the oriented edge list and the closed-wedge per-vertex rollup
+    * persist via [[PipelineCache]], so the wedge-closing join is paid
+    * ONCE per session across [[graphTriangleCount]],
+    * [[graphClusteringCoeff]] and [[graphLocalClusteringTopk]]. */
+  private def trianglePerVertex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val edges = supportEdges(s, d)
     val deg = edges.select(col("u").as("x"))
       .unionAll(edges.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("deg"))
-    val withDeg = edges
-      .join(deg.select(col("x").as("u"), col("deg").as("udeg")), Seq("u"))
-      .join(deg.select(col("x").as("v"), col("deg").as("vdeg")), Seq("v"))
-    val uFirst = col("udeg") < col("vdeg") ||
-      (col("udeg") === col("vdeg") && col("u") < col("v"))
-    val oriented = PipelineCache.getOrPersist(s"graph_oriented_edges:$d") {
-      withDeg.select(
-        when(uFirst, col("u")).otherwise(col("v")).as("src"),
-        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-        when(uFirst, col("vdeg")).otherwise(col("udeg")).as("ddeg"))
+    val perVertex = PipelineCache.getOrPersist(s"graph_tri_pervertex:$d") {
+      val withDeg = edges
+        .join(deg.select(col("x").as("u"), col("deg").as("udeg")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("deg").as("vdeg")), Seq("v"))
+      val uFirst = col("udeg") < col("vdeg") ||
+        (col("udeg") === col("vdeg") && col("u") < col("v"))
+      val oriented = PipelineCache.getOrPersist(s"graph_oriented_edges:$d") {
+        withDeg.select(
+          when(uFirst, col("u")).otherwise(col("v")).as("src"),
+          when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+          when(uFirst, col("vdeg")).otherwise(col("udeg")).as("ddeg"))
+      }
+      val o1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("bdeg"))
+      val o2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("cdeg"))
+      val wedges = o1.join(o2, Seq("src"))
+        .filter(col("bdeg") < col("cdeg") ||
+          (col("bdeg") === col("cdeg") && col("b") < col("c")))
+      val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+      wedges.join(closing, Seq("b", "c"))
+        .select(explode(array(col("src"), col("b"), col("c"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("n_tri"))
     }
-    val o1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("bdeg"))
-    val o2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("cdeg"))
-    val wedges = o1.join(o2, Seq("src"))
-      .filter(col("bdeg") < col("cdeg") ||
-        (col("bdeg") === col("cdeg") && col("b") < col("c")))
-    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
-    val tris = wedges.join(closing, Seq("b", "c"))
-      .select(col("src").as("a"), col("b"), col("c"))
-    tris.select(explode(array(col("a"), col("b"), col("c"))).as("l_partkey"))
-      .groupBy("l_partkey").agg(count(lit(1)).as("n_tri"))
-      .orderBy(col("n_tri").desc, col("l_partkey"))
-      .limit(20)
+    (deg, perVertex)
   }
 
   /** One damped PageRank power-iteration over the co-purchase graph
@@ -408,30 +423,7 @@ object GraphQueries {
     * simpler id-order orientation — a different traversal of the same
     * triangle set that must agree exactly. */
   def graphClusteringCoeff(s: SparkSession, d: String): DataFrame = {
-    val edges = supportEdges(s, d)
-    val deg = edges.select(col("u").as("x"))
-      .unionAll(edges.select(col("v").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("deg"))
-    val withDeg = edges
-      .join(deg.select(col("x").as("u"), col("deg").as("udeg")), Seq("u"))
-      .join(deg.select(col("x").as("v"), col("deg").as("vdeg")), Seq("v"))
-    val uFirst = col("udeg") < col("vdeg") ||
-      (col("udeg") === col("vdeg") && col("u") < col("v"))
-    val oriented = PipelineCache.getOrPersist(s"graph_oriented_edges:$d") {
-      withDeg.select(
-        when(uFirst, col("u")).otherwise(col("v")).as("src"),
-        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-        when(uFirst, col("vdeg")).otherwise(col("udeg")).as("ddeg"))
-    }
-    val o1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("bdeg"))
-    val o2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("cdeg"))
-    val wedges = o1.join(o2, Seq("src"))
-      .filter(col("bdeg") < col("cdeg") ||
-        (col("bdeg") === col("cdeg") && col("b") < col("c")))
-    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
-    val perVertex = wedges.join(closing, Seq("b", "c"))
-      .select(explode(array(col("src"), col("b"), col("c"))).as("x"))
-      .groupBy("x").agg(count(lit(1)).as("n_tri"))
+    val (deg, perVertex) = trianglePerVertex(s, d)
     deg.filter(col("deg") >= 2)
       .join(perVertex, Seq("x"), "left")
       .select(col("deg"), coalesce(col("n_tri"), lit(0L)).as("t"))
@@ -459,30 +451,7 @@ object GraphQueries {
     * orientation bounds wedge fan-out by the max LOW-degree, hubs
     * never enumerate their own neighborhoods. */
   def graphLocalClusteringTopk(s: SparkSession, d: String): DataFrame = {
-    val edges = supportEdges(s, d)
-    val deg = edges.select(col("u").as("x"))
-      .unionAll(edges.select(col("v").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("deg"))
-    val withDeg = edges
-      .join(deg.select(col("x").as("u"), col("deg").as("udeg")), Seq("u"))
-      .join(deg.select(col("x").as("v"), col("deg").as("vdeg")), Seq("v"))
-    val uFirst = col("udeg") < col("vdeg") ||
-      (col("udeg") === col("vdeg") && col("u") < col("v"))
-    val oriented = PipelineCache.getOrPersist(s"graph_oriented_edges:$d") {
-      withDeg.select(
-        when(uFirst, col("u")).otherwise(col("v")).as("src"),
-        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-        when(uFirst, col("vdeg")).otherwise(col("udeg")).as("ddeg"))
-    }
-    val o1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("bdeg"))
-    val o2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("cdeg"))
-    val wedges = o1.join(o2, Seq("src"))
-      .filter(col("bdeg") < col("cdeg") ||
-        (col("bdeg") === col("cdeg") && col("b") < col("c")))
-    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
-    val perVertex = wedges.join(closing, Seq("b", "c"))
-      .select(explode(array(col("src"), col("b"), col("c"))).as("x"))
-      .groupBy("x").agg(count(lit(1)).as("n_tri"))
+    val (deg, perVertex) = trianglePerVertex(s, d)
     deg.filter(col("deg") >= 2)
       .join(perVertex, Seq("x"), "left")
       .select(col("x").as("part"), col("deg"),
@@ -1370,6 +1339,43 @@ object GraphQueries {
       .orderBy("l_partkey")
   }
 
+  /** 2-HOP CARDINALITY SKETCH — the skew-proof scale path for
+    * [[graph2HopCard]] (r8 verdict #2): the exact form's wedge
+    * self-join materializes Σ deg² pairs before its distinct, and on a
+    * power-law graph at 100× one hub vertex of degree h owns h² of
+    * that budget — the exact form stays in the registry as the small-sf
+    * QA oracle, this sketch is what runs at scale. No wedge is ever
+    * materialized: each vertex builds a 1-hop HLL sketch (one
+    * partial-aggregated pass over E), and x's 2-hop estimate is the
+    * UNION of its neighbors' sketches merged with its own — HLL merges
+    * are associative, commutative and constant-width (lgK=12 → 2 KB),
+    * so a hub's deg-many merges combine map-side like any sum. Total
+    * cost: two mergeable rollups + one edge-keyed join shipping
+    * fixed-size buffers — every step linear in E, no deg² term
+    * anywhere.
+    *
+    * Estimate semantics: the neighbor-union includes x itself (the
+    * support graph is symmetric, so x ∈ N(y) for every y ∈ N(x)) —
+    * the estimated set is {x} ∪ N(x) ∪ N²(x), i.e. exact n_2hop + 1;
+    * [[graft.GraphQueriesSpec]] pins the HLL error bound against the
+    * exact form. Engine-internal sketch → no DuckDB oracle (rows-only
+    * driver check, the declared approx_distinct_hll pattern), and the
+    * estimate carries the in-engine exact-QA columns at dump scale. */
+  def graph2HopCardSketch(s: SparkSession, d: String): DataFrame = {
+    val one = supportDir(s, d).select(col("src").as("x"), col("dst").as("y"))
+    val sk1 = one.groupBy("x").agg(hll_sketch_agg(col("y"), 12).as("sk"))
+    val fromNeighbors = one
+      .join(sk1.select(col("x").as("y"), col("sk")), Seq("y"))
+      .select(col("x"), col("sk"))
+    sk1.unionAll(fromNeighbors)
+      .groupBy("x")
+      // estimate surfaces as BIGINT (the engine rounds the HLL
+      // estimator) — integer output, no float repr drift to manage
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_2hop_est"))
+      .select(col("x").as("l_partkey"), col("n_2hop_est"))
+      .orderBy("l_partkey")
+  }
+
   /** DEGREE ASSORTATIVITY of the support graph — Newman's r: the
     * Pearson correlation of endpoint degrees over every directed edge
     * (r > 0: hubs attach to hubs — social-network shape; r < 0: hubs
@@ -1497,6 +1503,7 @@ object GraphQueries {
     "graph_link_prediction_ra" -> graphLinkPredictionRa _,
     "graph_assortativity"      -> graphAssortativity _,
     "graph_2hop_card"          -> graph2HopCard _,
+    "graph_2hop_card_sketch"   -> graph2HopCardSketch _,
     "graph_scc_full"          -> graphSccFull _,
     "graph_condensation_dag"  -> graphCondensationDag _,
     "graph_topo_layers"       -> graphTopologicalLayers _,

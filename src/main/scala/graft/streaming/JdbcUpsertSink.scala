@@ -38,11 +38,26 @@ import org.apache.spark.sql.functions.{broadcast, col, min, struct}
   * dimension-sized here (the reference's plans/clients tables) — a
   * fact-sized sink would flip to a shuffled anti-join exactly like
   * [[graft.ops.DedupQueries]]'s guarded incremental batch. Writes batch
-  * 10k rows per round trip over at most 8 connections, the
-  * [[graft.etl.Load]] contract.
+  * 10k rows per round trip, the [[graft.etl.Load]] contract.
+  *
+  * WRITE-PARALLELISM CONTRACT (r8 advice): the existing-key snapshot is
+  * read ONCE before the append, so the batch-level guards above do not
+  * cover two hazards inside one append job — (a) on a sink whose JDBC
+  * driver cannot give per-partition transactions, a retried task
+  * re-inserts the rows its failed attempt already committed, and (b) a
+  * CONCURRENT writer to the same table races the read-before-write.
+  * Both are neutralized by a UNIQUE constraint on `keyCols` (which the
+  * reference's tables carry — `schema_database_pgsql.sql:110,146`, and
+  * our provisioned DDL mirrors): the sink rejects the duplicate row
+  * instead of silently keeping it. `keyIsUnique = true` declares that
+  * constraint and unlocks the 8-connection parallel append; the default
+  * (false) assumes nothing and appends over a SINGLE connection, which
+  * removes the task-retry duplicate window (one transactional
+  * partition) — single-writer discipline is still the caller's job
+  * either way. An explicit `numPartitions` in `props` overrides both.
   */
 final class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
-    props: Properties = new Properties)
+    props: Properties = new Properties, keyIsUnique: Boolean = false)
   extends ((DataFrame, Long) => Unit) with Serializable {
 
   private val ledger = s"${table}_batch_ledger"
@@ -99,7 +114,8 @@ final class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
     val p = new Properties
     p.putAll(props)
     if (!p.containsKey("batchsize")) p.setProperty("batchsize", "10000")
-    if (!p.containsKey("numPartitions")) p.setProperty("numPartitions", "8")
+    if (!p.containsKey("numPartitions"))
+      p.setProperty("numPartitions", if (keyIsUnique) "8" else "1")
     novel.write.mode(SaveMode.Append).jdbc(url, table, p)
     record(batchId)
   }

@@ -530,4 +530,22 @@ class GraphQueriesSpec extends SparkTestBase {
     assert(byScc.count(_._2.length >= 2) >= 2, s"sizes=${byScc.view.mapValues(_.length).toMap}")
     assert(byScc.count(_._2.length == 1) >= 1)
   }
+  test("2-hop HLL sketch tracks the exact cardinality within its bound") {
+    // the sketch's target set includes the vertex itself (symmetric
+    // graph: x is a neighbor of its neighbors), so exact + 1
+    val exact = graft.ops.GraphQueries.graph2HopCard(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val est = graft.ops.GraphQueries.graph2HopCardSketch(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    assert(est.keySet == exact.keySet, "sketch must cover every vertex")
+    val relErrs = exact.map { case (k, n2) =>
+      val target = n2 + 1.0
+      math.abs(est(k) - target) / target
+    }
+    // lgK=12 -> rsd ~1.6%; 3 sigma ~4.9%. Small sets are near-exact in
+    // HLL++'s sparse mode, so the mean must be far tighter.
+    assert(relErrs.max <= 0.05, s"worst rel err ${relErrs.max}")
+    assert(relErrs.sum / relErrs.size <= 0.02,
+      s"mean rel err ${relErrs.sum / relErrs.size}")
+  }
 }
