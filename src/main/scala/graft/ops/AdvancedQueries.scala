@@ -471,10 +471,15 @@ object AdvancedQueries {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        (sx / n).as("mean_qty"),
-        varX.as("var_qty"),
-        covar.as("covar_qp"),
-        (covar / sqrt(varX * varY)).as("corr_qp"))
+        // final doubles ROUNDED to 9 (round 9): the operands are exact
+        // decimal sums, but the divide/sqrt tails drifted 1 ulp vs
+        // DuckDB at sf1 (corr_qp, 17th significant digit) — the suite's
+        // standard rounding granularity absorbs engine fp-contraction
+        // differences the exact-sum recipe can't reach
+        round(sx / n, 9).as("mean_qty"),
+        round(varX, 9).as("var_qty"),
+        round(covar, 9).as("covar_qp"),
+        round(covar / sqrt(varX * varY), 9).as("corr_qp"))
       .orderBy("l_returnflag")
   }
 
@@ -724,12 +729,12 @@ object AdvancedQueries {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, cnt AS n,
-        |  sx / CAST(cnt AS DOUBLE) AS mean_qty,
-        |  (sxx - sx * sx / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0) AS var_qty,
-        |  (sxy - sx * sy / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0) AS covar_qp,
-        |  ((sxy - sx * sy / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)) /
+        |  ROUND(sx / CAST(cnt AS DOUBLE), 9) AS mean_qty,
+        |  ROUND((sxx - sx * sx / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0), 9) AS var_qty,
+        |  ROUND((sxy - sx * sy / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0), 9) AS covar_qp,
+        |  ROUND(((sxy - sx * sy / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)) /
         |    sqrt(((sxx - sx * sx / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)) *
-        |         ((syy - sy * sy / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0))) AS corr_qp
+        |         ((syy - sy * sy / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0))), 9) AS corr_qp
         |FROM s ORDER BY l_returnflag""".stripMargin,
     "agg_histogram_buckets" ->
       """SELECT CAST(floor(o_totalprice / 60000.0) AS BIGINT) AS bucket,

@@ -842,9 +842,17 @@ object GraphQueries {
     for (_ <- 1 to rounds) {
       val g = f.select(col("k").as("g_k"), col("anc").as("g_anc"),
         col("d").as("g_d"))
-      f = f.join(g, col("anc") === col("g_k"))
-        .select(col("k"), col("g_anc").as("anc"),
-          (col("d") + col("g_d")).as("d"))
+      // LEFT join + freeze (round 9, sf1 answer check): the arithmetic
+      // parent of a key need not itself be a key once the corpus is
+      // replicated into disjoint key ranges (sf1) — a dangling ancestor
+      // pointer is an ABSORBING state (anc and d stop advancing),
+      // matching the per-node oracle walk, which ends when cur has no
+      // row. The old inner join silently DROPPED every key whose chain
+      // left the key set (9/10 of the sf1 tree). Dense fixtures have no
+      // dangling parents, so small-sf results are bit-identical.
+      f = f.join(g, col("anc") === col("g_k"), "left")
+        .select(col("k"), coalesce(col("g_anc"), col("anc")).as("anc"),
+          (col("d") + coalesce(col("g_d"), lit(0L))).as("d"))
         .localCheckpoint()
     }
     f.select(col("k").as("p_partkey"), col("anc").as("root"),
@@ -1190,9 +1198,11 @@ object GraphQueries {
     var rounds = 0
     while (nResidual > 0 && rounds < SccMaxComponents) {
       rounds += 1
-      // EAGER here: e feeds both pivots and adj2, which materialize in
-      // the same BFS round-1 job — lazy blocks would race-compute e twice
-      val e = resEdges().localCheckpoint()
+      // LAZY + immediate count (round 9, one barrier instead of two):
+      // the count below is the materializing action, and it runs BEFORE
+      // any plan references e twice — pivots and adj2 then read cached
+      // blocks, so the round-8 race-compute hazard never arises
+      val e = resEdges().localCheckpoint(eager = false)
       // MULTI-pivot extraction (round-7 upgrade, measured necessary):
       // one pivot per round made the loop depth equal the nontrivial-
       // SCC count — at the generated sf1 (10 disjoint replicas × 2
@@ -1217,9 +1227,12 @@ object GraphQueries {
       // SUM (measured ~2× on the driver-round-dominated cost: the two
       // closures spend wall time on scheduler round-trips, not data).
       val nE = e.count()
+      // lazy: each BFS round's single job references adj2 exactly once,
+      // so round 1 materializes the blocks with no race window — one
+      // less barrier per extraction round
       val adj2raw = e.select(col("src").as("x"), col("dst").as("y"), lit(0).as("dir"))
         .unionAll(e.select(col("dst").as("x"), col("src").as("y"), lit(1).as("dir")))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // guarded broadcast of the residual adjacency (2·|e| rows, count
       // known from the probe above): under the cap each BFS round's
       // frontier join is broadcast-hash — the round's only shuffle is

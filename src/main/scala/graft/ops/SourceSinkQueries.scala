@@ -52,6 +52,17 @@ object SourceSinkQueries {
   /** Columnar binary format with its own type system + predicate
     * pushdown surface (Spark's built-in ORC reader/writer). */
   def orcRoundtripAgg(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "orc")
+  /** Avro datasource — the implementation classes ship inside
+    * spark-sql_2.13-4.1.2.jar in this image (Spark 4 merged the Avro
+    * source tree), but the jar's DataSourceRegister services file does
+    * NOT register the "avro" short name (that registration lives in the
+    * absent external spark-avro artifact), so the format is addressed
+    * by its fully-qualified FileFormat class. Closes the last stock
+    * batch format without a registry row (r8 verdict #5): the row-based
+    * schema-evolving format a Kafka-adjacent pipeline lands before
+    * compacting to columnar parquet/orc. */
+  def avroRoundtripAgg(s: SparkSession, d: String): DataFrame =
+    roundtrip(s, d, "org.apache.spark.sql.avro.AvroFileFormat")
 
   /** Hive-style partitioned layout + partition pruning — the first
     * lever of any 100 TB table design: write `documents` partitioned by
@@ -79,6 +90,7 @@ object SourceSinkQueries {
     "xml_roundtrip_agg"  -> xmlRoundtripAgg _,
     "json_roundtrip_agg" -> jsonRoundtripAgg _,
     "orc_roundtrip_agg"  -> orcRoundtripAgg _,
+    "avro_roundtrip_agg" -> avroRoundtripAgg _,
     "parquet_partitioned_prune" -> parquetPartitionedPrune _,
   )
 
@@ -91,6 +103,7 @@ object SourceSinkQueries {
     "xml_roundtrip_agg"  -> aggSql,
     "json_roundtrip_agg" -> aggSql,
     "orc_roundtrip_agg"  -> aggSql,
+    "avro_roundtrip_agg" -> aggSql,
     "parquet_partitioned_prune" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE lang IN ('en', 'de')
