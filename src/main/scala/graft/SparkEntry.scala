@@ -34,7 +34,8 @@ object SparkEntry {
       FrontierQueriesI.queries ++ FrontierQueriesJ.queries ++
       FrontierQueriesK.queries ++ FrontierQueriesL.queries ++
       FrontierQueriesM.queries ++ FrontierQueriesN.queries ++
-      FrontierQueriesO.queries ++ FrontierQueriesP.queries
+      FrontierQueriesO.queries ++ FrontierQueriesP.queries ++
+      FrontierQueriesQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +56,6 @@ object SparkEntry {
       FrontierQueriesI.oracle ++ FrontierQueriesJ.oracle ++
       FrontierQueriesK.oracle ++ FrontierQueriesL.oracle ++
       FrontierQueriesM.oracle ++ FrontierQueriesN.oracle ++
-      FrontierQueriesO.oracle ++ FrontierQueriesP.oracle
+      FrontierQueriesO.oracle ++ FrontierQueriesP.oracle ++
+      FrontierQueriesQ.oracle
 }

@@ -85,14 +85,16 @@ object AdvancedQueries {
   }
 
   /** NATIVE `session_window` sessionization in batch — the built-in
-    * operator next to the manual lag-gap idiom ([[windowSessionizeBatch]]):
-    * Spark merges events whose gap to the session's last event is
-    * STRICTLY under the 30-minute gap (window end = last + gap,
-    * exclusive), so the oracle's manual reconstruction starts a new
-    * session at gap ≥ 1800 s — one boundary tighter than the manual
-    * query's > 1800 (both semantics are real; shipping both, each
-    * oracle-checked, pins the difference). Output carries the native
-    * window's [start, end) — end = last event + gap. */
+    * operator next to the manual lag-gap idiom ([[windowSessionizeBatch]]).
+    * Boundary semantics, MEASURED not assumed (round 9): the engine
+    * MERGES an event whose gap to the session's last event is exactly
+    * the 30-minute gapDuration — i.e. a new session starts only at
+    * gap > 1800 s, the same inclusive boundary as the manual idiom.
+    * The oracle's manual reconstruction matches (`> 1800`); the r8
+    * oracle said `>= 1800`, which agreed on every fixture until the
+    * sf1 corpus produced two second-truncated events exactly 1800 s
+    * apart and the engine kept them in one session. Output carries the
+    * native window's [start, end) — end = last event + gap. */
   def timeSessionWindowNative(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("user_id"), date_trunc("second", col("ts")).as("ts"))
@@ -808,7 +810,7 @@ object AdvancedQueries {
         |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts FROM events),
         |f AS (SELECT user_id, event_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR date_diff('second', lag(ts) OVER w, ts) >= 1800 THEN 1 ELSE 0 END AS new_s
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |g AS (SELECT user_id, ts,
         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
