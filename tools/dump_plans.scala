@@ -14,7 +14,10 @@ val qs = Seq(
   "time_seasonal_index", "agg_entropy_by_group", "graph_2hop_card",
   // round-8 final-session waves
   "dedup_cdc_chunks", "sim_ndcg_quantized", "stat_esd_outliers",
-  "agg_funnel_conversion", "stat_kaplan_meier", "agg_rfm_segments")
+  "agg_funnel_conversion", "stat_kaplan_meier", "agg_rfm_segments",
+  // round 9
+  "graph_2hop_card_sketch", "stat_mantel_haenszel", "agg_theil_decomp",
+  "stat_bh_fdr", "avro_roundtrip_agg")
 val sb = new StringBuilder
 sb.append("# Flagship physical plans (sf0.001, shuffle.partitions=8)\n\n")
 sb.append("Regenerate: `spark-shell --driver-class-path target/scala-2.13/classes -i tools/dump_plans.scala`.\n")
