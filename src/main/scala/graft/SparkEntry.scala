@@ -35,7 +35,7 @@ object SparkEntry {
       FrontierQueriesK.queries ++ FrontierQueriesL.queries ++
       FrontierQueriesM.queries ++ FrontierQueriesN.queries ++
       FrontierQueriesO.queries ++ FrontierQueriesP.queries ++
-      FrontierQueriesQ.queries
+      FrontierQueriesQ.queries ++ FrontierQueriesR.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +57,5 @@ object SparkEntry {
       FrontierQueriesK.oracle ++ FrontierQueriesL.oracle ++
       FrontierQueriesM.oracle ++ FrontierQueriesN.oracle ++
       FrontierQueriesO.oracle ++ FrontierQueriesP.oracle ++
-      FrontierQueriesQ.oracle
+      FrontierQueriesQ.oracle ++ FrontierQueriesR.oracle
 }

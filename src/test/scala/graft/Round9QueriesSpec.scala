@@ -118,4 +118,86 @@ class Round9QueriesSpec extends SparkTestBase {
       assert(math.abs(p - want) <= 1.5e-7, s"z=$z: $p vs $want")
     }
   }
+  test("isotonic calibration equals a scala pool-adjacent-violators replay") {
+    val out = rows("stat_isotonic_calibration")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // monotone nondecreasing by construction
+    out.sliding(2).foreach { case Array((b1, _, _, f1), (b2, _, _, f2)) =>
+      assert(f2 >= f1 - 1e-9, s"iso fit not monotone at $b1 -> $b2: $f1 > $f2")
+    case _ => }
+    // PAV stack replay over the same (n, raw-rate) bins
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val bins = ops.Tables.orders(spark, sfDir)
+      .select(floor(col("o_totalprice") / 12000.0).cast(LongType).as("bucket"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"), sum("y").as("ys"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    case class Block(var n: Long, var ys: Long) { def rate = ys.toDouble / n }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Block, Int)]
+    bins.zipWithIndex.foreach { case ((_, n, ys), i) =>
+      stack += ((Block(n, ys), 1))
+      while (stack.size >= 2 &&
+        stack(stack.size - 2)._1.rate >= stack.last._1.rate - 1e-15) {
+        val (b2, c2) = stack.remove(stack.size - 1)
+        val (b1, c1) = stack.remove(stack.size - 1)
+        stack += ((Block(b1.n + b2.n, b1.ys + b2.ys), c1 + c2))
+      }
+    }
+    val pav = stack.flatMap { case (b, c) => Seq.fill(c)(b.rate) }
+    assert(pav.size == out.size)
+    out.map(_._4).zip(pav).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(math.abs(got - want) <= 1e-8,
+        s"bin $i: minimax $got != PAV $want")
+    }
+  }
+
+  test("k-anonymity rows at risk are consistent and monotone in k") {
+    val out = rows("etl_k_anonymity")
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("n_groups")),
+        r.getLong(r.fieldIndex("n_groups_below")),
+        r.getLong(r.fieldIndex("rows_at_risk")),
+        r.getDouble(r.fieldIndex("risk_pct")))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(2L, 5L, 10L))
+    // group universe identical across k rows; risk monotone in k
+    assert(out.map(_._2).distinct.size == 1)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3 && b._4 >= a._4, s"risk not monotone: $a -> $b")
+    case _ => }
+    out.foreach { case (_, _, gb, rar, pct) =>
+      assert(rar >= gb, "each below-k group has >= 1 row")
+      assert(pct >= 0 && pct <= 1)
+    }
+  }
+
+  test("lead-lag cross-correlations are valid r and lag 0 matches a direct Pearson") {
+    val out = rows("time_crosscorr_leadlag")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 15)
+    out.foreach { case (lag, n, r) =>
+      assert(n > 2, s"lag $lag spine too short")
+      assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, s"lag $lag r=$r")
+    }
+    // scala replay at lag 0
+    import org.apache.spark.sql.functions._
+    val daily = ops.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+    val v = daily.filter(_._2 == "view").map(t => t._1 -> t._3).toMap
+    val pch = daily.filter(_._2 == "purchase").map(t => t._1 -> t._3).toMap
+    val keys = v.keySet intersect pch.keySet
+    val xs = keys.toSeq.sorted.map(k => (v(k).toDouble, pch(k).toDouble))
+    val n = xs.size.toDouble
+    val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+    val sxy = xs.map(t => t._1 * t._2).sum
+    val sxx = xs.map(t => t._1 * t._1).sum; val syy = xs.map(t => t._2 * t._2).sum
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = out.find(_._1 == 0L).get._3
+    assert(math.abs(got - want) <= 1e-6, s"lag0 $got vs $want")
+  }
 }
