@@ -35,7 +35,8 @@ object SparkEntry {
       FrontierQueriesK.queries ++ FrontierQueriesL.queries ++
       FrontierQueriesM.queries ++ FrontierQueriesN.queries ++
       FrontierQueriesO.queries ++ FrontierQueriesP.queries ++
-      FrontierQueriesQ.queries ++ FrontierQueriesR.queries
+      FrontierQueriesQ.queries ++ FrontierQueriesR.queries ++
+      FrontierQueriesS.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +58,6 @@ object SparkEntry {
       FrontierQueriesK.oracle ++ FrontierQueriesL.oracle ++
       FrontierQueriesM.oracle ++ FrontierQueriesN.oracle ++
       FrontierQueriesO.oracle ++ FrontierQueriesP.oracle ++
-      FrontierQueriesQ.oracle ++ FrontierQueriesR.oracle
+      FrontierQueriesQ.oracle ++ FrontierQueriesR.oracle ++
+      FrontierQueriesS.oracle
 }

@@ -1,0 +1,340 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
+
+/** Round-9 frontier wave 23 — the sequential / uncertainty side of an
+  * experimentation platform (novelty grep-checked against all 385
+  * registry names):
+  *
+  *  - Split-conformal prediction interval — distribution-free coverage
+  *    guarantee for ANY point predictor (here the one-feature OLS the
+  *    registry already fits): calibration-half residual quantile →
+  *    test-half coverage audit. The modern uncertainty-quantification
+  *    primitive; nothing in the registry quantifies predictive
+  *    uncertainty.
+  *  - Wald SPRT — the SEQUENTIAL hypothesis test (`stat_power_mde` and
+  *    `stat_srm_check` are fixed-horizon): cumulative log-likelihood
+  *    ratio against two boundaries, reporting the day-by-day decision
+  *    state — the "can we stop the experiment yet" curve.
+  *  - Granger F-test — the MODEL-based complement of
+  *    [[FrontierQueriesR.timeCrosscorrLeadlag]]'s correlation screen:
+  *    does yesterday's view count improve the purchase forecast beyond
+  *    purchase's own history (nested-OLS RSS ratio).
+  */
+object FrontierQueriesS {
+
+  /** SPLIT-CONFORMAL INTERVAL for order totalprice predicted from the
+    * order's line-item count. Deterministic even/odd-orderkey split:
+    * even = calibration, odd = test. Fit the one-feature OLS on
+    * calibration via exact decimal/integer moments; the conformal
+    * radius q̂ is the ⌈0.9·(n_c+1)⌉-th SMALLEST calibration absolute
+    * residual (an exact order statistic — integer rank, no
+    * interpolation, ties broken on orderkey); report test-half
+    * coverage, which the conformal guarantee pins near 90% regardless
+    * of how wrong the linear model is.
+    *
+    * Determinism: residuals are one fixed double tree per row over
+    * exact inputs, so both engines rank identical doubles; the rank is
+    * integer arithmetic. Scale posture: two fact rollups + one
+    * order-statistic window over the CALIBRATION slice (a production
+    * run swaps the exact rank for a GK quantile — the registry's
+    * `approx_quantile_sketch` — once n_c outgrows a sort) + one
+    * broadcast of the 1-row (a, b, q̂) frame over the test scan. */
+  def statConformalInterval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // y in EXACT CENTS (decimal cast, then scale — the house recipe;
+    // double sums of raw prices are order-sensitive across engines),
+    // x the integer line-item count: every moment is an exact BIGINT,
+    // so the fitted (a, b) and every residual are one fixed double tree.
+    val base = Tables.lineitem(s, d)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("x"))
+      .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("yc")), Seq("l_orderkey"))
+      .select(col("l_orderkey").as("k"), col("x"), col("yc"),
+        (col("l_orderkey") % 2 === 0).as("calib"))
+    val m = base.filter(col("calib")).agg(
+      count(lit(1)).as("nc"),
+      sum("x").as("sx"), sum("yc").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("yc")).as("sxy"))
+    val nD = col("nc").cast(DoubleType)
+    val bExpr = (nD * col("sxy").cast(DoubleType) -
+      col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+      (nD * col("sxx").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+    val fit = m.select(col("nc"), bExpr.as("b"),
+      ((col("sy").cast(DoubleType) - bExpr * col("sx").cast(DoubleType)) / nD)
+        .as("a"))
+    val withResid = base.crossJoin(broadcast(fit))
+      .withColumn("resid", abs(col("yc").cast(DoubleType) - col("a") -
+        col("b") * col("x").cast(DoubleType)))
+    val wR = Window.orderBy(col("resid"), col("k"))
+    val qhat = withResid.filter(col("calib"))
+      .withColumn("rk", row_number().over(wR).cast(LongType))
+      // rank = ceil(0.9 * (nc + 1)), in integer arithmetic:
+      // ceil(9(nc+1)/10) = (9(nc+1) + 9) DIV 10 — expr("DIV"), because
+      // Column `/` is DOUBLE division even on longs (the suite's
+      // standard trap) and a long == double comparison never matches
+      .filter(col("rk") === expr("(9 * (nc + 1) + 9) DIV 10"))
+      // nc already rides on withResid via the fit broadcast — carrying
+      // it here too would make the final join ambiguous
+      .select(col("resid").as("q_hat"))
+    withResid.filter(!col("calib"))
+      .crossJoin(broadcast(qhat))
+      .agg(max("nc").as("n_calib"), count(lit(1)).as("n_test"),
+        max("a").as("a"), max("b").as("b"), max("q_hat").as("q"),
+        sum(when(col("resid") <= col("q_hat"), 1L).otherwise(0L)).as("cov"))
+      .select(col("n_calib"), col("n_test"),
+        round(col("a") / 100.0, 9).as("intercept"),
+        round(col("b") / 100.0, 9).as("slope"),
+        round(col("q") / 100.0, 9).as("q_hat"),
+        round(col("cov").cast(DoubleType) / col("n_test").cast(DoubleType), 9)
+          .as("coverage"))
+  }
+
+  // SPRT design constants: H0 p=0.48 vs H1 p=0.52 on the daily
+  // purchase share of (purchase + view) traffic; alpha = beta = 0.05.
+  private val SprtP0 = 0.48
+  private val SprtP1 = 0.52
+
+  /** WALD SPRT over the daily purchase-conversion stream — cumulative
+    * log-likelihood ratio Λ_t = k_t·ln(p1/p0) + (n_t−k_t)·ln(q1/q0)
+    * against the boundaries ln(β/(1−α)) and ln((1−β)/α), one row per
+    * day with the running decision ('accept_h0' / 'continue' /
+    * 'accept_h1'). The sequential "stop the experiment early" curve
+    * fixed-horizon tests cannot give.
+    *
+    * Determinism: k_t and n_t are CUMULATIVE EXACT INTEGERS (window
+    * sums of counts), so Λ_t is one fixed double tree per row — no
+    * running double accumulation anywhere. Scale posture: one (day)
+    * rollup of the fact table; the day spine is calendar-bounded. */
+  def statSprtSequential(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(datediff(date_trunc("day", col("ts")).cast(DateType),
+        lit("2024-01-01").cast(DateType)).cast(LongType).as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("succ"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_day"), sum("succ").as("k_day"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lnA = math.log(0.05 / 0.95)  // accept H0 at or below
+    val lnB = math.log(0.95 / 0.05)  // accept H1 at or above
+    val kc = sum("k_day").over(wCum)
+    val nc = sum("n_day").over(wCum)
+    val llr = kc.cast(DoubleType) * math.log(SprtP1 / SprtP0) +
+      (nc - kc).cast(DoubleType) * math.log((1 - SprtP1) / (1 - SprtP0))
+    daily
+      .select(col("day"), kc.as("cum_succ"), nc.as("cum_trials"),
+        round(llr, 9).as("llr"),
+        when(llr >= lnB, "accept_h1")
+          .when(llr <= lnA, "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy("day")
+  }
+
+  /** GRANGER CAUSALITY F-TEST (1 lag): does yesterday's VIEW volume
+    * improve today's PURCHASE forecast beyond purchase's own lag?
+    * Restricted model y_t = a + b·y_{t−1} vs unrestricted
+    * y_t = a + b·y_{t−1} + c·x_{t−1}; F = (RSS0 − RSS1)/(RSS1/(n−3)).
+    * The model-based confirmation of
+    * [[FrontierQueriesR.timeCrosscorrLeadlag]]'s correlation screen —
+    * correlation can be confounded by shared autocorrelation, the
+    * nested-model test is not.
+    *
+    * Determinism: the day spine joins on integer epoch offsets; all
+    * ten normal-equation moments are EXACT integer sums (daily counts
+    * are BIGINTs); both regressions solve by Cramer's rule in one
+    * fixed double tree (the [[StatQueries]] `stat_ols_multi` recipe);
+    * round 9. The 5%-critical value F(1, n−3) is a stated literal for
+    * the fixture's n (the decision column, not the statistic, depends
+    * on it). Scale posture: one (day, type) rollup; everything after
+    * is constant-size. */
+  def timeGrangerF(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(datediff(date_trunc("day", col("ts")).cast(DateType),
+        lit("2024-01-01").cast(DateType)).cast(LongType).as("di"),
+        col("event_type"))
+      .groupBy("di", "event_type").agg(count(lit(1)).as("n"))
+    val x = daily.filter(col("event_type") === "view")
+      .select(col("di"), col("n").as("xv"))
+    val y = daily.filter(col("event_type") === "purchase")
+      .select(col("di"), col("n").as("yv"))
+    val spine = y.select(col("di"), col("yv").as("yt"))
+      .join(y.select((col("di") + 1L).as("di"), col("yv").as("yl")), Seq("di"))
+      .join(x.select((col("di") + 1L).as("di"), col("xv").as("xl")), Seq("di"))
+    val m = spine.agg(count(lit(1)).as("n"),
+      sum("yt").as("sy"), sum("yl").as("sz"), sum("xl").as("sx"),
+      sum(col("yt") * col("yt")).as("syy"),
+      sum(col("yl") * col("yl")).as("szz"),
+      sum(col("xl") * col("xl")).as("sxx"),
+      sum(col("yt") * col("yl")).as("szy"),
+      sum(col("yt") * col("xl")).as("sxy"),
+      sum(col("yl") * col("xl")).as("szx"))
+    def dc(c: String) = col(c).cast(DoubleType)
+    val nD = dc("n")
+    // restricted: y on z. RSS0 = Syy_c - Szy_c^2 / Szz_c (centered)
+    val syyC = dc("syy") - dc("sy") * dc("sy") / nD
+    val szzC = dc("szz") - dc("sz") * dc("sz") / nD
+    val sxxC = dc("sxx") - dc("sx") * dc("sx") / nD
+    val szyC = dc("szy") - dc("sz") * dc("sy") / nD
+    val sxyC = dc("sxy") - dc("sx") * dc("sy") / nD
+    val szxC = dc("szx") - dc("sz") * dc("sx") / nD
+    val rss0 = syyC - szyC * szyC / szzC
+    // unrestricted: y on (z, x), centered 2x2 normal equations
+    val det = szzC * sxxC - szxC * szxC
+    val b1 = (sxxC * szyC - szxC * sxyC) / det
+    val b2 = (szzC * sxyC - szxC * szyC) / det
+    val rss1 = syyC - b1 * szyC - b2 * sxyC
+    val f = (rss0 - rss1) / (rss1 / (nD - lit(3.0)))
+    // F(1, 26) at 5% = 4.2252 (fixture spine n = 29); stated literal —
+    // the DECISION is fixture-calibrated, the statistic is general
+    // RSS magnitudes are ~1e6 at sf1 — round 9 would demand 16
+    // significant digits (past double; the suite's documented trap),
+    // and the 1-ulp Cramer tail DID flip the 9th decimal at sf1.
+    // Round 3: 10 significant digits at sf1, 12 at 100×, always safe.
+    m.select(col("n").as("n_days"),
+      round(rss0, 3).as("rss_restricted"),
+      round(rss1, 3).as("rss_unrestricted"),
+      round(f, 9).as("f_stat"),
+      (f > lit(4.2252)).as("x_granger_causes_y"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_conformal_interval" -> statConformalInterval _,
+    "stat_sprt_sequential"    -> statSprtSequential _,
+    "time_granger_f"          -> timeGrangerF _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stat_conformal_interval" ->
+      """WITH base AS (
+        |  SELECT l.l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(MAX(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS yc,
+        |    l.l_orderkey % 2 = 0 AS calib
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 4),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * yc) AS BIGINT) AS sxy
+        |  FROM base WHERE calib),
+        |fit AS (
+        |  SELECT nc,
+        |    (CAST(nc AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(nc AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+        |    (CAST(sy AS DOUBLE) -
+        |      ((CAST(nc AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       (CAST(nc AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+        |      CAST(sx AS DOUBLE)) / CAST(nc AS DOUBLE) AS a
+        |  FROM m),
+        |wr AS (
+        |  SELECT base.*,
+        |    abs(CAST(yc AS DOUBLE) - f.a - f.b * CAST(x AS DOUBLE)) AS resid,
+        |    f.a, f.b, f.nc
+        |  FROM base, fit f),
+        |q AS (
+        |  SELECT resid AS q_hat, nc FROM (
+        |    SELECT resid, nc,
+        |      CAST(ROW_NUMBER() OVER (ORDER BY resid, k) AS BIGINT) AS rk
+        |    FROM wr WHERE calib)
+        |  WHERE rk = (9 * (nc + 1) + 9) // 10)
+        |SELECT CAST(q.nc AS BIGINT) AS n_calib,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  ROUND(MAX(wr.a) / 100.0, 9) AS intercept,
+        |  ROUND(MAX(wr.b) / 100.0, 9) AS slope,
+        |  ROUND(MAX(q.q_hat) / 100.0, 9) AS q_hat,
+        |  ROUND(CAST(SUM(CASE WHEN wr.resid <= q.q_hat THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS coverage
+        |FROM wr, q WHERE NOT wr.calib GROUP BY q.nc""".stripMargin,
+    "stat_sprt_sequential" -> {
+      val c1 = math.log(SprtP1 / SprtP0)
+      val c0 = math.log((1 - SprtP1) / (1 - SprtP0))
+      val lnA = math.log(0.05 / 0.95)
+      val lnB = math.log(0.95 / 0.05)
+      s"""WITH daily AS (
+         |  SELECT date_diff('day', DATE '2024-01-01',
+         |      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n_day,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS k_day
+         |  FROM events WHERE event_type IN ('view', 'purchase')
+         |  GROUP BY 1),
+         |c AS (
+         |  SELECT day,
+         |    CAST(SUM(k_day) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cum_succ,
+         |    CAST(SUM(n_day) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cum_trials
+         |  FROM daily)
+         |SELECT day, cum_succ, cum_trials,
+         |  ROUND(CAST(cum_succ AS DOUBLE) * $c1 +
+         |    CAST(cum_trials - cum_succ AS DOUBLE) * $c0, 9) AS llr,
+         |  CASE
+         |    WHEN CAST(cum_succ AS DOUBLE) * $c1 +
+         |      CAST(cum_trials - cum_succ AS DOUBLE) * $c0 >= $lnB
+         |      THEN 'accept_h1'
+         |    WHEN CAST(cum_succ AS DOUBLE) * $c1 +
+         |      CAST(cum_trials - cum_succ AS DOUBLE) * $c0 <= $lnA
+         |      THEN 'accept_h0'
+         |    ELSE 'continue' END AS decision
+         |FROM c ORDER BY day""".stripMargin
+    },
+    "time_granger_f" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '2024-01-01',
+        |      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS di,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |x AS (SELECT di, n AS xv FROM daily WHERE event_type = 'view'),
+        |y AS (SELECT di, n AS yv FROM daily WHERE event_type = 'purchase'),
+        |spine AS (
+        |  SELECT yt.di, yt.yv AS yt, yl.yv AS yl, xl.xv AS xl
+        |  FROM y yt
+        |  JOIN y yl ON yl.di = yt.di - 1
+        |  JOIN x xl ON xl.di = yt.di - 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(yt) AS BIGINT) AS sy, CAST(SUM(yl) AS BIGINT) AS sz,
+        |    CAST(SUM(xl) AS BIGINT) AS sx,
+        |    CAST(SUM(yt * yt) AS BIGINT) AS syy,
+        |    CAST(SUM(yl * yl) AS BIGINT) AS szz,
+        |    CAST(SUM(xl * xl) AS BIGINT) AS sxx,
+        |    CAST(SUM(yt * yl) AS BIGINT) AS szy,
+        |    CAST(SUM(yt * xl) AS BIGINT) AS sxy,
+        |    CAST(SUM(yl * xl) AS BIGINT) AS szx
+        |  FROM spine),
+        |t AS (
+        |  SELECT n,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS syyc,
+        |    CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS szzc,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS sxxc,
+        |    CAST(szy AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS szyc,
+        |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS sxyc,
+        |    CAST(szx AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS szxc
+        |  FROM m),
+        |r AS (
+        |  SELECT n, syyc - szyc * szyc / szzc AS rss0,
+        |    syyc - ((sxxc * szyc - szxc * sxyc) / (szzc * sxxc - szxc * szxc)) * szyc
+        |         - ((szzc * sxyc - szxc * szyc) / (szzc * sxxc - szxc * szxc)) * sxyc
+        |      AS rss1
+        |  FROM t)
+        |SELECT n AS n_days, ROUND(rss0, 3) AS rss_restricted,
+        |  ROUND(rss1, 3) AS rss_unrestricted,
+        |  ROUND((rss0 - rss1) / (rss1 / (CAST(n AS DOUBLE) - 3.0)), 9) AS f_stat,
+        |  (rss0 - rss1) / (rss1 / (CAST(n AS DOUBLE) - 3.0)) > 4.2252
+        |    AS x_granger_causes_y
+        |FROM r""".stripMargin,
+  )
+}
