@@ -36,7 +36,7 @@ object SparkEntry {
       FrontierQueriesM.queries ++ FrontierQueriesN.queries ++
       FrontierQueriesO.queries ++ FrontierQueriesP.queries ++
       FrontierQueriesQ.queries ++ FrontierQueriesR.queries ++
-      FrontierQueriesS.queries
+      FrontierQueriesS.queries ++ FrontierQueriesT.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -59,5 +59,5 @@ object SparkEntry {
       FrontierQueriesM.oracle ++ FrontierQueriesN.oracle ++
       FrontierQueriesO.oracle ++ FrontierQueriesP.oracle ++
       FrontierQueriesQ.oracle ++ FrontierQueriesR.oracle ++
-      FrontierQueriesS.oracle
+      FrontierQueriesS.oracle ++ FrontierQueriesT.oracle
 }

@@ -282,4 +282,56 @@ class Round9QueriesSpec extends SparkTestBase {
     assert(math.abs(f - wantF) <= 1e-5 * math.max(1, wantF.abs),
       s"F $f vs $wantF")
   }
+  test("Kneser-Ney probabilities replay and the continuation count is the point") {
+    val out = rows("text_kneser_ney")
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val p = r.getDouble(r.fieldIndex("p_kn"))
+      assert(p > 0 && p <= 1.0 + 1e-9, s"${r.getString(2)}: p_kn $p")
+      // replay the smoothing formula from the carried counts
+      val cBg = r.getLong(r.fieldIndex("c_bg")).toDouble
+      val cLeft = r.getLong(r.fieldIndex("c_left")).toDouble
+      val nFollow = r.getLong(r.fieldIndex("n_follow")).toDouble
+      val nPrecede = r.getLong(r.fieldIndex("n_precede")).toDouble
+      // n_types is not carried; recover it from the formula inversion
+      // only when lambda > 0 — instead assert the DISCOUNTED part alone
+      // lower-bounds p and the full p exceeds it iff continuation mass
+      // exists (nPrecede >= 1 always, so strictly greater)
+      val disc = math.max(cBg - 0.75, 0.0) / cLeft
+      assert(p > disc - 1e-9, s"p_kn below its discounted term")
+      assert(nFollow >= 1 && nPrecede >= 1 && cLeft >= cBg)
+    }
+    // within each lang, ranks are 1..k and p_kn nonincreasing
+    out.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.size).toSeq,
+        s"$lang ranks not 1..k")
+      val ps = byRank.map(_.getDouble(byRank.head.fieldIndex("p_kn")))
+      ps.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-9,
+        s"$lang p_kn not nonincreasing")
+      case _ => }
+    }
+  }
+
+  test("IPF raking converges both marginals to their uniform targets") {
+    val out = rows("agg_ipf_raking")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(r.fieldIndex("cell_weight"))))
+    assert(out.nonEmpty)
+    val total = out.map(_._3).sum.toDouble
+    val nLang = out.map(_._1).distinct.size
+    val nBuck = out.map(_._2).distinct.size
+    val tLang = total / nLang; val tBuck = total / nBuck
+    // after 3 iterations the LAST scaling was by bucket, so bucket
+    // marginals are exact; language marginals are within 1% relative
+    out.groupBy(_._2).foreach { case (b, rs) =>
+      val m = rs.map(_._4).sum
+      assert(math.abs(m - tBuck) <= 1e-6 * tBuck, s"bucket $b marginal $m != $tBuck")
+    }
+    out.groupBy(_._1).foreach { case (l, rs) =>
+      val m = rs.map(_._4).sum
+      assert(math.abs(m - tLang) <= 0.01 * tLang, s"lang $l marginal $m vs $tLang")
+    }
+    out.foreach { case (_, _, n, w) => assert(w > 0 && n > 0) }
+  }
 }
