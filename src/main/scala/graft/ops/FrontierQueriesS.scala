@@ -97,8 +97,8 @@ object FrontierQueriesS {
 
   // SPRT design constants: H0 p=0.48 vs H1 p=0.52 on the daily
   // purchase share of (purchase + view) traffic; alpha = beta = 0.05.
-  private val SprtP0 = 0.48
-  private val SprtP1 = 0.52
+  private[graft] val SprtP0 = 0.48
+  private[graft] val SprtP1 = 0.52
 
   /** WALD SPRT over the daily purchase-conversion stream — cumulative
     * log-likelihood ratio Λ_t = k_t·ln(p1/p0) + (n_t−k_t)·ln(q1/q0)

@@ -508,4 +508,70 @@ object Streams {
           }
       }
   }
+  final case class SprtState(day: Long, k: Long, n: Long,
+      cumK: Long, cumN: Long)
+  final case class SprtOut(day: Long, cum_succ: Long, cum_trials: Long,
+      llr: Double, decision: String)
+
+  /** Streaming WALD SPRT — the online counterpart of the batch
+    * `stat_sprt_sequential` ([[graft.ops.FrontierQueriesS]], which
+    * carries the design constants): per experiment (one key — an SPRT
+    * is ONE decision stream; a multi-experiment platform keys by
+    * experiment id), accumulate the day's (trials, successes), and when
+    * the day rolls over emit that day's cumulative log-likelihood-ratio
+    * row with the accept/continue decision — exactly the batch query's
+    * per-day rows, which the batch-equivalence differential asserts.
+    *
+    * State is O(1) per experiment: (current day, day counts, cumulative
+    * counts) — no watermark needed to bound it. Ordering contract as
+    * [[cusumDrift]]: per-experiment (ts, event_id) order across
+    * micro-batches, sorted within each batch. The LLR is computed from
+    * CUMULATIVE EXACT LONGS in one double tree per emitted row —
+    * identical arithmetic to the batch side, so the differential is
+    * exact equality, not ulp-tolerant. The still-open day's row emits
+    * only when a later day's first event closes it (an infinite stream
+    * never finalizes "today"; the batch query sees the full horizon). */
+  def sprtSequential(events: Dataset[Event]): Dataset[SprtOut] = {
+    import events.sparkSession.implicits._
+    val epochDay = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val c1 = math.log(graft.ops.FrontierQueriesS.SprtP1 /
+      graft.ops.FrontierQueriesS.SprtP0)
+    val c0 = math.log((1 - graft.ops.FrontierQueriesS.SprtP1) /
+      (1 - graft.ops.FrontierQueriesS.SprtP0))
+    val lnA = math.log(0.05 / 0.95)
+    val lnB = math.log(0.95 / 0.05)
+    def emitRow(st: SprtState): SprtOut = {
+      val k = st.cumK + st.k
+      val n = st.cumN + st.n
+      val llr = k.toDouble * c1 + (n - k).toDouble * c0
+      val dec = if (llr >= lnB) "accept_h1"
+        else if (llr <= lnA) "accept_h0" else "continue"
+      SprtOut(st.day, k, n,
+        BigDecimal(llr).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        dec)
+    }
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .groupByKey(_ => 0L)
+      .flatMapGroupsWithState[SprtState, SprtOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var st = state.getOption.getOrElse(SprtState(-1L, 0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ListBuffer[SprtOut]()
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            // UTC day offset — the batch side's datediff(date_trunc(day))
+            // under the suite's pinned UTC session
+            val day = e.ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+              .toLocalDate.toEpochDay - epochDay
+            if (st.day >= 0L && day != st.day) {
+              out += emitRow(st)
+              st = SprtState(day, 0L, 0L, st.cumK + st.k, st.cumN + st.n)
+            } else if (st.day < 0L) st = st.copy(day = day)
+            st = st.copy(n = st.n + 1L,
+              k = st.k + (if (e.event_type == "purchase") 1L else 0L))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -1041,4 +1041,52 @@ class StreamingSpec extends SparkTestBase {
         s"compaction differs: ${streamed.length} vs ${batch.length} rows")
     } finally q.stop()
   }
+  test("batch-equivalence: streamed SPRT emits exactly the batch per-day " +
+      "decision rows (cumulative-integer parity, closed days)") {
+    import org.apache.spark.sql.functions._
+    val beqSf = "/root/testdata/sf0.01"
+    val events = graft.ops.Tables.events(spark, beqSf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-beq-sprt").toString
+    // three ts-ordered chunks (the per-experiment ordering contract) →
+    // three micro-batches; day boundaries land inside chunks AND at
+    // chunk edges, so the rollover path is exercised across batches
+    Seq(("1900-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"),
+        ("2024-01-21", "2100-01-01")).foreach { case (lo, hi) =>
+      events.filter(col("ts") >= lit(lo).cast("timestamp") &&
+          col("ts") < lit(hi).cast("timestamp"))
+        .orderBy("ts", "event_id").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val schema = spark.read.parquet(srcDir).schema
+    import spark.implicits._
+    val name = s"beq_sprt_${System.nanoTime()}"
+    val q = Streams.sprtSequential(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(srcDir).as[Streams.Event])
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(name).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+        .toMap
+      val batch = SparkEntry.queries("stat_sprt_sequential")(spark, beqSf)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+        .toMap
+      // the stream never finalizes the last open day — every CLOSED day
+      // must match the batch row EXACTLY (same cumulative longs, same
+      // one-double-tree llr, same decision)
+      val lastDay = batch.keys.max
+      assert(streamed.keySet == batch.keySet - lastDay,
+        s"day coverage: ${streamed.keySet.size} streamed vs ${batch.size} batch")
+      streamed.foreach { case (day, got) =>
+        assert(got == batch(day), s"day $day: $got != ${batch(day)}")
+      }
+    } finally q.stop()
+  }
 }
