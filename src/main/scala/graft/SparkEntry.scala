@@ -36,7 +36,8 @@ object SparkEntry {
       FrontierQueriesM.queries ++ FrontierQueriesN.queries ++
       FrontierQueriesO.queries ++ FrontierQueriesP.queries ++
       FrontierQueriesQ.queries ++ FrontierQueriesR.queries ++
-      FrontierQueriesS.queries ++ FrontierQueriesT.queries
+      FrontierQueriesS.queries ++ FrontierQueriesT.queries ++
+      FrontierQueriesU.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -59,5 +60,6 @@ object SparkEntry {
       FrontierQueriesM.oracle ++ FrontierQueriesN.oracle ++
       FrontierQueriesO.oracle ++ FrontierQueriesP.oracle ++
       FrontierQueriesQ.oracle ++ FrontierQueriesR.oracle ++
-      FrontierQueriesS.oracle ++ FrontierQueriesT.oracle
+      FrontierQueriesS.oracle ++ FrontierQueriesT.oracle ++
+      FrontierQueriesU.oracle
 }

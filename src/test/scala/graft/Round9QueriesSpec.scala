@@ -334,4 +334,41 @@ class Round9QueriesSpec extends SparkTestBase {
     }
     out.foreach { case (_, _, n, w) => assert(w > 0 && n > 0) }
   }
+  test("Shapley attribution satisfies efficiency and matches a scala enumeration") {
+    val out = rows("agg_shapley_channel")
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set("view", "click", "signup"))
+    // rebuild exposure masks and v(S) in scala, then enumerate all 3!
+    // channel orderings and average marginal contributions — the
+    // DEFINITION of the Shapley value, not the weighted-sum shortcut
+    // the query uses
+    import org.apache.spark.sql.functions._
+    val ev = ops.Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val firstBuy = ev.filter(_._3 == "purchase").groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(_._2).min }
+    val masks = firstBuy.map { case (u, fp) =>
+      val pre = ev.filter(e => e._1 == u && e._2 < fp).map(_._3).toSet
+      (if (pre("view")) 1 else 0) | (if (pre("click")) 2 else 0) |
+        (if (pre("signup")) 4 else 0)
+    }.toSeq
+    def v(sMask: Int): Long = masks.count(m => (m & ~sMask & 7) == 0).toLong
+    val bits = Map("view" -> 1, "click" -> 2, "signup" -> 4)
+    val perms = Seq("view", "click", "signup").permutations.toSeq
+    val phi = bits.keys.map { ch =>
+      val contribs = perms.map { p =>
+        val before = p.takeWhile(_ != ch).map(bits).fold(0)(_ | _)
+        (v(before | bits(ch)) - v(before)).toDouble
+      }
+      ch -> contribs.sum / perms.size
+    }.toMap
+    phi.foreach { case (ch, want) =>
+      assert(math.abs(out(ch) - want) <= 1e-9, s"$ch: ${out(ch)} vs $want")
+    }
+    // efficiency axiom: credits sum exactly to v(full) - v(empty)
+    val total = out.values.sum
+    assert(math.abs(total - (v(7) - v(0))) <= 1e-6,
+      s"efficiency broken: $total != ${v(7) - v(0)}")
+  }
 }
