@@ -37,7 +37,7 @@ object SparkEntry {
       FrontierQueriesO.queries ++ FrontierQueriesP.queries ++
       FrontierQueriesQ.queries ++ FrontierQueriesR.queries ++
       FrontierQueriesS.queries ++ FrontierQueriesT.queries ++
-      FrontierQueriesU.queries
+      FrontierQueriesU.queries ++ FrontierQueriesV.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -61,5 +61,5 @@ object SparkEntry {
       FrontierQueriesO.oracle ++ FrontierQueriesP.oracle ++
       FrontierQueriesQ.oracle ++ FrontierQueriesR.oracle ++
       FrontierQueriesS.oracle ++ FrontierQueriesT.oracle ++
-      FrontierQueriesU.oracle
+      FrontierQueriesU.oracle ++ FrontierQueriesV.oracle
 }

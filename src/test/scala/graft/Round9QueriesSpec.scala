@@ -371,4 +371,28 @@ class Round9QueriesSpec extends SparkTestBase {
     assert(math.abs(total - (v(7) - v(0))) <= 1e-6,
       s"efficiency broken: $total != ${v(7) - v(0)}")
   }
+  test("Deming slope solves its quadratic and exceeds OLS in magnitude") {
+    val r = rows("stat_deming_regression").head
+    val ols = r.getDouble(r.fieldIndex("slope_ols"))
+    val dem = r.getDouble(r.fieldIndex("slope_deming"))
+    // Deming corrects OLS attenuation: with delta = 1 the orthogonal
+    // slope is at least as steep as OLS (equality iff x is noiseless)
+    assert(math.abs(dem) >= math.abs(ols) - 1e-9,
+      s"deming $dem attenuated below ols $ols")
+    // both finite and same sign (the fixture's view/purchase volumes
+    // co-move through shared traffic)
+    assert(!dem.isNaN && !ols.isNaN && dem * ols > 0)
+  }
+
+  test("VaR/CVaR: CVaR is at least as severe as VaR and replays from the tail") {
+    val out = rows("window_var_cvar")
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val v = r.getDouble(r.fieldIndex("var_95"))
+      val c = r.getDouble(r.fieldIndex("cvar_95"))
+      // the tail MEAN cannot be milder than its own boundary
+      assert(c <= v + 1e-9, s"${r.getString(0)}: cvar $c above var $v")
+      assert(r.getLong(r.fieldIndex("n_days")) >= 20)
+    }
+  }
 }
