@@ -256,6 +256,11 @@ object Bench {
           }
           val elapsed = (System.nanoTime() - t0) / 1e9
           acc += ((name, elapsed, ok))
+          // banking cadence (r9 verdict #4): the r9 driver window closed
+          // ~15 s into sweep 2, under the old first-checkpoint at 25
+          // queries — bank every 5 queries up front, then every 25
+          val bankNow = acc.size % 25 == 0 ||
+            (acc.size <= 20 && acc.size % 5 == 0)
           if (emitPartials && acc.size % 25 == 0)
             println(s"""{"metric":"partial_total","value":${f3(acc.filter(_._3).map(_._2).sum)},"unit":"sec","n_queries":${acc.size},"sf":"$sfDir"}""")
           // BANK mid-sweep (round 8, r7 verdict #1): from sweep 2 on,
@@ -269,7 +274,7 @@ object Bench {
           // seeing only the sweep-1 numbers. The in-flight sweep is
           // counted in "sweeps" with "banked_partial" marking how much
           // of it has landed (stat stays honest: min-samples-based).
-          if (sweeps.nonEmpty && acc.size % 25 == 0) {
+          if (sweeps.nonEmpty && bankNow) {
             val (compactNow, fullNow) = summarize(partialExtra = acc.toSeq)
             println(compactNow)
             writeFull(fullNow)
@@ -409,11 +414,13 @@ object Bench {
     var continue = true
     var steadyPartialLine: Option[String] = None
     var lastSweepSec = Double.MaxValue
+    var lastComplete = true
     while (continue) {
       val deadline =
         if (sweeps.isEmpty) elapsedSec + 1.5 * budgetSec else elapsedSec + budgetSec
       val sweepStart = elapsedSec
       val (sweep, complete) = runSweep(emitPartials = sweeps.isEmpty, deadline)
+      lastComplete = complete
       lastSweepSec = elapsedSec - sweepStart
       note(s"sweep ${sweeps.size + 1} ${if (complete) "complete" else "TRUNCATED"} " +
         s"in ${f3(lastSweepSec)}s (${sweep.size}/${ordered.size} queries)")
@@ -454,11 +461,26 @@ object Bench {
         note(s"stopping after ${sweeps.size}/$reps sweeps " +
           s"(${if (complete) "wall cap" else "sweep bail"} at ${f3(elapsedSec)}s)")
     }
+    // PARTIAL FINAL SWEEP (r9 verdict #4): when the wall gate refused
+    // another FULL sweep but window remains, spend it on a partial sweep
+    // anyway — the mid-sweep banking above merges its prefix into the
+    // artifact every few queries, so the driver's tail capture shows
+    // sweeps >= 2 with banked_partial coverage instead of a single-sweep
+    // total. Bounded by the same 1.75×budget wall (minus one worst-case
+    // query) so rc=0 is never gambled.
+    val wallSec = 1.75 * budgetSec
+    var finalPartial: Seq[(String, Double, Boolean)] = Nil
+    if (lastComplete && sweeps.size < reps && elapsedSec + 30 < wallSec) {
+      note(s"partial sweep ${sweeps.size + 1}: banking until the " +
+        s"${f3(wallSec)}s wall")
+      val (sweep, complete) = runSweep(emitPartials = false, wallSec - 8)
+      if (complete) sweeps += sweep else finalPartial = sweep
+    }
     // Final emission order: full per-query line, steady_partial re-print
     // when it exists (the capture window clips from the HEAD — round-3
     // evidence), compact LAST: the tail-bounded capture must end on the
     // short parseable total.
-    val (compact, full) = summarize()
+    val (compact, full) = summarize(partialExtra = finalPartial)
     println(full)
     steadyPartialLine.foreach(println)
     println(compact)

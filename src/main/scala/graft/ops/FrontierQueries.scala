@@ -395,18 +395,20 @@ object FrontierQueries {
     * first-buckets-get-the-remainder split in both engines; cumulative
     * decimal sums are exact, VARCHAR-hop + one division, round 9.
     *
-    * Scale posture: one keyed rollup + a single-partition 10-row
-    * window — the decile table is constant-size whatever the corpus;
-    * the per-customer ranking window is the only data-sized sort. */
+    * Scale posture (r9 verdict #1): one keyed rollup, a DISTRIBUTED
+    * decile ranking via [[DistRank.ntile]] (range shuffle +
+    * partition-local rank + broadcast prefix offsets — no
+    * single-partition sort over the customer dimension), then a
+    * constant 10-row decile window. */
   def aggLorenzPoints(s: SparkSession, d: String): DataFrame = {
     val rev = Tables.orders(s, d)
       .select(col("o_custkey"),
         col("o_totalprice").cast(DecimalType(18, 2)).as("v"))
       .groupBy("o_custkey").agg(sum(col("v")).as("rev"))
-    val wn = Window.orderBy(col("rev"), col("o_custkey"))
     val wd = Window.orderBy(col("decile"))
     def hop(c: Column): Column = c.cast("string").cast(DoubleType)
-    val deciles = rev.withColumn("decile", ntile(10).over(wn).cast(LongType))
+    val deciles = DistRank.ntile(rev, 10, s"lorenz:$d", "decile",
+        col("rev"), col("o_custkey"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("drev"))
     deciles

@@ -167,10 +167,12 @@ object FrontierQueriesD {
     val st = Tables.documents(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    // head-vocab selection plans as distributed TakeOrdered (top-K per
+    // partition, K-row merge on the driver) — never a global sort of the
+    // Heaps-law-unbounded vocabulary (r9 verdict #1)
     val topVocab = st.groupBy("tok").agg(sum(col("cnt")).as("gfreq"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("gfreq").desc, col("tok"))))
-      .filter(col("rank") <= DivergenceTopK)
+      .orderBy(col("gfreq").desc, col("tok"))
+      .limit(DivergenceTopK)
       .select("tok")
     val totals = st.groupBy("source").agg(sum(col("cnt")).as("tot"))
     // prune to the head vocabulary BEFORE densifying: the spine join

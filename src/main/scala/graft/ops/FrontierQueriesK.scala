@@ -268,15 +268,19 @@ object FrontierQueriesK {
     * — and the same quantile-composite pattern scores document sources
     * by freshness/volume/quality in a curation review.
     *
-    * Determinism: all three metrics are exact integers; ntile(5) over
+    * Determinism: all three metrics are exact integers; NTILE(5) over
     * the (metric, custkey) TOTAL order is engine-identical (both
-    * implement SQL ntile's floor-based bucket sizing); segment labels
-    * are integers; avg spend is one division of exact sums.
+    * implement SQL ntile's floor-based bucket sizing — [[DistRank.ntile]]
+    * reproduces it arithmetically from the two-phase row number);
+    * segment labels are integers; avg spend is one division of exact
+    * sums.
     *
-    * Scale posture: one customer-keyed rollup, three single-partition
-    * ntile windows over the CUSTOMER dimension (bounded relative to
-    * fact data; at true 100 TB, swap for percentile-bucket joins), and
-    * a ≤125-row segment rollup. */
+    * Scale posture (r9 verdict #1): one customer-keyed rollup, then
+    * three DISTRIBUTED quintile rankings via [[DistRank]] — range
+    * shuffle + partition-local rank + broadcast prefix offsets; no
+    * single-partition sort anywhere over the customer dimension. The
+    * only unpartitioned windows left run over the ≤numPartitions
+    * per-range-partition count rollups. Final segment rollup ≤125 rows. */
   def aggRfmSegments(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_custkey"),
       to_date(col("o_orderdate")).as("dt"),
@@ -289,13 +293,12 @@ object FrontierQueriesK {
       .select(col("o_custkey"),
         datediff(col("end"), col("last")).cast(LongType).as("recency"),
         col("freq"), col("monetary"))
-    val scored = cust
-      .withColumn("r", ntile(5).over(
-        Window.orderBy(col("recency").desc, col("o_custkey"))).cast(LongType))
-      .withColumn("f", ntile(5).over(
-        Window.orderBy(col("freq"), col("o_custkey"))).cast(LongType))
-      .withColumn("m", ntile(5).over(
-        Window.orderBy(col("monetary"), col("o_custkey"))).cast(LongType))
+    val r1 = DistRank.ntile(cust, 5, s"rfm:r:$d", "r",
+      col("recency").desc, col("o_custkey"))
+    val r2 = DistRank.ntile(r1, 5, s"rfm:f:$d", "f",
+      col("freq"), col("o_custkey"))
+    val scored = DistRank.ntile(r2, 5, s"rfm:m:$d", "m",
+      col("monetary"), col("o_custkey"))
     scored.groupBy((col("r") * 100L + col("f") * 10L + col("m"))
         .as("segment"))
       .agg(count(lit(1)).as("n_customers"), sum(col("monetary")).as("tot"))

@@ -274,21 +274,20 @@ object FrontierQueriesL {
     * (cum ≤ 10¹³ at sf1, ×100 stays BIGINT — audited); class revenue
     * shares are one division each; round 9.
     *
-    * Scale posture: one part-keyed rollup, one single-partition
-    * cumulative window over the part DIMENSION (bounded relative to
-    * fact data), a 3-row class rollup. */
+    * Scale posture (r9 verdict #1): one part-keyed rollup, then a
+    * DISTRIBUTED cumulative revenue via [[DistRank.runningSum]] — the
+    * two-phase cumulative sum (partition-local running sums + broadcast
+    * prefix offsets); no single-partition sort over the part dimension.
+    * Final class rollup is 3 rows. */
   def aggAbcAnalysis(s: SparkSession, d: String): DataFrame = {
     val rev = Tables.lineitem(s, d)
       .select(col("l_partkey"),
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("cents"))
       .groupBy("l_partkey").agg(sum(col("cents")).as("rev"))
-    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = broadcast(rev.agg(sum(col("rev")).as("total")))
-    val classed = rev
-      .select(col("l_partkey"), col("rev"),
-        sum(col("rev")).over(w).as("cum"))
+    val classed = DistRank.runningSum(rev, "rev", s"abc:$d", "cum",
+        col("rev").desc, col("l_partkey"))
       .crossJoin(tot)
       .select(col("rev"),
         when(col("cum") * 100L <= lit(AbcA) * col("total"), "A")

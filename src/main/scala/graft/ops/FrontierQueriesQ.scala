@@ -172,10 +172,7 @@ object FrontierQueriesQ {
     val globalRows = gw.groupBy(lit(1))
       .agg(
         max("n").as("n"), max("cents_t").as("cents_t"), max("mu_t").as("mu_t"),
-        foldSum(col("c_nationkey"), col("sxlx_g")).as("sxlx"),
-        foldSum(col("c_nationkey"),
-          (col("cents_g").cast(DoubleType) / col("cents_t").cast(DoubleType)) *
-            log(muG / col("mu_t"))).as("t_between"))
+        foldSum(col("c_nationkey"), col("sxlx_g")).as("sxlx"))
       .select(
         lit(-2L).as("c_nationkey"), col("n").as("n_customers"),
         lit(1.0).as("revenue_share"),
@@ -196,12 +193,15 @@ object FrontierQueriesQ {
 
   // ---------------------------------------------------------- BH FDR
 
-  /** BENJAMINI–HOCHBERG FDR over the family of 25 per-nation
-    * return-rate tests — for each nation, a two-proportion z of its
-    * lineitem return rate against all other nations pooled, then the
-    * step-up procedure at α = 0.05: rank p ascending, find the largest
-    * k with p(k) ≤ k·α/m, declare ranks ≤ k discoveries, and report the
-    * standard adjusted p (suffix-min of m·p/rank, capped at 1).
+  /** BENJAMINI–HOCHBERG FDR over the family of per-nation return-rate
+    * tests — for each nation, a two-proportion z of its lineitem return
+    * rate against all other nations pooled, then the step-up procedure
+    * at α = 0.05: rank p ascending, find the largest k with
+    * p(k) ≤ k·α/m, declare ranks ≤ k discoveries, and report the
+    * standard adjusted p (suffix-min of m·p/rank, capped at 1). The
+    * family size m is COUNT(*) over the hypothesis frame on both
+    * engines (r9 advice) — a corpus where fewer nations survive the
+    * joins tests the family it actually has, not a literal 25.
     *
     * Determinism: counts exact; z one fixed tree; p via the A&S
     * polynomial [[pTwoSided]] rounded to 9 BEFORE the procedure on both
@@ -214,7 +214,6 @@ object FrontierQueriesQ {
     * (a million-segment scan makes m the segment count: still sketch-
     * size next to the fact table the rollup reduced). */
   def statBhFdr(s: SparkSession, d: String): DataFrame = {
-    val m = 25
     val alpha = 0.05
     val li = Tables.lineitem(s, d).select(col("l_orderkey"),
       (col("l_returnflag") === "R").as("r"))
@@ -245,10 +244,16 @@ object FrontierQueriesQ {
       Window.unboundedFollowing)
     withP
       .withColumn("rk", row_number().over(wRank))
+      // m derived from the family actually tested (r9 advice): count(*)
+      // over the unbounded window, not a literal 25 — a corpus where
+      // fewer nations survive the joins gets the right step-up slope
+      .withColumn("mm", count(lit(1)).over(wAll))
       .withColumn("p_adj", round(least(lit(1.0),
-        min(lit(m.toDouble) * col("p_value") / col("rk")).over(wSuffix)), 9))
+        min(col("mm").cast(DoubleType) * col("p_value") / col("rk"))
+          .over(wSuffix)), 9))
       .withColumn("kstar", max(when(
-        col("p_value") <= col("rk") * lit(alpha / m), col("rk"))).over(wAll))
+        col("p_value") <= col("rk").cast(DoubleType) * lit(alpha) /
+          col("mm").cast(DoubleType), col("rk"))).over(wAll))
       .select(col("c_nationkey"), col("n_i").as("n_items"), col("z"),
         col("p_value"), col("p_adj"),
         (col("rk") <= coalesce(col("kstar"), lit(0))).as("discovered"))
@@ -362,15 +367,18 @@ object FrontierQueriesQ {
          |  FROM withz),
          |ranked AS (
          |  SELECT *,
-         |    ROW_NUMBER() OVER (ORDER BY p_value, c_nationkey) AS rk
+         |    ROW_NUMBER() OVER (ORDER BY p_value, c_nationkey) AS rk,
+         |    COUNT(*) OVER () AS mm
          |  FROM withp),
          |adj AS (
          |  SELECT *,
-         |    ROUND(LEAST(1.0, MIN(25.0 * p_value / CAST(rk AS DOUBLE)) OVER (
+         |    ROUND(LEAST(1.0,
+         |      MIN(CAST(mm AS DOUBLE) * p_value / CAST(rk AS DOUBLE)) OVER (
          |      ORDER BY p_value DESC, c_nationkey DESC
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
          |      AS p_adj,
-         |    MAX(CASE WHEN p_value <= CAST(rk AS DOUBLE) * 0.002 THEN rk END)
+         |    MAX(CASE WHEN p_value <= CAST(rk AS DOUBLE) * 0.05 /
+         |      CAST(mm AS DOUBLE) THEN rk END)
          |      OVER () AS kstar
          |  FROM ranked)
          |SELECT c_nationkey, n_i AS n_items, z, p_value, p_adj,

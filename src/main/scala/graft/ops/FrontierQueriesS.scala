@@ -38,11 +38,13 @@ object FrontierQueriesS {
     *
     * Determinism: residuals are one fixed double tree per row over
     * exact inputs, so both engines rank identical doubles; the rank is
-    * integer arithmetic. Scale posture: two fact rollups + one
-    * order-statistic window over the CALIBRATION slice (a production
-    * run swaps the exact rank for a GK quantile — the registry's
-    * `approx_quantile_sketch` — once n_c outgrows a sort) + one
-    * broadcast of the 1-row (a, b, q̂) frame over the test scan. */
+    * integer arithmetic. Scale posture: two fact rollups + the exact
+    * order statistic over the calibration slice via [[DistRank]]'s
+    * two-phase rank (range shuffle + broadcast prefix offsets — the
+    * slice is corpus-scaling, so no single-task sort; a production run
+    * can still swap the exact rank for a GK quantile, the registry's
+    * `approx_quantile_sketch`) + one broadcast of the 1-row (a, b, q̂)
+    * frame over the test scan. */
   def statConformalInterval(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     // y in EXACT CENTS (decimal cast, then scale — the house recipe;
@@ -71,9 +73,11 @@ object FrontierQueriesS {
     val withResid = base.crossJoin(broadcast(fit))
       .withColumn("resid", abs(col("yc").cast(DoubleType) - col("a") -
         col("b") * col("x").cast(DoubleType)))
-    val wR = Window.orderBy(col("resid"), col("k"))
-    val qhat = withResid.filter(col("calib"))
-      .withColumn("rk", row_number().over(wR).cast(LongType))
+    // exact order statistic over the corpus-scaling calibration slice —
+    // two-phase distributed rank (DistRank), never a single-task sort
+    // (the r9 verdict-#2 audit caught this one beyond the named six)
+    val qhat = DistRank.rowNumber(withResid.filter(col("calib")),
+        s"conformal:$d", "rk", col("resid"), col("k"))
       // rank = ceil(0.9 * (nc + 1)), in integer arithmetic:
       // ceil(9(nc+1)/10) = (9(nc+1) + 9) DIV 10 — expr("DIV"), because
       // Column `/` is DOUBLE division even on longs (the suite's

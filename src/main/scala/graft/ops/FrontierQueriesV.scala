@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, LongType}
@@ -46,15 +46,17 @@ object FrontierQueriesV {
       .select(col("di"), col("cents").as("xv"))
     val y = daily.filter(col("event_type") === "purchase")
       .select(col("di"), col("cents").as("yv"))
+    // squares accumulate in DECIMAL(38,0), mirroring the oracle's
+    // HUGEINT (r9 advice): daily cents² in BIGINT would overflow around
+    // sf100 — an engine asymmetry where ANSI Spark fails while the
+    // oracle stays exact; both sides now carry ~1e38 headroom
+    def big(c: Column) = c.cast(DecimalType(38, 0))
     val m = x.join(y, Seq("di")).agg(
       count(lit(1)).as("n"),
       sum("xv").as("sx"), sum("yv").as("sy"),
-      // daily cents ≤ ~2e7 at sf1 → squares ≤ ~4e14, 30-day sums
-      // ≤ ~1e16: exact in BIGINT with two orders of headroom (the
-      // oracle accumulates in HUGEINT — both exact)
-      sum(col("xv") * col("xv")).as("sxx"),
-      sum(col("yv") * col("yv")).as("syy"),
-      sum(col("xv") * col("yv")).as("sxy"))
+      sum(big(col("xv")) * big(col("xv"))).as("sxx"),
+      sum(big(col("yv")) * big(col("yv"))).as("syy"),
+      sum(big(col("xv")) * big(col("yv"))).as("sxy"))
     def dc(c: String) = col(c).cast(DoubleType)
     val nD = dc("n")
     val cxx = dc("sxx") - dc("sx") * dc("sx") / nD

@@ -47,7 +47,7 @@ import org.apache.spark.sql.functions.{broadcast, col, min, struct}
   * re-inserts the rows its failed attempt already committed, and (b) a
   * CONCURRENT writer to the same table races the read-before-write.
   * Both are neutralized by a UNIQUE constraint on `keyCols` (which the
-  * reference's tables carry — `schema_database_pgsql.sql:110,146`, and
+  * reference's tables carry — `schema_database_pgsql.sql:410,426`, and
   * our provisioned DDL mirrors): the sink rejects the duplicate row
   * instead of silently keeping it. `keyIsUnique = true` declares that
   * constraint and unlocks the 8-connection parallel append; the default

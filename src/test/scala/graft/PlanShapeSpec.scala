@@ -592,10 +592,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(ops(p).exists(_.isInstanceOf[WindowExec]), p)
   }
 
-  test("Lorenz deciles: one data-sized rollup, window only on the decile table") {
+  test("Lorenz deciles: DistRank offset join is broadcast; no cartesian") {
+    // shape re-pinned for the r10 two-phase rewrite: the one join is
+    // DistRank's ≤numPartitions offsets table riding a broadcast
     val p = plan("agg_lorenz_points")
-    assert(hashExchanges(p).size == 1, p)
-    assert(ops(p).collect { case j: BaseJoinExec => j }.isEmpty, p)
+    val joins = ops(p).collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty && joins.forall(_.isInstanceOf[BroadcastHashJoinExec]), p)
+    noCartesian(p, "agg_lorenz_points")
   }
 
   test("Palma joins the nation dim by broadcast, never cartesian") {
@@ -936,6 +939,74 @@ class PlanShapeSpec extends SparkTestBase {
           s"$q: BNLJ build side is neither a global agg nor a bounded " +
             s"local frame:\n$p")
       }
+    }
+  }
+
+  // ------------------------------------------------------- r9 verdict #1:
+  // no unpartitioned WindowExec over a corpus-scaling input. The rank
+  // queries below used to ntile/cumsum the whole customer/part dimension
+  // in ONE task; they now rank via DistRank's two-phase shape. The pin:
+  // every remaining unpartitioned window must sit on a bounded rollup —
+  // either the per-range-partition count table (≤ shuffle-partitions
+  // rows, grouped on __pid) or the constant 10-row decile table.
+
+  private def unpartWindows(p: SparkPlan): Seq[WindowExec] =
+    ops(p).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+
+  /** ops() plus descent into MATERIALIZED AQE query stages — the pinned
+    * DistRank cache is built eagerly, so its range exchange lives inside
+    * a ShuffleQueryStage of the cached plan's finalized AQE tree, which
+    * the main-tree walk (calibrated before stage descent) never enters. */
+  private def deepOps(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case im: InMemoryTableScanExec => im.children :+ im.relation.cachedPlan
+      case other => other.children
+    }
+    p +: kids.flatMap(deepOps)
+  }
+
+  /** The window's input subtree reduces through an aggregate grouped
+    * ONLY on the named bounded keys before the window sees it. */
+  private def boundedRollupBelow(w: WindowExec, keys: Set[String]): Boolean =
+    ops(w.child).exists {
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.nonEmpty &&
+          a.groupingExpressions.forall(g => keys.contains(g.name))
+      case _ => false
+    }
+
+  for (q <- Seq("agg_rfm_segments", "agg_lorenz_points", "agg_abc_analysis")) {
+    test(s"$q ranks two-phase: range shuffle + bounded prefix windows only") {
+      val p = plan(q)
+      // phase 1: the total-order range shuffle exists (inside the pinned
+      // cache subplan's finalized stages — deepOps descends into them)
+      assert(deepOps(p).exists {
+        case e: ShuffleExchangeExec =>
+          e.outputPartitioning.isInstanceOf[RangePartitioning]
+        case _ => false
+      }, s"$q: no range exchange in:\n$p")
+      // phase 3: every unpartitioned window sits on the ≤numPartitions
+      // __pid rollup (or lorenz's constant decile table) — never the raw
+      // customer/part dimension
+      val uw = unpartWindows(p)
+      assert(uw.nonEmpty, s"$q: expected the bounded prefix windows in:\n$p")
+      uw.foreach { w =>
+        assert(boundedRollupBelow(w, Set("__pid", "decile")),
+          s"$q: unpartitioned window over a non-bounded input:\n$w")
+      }
+    }
+  }
+
+  test("divergence-profile top-K vocab is TakeOrdered, never a global sort") {
+    for (q <- Seq("text_burrows_delta", "text_source_divergence_chi2",
+        "text_js_divergence")) {
+      val p = plan(q)
+      assert(ops(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+        s"$q: no TakeOrderedAndProject in:\n$p")
+      assert(unpartWindows(p).isEmpty,
+        s"$q: unpartitioned window survived the top-K rewrite:\n$p")
     }
   }
 }

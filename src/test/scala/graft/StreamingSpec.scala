@@ -1052,12 +1052,24 @@ class StreamingSpec extends SparkTestBase {
     // three ts-ordered chunks (the per-experiment ordering contract) →
     // three micro-batches; day boundaries land inside chunks AND at
     // chunk edges, so the rollover path is exercised across batches
+    // FileStreamSource orders micro-batches by file modification time;
+    // two appends landing in the same mtime granularity could reorder
+    // chunks and break the per-experiment ordering contract (r9 advice)
+    // — pin the order with explicit strictly-increasing mtimes
+    val mtime0 = System.currentTimeMillis() - 3600000L
     Seq(("1900-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"),
-        ("2024-01-21", "2100-01-01")).foreach { case (lo, hi) =>
-      events.filter(col("ts") >= lit(lo).cast("timestamp") &&
-          col("ts") < lit(hi).cast("timestamp"))
-        .orderBy("ts", "event_id").coalesce(1)
-        .write.mode("append").parquet(srcDir)
+        ("2024-01-21", "2100-01-01")).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        events.filter(col("ts") >= lit(lo).cast("timestamp") &&
+            col("ts") < lit(hi).cast("timestamp"))
+          .orderBy("ts", "event_id").coalesce(1)
+          .write.mode("append").parquet(srcDir)
+        // new part files carry a real (current) mtime, far above every
+        // pinned chunk's mtime0 + j·60s — pin just those to chunk i's slot
+        new java.io.File(srcDir).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") &&
+            f.lastModified() > mtime0 + 2 * 60000L)
+          .foreach(f => f.setLastModified(mtime0 + i * 60000L))
     }
     val schema = spark.read.parquet(srcDir).schema
     import spark.implicits._
