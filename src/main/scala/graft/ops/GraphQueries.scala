@@ -896,48 +896,96 @@ object GraphQueries {
     * orchestration of the same plan, not a new plan shape. */
   def graphSccPivot(s: SparkSession, d: String): DataFrame = {
     // base snapshot — see sccLabels; guarded broadcast of the adjacency
-    // inside reach() — see IterBroadcastMaxRows
+    // inside fwbwDepth — see IterBroadcastMaxRows
     val edges = seqEdges(s, d).localCheckpoint()
     val nEdges = edges.count()
-    val edgesSmall = nEdges <= IterBroadcastMaxRows
     withLoopExec(s, stateRows = nEdges) {
     val pivot = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
       .orderBy(col("odeg").desc, col("src")).limit(1)
-      .select(col("src").as("x"))
-    def reach(adj0: DataFrame): DataFrame = {
-      val adj = if (edgesSmall) broadcast(adj0) else adj0
-      var visited = pivot.localCheckpoint(eager = false)
-      var frontier = visited
-      var n = visited.count()
-      var r = 0
-      var grew = true
-      while (grew && r < SccMaxRounds) {
-        r += 1
-        // lazy: the added-count probe materializes the round — one
-        // driver barrier per round instead of two; the union checkpoint
-        // materializes inside the NEXT round's probe (anti-join side)
-        val next = frontier.join(adj, Seq("x"))
-          .select(col("y").as("x")).distinct()
-          .join(visited, Seq("x"), "left_anti")
-          .localCheckpoint(eager = false)
-        val added = next.count()
-        if (added == 0) grew = false
-        else {
-          visited = visited.unionAll(next).localCheckpoint(eager = false)
-          frontier = next
-          n += added
-        }
-      }
-      if (grew)
-        System.err.println(s"[graft] scc: round cap $SccMaxRounds reached — " +
-          "closure may be incomplete")
-      visited
-    }
-    val fwd = reach(edges.select(col("src").as("x"), col("dst").as("y")))
-    val bwd = reach(edges.select(col("dst").as("x"), col("src").as("y")))
-    fwd.join(bwd, Seq("x"), "left_semi")
+      .select(col("src").as("x"), col("src").as("pid"))
+    // round-10 shave: both closures run in the ONE tagged-direction
+    // min-round BFS the full decomposition already uses (fwbwDepth) —
+    // max(fwdDepth, bwdDepth) rounds instead of their sum, and the
+    // depth-map fold instead of join+distinct+anti-join per round
+    // (these loops are driver-barrier-bound, so rounds ≈ wall time).
+    // Reached set per direction is identical to the two-loop form, so
+    // the intersection — and the oracle hash — is unchanged.
+    val depth = fwbwDepth(s, edges, pivot, nEdges, "scc")
+    depth.groupBy("x").agg(count_distinct(col("dir")).as("nd"))
+      .filter(col("nd") === 2)
       .select(col("x").as("member")).orderBy("member")
     }
+  }
+
+  /** Tagged forward+backward reachability closure — the FW-BW primitive
+    * shared by [[graphSccPivot]] and [[sccLabels]]'s extraction loop.
+    * A row (x, pid, dir) of the returned frame means "x is
+    * dir-reachable from pivot pid" (dir 0 = forward, 1 = backward).
+    *
+    * Loop discipline (rounds 7-10 accumulated; details at each site
+    * below): both directions in ONE loop (max of the two depths, not
+    * their sum); min-round depth-map fold per round instead of
+    * join+distinct+anti-join; size-guarded adjacency strategy —
+    * per-round broadcast for KB-sized residual graphs, co-partitioned
+    * once for large ones. `e` must be checkpointed and counted by the
+    * caller (nE). */
+  private def fwbwDepth(s: SparkSession, e: DataFrame, pivots: DataFrame,
+      nE: Long, tag: String): DataFrame = {
+    // Adjacency strategy, size-guarded on the exact tracked count
+    // (round 10, both branches measured at sf0.1):
+    //  - SMALL residual graphs (the sccLabels extraction loop: a few
+    //    thousand edges): per-round broadcast of the tagged adjacency —
+    //    rebuilding a KB-sized broadcast is cheaper than the upfront
+    //    exchange + eager checkpoint of the co-partitioned form.
+    //  - LARGE graphs (graphSccPivot's full edge list): CO-PARTITION
+    //    the adjacency on the probe key ONCE and checkpoint eagerly —
+    //    LogicalRDD keeps the partitioning, so every round's frontier
+    //    join needs no adjacency-side exchange and no broadcast
+    //    rebuild (a fresh plan re-broadcasts ALL 2·|E| rows EVERY
+    //    round; at 500k+ edges that dominated the loop — measured
+    //    scc_pivot 3.8 s broadcast vs 2.3 s co-partitioned). The
+    //    shuffle_hash hint rides the FRONTIER (small, changes per
+    //    round): Spark hashes the frontier and STREAMS the in-memory
+    //    adjacency blocks — no per-round sort.
+    val adj2base = e.select(col("src").as("x"), col("dst").as("y"), lit(0).as("dir"))
+      .unionAll(e.select(col("dst").as("x"), col("src").as("y"), lit(1).as("dir")))
+    val small = 2 * nE <= FwbwBroadcastMaxRows
+    val adj2 =
+      if (small) broadcast(adj2base.localCheckpoint(eager = false))
+      else {
+        val k = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        adj2base.repartition(k, col("x"), col("dir")).localCheckpoint()
+      }
+    // MIN-ROUND DEPTH MAP instead of visited/next anti-join bookkeeping
+    // (round 8): depth(x, pid, dir, r) keeps the first round each
+    // (vertex, pivot, direction) was reached — one union +
+    // partial-aggregated min per round replaces join+distinct+anti-join.
+    // The reached SET is identical: rows of depth ARE the visited set.
+    var depth = pivots.crossJoin(
+        broadcast(s.range(2).select(col("id").cast("int").as("dir"))))
+      .withColumn("r", lit(0))
+      .localCheckpoint()
+    var frontier = depth
+    var r = 0
+    var grew = true
+    while (grew && r < SccMaxRounds) {
+      r += 1
+      val joined =
+        if (small) frontier.join(adj2, Seq("x", "dir"))
+        else frontier.hint("shuffle_hash").join(adj2, Seq("x", "dir"))
+      val cand = joined
+        .select(col("y").as("x"), col("pid"), col("dir"), lit(r).as("r"))
+      // lazy + immediate probe: ONE driver barrier per round
+      depth = depth.unionAll(cand)
+        .groupBy("x", "pid", "dir").agg(min(col("r")).as("r"))
+        .localCheckpoint(eager = false)
+      if (depth.filter(col("r") === r).count() == 0) grew = false
+      else frontier = depth.filter(col("r") === r)
+    }
+    if (grew)
+      System.err.println(s"[graft] $tag: round cap $SccMaxRounds " +
+        "reached — closure may be incomplete")
+    depth
   }
 
   /** Caps for the FULL SCC decomposition: component-extraction count
@@ -955,6 +1003,12 @@ object GraphQueries {
     * fixture scales 32 collapses the decomposition to 1-2 extraction
     * rounds (20 components at sf1). */
   val SccPivotsPerRound = 32
+
+  /** Tagged-adjacency rows under which [[fwbwDepth]] re-broadcasts per
+    * round instead of co-partitioning once — a KB-scale broadcast
+    * rebuild is cheaper than the co-partition setup; above it the
+    * per-round rebuild of a fresh plan's broadcast dominates. */
+  val FwbwBroadcastMaxRows = 65536L
 
   /** Round cap for [[graphTopologicalLayers]] — the sf0.001 fixture's
     * deepest longest path is 40 (densest corpus relative to its part
@@ -1227,45 +1281,7 @@ object GraphQueries {
       // SUM (measured ~2× on the driver-round-dominated cost: the two
       // closures spend wall time on scheduler round-trips, not data).
       val nE = e.count()
-      // lazy: each BFS round's single job references adj2 exactly once,
-      // so round 1 materializes the blocks with no race window — one
-      // less barrier per extraction round
-      val adj2raw = e.select(col("src").as("x"), col("dst").as("y"), lit(0).as("dir"))
-        .unionAll(e.select(col("dst").as("x"), col("src").as("y"), lit(1).as("dir")))
-        .localCheckpoint(eager = false)
-      // guarded broadcast of the residual adjacency (2·|e| rows, count
-      // known from the probe above): under the cap each BFS round's
-      // frontier join is broadcast-hash — the round's only shuffle is
-      // then the min-round fold, halving the AQE stage barriers that
-      // dominate this loop's wall time
-      val adj2 = if (2 * nE <= IterBroadcastMaxRows) broadcast(adj2raw) else adj2raw
-      // MIN-ROUND DEPTH MAP instead of visited/next anti-join
-      // bookkeeping (round 8): depth(x, pid, dir, r) keeps the first
-      // round each (vertex, pivot, direction) was reached — one
-      // union + partial-aggregated min per round (the graphBfsReach
-      // fold) replaces join+distinct+anti-join, cutting per-round
-      // shuffle stages from 3 to 1-2. The reached SET is identical:
-      // rows of depth ARE the old visited set.
-      var depth = pivots.crossJoin(
-          broadcast(s.range(2).select(col("id").cast("int").as("dir"))))
-        .withColumn("r", lit(0))
-        .localCheckpoint()
-      var frontier = depth
-      var r = 0
-      var grew = true
-      while (grew && r < SccMaxRounds) {
-        r += 1
-        val cand = frontier.join(adj2, Seq("x", "dir"))
-          .select(col("y").as("x"), col("pid"), col("dir"), lit(r).as("r"))
-        depth = depth.unionAll(cand)
-          .groupBy("x", "pid", "dir").agg(min(col("r")).as("r"))
-          .localCheckpoint(eager = false)
-        if (depth.filter(col("r") === r).count() == 0) grew = false
-        else frontier = depth.filter(col("r") === r)
-      }
-      if (grew)
-        System.err.println(s"[graft] scc_full: round cap $SccMaxRounds " +
-          "reached — closure may be incomplete")
+      val depth = fwbwDepth(s, e, pivots, nE, "scc_full")
       val wp = org.apache.spark.sql.expressions.Window.partitionBy("pid")
       // lazy: residual's count below materializes extracted's blocks in
       // the same job; the labeled-union consume then reads them cached

@@ -100,12 +100,22 @@ object ScaleUp {
     })
 
     // Cyclic element shift per replica: preserves norms, decorrelates
-    // cross-replica cosine structure.
+    // cross-replica cosine structure. The shift alone has only dim (64)
+    // distinct values, so past 64 replicas it would byte-duplicate
+    // earlier replicas' vectors and inflate ANN/near-dup candidates for
+    // data reasons (the round-6 clone lesson again, one level up) —
+    // each 64-replica wrap therefore also flips the sign (norm-
+    // preserving; cosine(x, −x) = −1, so wrapped replicas are maximally
+    // far from their shift-twins, not clones). rep ≤ 64 is unchanged.
     replicate("embeddings", Seq("vec_id"), (d, r) => {
-      if (r == 0) d
-      else d.withColumn("embedding",
-        expr(s"concat(slice(embedding, ${r % 64 + 1}, size(embedding)), " +
-             s"slice(embedding, 1, ${r % 64}))"))
+      val shifted =
+        if (r == 0) d
+        else d.withColumn("embedding",
+          expr(s"concat(slice(embedding, ${r % 64 + 1}, size(embedding)), " +
+               s"slice(embedding, 1, ${r % 64}))"))
+      if ((r / 64) % 2 == 0) shifted
+      else shifted.withColumn("embedding",
+        expr("transform(embedding, x -> -x)"))
     })
 
     spark.stop()
