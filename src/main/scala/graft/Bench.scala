@@ -90,6 +90,17 @@ object Bench {
       // 6.0 s evicted vs 1.1 s cached — THE round-2 variance source,
       // the spike landing on whichever dedup query lost the cache race).
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // Shuffle files live until the driver GC collects their
+      // ShuffleDependency and the ContextCleaner reaps them — in a
+      // long-lived session sweeping hundreds of queries, dead shuffle
+      // dirs accumulate for the default 30 MINUTES. On the tmpfs local
+      // dir that is an OOM-by-disk: the r10 sf10 run died exactly this
+      // way (12 passing queries marked failed after /dev/shm filled
+      // under a quadratic shuffle + resident dedup shuffle files).
+      // 2 minutes bounds occupancy to the recent working set; the
+      // post-heavy-query GC nudge below makes reaping prompt where it
+      // matters. Zero effect at sf0.1 (MBs of shuffle).
+      .config("spark.cleaner.periodicGC.interval", "2min")
     localDir.foreach(d => builder.config("spark.local.dir", d))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -256,6 +267,14 @@ object Bench {
           }
           val elapsed = (System.nanoTime() - t0) / 1e9
           acc += ((name, elapsed, ok))
+          // Prompt shuffle reaping after HEAVY queries (sfN runs): the
+          // query's ShuffleDependencies just became garbage — one GC
+          // now lets the ContextCleaner delete their files before the
+          // next heavy query stacks its own on top (tmpfs local dir;
+          // see the periodicGC config above for the r10 post-mortem).
+          // Gated on elapsed so the 393-query sf0.1 sweep never pays
+          // 393 stop-the-world pauses for KB-scale shuffle dirs.
+          if (elapsed > 10.0) System.gc()
           // banking cadence (r9 verdict #4): the r9 driver window closed
           // ~15 s into sweep 2, under the old first-checkpoint at 25
           // queries — bank every 5 queries up front, then every 25

@@ -275,10 +275,16 @@ object FrontierQueriesK {
     * segment labels are integers; avg spend is one division of exact
     * sums.
     *
-    * Scale posture (r9 verdict #1): one customer-keyed rollup, then
-    * three DISTRIBUTED quintile rankings via [[DistRank]] — range
-    * shuffle + partition-local rank + broadcast prefix offsets; no
-    * single-partition sort anywhere over the customer dimension. The
+    * Scale posture (r9 verdict #1, branch layout r10 verdict #5): one
+    * customer-keyed rollup PINNED once, then three DISTRIBUTED quintile
+    * rankings via [[DistRank]] as PARALLEL slim branches — each ranks
+    * only (o_custkey, metric) and is joined back on o_custkey, so the
+    * plan is 1 pinned scan + 3 narrow range shuffles instead of the
+    * r10 chain's 3 serial widening ones (each chained call re-shuffled
+    * the full row with the prior rank columns riding along, and the
+    * three sample+shuffle rounds serialized; these branches are
+    * independent stages the DAG scheduler overlaps). No
+    * single-partition sort anywhere over the customer dimension; the
     * only unpartitioned windows left run over the ≤numPartitions
     * per-range-partition count rollups. Final segment rollup ≤125 rows. */
   def aggRfmSegments(s: SparkSession, d: String): DataFrame = {
@@ -287,18 +293,21 @@ object FrontierQueriesK {
       (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
         .cast(LongType).as("cents"))
     val endD = o.agg(max(col("dt")).as("end"))
-    val cust = o.groupBy("o_custkey").agg(max(col("dt")).as("last"),
-      count(lit(1)).as("freq"), sum(col("cents")).as("monetary"))
-      .crossJoin(broadcast(endD))
-      .select(col("o_custkey"),
-        datediff(col("end"), col("last")).cast(LongType).as("recency"),
-        col("freq"), col("monetary"))
-    val r1 = DistRank.ntile(cust, 5, s"rfm:r:$d", "r",
-      col("recency").desc, col("o_custkey"))
-    val r2 = DistRank.ntile(r1, 5, s"rfm:f:$d", "f",
-      col("freq"), col("o_custkey"))
-    val scored = DistRank.ntile(r2, 5, s"rfm:m:$d", "m",
-      col("monetary"), col("o_custkey"))
+    val cust = PipelineCache.getOrPersist(s"rfm:cust:$d")(
+      o.groupBy("o_custkey").agg(max(col("dt")).as("last"),
+        count(lit(1)).as("freq"), sum(col("cents")).as("monetary"))
+        .crossJoin(broadcast(endD))
+        .select(col("o_custkey"),
+          datediff(col("end"), col("last")).cast(LongType).as("recency"),
+          col("freq"), col("monetary")))
+    def quint(metric: String, out: String, ord: Column): DataFrame =
+      DistRank.ntile(cust.select(col("o_custkey"), col(metric)), 5,
+        s"rfm:$out:$d", out, ord, col("o_custkey"))
+        .select(col("o_custkey"), col(out))
+    val scored = cust.select(col("o_custkey"), col("monetary"))
+      .join(quint("recency", "r", col("recency").desc), "o_custkey")
+      .join(quint("freq", "f", col("freq")), "o_custkey")
+      .join(quint("monetary", "m", col("monetary")), "o_custkey")
     scored.groupBy((col("r") * 100L + col("f") * 10L + col("m"))
         .as("segment"))
       .agg(count(lit(1)).as("n_customers"), sum(col("monetary")).as("tot"))

@@ -911,7 +911,12 @@ object GraphQueries {
     // Reached set per direction is identical to the two-loop form, so
     // the intersection — and the oracle hash — is unchanged.
     val depth = fwbwDepth(s, edges, pivot, nEdges, "scc")
-    depth.groupBy("x").agg(count_distinct(col("dir")).as("nd"))
+    // group by (x, pid) like the sccLabels site, even though `pivot`
+    // is limit(1) here: the intersection must stay per-pivot if the
+    // frame ever carries more than one, or forward reach from one
+    // pivot and backward reach from another would merge into a false
+    // SCC member. With one pivot the plan and answer are unchanged.
+    depth.groupBy("x", "pid").agg(count_distinct(col("dir")).as("nd"))
       .filter(col("nd") === 2)
       .select(col("x").as("member")).orderBy("member")
     }

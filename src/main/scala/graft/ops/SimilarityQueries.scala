@@ -547,16 +547,25 @@ object SimilarityQueries {
     * missed — the IVF recall trade, measured by `sim_ann_recall_eval`).
     *
     * Scale posture: the pair join is an equi-join on the cell id, so
-    * pair count is Σ cell² ≈ N²/nCells — with the sqrt sizing rule
-    * (nCells ≈ √N) that is N^1.5 dot products, vs N² brute force; at
-    * 1e9 vectors a production run also caps the per-cell candidate list
-    * (IVF-PQ or a per-cell pre-rank) before the exact distance. The
-    * top-3 rank is a window INSIDE the same cell partitioning — the
-    * q_id window repartitions only (q, neighbor, cos) triples, never
-    * embeddings. */
+    * pair count is Σ cell² ≈ N²/nCells — and nCells here IS sized by
+    * the sqrt rule, nCells = max(8, ⌈√N⌉), derived from a DISTRIBUTED
+    * count (1-row aggregate broadcast into the centroid filter — no
+    * driver collect), so the pair join is N^1.5 dot products at every
+    * scale, vs N² brute force: 500 rows → 23 cells, 200k (sf10) → 448,
+    * 1e9 → ~32k (centroids still a broadcast-sized table). At 1e9 a
+    * production run additionally caps the per-cell candidate list
+    * (IVF-PQ or a per-cell pre-rank) before the exact distance; the
+    * ⌈√N⌉ arithmetic is mirrored verbatim in the DuckDB oracle, which
+    * keeps the approximate answer engine-identical. The top-3 rank is
+    * a window INSIDE the same cell partitioning — the q_id window
+    * repartitions only (q, neighbor, cos) triples, never embeddings. */
   def simKnnBatchIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
     val e = emb(s, d)
-    val cents = broadcast(e.filter(col("vec_id") <= NCells)
+    val nc = e.agg(greatest(lit(8L),
+      ceil(sqrt(count(lit(1)))).cast(LongType)).as("nc"))
+    val cents = broadcast(e.crossJoin(broadcast(nc))
+      .filter(col("vec_id") <= col("nc"))
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
         col("nsq").as("cnsq")))
     val assigned = e.crossJoin(cents)
@@ -1041,8 +1050,10 @@ object SimilarityQueries {
          |WHERE $knnBatchCos >= $SrpTau
          |ORDER BY a_id, b_id""".stripMargin,
     "sim_knn_batch_ivf" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
-         |  FROM embeddings WHERE vec_id <= $NCells),
+      s"""WITH nc AS (SELECT greatest(8, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nc
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings, nc WHERE vec_id <= nc.nc),
          |d2all AS (SELECT e.vec_id, c.cid,
          |    ${dotSql("e.embedding", "e.embedding")} +
          |    ${dotSql("c.cemb", "c.cemb")} -

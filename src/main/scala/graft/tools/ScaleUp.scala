@@ -41,6 +41,16 @@ object ScaleUp {
     val src = args(0)
     val dst = args(1)
     val rep = if (args.length > 2) args(2).toInt else 10
+    // The embedding decorrelation below composes a 64-period cyclic
+    // shift with a sign flip per 64-replica wrap — a 128-replica period
+    // total: replicas r and r+128 get identical shift AND sign, i.e.
+    // byte-duplicate vectors past rep=128 (same bound class as the
+    // documents rotation's period 105). Refuse rather than silently
+    // reintroduce clones.
+    require(rep <= 128,
+      s"rep=$rep exceeds the 128-replica embedding decorrelation period " +
+        "(shift period 64 x sign period 2); add a third norm-preserving " +
+        "transform before scaling further")
     val spark = SparkSession.builder()
       .appName("graft-scaleup")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -107,6 +117,8 @@ object ScaleUp {
     // each 64-replica wrap therefore also flips the sign (norm-
     // preserving; cosine(x, −x) = −1, so wrapped replicas are maximally
     // far from their shift-twins, not clones). rep ≤ 64 is unchanged.
+    // The composition's period is 128 (shift 64 × sign 2) — enforced by
+    // the require() in main; r and r+128 would be byte-identical.
     replicate("embeddings", Seq("vec_id"), (d, r) => {
       val shifted =
         if (r == 0) d
