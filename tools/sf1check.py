@@ -5,7 +5,11 @@ The monolithic localverify run at sf1 exceeded a 30-minute wall budget
 (two or three of the 27 candidate-family oracles are quadratic-ish in
 DuckDB at 50k docs); this wrapper runs each oracle in its own process
 with its own timeout so one slow oracle cannot erase the evidence for
-the other 26. Usage: python3 tools/sf1check.py <outDir> <sfDir> [budget_s]
+the other 26.
+Usage: python3 tools/sf1check.py <outDir> <sfDir> [budget_s] [names]
+`names` (optional, comma-separated) restricts the run to a subset of
+the dumped queries — lets several instances shard a heavy sfN oracle
+pass across the box instead of serializing 15-minute budgets.
 """
 import json
 import multiprocessing as mp
@@ -51,6 +55,9 @@ def main():
     budget = float(sys.argv[3]) if len(sys.argv) > 3 else 300.0
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(n for n in oracles if os.path.exists(f"{out_dir}/{n}"))
+    if len(sys.argv) > 4:
+        keep = set(sys.argv[4].split(","))
+        names = [n for n in names if n in keep]
     n_pass = n_fail = n_skip = 0
     for name in names:
         q = mp.Queue()
