@@ -47,9 +47,20 @@ object DistRank {
   private def numParts(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-  /** Range-partition on the total order and pin (partition-id tagged). */
+  /** Range-partition on the total order and pin (partition-id tagged).
+    *
+    * The pin is LAZY (round 11): the eager count() variant cost one
+    * whole serial job per ranking — a query chaining or branching
+    * several rankings paid them back-to-back. Lazy is safe HERE
+    * because (a) the offsets() side is consumed through broadcast(),
+    * and a broadcast subtree materializes before its probe stage, so
+    * the first consumer populates the cache for the rest; and (b) a
+    * worst-case race recomputes a DETERMINISTIC frame — range
+    * boundaries come from seeded sampling of the same input, so
+    * __pid values are identical on every compute (correctness never
+    * depended on which scan won). See getOrPersistLazy's contract. */
   private def ranged(df: DataFrame, key: String, order: Seq[Column]): DataFrame =
-    PipelineCache.getOrPersist(s"distrank:$key") {
+    PipelineCache.getOrPersistLazy(s"distrank:$key") {
       df.repartitionByRange(numParts(df), order: _*)
         .withColumn("__pid", spark_partition_id().cast(LongType))
     }

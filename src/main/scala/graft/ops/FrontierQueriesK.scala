@@ -293,7 +293,9 @@ object FrontierQueriesK {
       (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
         .cast(LongType).as("cents"))
     val endD = o.agg(max(col("dt")).as("end"))
-    val cust = PipelineCache.getOrPersist(s"rfm:cust:$d")(
+    // lazy pin: the rollup is small and deterministic; an eager count
+    // here would serialize a job ahead of the three rank branches
+    val cust = PipelineCache.getOrPersistLazy(s"rfm:cust:$d")(
       o.groupBy("o_custkey").agg(max(col("dt")).as("last"),
         count(lit(1)).as("freq"), sum(col("cents")).as("monetary"))
         .crossJoin(broadcast(endD))

@@ -2028,9 +2028,15 @@ object GraphQueries {
       // max|Δ| — precisely the driver-side while-condition; r < cap is
       // the round cap. Base round r=0 carries delta=1 so round 1 always
       // runs. Output rounds to 9 decimals on both sides.
-      s"""WITH RECURSIVE $edgesCte,
-         |od AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY 1),
-         |nv AS (SELECT COUNT(*) AS n FROM od),
+      // Edge/degree CTEs MATERIALIZED (the bfsLayeredSql lesson, hit
+      // again at sf10): a plain CTE referenced from the RECURSIVE term
+      // is re-planned EVERY iteration, so each of up to PrMaxRounds
+      // rounds re-ran the lineitem co-purchase self-join — at sf10
+      // that spilled >78 GB of DuckDB temp and died of disk, while the
+      // materialized form computes edges/degrees once.
+      s"""WITH RECURSIVE ${edgesCte.replace(" AS (", " AS MATERIALIZED (")},
+         |od AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM dir GROUP BY 1),
+         |nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM od),
          |t AS (
          |  SELECT 0 AS r, src AS x,
          |         CAST(deg AS DOUBLE) /

@@ -62,6 +62,43 @@ object PipelineCache {
     }
   }
 
+  /** [[getOrPersist]] WITHOUT the eager count — the pin is lazy and
+    * materializes inside the consumer's own action.
+    *
+    * When this is the right variant (round 11, the RFM latency case):
+    * the eager count() is one whole extra JOB per key, and a query that
+    * pins several INDEPENDENT small frames pays them strictly serially
+    * (driver-blocking count after count) even though the frames could
+    * materialize concurrently inside the final action — AQE
+    * materializes independent exchange stages in parallel. Dropping the
+    * count collapsed agg_rfm_segments from 5 serial jobs to 1.
+    *
+    * When it is WRONG (the measured ~2× in the object doc): a frame
+    * whose first consumers are the two sides of a self-JOIN in the same
+    * stage — both scans race and each computes every partition. Use
+    * lazy pins only where (a) recompute is deterministic (so a race
+    * costs time, not correctness — range shuffles with seeded sampling
+    * qualify; anything reading spark_partition_id of a ROUND-ROBIN
+    * shuffle does not), and (b) the first consumer materializes before
+    * the others need it (a broadcast subtree builds before its probe
+    * stage) or the frame is small enough that a duplicated compute is
+    * cheaper than a serial job. */
+  def getOrPersistLazy(key: String)(build: => DataFrame): DataFrame = {
+    val cached = frames.get(key)
+    if (cached != null) return cached
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val again = frames.get(key)
+      if (again != null) again
+      else {
+        val df = build
+        df.persist()
+        frames.put(key, df)
+        df
+      }
+    }
+  }
+
   /** Adopt an ALREADY-persisted frame into the lifecycle (used by
     * iterative pipelines that persist per round themselves and need the
     * surviving final frame released at the query boundary). */

@@ -450,13 +450,21 @@ object SimilarityQueries {
       .orderBy("pid")
   }
 
-  /** SemDeDup cell count. SIZING RULE: cells exist to BOUND the intra-
-    * cell pair quadratic — nCells ≈ N / targetCellSize with targetCellSize
-    * a few hundred keeps per-cell pair counts ~10^5 regardless of N; at
-    * ~1e9 vectors that's ~4M trained centroids sharded as a second-level
-    * quantizer (the assignment stays a broadcast-free map pass). The
-    * fixture uses 64 seed centroids (~N/100 at sf0.01). */
-  private[graft] val SemCells = 64
+  /** SemDeDup cell-count FLOOR. SIZING RULE (implemented, not just
+    * documented — the r10 knn-IVF lesson): with argmin assignment
+    * against the first-nCells seed centroids, cost has TWO terms —
+    * assignment N·nCells and the intra-cell pair join Σcell² ≈
+    * N²/nCells. A constant nCells leaves the pair join quadratic; a
+    * linear nCells = N/c leaves the ASSIGNMENT quadratic (N²/c). The
+    * balanced optimum is the same sqrt rule as [[simKnnBatchIvf]]:
+    * nCells = max(64, ⌈√N⌉) makes BOTH terms N^1.5. Derived from a
+    * distributed 1-row count broadcast and mirrored verbatim in the
+    * DuckDB oracle CTE. At ~1e9 vectors a production run replaces the
+    * seed-argmin with a trained hierarchical quantizer (assignment
+    * sublinear in nCells), which is a constant-factor swap on this
+    * same plan shape. The floor 64 keeps the fixture scales (≤4,096
+    * vectors) on the original 64 seed centroids. */
+  private[graft] val SemCellsFloor = 64
   private[graft] val SemTau = 0.35
 
   /** SEMANTIC dedup (the SemDeDup recipe): cluster embeddings around
@@ -468,12 +476,17 @@ object SimilarityQueries {
     * sizing rule — the property that lets this run at 100 TB where the
     * exact all-pairs quadratic cannot.
     *
-    * Centroids are the first [[SemCells]] vectors (deterministic seed,
-    * same rationale as the IVF quantizer above); assignment is the same
-    * bit-stable argmin. Output: intra-cell near-dup pairs + the cell. */
+    * Centroids are the first max([[SemCellsFloor]], ⌈√N⌉) vectors
+    * (deterministic seed, same rationale as the IVF quantizer above);
+    * assignment is the same bit-stable argmin. Output: intra-cell
+    * near-dup pairs + the cell. */
   def dedupSemanticCells(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
     val e = emb(s, d)
-    val cents = broadcast(e.filter(col("vec_id") <= SemCells)
+    val nc = e.agg(greatest(lit(SemCellsFloor.toLong),
+      ceil(sqrt(count(lit(1)))).cast(LongType)).as("nc"))
+    val cents = broadcast(e.crossJoin(broadcast(nc))
+      .filter(col("vec_id") <= col("nc"))
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
         col("nsq").as("cnsq")))
     val assigned = e.crossJoin(cents)
@@ -1158,8 +1171,11 @@ object SimilarityQueries {
     "dedup_semantic_cells" ->
       // same assignment CTE as the IVF oracle (argmin by (d2, cid)),
       // then the intra-cell pair join with the identical cosine fold
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
-         |  FROM embeddings WHERE vec_id <= $SemCells),
+      s"""WITH nc AS (SELECT greatest($SemCellsFloor,
+         |    CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nc
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings, nc WHERE vec_id <= nc.nc),
          |d2all AS (SELECT e.vec_id, c.cid,
          |    ${dotSql("e.embedding", "e.embedding")} +
          |    ${dotSql("c.cemb", "c.cemb")} -
