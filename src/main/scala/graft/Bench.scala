@@ -162,13 +162,20 @@ object Bench {
 
     // ---- COMPILE PASS ------------------------------------------------
     // Smallest sibling corpus: pay whole-registry Janino/JIT where data
-    // cost is negligible. Sibling discovery only — never a hardcoded
-    // path, so a driver pointing at any sf layout still works; when the
-    // sibling is absent (or IS the bench dir) the pass is skipped and
-    // the cold-sweep semantics below take over unchanged.
+    // cost is negligible. Sibling discovery or an explicit env override
+    // — never a hardcoded path, so a driver pointing at any sf layout
+    // still works; when neither resolves (or IS the bench dir) the pass
+    // is skipped and the cold-sweep semantics below take over unchanged.
+    // SPARK_GRAFT_COMPILE_DIR exists for generated sfN corpora (tmp/sf10
+    // has no sf0.001 sibling): compilation is data-independent, so any
+    // same-schema fixture warms the codegen/JIT caches — without it an
+    // sfN run's sweep 1 is compile-cold, and a query a truncated sweep 2
+    // never re-reaches publishes its cold sample as if it were steady
+    // (the r11 window_vwap 82 s vs 3.8 s warm artifact).
     val compileDir: Option[String] = {
       val p = java.nio.file.Paths.get(sfDir)
-      Option(p.getParent).map(_.resolve("sf0.001")).map(_.toString)
+      sys.env.get("SPARK_GRAFT_COMPILE_DIR")
+        .orElse(Option(p.getParent).map(_.resolve("sf0.001")).map(_.toString))
         .filter(c => c != sfDir &&
           java.nio.file.Files.isDirectory(java.nio.file.Paths.get(c)))
     }
