@@ -26,6 +26,14 @@ def check_one(name, sql, out_dir, sf_dir, q):
 
     try:
         con = duckdb.connect()
+        # A spill path + explicit limit make heavy sfN oracles degrade to
+        # disk instead of dying: curation_dsir_weights OOM'd at sf10 under
+        # box contention (a 32g-JVM bench beside 3-way oracle shards ate
+        # the headroom DuckDB's default 80%-of-RAM limit assumes it has),
+        # then PASSed in 81 s solo with these settings.
+        os.makedirs("tmp/duck_tmp", exist_ok=True)
+        con.execute("SET temp_directory='tmp/duck_tmp'")
+        con.execute("SET memory_limit='90GB'")
         for t in TABLES:
             path = f"{sf_dir}/{t}.parquet"
             if os.path.isdir(path):
