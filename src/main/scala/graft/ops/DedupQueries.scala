@@ -291,17 +291,82 @@ object DedupQueries {
       .orderBy("a_id", "b_id")
   }
 
-  /** Default sub-cells per label for the embedding self-join (triangle
-    * cell partitioning). SIZING RULE: m ≈ ⌈max per-label row count /
-    * target cell size⌉, where target cell size is what one join task
-    * should hold (≈ sqrt(task-memory / row-width) rows, since the
-    * in-cell join is quadratic) — at 100 TB derive max-label-count from
-    * a cheap `groupBy(label).count().agg(max(...))` pre-pass and pass it
-    * to [[dedupEmbeddingCosineCells]]. The PAIR SET is invariant in m
-    * (the cell-pair cover is exhaustive for any m ≥ 1 — pinned by spec);
-    * m trades replication volume (m× shuffle) against per-task bound
-    * (O(2·label/m)²). 4 suits the fixture's ~250-row labels. */
-  private[graft] val EmbedCells = 4
+  /** Floor for the runtime cell sizing below: even a tiny corpus keeps a
+    * few cells so the plan shape (replicate → compound-key equi-join)
+    * never degenerates to a special case, and the sf0.01 driver-gate
+    * plan is byte-identical to what shipped when this was the fixed
+    * default. */
+  private[graft] val EmbedCellsFloor = 4L
+
+  /** Target rows per triangle cell. One join task holds TWO cells
+    * (a cell-pair), so its exact-verification bound is (2·target)² / 2
+    * ≈ 8.4M dot products — a seconds-scale, comfortably-in-memory task
+    * (2·2048 rows × ~300 B ≈ 1.2 MB; the quadratic COMPUTE term, not
+    * memory, is what the target bounds). Smaller targets buy balance at
+    * the price of replication volume (m× rows shuffled), so the target
+    * sits where per-task compute ≈ task-scheduling granularity. */
+  private[graft] val EmbedCellTargetRows = 2048L
+
+  /** SIZING RULE for the embedding self-join's sub-cells per label:
+    * m = max(floor, ⌈max per-label row count / target cell rows⌉) — the
+    * per-task bound O(2·label/m)² then stays ≈ O(2·target)² at every
+    * corpus scale instead of growing quadratically in the hottest
+    * label. The PAIR SET is invariant in m (the cell-pair cover is
+    * exhaustive for any m ≥ 1 — pinned by spec), so this arithmetic
+    * never moves an answer; it only trades replication volume (m×
+    * shuffle) against straggler size. This driver-side form exists so
+    * the spec can pin the plan's runtime `m` to the label histogram;
+    * [[embedCellFrame]] is the identical arithmetic as a 1-row frame. */
+  private[graft] def embedCellCount(maxLabelRows: Long): Long =
+    math.max(EmbedCellsFloor,
+      math.ceil(maxLabelRows.toDouble / EmbedCellTargetRows).toLong)
+
+  /** [[embedCellCount]] over the actual corpus, as a DISTRIBUTED 1-row
+    * aggregate (the `sim_knn_batch_ivf` pattern): a cheap
+    * `groupBy(label).count().agg(max)` pre-pass — one narrow shuffle of
+    * (label, count) pairs — broadcast into the replication step, no
+    * driver collect. */
+  private[graft] def embedCellFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    Tables.embeddings(s, d).groupBy(col("label")).count()
+      .agg(greatest(lit(EmbedCellsFloor),
+        ceil(max(col("count")).cast(DoubleType) / lit(EmbedCellTargetRows.toDouble))
+          .cast(LongType)).as("m"))
+  }
+
+  /** Triangle-cell replication given a base frame carrying an `m`
+    * column (a literal in the spec's parameterized form, the broadcast
+    * runtime derivation in the shipped query): each row gets cell
+    * c = vec_id mod m and is replicated to the m unordered cell-pairs
+    * it can meet a partner in. */
+  private def embedReplicate(base: DataFrame): DataFrame =
+    base
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Vectors.normSq(col("embedding")).as("nsq"), // norm once per row
+        pmod(col("vec_id"), col("m")).as("cell"), col("m"))
+      .select(col("*"), explode(sequence(lit(0L), col("m") - lit(1L))).as("other"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nsq"), col("cell"),
+        least(col("cell"), col("other")).as("lo"),
+        greatest(col("cell"), col("other")).as("hi"))
+
+  /** Exact-pair verification over a replicated base: compound-key
+    * equi-join on (label, lo, hi); the `least/greatest` guard keeps each
+    * pair in exactly one cell-pair, so the output is identical to the
+    * naive within-label self-join for any m. */
+  private def embedPairs(rep: DataFrame): DataFrame =
+    rep.as("a")
+      .join(rep.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.lo") === col("b.lo") && col("a.hi") === col("b.hi") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          least(col("a.cell"), col("b.cell")) === col("a.lo") &&
+          greatest(col("a.cell"), col("b.cell")) === col("a.hi"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.label").as("label"),
+        (Vectors.dot(col("a.embedding"), col("b.embedding")) /
+          sqrt(col("a.nsq") * col("b.nsq"))).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .orderBy("a_id", "b_id")
 
   /** Embedding near-dup: within-label (IVF-coarse-bucket pattern)
     * cosine ≥ 0.35 pairs. The label join stands in for a coarse
@@ -320,38 +385,32 @@ object DedupQueries {
     * (its own (min(ca,cb), max(ca,cb))), so output rows are identical to
     * the naive join (oracle unchanged) but the biggest join task shrinks
     * from O(hottest label)² to O(2·label/m)². Replication cost: m× rows
-    * shuffled — the classic skew-vs-volume trade, tuned by [[EmbedCells]]. */
-  def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame =
-    dedupEmbeddingCosineCells(s, d, EmbedCells)
+    * shuffled — the classic skew-vs-volume trade. m is derived AT
+    * RUNTIME from the corpus's own label histogram ([[embedCellFrame]];
+    * round-12 — previously a fixed 4, which left the per-task bound
+    * quadratic in the hottest label's growth): sf0.01's ~250-row labels
+    * still get the floor 4, a label of 1M rows gets m = 489, and the
+    * straggler task stays ≈ (2·[[EmbedCellTargetRows]])² work at every
+    * scale. */
+  def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
+    val rep = PipelineCache.getOrPersist(s"dedup:embCellsRt:$d")(
+      embedReplicate(
+        Tables.embeddings(s, d).crossJoin(broadcast(embedCellFrame(s, d)))))
+    embedPairs(rep)
+  }
 
-  /** [[dedupEmbeddingCosine]] with the cell count as a parameter (see
-    * [[EmbedCells]] for the sizing rule). Output is identical for every
-    * m ≥ 1; only the shuffle/task-bound trade moves. */
+  /** [[dedupEmbeddingCosine]] with the cell count as an explicit
+    * parameter (see [[embedCellCount]] for the runtime sizing rule this
+    * bypasses). Output is identical for every m ≥ 1; only the
+    * shuffle/task-bound trade moves — the spec pins that invariance,
+    * which is what lets the runtime derivation move m freely without
+    * touching the oracle. */
   private[graft] def dedupEmbeddingCosineCells(
       s: SparkSession, d: String, m: Int): DataFrame = {
     require(m >= 1, s"cell count must be >= 1, got $m")
     val rep = PipelineCache.getOrPersist(s"dedup:embCells:$d:$m")(
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"),
-          Vectors.normSq(col("embedding")).as("nsq"), // norm once per row
-          pmod(col("vec_id"), lit(m.toLong)).as("cell"))
-        .select(col("*"), explode(sequence(lit(0L), lit(m - 1L))).as("other"))
-        .select(col("vec_id"), col("label"), col("embedding"), col("nsq"), col("cell"),
-          least(col("cell"), col("other")).as("lo"),
-          greatest(col("cell"), col("other")).as("hi")))
-    rep.as("a")
-      .join(rep.as("b"),
-        col("a.label") === col("b.label") &&
-          col("a.lo") === col("b.lo") && col("a.hi") === col("b.hi") &&
-          col("a.vec_id") < col("b.vec_id") &&
-          least(col("a.cell"), col("b.cell")) === col("a.lo") &&
-          greatest(col("a.cell"), col("b.cell")) === col("a.hi"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        col("a.label").as("label"),
-        (Vectors.dot(col("a.embedding"), col("b.embedding")) /
-          sqrt(col("a.nsq") * col("b.nsq"))).as("cos"))
-      .filter(col("cos") >= 0.35)
-      .orderBy("a_id", "b_id")
+      embedReplicate(Tables.embeddings(s, d).withColumn("m", lit(m.toLong))))
+    embedPairs(rep)
   }
 
   /** Connected-components-lite over the verified near-dup graph: every

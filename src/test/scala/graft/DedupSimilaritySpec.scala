@@ -133,10 +133,34 @@ class DedupSimilaritySpec extends SparkTestBase {
       PipelineCache.releaseAll() // each m caches its own replicated base
       r
     }
-    val m4 = pairs(4) // default
+    val m4 = pairs(4) // the sf0.001 runtime-derived value (floor)
     assert(m4.nonEmpty)
     assert(pairs(1) == m4)  // m=1: no replication, one cell-pair per label
     assert(pairs(7) == m4)  // m=7: a non-divisor of the label sizes
+    // the SHIPPED query (runtime-derived m) produces the same pair set
+    val rt = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    PipelineCache.releaseAll()
+    assert(rt == m4)
+  }
+
+  test("embedding cell count m tracks the corpus label histogram") {
+    // driver-side expectation from the actual histogram...
+    val maxLabel = graft.ops.Tables.embeddings(spark, sfDir)
+      .groupBy("label").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    val expected = DedupQueries.embedCellCount(maxLabel)
+    // ...must equal the distributed 1-row derivation the query uses
+    val mRow = DedupQueries.embedCellFrame(spark, sfDir).collect()
+    assert(mRow.length == 1)
+    assert(mRow(0).getLong(0) == expected)
+    // the sizing arithmetic itself: floor below target, ceil-linear above
+    assert(DedupQueries.embedCellCount(1) == 4L)
+    assert(DedupQueries.embedCellCount(250) == 4L)   // sf0.01-scale labels
+    assert(DedupQueries.embedCellCount(8192) == 4L)  // 4 cells of 2048
+    assert(DedupQueries.embedCellCount(8193) == 5L)
+    assert(DedupQueries.embedCellCount(1000000) == 489L)
   }
 
   test("full-probe IVF (nProbe = nCells) equals exact brute-force top-k") {

@@ -73,6 +73,15 @@ def main():
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # optional argv[3]: comma-list of query names — matches Verify's
+    # SPARK_GRAFT_VERIFY_ONLY so a partial dump can be checked without
+    # FAILing every query the dump deliberately skipped
+    if len(sys.argv) > 3:
+        only = {q.strip() for q in sys.argv[3].split(",") if q.strip()}
+        missing = only - oracles.keys()
+        if missing:
+            print(f"WARN: filter names not in oracle_sql.json: {sorted(missing)}")
+        oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
