@@ -556,11 +556,17 @@ object DecisionQueriesB {
         |  AND unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
         |    WHERE c2.l_partkey = cost.l_partkey)
         |ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100""".stripMargin,
+    // items/ic are MATERIALIZED (round 12): DuckDB inlines plain CTEs,
+    // so `items` — a 42M-row DISTINCT at sf10 — was recomputed at each
+    // of its four reference sites and the oracle blew the 1800 s solo
+    // sf10 budget; pinned once, the same query runs in 55 s there
+    // (sf10-answer-verified vs the engine dump). Same rows either way.
     "dsq_basket_lift" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),
         |nb AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM items),
-        |ic AS (SELECT p, COUNT(*) AS cs FROM items GROUP BY p),
+        |ic AS MATERIALIZED (SELECT p, COUNT(*) AS cs FROM items GROUP BY p),
         |pr AS (SELECT x.p AS a, y.p AS b, COUNT(*) AS cab
         |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)

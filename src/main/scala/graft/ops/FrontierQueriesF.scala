@@ -308,8 +308,18 @@ object FrontierQueriesF {
   private val toks = TextQueries.tokensSql
 
   val oracle: Map[String, String] = Map(
+    // The SES fold is a RECURSIVE CTE, not a list lambda (round 12):
+    // the original list_reduce form is interpreted per element and blew
+    // the 1800 s solo oracle budget at sf10, leaving the query's sf10
+    // answer un-cross-checked. The recursion applies the IDENTICAL
+    // double-precision update z + a*(q - z) one step per iteration —
+    // bit-for-bit the sequential fold (a closed-form POWER() restatement
+    // would be O(N) but reorders the FP arithmetic, and at 2M parts the
+    // ROUND(_,9) boundary would collide) — and its depth is bounded by
+    // the max demand-day count per part (53 at sf0.1; ScaleUp replicates
+    // keys, not dates, so depth is scale-invariant).
     "time_croston_forecast" ->
-      s"""WITH daily AS (
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
          |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS dd,
          |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
          |  FROM lineitem GROUP BY 1, 2),
@@ -320,23 +330,29 @@ object FrontierQueriesF {
          |      lag(dd) OVER (PARTITION BY l_partkey ORDER BY dd), dd)
          |      AS DOUBLE) AS g
          |  FROM daily),
-         |folded AS (
-         |  SELECT l_partkey, COUNT(*) AS n_demand_days,
-         |    list_reduce(
-         |      list_prepend([0.0, 0.0, 0.0],
-         |        list([q, g] ORDER BY dd) FILTER (WHERE g IS NOT NULL)),
-         |      (acc, x) -> CASE WHEN acc[1] = 0.0
-         |        THEN [1.0, x[1], x[2]]
-         |        ELSE [acc[1] + 1.0,
-         |          acc[2] + $CrostonAlpha * (x[1] - acc[2]),
-         |          acc[3] + $CrostonAlpha * (x[2] - acc[3])] END) AS st
-         |  FROM gapped GROUP BY 1)
-         |SELECT l_partkey, n_demand_days,
-         |  ROUND(st[2], 9) AS smoothed_size,
-         |  ROUND(st[3], 9) AS smoothed_interval,
-         |  ROUND(st[2] / NULLIF(st[3], 0.0), 9) AS demand_rate
-         |FROM folded WHERE n_demand_days >= $CrostonMinDays
-         |ORDER BY l_partkey""".stripMargin,
+         |gseq AS MATERIALIZED (
+         |  SELECT l_partkey, q, g,
+         |    row_number() OVER (PARTITION BY l_partkey ORDER BY dd) AS k
+         |  FROM gapped WHERE g IS NOT NULL),
+         |nn AS MATERIALIZED (
+         |  SELECT l_partkey, COUNT(*) + 1 AS n_demand_days, MAX(k) AS kmax
+         |  FROM gseq GROUP BY 1),
+         |rec AS (
+         |  SELECT l_partkey, k, q AS z, g AS p FROM gseq WHERE k = 1
+         |  UNION ALL
+         |  SELECT g.l_partkey, g.k,
+         |    r.z + $CrostonAlpha * (g.q - r.z),
+         |    r.p + $CrostonAlpha * (g.g - r.p)
+         |  FROM rec r JOIN gseq g
+         |    ON g.l_partkey = r.l_partkey AND g.k = r.k + 1)
+         |SELECT n.l_partkey, n.n_demand_days,
+         |  ROUND(r.z, 9) AS smoothed_size,
+         |  ROUND(r.p, 9) AS smoothed_interval,
+         |  ROUND(r.z / NULLIF(r.p, 0.0), 9) AS demand_rate
+         |FROM rec r JOIN nn n
+         |  ON r.l_partkey = n.l_partkey AND r.k = n.kmax
+         |WHERE n.n_demand_days >= $CrostonMinDays
+         |ORDER BY n.l_partkey""".stripMargin,
     "stat_friedman_test" ->
       """WITH counts AS (
         |  SELECT event_type,
