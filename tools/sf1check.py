@@ -31,9 +31,29 @@ def check_one(name, sql, out_dir, sf_dir, q):
         # box contention (a 32g-JVM bench beside 3-way oracle shards ate
         # the headroom DuckDB's default 80%-of-RAM limit assumes it has),
         # then PASSed in 81 s solo with these settings.
-        os.makedirs("tmp/duck_tmp", exist_ok=True)
-        con.execute("SET temp_directory='tmp/duck_tmp'")
-        con.execute("SET memory_limit='90GB'")
+        # Spill path anchored to the REPO's tmp/, not the caller's cwd
+        # (r11 advice: only sf10check.sh guaranteed cwd=/root/repo).
+        tmp_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", "tmp", "duck_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp_dir}'")
+        # Memory limit derived from what the box actually has, split by
+        # the declared shard count (r11 advice: the old fixed 90GB only
+        # worked because runs were solo — on a smaller box it RAISED the
+        # limit above DuckDB's 80%-of-RAM default, and 3 shards x 90GB
+        # over-committed). GRAFT_DUCK_SHARDS = concurrent sf1check
+        # instances (default 1); GRAFT_DUCK_MEM_GB overrides outright.
+        mem_gb = os.environ.get("GRAFT_DUCK_MEM_GB")
+        if mem_gb is None:
+            avail_kb = 64 * 1024 * 1024  # conservative fallback
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemAvailable:"):
+                        avail_kb = int(line.split()[1])
+                        break
+            shards = max(1, int(os.environ.get("GRAFT_DUCK_SHARDS", "1")))
+            mem_gb = max(4, int(avail_kb / 1024 / 1024 * 0.8 / shards))
+        con.execute(f"SET memory_limit='{mem_gb}GB'")
         for t in TABLES:
             path = f"{sf_dir}/{t}.parquet"
             if os.path.isdir(path):
