@@ -142,20 +142,23 @@ object Bench {
       // post-heavy-query GC nudge below makes reaping prompt where it
       // matters. Zero effect at sf0.1 (MBs of shuffle).
       .config("spark.cleaner.periodicGC.interval", "2min")
-      // Scheduler-floor trims (round 12, measured on a 30-query
-      // mid-band probe: 17.7 s → 14.2 s, −20%): in local mode every
-      // task is process-local, so the default 3 s locality wait only
-      // ever delays post-shuffle stages whose map outputs advertise
-      // preferred locations; and with AQE's coalescer free to target
-      // the 64 MB advisory size instead of preserving parallelism,
-      // a KB-scale shuffle becomes 1 task instead of 32 — at sf0.1 the
-      // sweep's cost is ~60% scheduling floor (300 queries in the
-      // 0.2–0.7 s band), so the floor IS the measurement noise. Answer
-      // plans are unchanged — these move task placement and post-
-      // shuffle partition counts, never operators (PlanShapeSpec pins
-      // the latter).
+      // Scheduler-floor trim (round 12, measured on a 30-query mid-band
+      // probe): in local mode every task is process-local, so the
+      // default 3 s locality wait only ever delays post-shuffle stages
+      // whose map outputs advertise preferred locations; zeroing it cut
+      // the probe 17.7 s → 14.6 s. Task placement only — plans and
+      // answers untouched.
+      //
+      // Deliberately NOT set: coalescePartitions.parallelismFirst=false.
+      // It trimmed another ~0.4 s off the sf0.1 probe (KB-scale shuffles
+      // become 1 task instead of 32), but at sf10 it let AQE coalesce
+      // COMPUTE-DENSE small-byte stages into single giant tasks —
+      // join_fuzzy_blocked's edit-distance verification collapsed from
+      // ~60 s to 766 s, sim_knn_batch_ivf 14.7 s → 75.9 s (measured,
+      // round 12). Bytes are the wrong proxy for work exactly where an
+      // analytics engine is CPU-bound per row; Spark's default guards
+      // that, so it stays.
       .config("spark.locality.wait", "0")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     localDir.foreach(d => builder.config("spark.local.dir", d))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

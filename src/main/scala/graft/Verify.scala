@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Same scheduler-floor trim as Bench (round 12): zero locality
+      // wait — task placement only, operators and answers untouched,
+      // and the dump is ~40% of the driver's round window. (AQE's
+      // parallelismFirst stays at its default here too — see Bench for
+      // the sf10 measurement that vetoed it.)
+      .config("spark.locality.wait", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

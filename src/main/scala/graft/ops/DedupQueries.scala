@@ -325,7 +325,13 @@ object DedupQueries {
     * aggregate (the `sim_knn_batch_ivf` pattern): a cheap
     * `groupBy(label).count().agg(max)` pre-pass — one narrow shuffle of
     * (label, count) pairs — broadcast into the replication step, no
-    * driver collect. */
+    * driver collect. One global m (sized by the hottest label) is right
+    * for this corpus's near-uniform 10-label histogram; on a skewed
+    * histogram the same plan generalizes to PER-LABEL m (join the
+    * per-label counts instead of the max — the cover proof is
+    * per-label, so rows of different labels may replicate differently),
+    * which stops the hottest label's m from over-replicating the small
+    * ones. */
   private[graft] def embedCellFrame(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     Tables.embeddings(s, d).groupBy(col("label")).count()

@@ -52,7 +52,13 @@ def check_one(name, sql, out_dir, sf_dir, q):
                         avail_kb = int(line.split()[1])
                         break
             shards = max(1, int(os.environ.get("GRAFT_DUCK_SHARDS", "1")))
-            mem_gb = max(4, int(avail_kb / 1024 / 1024 * 0.8 / shards))
+            # ceiling 90GB even when the box could nominally give more:
+            # 0.8*MemAvailable on an idle 128GB box is 104GB, and that
+            # limit let the dsir oracle exhaust SYSTEM memory (malloc
+            # "bad allocation" at sf10, round 12) where the 90GB limit
+            # spills to temp_directory and passes — DuckDB needs the
+            # gap for pandas materialization and allocator slack.
+            mem_gb = min(90, max(4, int(avail_kb / 1024 / 1024 * 0.8 / shards)))
         con.execute(f"SET memory_limit='{mem_gb}GB'")
         for t in TABLES:
             path = f"{sf_dir}/{t}.parquet"
