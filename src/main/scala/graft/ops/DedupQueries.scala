@@ -308,35 +308,39 @@ object DedupQueries {
   private[graft] val EmbedCellTargetRows = 2048L
 
   /** SIZING RULE for the embedding self-join's sub-cells per label:
-    * m = max(floor, ⌈max per-label row count / target cell rows⌉) — the
+    * m(label) = max(floor, ⌈label row count / target cell rows⌉) — the
     * per-task bound O(2·label/m)² then stays ≈ O(2·target)² at every
     * corpus scale instead of growing quadratically in the hottest
     * label. The PAIR SET is invariant in m (the cell-pair cover is
-    * exhaustive for any m ≥ 1 — pinned by spec), so this arithmetic
-    * never moves an answer; it only trades replication volume (m×
-    * shuffle) against straggler size. This driver-side form exists so
-    * the spec can pin the plan's runtime `m` to the label histogram;
-    * [[embedCellFrame]] is the identical arithmetic as a 1-row frame. */
+    * exhaustive for any m ≥ 1, per label — pinned by spec), so this
+    * arithmetic never moves an answer; it only trades replication
+    * volume (m× shuffle) against straggler size. This driver-side form
+    * exists so the spec can pin the plan's runtime `m` to the label
+    * histogram; [[embedCellFrame]] is the identical arithmetic as a
+    * per-label frame. */
   private[graft] def embedCellCount(maxLabelRows: Long): Long =
     math.max(EmbedCellsFloor,
       math.ceil(maxLabelRows.toDouble / EmbedCellTargetRows).toLong)
 
-  /** [[embedCellCount]] over the actual corpus, as a DISTRIBUTED 1-row
-    * aggregate (the `sim_knn_batch_ivf` pattern): a cheap
-    * `groupBy(label).count().agg(max)` pre-pass — one narrow shuffle of
-    * (label, count) pairs — broadcast into the replication step, no
-    * driver collect. One global m (sized by the hottest label) is right
-    * for this corpus's near-uniform 10-label histogram; on a skewed
-    * histogram the same plan generalizes to PER-LABEL m (join the
-    * per-label counts instead of the max — the cover proof is
-    * per-label, so rows of different labels may replicate differently),
-    * which stops the hottest label's m from over-replicating the small
-    * ones. */
+  /** [[embedCellCount]] over the actual corpus, PER LABEL, as a
+    * DISTRIBUTED aggregate (the `sim_knn_batch_ivf` pattern): a cheap
+    * `groupBy(label).count()` pre-pass — one narrow shuffle of
+    * (label, count) pairs — broadcast-joined into the replication step
+    * on `label`, no driver collect. Per-label m (round 13; round 12
+    * shipped one global m sized by the hottest label) matters exactly
+    * on a SKEWED histogram: the cell-pair cover proof is per-label
+    * (both rows of a pair share a label, hence the same m), so rows of
+    * different labels may replicate differently — a 1M-row hot label
+    * gets m = 489 while a 300-row label keeps the floor 4, instead of
+    * the hot label's m over-replicating every small label m× for no
+    * task-bound benefit. On this corpus's near-uniform 10-label
+    * histogram the two forms coincide; the pair set is invariant in m
+    * either way (spec-pinned). */
   private[graft] def embedCellFrame(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     Tables.embeddings(s, d).groupBy(col("label")).count()
-      .agg(greatest(lit(EmbedCellsFloor),
-        ceil(max(col("count")).cast(DoubleType) / lit(EmbedCellTargetRows.toDouble))
+      .select(col("label"), greatest(lit(EmbedCellsFloor),
+        ceil(col("count").cast(DoubleType) / lit(EmbedCellTargetRows.toDouble))
           .cast(LongType)).as("m"))
   }
 
@@ -345,7 +349,7 @@ object DedupQueries {
     * runtime derivation in the shipped query): each row gets cell
     * c = vec_id mod m and is replicated to the m unordered cell-pairs
     * it can meet a partner in. */
-  private def embedReplicate(base: DataFrame): DataFrame =
+  private[graft] def embedReplicate(base: DataFrame): DataFrame =
     base
       .select(col("vec_id"), col("label"), col("embedding"),
         Vectors.normSq(col("embedding")).as("nsq"), // norm once per row
@@ -359,7 +363,7 @@ object DedupQueries {
     * equi-join on (label, lo, hi); the `least/greatest` guard keeps each
     * pair in exactly one cell-pair, so the output is identical to the
     * naive within-label self-join for any m. */
-  private def embedPairs(rep: DataFrame): DataFrame =
+  private[graft] def embedPairs(rep: DataFrame): DataFrame =
     rep.as("a")
       .join(rep.as("b"),
         col("a.label") === col("b.label") &&
@@ -401,7 +405,7 @@ object DedupQueries {
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
     val rep = PipelineCache.getOrPersist(s"dedup:embCellsRt:$d")(
       embedReplicate(
-        Tables.embeddings(s, d).crossJoin(broadcast(embedCellFrame(s, d)))))
+        Tables.embeddings(s, d).join(broadcast(embedCellFrame(s, d)), "label")))
     embedPairs(rep)
   }
 

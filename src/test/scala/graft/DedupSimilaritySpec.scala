@@ -145,22 +145,55 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(rt == m4)
   }
 
-  test("embedding cell count m tracks the corpus label histogram") {
+  test("embedding cell counts track the corpus label histogram PER LABEL") {
     // driver-side expectation from the actual histogram...
-    val maxLabel = graft.ops.Tables.embeddings(spark, sfDir)
-      .groupBy("label").count()
-      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
-    val expected = DedupQueries.embedCellCount(maxLabel)
-    // ...must equal the distributed 1-row derivation the query uses
-    val mRow = DedupQueries.embedCellFrame(spark, sfDir).collect()
-    assert(mRow.length == 1)
-    assert(mRow(0).getLong(0) == expected)
+    val hist = graft.ops.Tables.embeddings(spark, sfDir)
+      .groupBy("label").count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(hist.nonEmpty)
+    // ...must equal the distributed per-label derivation the query uses,
+    // label for label (round 13: one row per label, not one global max)
+    val mRows = DedupQueries.embedCellFrame(spark, sfDir).collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(mRows.keySet == hist.keySet)
+    hist.foreach { case (lbl, n) =>
+      assert(mRows(lbl) == DedupQueries.embedCellCount(n),
+        s"label $lbl: derived m=${mRows(lbl)} != sizing rule for $n rows")
+    }
     // the sizing arithmetic itself: floor below target, ceil-linear above
     assert(DedupQueries.embedCellCount(1) == 4L)
     assert(DedupQueries.embedCellCount(250) == 4L)   // sf0.01-scale labels
     assert(DedupQueries.embedCellCount(8192) == 4L)  // 4 cells of 2048
     assert(DedupQueries.embedCellCount(8193) == 5L)
     assert(DedupQueries.embedCellCount(1000000) == 489L)
+  }
+
+  test("per-label cell counts keep the pair set exact on a SKEWED histogram") {
+    // The cover proof is per-label: both rows of a candidate pair share
+    // a label, hence the same m, so labels may replicate with DIFFERENT
+    // m and the union of per-label covers is still exhaustive. Pin that
+    // directly: attach a deliberately non-uniform m (3 vs 7 by label
+    // parity — non-divisors of each other and of the label sizes) and
+    // the pair set must equal both the naive within-label self-join
+    // baseline (uniform m = 1) and a uniform m = 4.
+    import org.apache.spark.sql.functions.{col, lit, pmod, when}
+    import graft.ops.PipelineCache
+    val base = graft.ops.Tables.embeddings(spark, sfDir)
+    def pairsOf(mCol: org.apache.spark.sql.Column): Seq[(Long, Long)] = {
+      val r = DedupQueries.embedPairs(
+        DedupQueries.embedReplicate(base.withColumn("m", mCol)))
+        .select("a_id", "b_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq
+      PipelineCache.releaseAll()
+      r
+    }
+    val naive = pairsOf(lit(1L))
+    assert(naive.nonEmpty)
+    assert(pairsOf(lit(4L)) == naive)
+    val skewed = when(pmod(col("label").cast("long"), lit(2L)) === 0L, lit(3L))
+      .otherwise(lit(7L))
+    assert(pairsOf(skewed) == naive,
+      "per-label m must not change the pair set")
   }
 
   test("full-probe IVF (nProbe = nCells) equals exact brute-force top-k") {
