@@ -46,11 +46,14 @@ def check_one(name, sql, out_dir, sf_dir, q):
         mem_gb = os.environ.get("GRAFT_DUCK_MEM_GB")
         if mem_gb is None:
             avail_kb = 64 * 1024 * 1024  # conservative fallback
-            with open("/proc/meminfo") as f:
-                for line in f:
-                    if line.startswith("MemAvailable:"):
-                        avail_kb = int(line.split()[1])
-                        break
+            try:  # non-Linux / restricted /proc keeps the fallback
+                with open("/proc/meminfo") as f:
+                    for line in f:
+                        if line.startswith("MemAvailable:"):
+                            avail_kb = int(line.split()[1])
+                            break
+            except OSError:
+                pass
             shards = max(1, int(os.environ.get("GRAFT_DUCK_SHARDS", "1")))
             # ceiling 90GB even when the box could nominally give more:
             # 0.8*MemAvailable on an idle 128GB box is 104GB, and that
