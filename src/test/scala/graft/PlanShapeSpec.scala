@@ -120,6 +120,16 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("per-label cell counts attach by broadcast hash join, never a shuffle") {
+    // the (label, m) frame is tiny (one row per label) — if it ever
+    // grew a shuffle on the corpus side, every embedding row would pay
+    // an exchange just to learn its replication factor
+    graft.ops.PipelineCache.releaseAll()
+    val p = plan("dedup_embedding_cosine")
+    assert(ops(p).exists(_.isInstanceOf[BroadcastHashJoinExec]), p)
+    graft.ops.PipelineCache.releaseAll()
+  }
+
   test("bucketed co-located join reads buckets with no exchange or sort on either side") {
     val df = graft.ops.JoinQueries.joinBucketedColocated(spark, sfDir)
     val p = df.queryExecution.executedPlan
