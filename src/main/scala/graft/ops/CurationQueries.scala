@@ -580,31 +580,47 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Holdout size of [[curationContaminationEmbedding]]'s benchmark
+    * stand-in — a CONSTANT, deliberately: real benchmark suites have a
+    * fixed question count that does not grow with the training corpus,
+    * so the stand-in must not either. The r13 form (an md5 10% slice)
+    * scaled WITH the corpus — its broadcast and the per-row probe cost
+    * both grew linearly, the one corpus-proportional broadcast in the
+    * engine (r13 verdict "What's wrong" #1); a fixed-k slice keeps the
+    * probe O(k) per row at every scale. */
+  private[graft] val ContamHoldoutK = 64
+
   /** SEMANTIC decontamination — the embedding-space complement of
     * [[dedupContaminationNgram]]: an n-gram check misses paraphrased or
     * translated benchmark leakage, so production stacks a cosine screen
     * over the same role-flip (the SMALL side is the benchmark/holdout;
-    * here a deterministic md5 10% slice stands in). Per train vector:
-    * max cosine against any holdout vector, flagged at τ = 0.35 (the
-    * [[SimilarityQueries]] SRP verify threshold); rolled up per label
-    * with the max observed similarity as the audit column.
+    * here the [[ContamHoldoutK]] md5-least vec_ids stand in — a
+    * deterministic FIXED-SIZE slice, the true benchmark shape). Per
+    * train vector: max cosine against any holdout vector, flagged at
+    * τ = 0.35 (the [[SimilarityQueries]] SRP verify threshold); rolled
+    * up per label with the max observed similarity as the audit column.
     *
-    * Scale posture: the holdout rides as a BROADCAST (benchmark suites
-    * are small by construction — the contamination_ngram argument); the
-    * corpus is consumed map-side by the broadcast nested-loop probe and
-    * collapses to per-label rows in one partial-aggregated shuffle. The
-    * cosines are the standard index-order fold — bit-stable. */
+    * Scale posture: the holdout is a global top-k on the md5 order —
+    * per-partition top-k then a k-row driver merge
+    * (TakeOrderedAndProject), so the broadcast is k rows REGARDLESS of
+    * corpus size (plan-pinned in PlanShapeSpec: every broadcast in this
+    * plan sits above a limit); the corpus is consumed map-side by the
+    * k-row broadcast probe (one anti-join to drop the holdout ids, one
+    * nested-loop cosine probe — both against k-row builds) and
+    * collapses to per-label rows in one partial-aggregated shuffle.
+    * The cosines are the standard index-order fold — bit-stable. */
   def curationContaminationEmbedding(s: SparkSession, d: String): DataFrame = {
     import graft.similarity.Vectors.{dot, normSq}
-    val isHold = pmod(hexFold32(md5(concat(lit("ce:"),
-      col("vec_id").cast(StringType)))), lit(10L)) === 0
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
-        normSq(col("embedding")).as("nsq"), isHold.as("hold"))
-    val holdout = broadcast(e.filter(col("hold"))
+        normSq(col("embedding")).as("nsq"),
+        md5(concat(lit("ce:"), col("vec_id").cast(StringType))).as("h"))
+    val holdout = e.orderBy(col("h"), col("vec_id")).limit(ContamHoldoutK)
+    val hIds = broadcast(holdout.select(col("vec_id").as("h_id")))
+    val hVecs = broadcast(holdout
       .select(col("embedding").as("hq"), col("nsq").as("hnsq")))
-    e.filter(!col("hold"))
-      .crossJoin(holdout)
+    e.join(hIds, col("vec_id") === col("h_id"), "left_anti")
+      .crossJoin(hVecs)
       .select(col("vec_id"), col("label"),
         (dot(col("embedding"), col("hq")) / sqrt(col("nsq") * col("hnsq")))
           .as("cos"))
@@ -769,14 +785,16 @@ object CurationQueries {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "curation_contamination_embedding" ->
       s"""WITH e AS (SELECT vec_id, label, embedding,
-         |    (${fold32("'ce:' || CAST(vec_id AS VARCHAR)")}) % 10 = 0 AS hold
+         |    md5('ce:' || CAST(vec_id AS VARCHAR)) AS h
          |  FROM embeddings),
-         |h AS (SELECT embedding AS hq FROM e WHERE hold),
+         |hk AS (SELECT vec_id AS h_id, embedding AS hq FROM e
+         |  ORDER BY h, vec_id LIMIT $ContamHoldoutK),
          |cand AS (SELECT t.vec_id, t.label,
          |    ${ceDot("t.embedding", "h.hq")} / sqrt(
          |      ${ceDot("t.embedding", "t.embedding")} *
          |      ${ceDot("h.hq", "h.hq")}) AS cos
-         |  FROM e t CROSS JOIN h WHERE NOT t.hold),
+         |  FROM e t CROSS JOIN hk h
+         |  WHERE t.vec_id NOT IN (SELECT h_id FROM hk)),
          |pd AS (SELECT vec_id, label, MAX(cos) AS max_cos
          |  FROM cand GROUP BY 1, 2)
          |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_train,

@@ -166,6 +166,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(ops(p).collect { case c: CartesianProductExec => c }.isEmpty, p)
   }
 
+  test("embedding decontamination broadcasts only limit-bounded sides") {
+    // round 14 (r13 verdict #1): the holdout stand-in is a FIXED-k
+    // md5-least slice, so every broadcast in this plan must sit above a
+    // limit operator (TakeOrderedAndProject / GlobalLimit) — a broadcast
+    // with no limit below it would be corpus-proportional, the exact
+    // driver-OOM-at-100× this pin exists to prevent
+    val p = plan("curation_contamination_embedding")
+    val bcasts = ops(p).collect { case b: BroadcastExchangeExec => b }
+    assert(bcasts.nonEmpty, s"holdout not broadcast:\n$p")
+    bcasts.foreach { b =>
+      assert(ops(b).exists {
+        case _: TakeOrderedAndProjectExec => true
+        case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+        case _ => false
+      }, s"corpus-proportional broadcast (no limit below it):\n$b")
+    }
+    // the holdout ids drop via a broadcast anti-join — the corpus side
+    // never shuffles for either probe
+    assert(ops(p).collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j
+    }.nonEmpty, s"holdout exclusion is not a broadcast anti-join:\n$p")
+    // the only hash exchanges are the two aggregation stages (per-vector
+    // max, then the label rollup) — no JOIN ever shuffles the corpus
+    assert(hashExchanges(p).size <= 2, s"extra corpus shuffle:\n$p")
+  }
+
   test("weighted mix budget cut is two-stage top-k, never a global sort") {
     val p = plan("mix_weighted_sources")
     assert(ops(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]), p)
