@@ -58,6 +58,20 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   * is complete and stat is multi-sample on ANY box day, with provenance
   * fields (bank_runs/banked_qs/bank_only_qs) in every total line.
   *
+  * Round-14 bank hardening (r13 advice, all 5 flags): bank format v2
+  * stores per-run MEDIANS (one vote per query per run — re-running on
+  * quiet days can no longer evict history and ratchet the headline);
+  * the total line carries a this-run-only "run_value"/"run_qs"
+  * alongside the pooled value; bank-only queries are named in the full
+  * artifact's "unexecuted" list; compile-cold sweep-1 samples never
+  * pool into a statistic that also holds banked steady samples; the
+  * runs counter only bumps when a run actually contributes; and the
+  * sbt-overhead ancestor cutoff got compile-cold headroom (600 s).
+  * Plus the r13-verdict #3 regression tripwire: fresh steady medians
+  * vs banked history, normalized by the trivial-query floor, flagged
+  * at >1.5× — emitted as {"metric":"regression_check"} and persisted
+  * in bench_run.json for tools/bankcheck.py --regress.
+  *
   * Retained from earlier rounds: checksum consumption (count() lets
   * Catalyst prune whole subtrees — r4 smoking gun), per-sweep compact
   * summaries (head/tail-bounded driver capture), {"metric":"note"}
@@ -120,13 +134,20 @@ object Bench {
         case Some(parent) =>
           // every process of ONE sbt invocation (wrapper shell → sbt
           // script → sbt JVM → forked run JVM) starts within the
-          // invocation itself, so an ancestor >5 min older than us is
-          // the long-lived driver/session shell — stop below it (a
-          // cold full compile is ~165 s, comfortably inside the cutoff;
-          // the original 15 min cutoff was observed round 13 counting
-          // an 884 s-old INTERACTIVE shell as overhead, which floored
-          // the wall for no reason)
-          if (self._2 - parent._2 > 300) { cur = ("0", parent._2) }
+          // invocation itself, so an ancestor >10 min older than us is
+          // the long-lived driver/session shell — stop below it. The
+          // original 15 min cutoff was observed round 13 counting an
+          // 884 s-old INTERACTIVE shell as overhead, which floored the
+          // wall for no reason; round 13's 5 min replacement cut the
+          // other way (r13 advice): a chain whose sbt boot + cold ivy
+          // resolve + full compile exceeds 300 s — the ~165 s compile
+          // alone hits that under the 1.2-1.3× noise floors these
+          // rounds keep measuring — would be misclassified as the
+          // driver shell, undercounting overhead and widening the wall
+          // into the real kill window. 600 s keeps 3.6× headroom over
+          // the measured compile while still excluding the observed
+          // interactive-shell ages.
+          if (self._2 - parent._2 > 600) { cur = ("0", parent._2) }
           else { oldest = parent._2; cur = parent }
         case None => cur = ("0", 0.0)
       }
@@ -276,8 +297,8 @@ object Bench {
     // the third round in a row the driver-day box was the bottleneck,
     // with nothing a single run can do about it. So steady-state samples
     // now PERSIST ACROSS RUNS in bench_bank.json, keyed by (code hash,
-    // sf dir): a protocol run on a quiet day banks 3 full sweeps, and a
-    // later run over IDENTICAL engine code merges those samples for
+    // sf dir): a protocol run on a quiet day banks its sweeps, and a
+    // later run over IDENTICAL engine code merges that evidence for
     // every query — coverage and per-query sample depth no longer
     // depend on one box-day. Provenance is explicit in the total line
     // ("bank_runs" prior runs merged, "banked_qs" queries with prior
@@ -287,6 +308,22 @@ object Bench {
     // runs are banked: a SPARK_GRAFT_BENCH_ONLY subset reorders which
     // query pays each family's shared-base build, so its per-query
     // attribution is not comparable. SPARK_GRAFT_BENCH_BANK=0 disables.
+    //
+    // Format v2 (round 14, r13 advice): the bank stores ONE value per
+    // query per PRIOR RUN — that run's median over its own steady
+    // samples — not a flat recency-ordered sample pool. The v1 pool
+    // (takeRight(9) newest samples) let repeated re-runs over identical
+    // code evict older samples wholesale, so selectively re-running on
+    // quiet box-days monotonically ratcheted the published total
+    // downward; with per-run medians a run contributes exactly one
+    // vote per query no matter how many sweeps it banked, the pooled
+    // lower_median is a median OVER RUNS (box-days), and re-running
+    // shifts one vote instead of flushing the window. The total line
+    // additionally carries "run_value"/"run_qs" — the THIS-RUN-ONLY
+    // total over queries this run actually executed — so the
+    // comparison number never rests on the bank alone. fmt is checked
+    // on load; a v1 bank is treated as stale (the code hash key would
+    // reject it anyway — any Bench edit changes the key).
     val bankFile = java.nio.file.Paths.get("bench_bank.json")
     val bankEnabled = only.isEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BANK", "1") != "0"
@@ -307,8 +344,9 @@ object Bench {
               new String(java.nio.file.Files.readAllBytes(bankFile), "UTF-8"))
             val jKey = j \ "key" match { case JString(s) => s; case _ => "" }
             val jSf = j \ "sf" match { case JString(s) => s; case _ => "" }
-            if (jKey != key || jSf != sfDir) {
-              note(s"bank stale (key/sf mismatch) — starting fresh")
+            val jFmt = j \ "fmt" match { case JInt(n) => n.toInt; case _ => 1 }
+            if (jKey != key || jSf != sfDir || jFmt != 2) {
+              note(s"bank stale (key/sf/fmt mismatch) — starting fresh")
               Map.empty
             } else {
               priorRuns = j \ "runs" match {
@@ -324,7 +362,7 @@ object Bench {
               }
               note(s"bank loaded: ${samples.size} queries x <=" +
                 s"${if (samples.isEmpty) 0 else samples.values.map(_.size).max} " +
-                s"samples from $priorRuns prior run(s)")
+                s"run-medians from $priorRuns prior run(s)")
               samples
             }
           }
@@ -333,18 +371,25 @@ object Bench {
           Map.empty
         }
     }
-    // merged = prior ++ this run's steady samples, capped at the newest
-    // 9 per query (enough for a stable lower-median across ~3 protocol
-    // runs without unbounded growth)
+    // merged = prior run-medians ++ ONE value for this run (the median
+    // over this run's steady samples so far — mid-sweep refreshes
+    // REPLACE this run's vote, they never append), capped at the newest
+    // 9 runs per query. A run that has banked nothing yet contributes
+    // no vote and does not bump the runs counter (r13 advice: an
+    // empty-handed mid-sweep-1 refresh must not inflate provenance).
     def writeBank(current: Map[String, Seq[Double]]): Unit = bankKey.foreach { key =>
       try {
-        val merged = (priorBank.keySet ++ current.keySet).toSeq.sorted.map { q =>
-          q -> (priorBank.getOrElse(q, Nil) ++ current.getOrElse(q, Nil)).takeRight(9)
+        val currentMed = current.collect { case (q, vs) if vs.nonEmpty =>
+          q -> vs.sorted.apply((vs.size - 1) / 2)
+        }
+        val merged = (priorBank.keySet ++ currentMed.keySet).toSeq.sorted.map { q =>
+          q -> (priorBank.getOrElse(q, Nil) ++ currentMed.get(q).toSeq).takeRight(9)
         }
         val body = merged.map { case (q, vs) =>
           "\"" + q + "\":[" + vs.map(f3).mkString(",") + "]"
         }.mkString(",")
-        val json = s"""{"key":"$key","sf":"$sfDir","runs":${priorRuns + 1},"samples":{$body}}"""
+        val runsOut = priorRuns + (if (currentMed.nonEmpty) 1 else 0)
+        val json = s"""{"key":"$key","sf":"$sfDir","fmt":2,"runs":$runsOut,"samples":{$body}}"""
         // write-then-move: the bank refreshes every 25 queries, and a
         // kill landing mid-write must not corrupt the file a LATER run
         // (the whole point of the bank) would read
@@ -497,6 +542,9 @@ object Bench {
     // compile-cold: kept only as sole evidence, dropped once a warm
     // sweep lands (the r5/r6 semantics).
     val sweeps = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double, Boolean)]]
+    // latest this-run-only per-query steady medians (set by summarize;
+    // read by the regression tripwire + bench_run.json at final emission)
+    var lastRunMed: Map[String, Double] = Map.empty
     def runSweep(emitPartials: Boolean, deadlineSec: Double): (Seq[(String, Double, Boolean)], Boolean) = {
       val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
       var bailed = false
@@ -614,12 +662,19 @@ object Bench {
       // still reports failed once its sweep COMPLETES and joins
       // `sweeps`)
       val extraByName = partialExtra.filter(_._3).map(r => r._1 -> r).toMap
+      // STEADY in-run samples — same regime filter the bank applies
+      // (currentSteadySamples): a compile-cold sweep-1 sample must not
+      // pool into one statistic alongside banked steady samples (r13
+      // advice — 1 cold + 1 banked under the "min" stat mixed regimes).
+      // Cold samples are still used as SOLE evidence when nothing
+      // steady exists anywhere, exactly as before.
+      val steadyByName = currentSteadySamples(partialExtra)
       // Coverage = any in-run sample (measured sweeps are either all
       // complete or a single truncated sweep 1, so per-query lookup and
       // sweep-set intersection coincide) UNION the cross-run bank: a
       // query this run never reached still reports, from prior-run
-      // steady samples over identical code, with bank_only_qs saying
-      // how many rows rest on the bank alone.
+      // steady run-medians over identical code, with bank_only_qs /
+      // "unexecuted" saying which rows rest on the bank alone.
       val results = ordered.flatMap { case (name, _) =>
         val runs = measured.flatMap(_.find(_._1 == name)) ++ extraByName.get(name)
         val prior = priorBank.getOrElse(name, Nil)
@@ -629,20 +684,32 @@ object Bench {
           // regression can never masquerade as a speedup — banked prior
           // success never outvotes an in-run failure
           val ok = runs.forall(_._3)
+          val steadyInRun = steadyByName.getOrElse(name, Nil)
           // LOWER median: host stalls only ever INFLATE a sample (sweeps
           // are data-cold by design, so a fast sample is a legit
           // quiet-box measurement, not a cache artifact) — with 2
           // samples this selects the MIN of the pair, and the artifact
           // says so: the "stat" field reports single/min/lower_median by
           // sample count (advice r7) instead of letting a best-of-two
-          // read as a median. Banked prior samples pool with in-run ones
-          // — same code, same sf, same protocol, just another box-day.
-          val samples = runs.map(_._2) ++ prior
+          // read as a median. Banked prior RUN-MEDIANS pool with in-run
+          // steady samples — same code, same sf, same protocol, one
+          // vote per prior box-day.
+          val samples =
+            if (steadyInRun.nonEmpty || prior.nonEmpty) steadyInRun ++ prior
+            else runs.map(_._2)
           val median = samples.sorted.apply((samples.size - 1) / 2)
+          // this-run-only median (steady samples this run actually
+          // executed) — feeds run_value and the regression tripwire
+          val runMed =
+            if (steadyInRun.nonEmpty)
+              Some(steadyInRun.sorted.apply((steadyInRun.size - 1) / 2))
+            else None
           Some((name, if (ok) median else -1.0, ok, samples.size,
-            prior.nonEmpty, runs.isEmpty))
+            prior.nonEmpty, runs.isEmpty, runMed))
         }
       }
+      lastRunMed = results.collect {
+        case (n, _, true, _, _, _, Some(m)) => n -> m }.toMap
       val total = results.filter(_._3).map(_._2).sum
       val failed = results.filterNot(_._3).map(r => "\"" + r._1 + "\"")
         .mkString("[", ",", "]")
@@ -657,9 +724,9 @@ object Bench {
       // line survived). Compact line = short, self-contained,
       // schema-conforming, `queries` restricted to the slowest 8.
       val slowest = results.filter(_._3).sortBy(-_._2).take(8)
-        .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f3(v) }
+        .map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
-      val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f3(v) }
+      val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
       val trunc = if (results.size < ordered.size) ""","truncated":true""" else ""
       val banked = if (partialExtra.nonEmpty) s""","banked_partial":${partialExtra.size}""" else ""
@@ -669,14 +736,30 @@ object Bench {
       val bankProv = if (results.exists(_._5))
         s""","bank_runs":$priorRuns,"banked_qs":${results.count(_._5)},"bank_only_qs":${results.count(_._6)}"""
       else ""
+      // this-run-only total (r13 advice, the medium flag): the sum of
+      // per-query steady medians over ONLY the queries this run
+      // executed, next to the pooled value — so the artifact always
+      // carries a comparison number that re-running cannot inherit
+      // from the bank
+      val runQs = results.count(r => r._3 && r._7.isDefined)
+      val runVal = results.collect { case (_, _, true, _, _, _, Some(m)) => m }.sum
+      val runProv = if (runQs > 0) s""","run_value":${f3(runVal)},"run_qs":$runQs""" else ""
       // the in-flight sweep counts once any of it is banked — the
       // banked_partial field says how much, and "stat" is computed from
       // MIN samples per query, so a partial second sweep can never
       // masquerade as two complete ones
       val sweepCount = sweeps.size + (if (partialExtra.nonEmpty) 1 else 0)
-      val head = s""""metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"sweeps":$sweepCount,"stat":"$stat","min_samples":$minSamples,"compile_pass":$compilePassComplete$trunc$banked$bankProv"""
+      val head = s""""metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"sweeps":$sweepCount,"stat":"$stat","min_samples":$minSamples,"compile_pass":$compilePassComplete$trunc$banked$bankProv$runProv"""
       val compact = s"""{$head,"queries":$slowest,"failed":$failed,"sf":"$sfDir"}"""
-      val full = s"""{$head,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      // bank-only queries BY NAME in the full artifact (r13 advice: a
+      // bank-only query was indistinguishable from an executed-ok one
+      // per-row — runs.forall on an empty list is vacuously true, so a
+      // flaky query the run never reached could hide behind its banked
+      // timing; the count stays in the compact line, the names land
+      // here where line length is not driver-capture-bounded)
+      val unexec = results.filter(_._6).map(r => "\"" + r._1 + "\"")
+        .mkString("[", ",", "]")
+      val full = s"""{$head,"queries":$qs,"failed":$failed,"unexecuted":$unexec,"sf":"$sfDir"}"""
       (compact, full)
     }
     // This run's bankable evidence: successful samples from STEADY
@@ -839,6 +922,53 @@ object Bench {
     val (compact, full) = summarize(partialExtra = finalPartial)
     writeFull(full)
     writeBank(currentSteadySamples(finalPartial))
+    // ---- REGRESSION TRIPWIRE (round 14, r13 verdict #3) --------------
+    // The bank holds one steady median per query per prior run; with it
+    // a fresh run can be checked against its own history instead of a
+    // single prior artifact. Box weather inflates EVERYTHING uniformly
+    // (the measured 1.2-1.3× floors), so the comparison normalizes by
+    // the trivial-query floor first: floor = median of fresh/banked
+    // over the sub-0.3 s banked queries (131 of them at sf0.1 — pure
+    // scheduler+scan floor, untouched code cannot regress them all).
+    // A query whose fresh steady median exceeds 1.5 × floor × banked
+    // median is a PLAN regression candidate — box weather cannot
+    // produce it, because the floor already absorbed the weather.
+    // Emitted as its own metric line and persisted in bench_run.json
+    // (this-run medians + verdict) for tools/bankcheck.py --regress to
+    // print at round close. Filtered (SPARK_GRAFT_BENCH_ONLY) runs are
+    // excluded: their per-query attribution is not comparable (see the
+    // bank gate above) and they must not clobber the full-run file.
+    if (only.isEmpty) {
+      val priorMed = priorBank.collect { case (q, vs) if vs.nonEmpty =>
+        q -> vs.sorted.apply((vs.size - 1) / 2) }
+      val common = (lastRunMed.keySet & priorMed.keySet).toSeq.sorted
+      val trivRatios = common
+        .filter(q => priorMed(q) > 0 && priorMed(q) < 0.3)
+        .map(q => lastRunMed(q) / priorMed(q)).sorted
+      // need a real population of floor witnesses; otherwise assume 1.0
+      val floor =
+        if (trivRatios.size >= 10) trivRatios((trivRatios.size - 1) / 2)
+        else 1.0
+      // ignore micro-queries (< 50 ms banked): their fresh/banked ratio
+      // is scheduler jitter, not plan shape
+      val flaggedQ = common.filter { q =>
+        priorMed(q) >= 0.05 && lastRunMed(q) > 1.5 * floor * priorMed(q)
+      }
+      val flaggedJson = flaggedQ.map { q =>
+        "\"" + q + "\":{\"run\":" + f3(lastRunMed(q)) +
+          ",\"banked\":" + f3(priorMed(q)) + "}"
+      }.mkString("{", ",", "}")
+      if (common.nonEmpty)
+        println(s"""{"metric":"regression_check","value":${f3(floor)},"unit":"floor_ratio","n_common":${common.size},"n_flagged":${flaggedQ.size},"flagged":$flaggedJson,"sf":"$sfDir"}""")
+      val runQsJson = lastRunMed.toSeq.sorted.map { case (q, v) =>
+        "\"" + q + "\":" + f3(v) }.mkString("{", ",", "}")
+      val runJson = s"""{"metric":"run_medians","n_queries":${lastRunMed.size},"floor_ratio":${f3(floor)},"n_flagged":${flaggedQ.size},"flagged":$flaggedJson,"queries":$runQsJson,"sf":"$sfDir"}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_run.json"), runJson.getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] bench_run.json write failed: $e")
+      }
+    }
     println(full)
     steadyPartialLine.foreach(println)
     println(compact)

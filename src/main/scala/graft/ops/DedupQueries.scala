@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.dedup.Dedup._
+import graft.ops.Checkpoints.LineageCut
 import graft.similarity.Vectors
 
 /** Declared deduplication queries over `documents` / `embeddings`
@@ -449,7 +450,7 @@ object DedupQueries {
     // ccConvergedWithStats' scaladoc for the measurement
     val labels0 = edges.select(col("a_id").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
+      .cutLineage()
     // one propagation round = ONE join, not two: a node's next label is
     // min(own, neighbors'), and "own" rides in through the union branch
     // instead of a second self-join of the label frame — per round this
@@ -460,7 +461,7 @@ object DedupQueries {
         .select(col("a_id").as("id"), col("lbl"))
         .union(lbl)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
-    propagate(propagate(labels0).localCheckpoint())
+    propagate(propagate(labels0).cutLineage())
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
   }
@@ -472,7 +473,9 @@ object DedupQueries {
     * runs; the driver-side loop is control flow only — each round is
     * the same one-shuffle propagate plan, materialized per round.
     *
-    * Scale posture: per-round frames are `localCheckpoint`ed — this is
+    * Scale posture: per-round frames are lineage-cut ([[Checkpoints]]
+    * — `localCheckpoint` on local[N], reliable `checkpoint` under the
+    * checkpoint-dir gate) — this is
     * load-bearing, not optional. Each round's logical plan references
     * its predecessor's twice (join branch + own-label branch), so
     * without lineage truncation the plan DOUBLES per round and the
@@ -506,12 +509,12 @@ object DedupQueries {
     // the whole minhash plan; lazy-checkpoint each round, materialized
     // by its own lblSum probe (one scheduler barrier per round, not
     // two); state-sized static round plans via withLoopExec.
-    val edges = edges0.localCheckpoint()
+    val edges = edges0.cutLineage()
     val nEdges = edges.count()
     GraphQueries.withLoopExec(s, stateRows = nEdges) {
     var labels = edges.select(col("a_id").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     // convergence check: labels are MONOTONICALLY non-increasing under
     // min-propagation, so the label sum strictly decreases until the
     // fixpoint — one cheap agg on the checkpointed round result replaces
@@ -530,7 +533,7 @@ object DedupQueries {
         .select(col("a_id").as("id"), col("lbl"))
         .union(labels)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(eager = false) // lblSum below materializes it
+        .cutLineage(eager = false) // lblSum below materializes it
       val s = lblSum(next)
       changed = s != prevSum
       prevSum = s

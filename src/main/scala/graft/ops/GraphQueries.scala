@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Checkpoints.LineageCut
+
 /** Graph analytics over the co-order product graph.
   *
   * The reference has no graph operators (its single pipeline is
@@ -296,12 +298,13 @@ object GraphQueries {
     *
     * Loop mechanics — the hard-won iterative-DataFrame rules from the
     * CC/BFS loops apply verbatim:
-    *   - every round's result is `localCheckpoint`ed: each round
-    *     references its predecessor twice (contribution join + delta
-    *     join), so without lineage truncation the plan doubles per
-    *     round and the basket pair generator re-executes per occurrence
-    *     (measured 248 s → ~4 s on the BFS loop). Production
-    *     multi-executor runs swap in reliable `checkpoint()`.
+    *   - every round's result is lineage-cut ([[Checkpoints]]): each
+    *     round references its predecessor twice (contribution join +
+    *     delta join), so without lineage truncation the plan doubles
+    *     per round and the basket pair generator re-executes per
+    *     occurrence (measured 248 s → ~4 s on the BFS loop).
+    *     Production multi-executor runs set the checkpoint-dir gate
+    *     and every cut becomes a reliable `checkpoint()` (r13 #4).
     *   - the convergence test reads ONE scalar (max|Δ|) per round on
     *     the driver — loop control, not data movement.
     *   - per-round work is one contribution shuffle (partial-aggregated
@@ -342,7 +345,7 @@ object GraphQueries {
     // across the loop; a LogicalRDD keeps each round's analysis cost
     // independent of the adjacency's own (windowed-scan) plan size —
     // plus the guarded broadcast (see IterBroadcastMaxRows)
-    val adjC = adj.localCheckpoint()
+    val adjC = adj.cutLineage()
     val nAdj = adjC.count()
     val adjS = if (nAdj <= IterBroadcastMaxRows) broadcast(adjC) else adjC
     val n = verts.count()
@@ -363,7 +366,7 @@ object GraphQueries {
     var ranks = verts.join(degs, Seq("x"), "left_outer")
       .select(col("x"),
         coalesce(col("deg").cast("double") / lit(degSum), lit(0.15 / n)).as("pr"))
-      .localCheckpoint()
+      .cutLineage()
     var rounds = 0
     var delta = Double.MaxValue
     while (delta >= tol && rounds < maxRounds) {
@@ -378,7 +381,7 @@ object GraphQueries {
           col("prev"))
         // lazy: the delta agg below is the materializing action — one
         // driver barrier per round instead of two (see sccLabels note)
-        .localCheckpoint(eager = false)
+        .cutLineage(eager = false)
       delta = next.agg(max(abs(col("pr") - col("prev")))).head.getDouble(0)
       ranks = next.select("x", "pr")
     }
@@ -495,13 +498,13 @@ object GraphQueries {
     val verts = supportVerts(s, d)
     var depth = verts.filter(col("x") % 20 === 0)
       .select(col("x"), lit(0).as("depth"))
-      .localCheckpoint()
+      .cutLineage()
     for (r <- 1 to 3) {
       val frontier = depth.filter(col("depth") === r - 1)
       val nbrs = frontier.join(dir, col("x") === col("src"))
         .select(col("dst").as("x"), lit(r).as("depth"))
       depth = depth.union(nbrs).groupBy("x").agg(min("depth").as("depth"))
-        .localCheckpoint()
+        .cutLineage()
     }
     verts.join(depth, Seq("x"), "left_outer")
       .select(coalesce(col("depth"), lit(-1)).as("depth"))
@@ -521,7 +524,7 @@ object GraphQueries {
   def graphBfsConverged(s: SparkSession, d: String): DataFrame = {
     // base snapshot — see sccLabels: keeps per-round plan analysis
     // independent of the adjacency's own plan size
-    val dirS = supportDir(s, d).localCheckpoint()
+    val dirS = supportDir(s, d).cutLineage()
     // guarded broadcast (see IterBroadcastMaxRows): count on the
     // checkpointed blocks is one cheap job, paid once per query
     val nDir = dirS.count()
@@ -530,7 +533,7 @@ object GraphQueries {
     withLoopExec(s, stateRows = nDir) {
     var depth = verts.filter(col("x") % 20 === 0)
       .select(col("x"), lit(0).as("depth"))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     var newly = depth.count()
     var r = 0
     while (newly > 0 && r < BfsMaxDepth) {
@@ -541,7 +544,7 @@ object GraphQueries {
       // lazy: the frontier-count probe below materializes this round's
       // blocks — one driver barrier per round instead of two
       depth = depth.union(nbrs).groupBy("x").agg(min("depth").as("depth"))
-        .localCheckpoint(eager = false)
+        .cutLineage(eager = false)
       newly = depth.filter(col("depth") === r).count()
     }
     if (newly > 0)
@@ -578,8 +581,8 @@ object GraphQueries {
     * derives n_rounds as the first round whose survivor count repeats. */
   def graphKcore(s: SparkSession, d: String): DataFrame = {
     // base snapshot — see sccLabels
-    val dir = supportDir(s, d).localCheckpoint()
-    var active = supportVerts(s, d).localCheckpoint(eager = false)
+    val dir = supportDir(s, d).cutLineage()
+    var active = supportVerts(s, d).cutLineage(eager = false)
     var nActive = active.count()
     withLoopExec(s, stateRows = nActive) {
     var rounds = 0
@@ -594,7 +597,7 @@ object GraphQueries {
         .groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KCoreK)
         .select(col("src").as("x"))
-        .localCheckpoint(eager = false)
+        .cutLineage(eager = false)
       val n = keep.count()
       converged = n == nActive
       nActive = n
@@ -785,7 +788,7 @@ object GraphQueries {
   private[graft] def lpaConvergedOnAdjacency(dir: DataFrame,
       verts: DataFrame, maxRounds: Int): DataFrame = {
     // base snapshot — see sccLabels
-    val dirS = dir.localCheckpoint()
+    val dirS = dir.cutLineage()
     withLoopExec(dirS.sparkSession, stateRows = dirS.count()) {
     def step(lbl: DataFrame): DataFrame =
       dirS.join(lbl.select(col("x").as("dst"), col("lbl")), "dst")
@@ -795,14 +798,14 @@ object GraphQueries {
         .groupBy("src")
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
         .select(col("src").as("x"), col("m.l").as("lbl"))
-    var cur = verts.select(col("x"), col("x").as("lbl")).localCheckpoint()
+    var cur = verts.select(col("x"), col("x").as("lbl")).cutLineage()
     var rounds = 0
     var changed = Long.MaxValue
     while (changed > 0 && rounds < maxRounds) {
       rounds += 1
       // lazy: the changed-label probe below materializes this round's
       // blocks — one driver barrier per round instead of two
-      val next = step(cur).localCheckpoint(eager = false)
+      val next = step(cur).cutLineage(eager = false)
       changed = next.join(cur.select(col("x"), col("lbl").as("prev")), Seq("x"))
         .filter(col("lbl") =!= col("prev")).count()
       cur = next
@@ -838,7 +841,7 @@ object GraphQueries {
         .otherwise(expr("p_partkey DIV 4")).as("par"))
     var f = pp.select(col("k"), col("par").as("anc"),
       when(col("par") === col("k"), lit(0L)).otherwise(lit(1L)).as("d"))
-      .localCheckpoint()
+      .cutLineage()
     for (_ <- 1 to rounds) {
       val g = f.select(col("k").as("g_k"), col("anc").as("g_anc"),
         col("d").as("g_d"))
@@ -853,7 +856,7 @@ object GraphQueries {
       f = f.join(g, col("anc") === col("g_k"), "left")
         .select(col("k"), coalesce(col("g_anc"), col("anc")).as("anc"),
           (col("d") + coalesce(col("g_d"), lit(0L))).as("d"))
-        .localCheckpoint()
+        .cutLineage()
     }
     f.select(col("k").as("p_partkey"), col("anc").as("root"),
         col("d").as("depth"))
@@ -897,7 +900,7 @@ object GraphQueries {
   def graphSccPivot(s: SparkSession, d: String): DataFrame = {
     // base snapshot — see sccLabels; guarded broadcast of the adjacency
     // inside fwbwDepth — see IterBroadcastMaxRows
-    val edges = seqEdges(s, d).localCheckpoint()
+    val edges = seqEdges(s, d).cutLineage()
     val nEdges = edges.count()
     withLoopExec(s, stateRows = nEdges) {
     val pivot = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
@@ -956,10 +959,10 @@ object GraphQueries {
       .unionAll(e.select(col("dst").as("x"), col("src").as("y"), lit(1).as("dir")))
     val small = 2 * nE <= FwbwBroadcastMaxRows
     val adj2 =
-      if (small) broadcast(adj2base.localCheckpoint(eager = false))
+      if (small) broadcast(adj2base.cutLineage(eager = false))
       else {
         val k = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-        adj2base.repartition(k, col("x"), col("dir")).localCheckpoint()
+        adj2base.repartition(k, col("x"), col("dir")).cutLineage()
       }
     // MIN-ROUND DEPTH MAP instead of visited/next anti-join bookkeeping
     // (round 8): depth(x, pid, dir, r) keeps the first round each
@@ -969,7 +972,7 @@ object GraphQueries {
     var depth = pivots.crossJoin(
         broadcast(s.range(2).select(col("id").cast("int").as("dir"))))
       .withColumn("r", lit(0))
-      .localCheckpoint()
+      .cutLineage()
     var frontier = depth
     var r = 0
     var grew = true
@@ -983,7 +986,7 @@ object GraphQueries {
       // lazy + immediate probe: ONE driver barrier per round
       depth = depth.unionAll(cand)
         .groupBy("x", "pid", "dir").agg(min(col("r")).as("r"))
-        .localCheckpoint(eager = false)
+        .cutLineage(eager = false)
       if (depth.filter(col("r") === r).count() == 0) grew = false
       else frontier = depth.filter(col("r") === r)
     }
@@ -1041,10 +1044,10 @@ object GraphQueries {
     * `localCheckpoint` truncates lineage. */
   def graphTopologicalLayers(s: SparkSession, d: String): DataFrame = {
     // base snapshot — see sccLabels
-    val edges = supportEdges(s, d).localCheckpoint()
+    val edges = supportEdges(s, d).cutLineage()
     val verts = supportVerts(s, d)
     withLoopExec(s, stateRows = edges.count()) {
-    var layers = verts.withColumn("l", lit(0L)).localCheckpoint(eager = false)
+    var layers = verts.withColumn("l", lit(0L)).cutLineage(eager = false)
     var prevSum = -1L
     var r = 0
     var converged = false
@@ -1056,7 +1059,7 @@ object GraphQueries {
       // round — one driver barrier per round instead of two
       layers = layers.select(col("x"), col("l").as("lv")).unionAll(cand)
         .groupBy("x").agg(max(col("lv")).as("l"))
-        .localCheckpoint(eager = false)
+        .cutLineage(eager = false)
       val sumL = layers.agg(sum(col("l"))).collect()(0).getLong(0)
       if (sumL == prevSum) converged = true else prevSum = sumL
     }
@@ -1177,7 +1180,7 @@ object GraphQueries {
     // optimization re-traverse per round. One localCheckpoint collapses
     // the base to a LogicalRDD so each round analyzes a constant-size
     // plan — the driver-side analogue of checkpointing iteration state.
-    val edges = brandSeqEdges(s, d).localCheckpoint()
+    val edges = brandSeqEdges(s, d).cutLineage()
     withLoopExec(s, stateRows = 2 * edges.count()) {
     val verts = edges.select(col("src").as("x"))
       .unionAll(edges.select(col("dst").as("x"))).distinct()
@@ -1192,7 +1195,7 @@ object GraphQueries {
     // later plan references TWICE before any action would race-compute
     // under lazy blocks, so those (and one-shot round frames with no
     // scalar probe, e.g. graphBfsReach/hierarchyFlatten) stay eager.
-    var residual = verts.localCheckpoint(eager = false)
+    var residual = verts.cutLineage(eager = false)
     var nResidual = residual.count()
     val labeled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var trims = 0
@@ -1227,7 +1230,7 @@ object GraphQueries {
           .groupBy("x").agg(max(col("o")).as("o"), max(col("i")).as("i"))
           .filter(col("o") === 1 && col("i") === 1)
           .select("x")
-          .localCheckpoint(eager = false)
+          .cutLineage(eager = false)
         val nKeep = keep.count()
         if (nKeep == nResidual) again = false
         else {
@@ -1261,7 +1264,7 @@ object GraphQueries {
       // the count below is the materializing action, and it runs BEFORE
       // any plan references e twice — pivots and adj2 then read cached
       // blocks, so the round-8 race-compute hazard never arises
-      val e = resEdges().localCheckpoint(eager = false)
+      val e = resEdges().cutLineage(eager = false)
       // MULTI-pivot extraction (round-7 upgrade, measured necessary):
       // one pivot per round made the loop depth equal the nontrivial-
       // SCC count — at the generated sf1 (10 disjoint replicas × 2
@@ -1279,7 +1282,7 @@ object GraphQueries {
       val pivots = e.groupBy("src").agg(count(lit(1)).as("odeg"))
         .orderBy(col("odeg").desc, col("src")).limit(SccPivotsPerRound)
         .select(col("src").as("x"), col("src").as("pid"))
-        .localCheckpoint(eager = false)
+        .cutLineage(eager = false)
       // BOTH closures in ONE loop: the forward and backward adjacencies
       // carry a direction tag and every frontier row is (x, pid, dir) —
       // the loop runs max(fwdDepth, bwdDepth) rounds instead of their
@@ -1295,11 +1298,11 @@ object GraphQueries {
         .filter(col("nd") === 2)
         .withColumn("scc_id", min(col("x")).over(wp))
         .select(col("x").as("member"), col("scc_id")).distinct()
-        .localCheckpoint(eager = false)
+        .cutLineage(eager = false)
       labeled += extracted
       residual = residual
         .join(extracted.select(col("member").as("x")), Seq("x"), "left_anti")
-        .localCheckpoint(eager = false)
+        .cutLineage(eager = false)
       nResidual = residual.count()
       trimToFixpoint()
     }
@@ -1311,7 +1314,7 @@ object GraphQueries {
       // snapshot the union-of-rounds plan too: consumers (full listing,
       // condensation, their window/join plans) otherwise re-analyze the
       // whole loop history every time they build on the labeling
-      .localCheckpoint()
+      .cutLineage()
     }
   }
 

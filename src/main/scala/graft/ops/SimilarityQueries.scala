@@ -467,23 +467,18 @@ object SimilarityQueries {
   private[graft] val SemCellsFloor = 64
   private[graft] val SemTau = 0.35
 
-  /** SEMANTIC dedup (the SemDeDup recipe): cluster embeddings around
-    * coarse centroids, then call any intra-cell pair with cosine ≥ τ a
-    * duplicate. APPROXIMATE by design — cross-cell near-dups are missed
-    * (that's the recall/cost trade; `dedup_embedding_cosine` is the
-    * exact in-label variant) but the pair join is bounded to cells, so
-    * cost is Σ|cell|²/2 ≈ N·targetCellSize/2, LINEAR in N under the
-    * sizing rule — the property that lets this run at 100 TB where the
-    * exact all-pairs quadratic cannot.
-    *
-    * Centroids are the first max([[SemCellsFloor]], ⌈√N⌉) vectors
-    * (deterministic seed, same rationale as the IVF quantizer above);
-    * assignment is the same bit-stable argmin. Output: intra-cell
-    * near-dup pairs + the cell. */
-  def dedupSemanticCells(s: SparkSession, d: String): DataFrame = {
+  /** Coarse argmin assignment shared by [[dedupSemanticCells]] and
+    * [[simKnnBatchIvf]] (they differ only in the cell-count floor):
+    * nCells = max(floor, ⌈√N⌉) seed centroids (first-nCells vec_ids —
+    * deterministic, oracle-mirrorable), bit-stable `min(struct(d2,
+    * cid))` argmin, output one (vec_id, cell, embedding, nsq) row per
+    * vector. The 1-row count broadcast keeps the derivation distributed
+    * (no driver collect). */
+  private[graft] def coarseAssigned(s: SparkSession, d: String,
+                                    ncFloor: Long): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val e = emb(s, d)
-    val nc = e.agg(greatest(lit(SemCellsFloor.toLong),
+    val nc = e.agg(greatest(lit(ncFloor),
       ceil(sqrt(count(lit(1)))).cast(LongType)).as("nc"))
     val cents = broadcast(e.crossJoin(broadcast(nc))
       .filter(col("vec_id") <= col("nc"))
@@ -496,14 +491,82 @@ object SimilarityQueries {
       .groupBy("vec_id")
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cell"))
-    val rep = e.join(assigned, "vec_id")
+    e.join(assigned, "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"), col("nsq"))
+  }
+
+  /** Per-COARSE-CELL sub-cell count frame — the round-13 per-label
+    * triangle-cell machinery ([[graft.ops.DedupQueries.embedCellFrame]])
+    * applied with the quantizer cell in place of the label (r13 verdict
+    * #2): m(cell) = max(floor, ⌈cell rows / target⌉) from a cheap
+    * `groupBy(cell).count()` pre-pass, broadcast into the replication
+    * step. The √N sizing rule bounds EXPECTED cell size, not the
+    * hottest cell — a boilerplate embedding cluster (every near-blank
+    * page quantizing to one centroid) still concentrates, and without
+    * this frame that one cell's pair join is quadratic in the hot-cell
+    * count. Pairs share a cell ⇒ share an m, so the cell-pair cover
+    * proof carries over verbatim and the pair set is m-invariant
+    * (spec-pinned, same as the per-label form). */
+  private[graft] def cellMFrame(assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    assigned.groupBy(col("cell")).count()
+      .select(col("cell"), greatest(lit(DedupQueries.EmbedCellsFloor),
+        ceil(col("count").cast(DoubleType) /
+          lit(DedupQueries.EmbedCellTargetRows.toDouble)).cast(LongType)).as("m"))
+  }
+
+  /** Triangle sub-cell replication within coarse cells: sub-cell
+    * sc = vec_id mod m(cell), each row replicated to the m unordered
+    * sub-cell pairs it can meet a partner in. Input must carry an `m`
+    * column (broadcast-joined [[cellMFrame]] in the shipped queries; a
+    * literal in the specs' parameterized form). */
+  private[graft] def cellReplicate(withM: DataFrame): DataFrame =
+    withM
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nsq"),
+        pmod(col("vec_id"), col("m")).as("sc"), col("m"))
+      .select(col("*"), explode(sequence(lit(0L), col("m") - lit(1L))).as("other"))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nsq"), col("sc"),
+        least(col("sc"), col("other")).as("lo"),
+        greatest(col("sc"), col("other")).as("hi"))
+
+  /** Exact unordered within-cell pairs over a replicated base:
+    * compound-key equi-join on (cell, lo, hi); the least/greatest guard
+    * keeps each pair in exactly one sub-cell pair, so the output equals
+    * the naive within-cell self-join for ANY m while the biggest task
+    * shrinks from O(hottest cell)² to O(2·cell/m)² ≈ (2·target)². */
+  private[graft] def cellPairs(rep: DataFrame): DataFrame =
     rep.as("a").join(rep.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        col("a.cell") === col("b.cell") &&
+          col("a.lo") === col("b.lo") && col("a.hi") === col("b.hi") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          least(col("a.sc"), col("b.sc")) === col("a.lo") &&
+          greatest(col("a.sc"), col("b.sc")) === col("a.hi"))
       .select(col("a.cell").as("cell"),
         col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         (dot(col("a.embedding"), col("b.embedding")) /
           sqrt(col("a.nsq") * col("b.nsq"))).as("cos"))
+
+  /** SEMANTIC dedup (the SemDeDup recipe): cluster embeddings around
+    * coarse centroids, then call any intra-cell pair with cosine ≥ τ a
+    * duplicate. APPROXIMATE by design — cross-cell near-dups are missed
+    * (that's the recall/cost trade; `dedup_embedding_cosine` is the
+    * exact in-label variant) but the pair join is bounded to cells, so
+    * cost is Σ|cell|²/2 ≈ N·targetCellSize/2, LINEAR in N under the
+    * sizing rule — the property that lets this run at 100 TB where the
+    * exact all-pairs quadratic cannot.
+    *
+    * Centroids are the first max([[SemCellsFloor]], ⌈√N⌉) vectors
+    * (deterministic seed, same rationale as the IVF quantizer above);
+    * assignment is the same bit-stable argmin. Round 14 (r13 verdict
+    * #2): the intra-cell join rides the triangle sub-cell machinery
+    * ([[cellMFrame]]/[[cellReplicate]]/[[cellPairs]]), so a HOT cell —
+    * the balanced-cells assumption's failure mode — splits into
+    * bounded sub-cell-pair tasks with the pair set unchanged. Output:
+    * intra-cell near-dup pairs + the cell. */
+  def dedupSemanticCells(s: SparkSession, d: String): DataFrame = {
+    val assigned = coarseAssigned(s, d, SemCellsFloor.toLong)
+    val rep = cellReplicate(assigned.join(broadcast(cellMFrame(assigned)), "cell"))
+    cellPairs(rep)
       .filter(col("cos") >= SemTau)
       .orderBy("a_id", "b_id")
   }
@@ -571,31 +634,27 @@ object SimilarityQueries {
     * ⌈√N⌉ arithmetic is mirrored verbatim in the DuckDB oracle, which
     * keeps the approximate answer engine-identical. The top-3 rank is
     * a window INSIDE the same cell partitioning — the q_id window
-    * repartitions only (q, neighbor, cos) triples, never embeddings. */
+    * repartitions only (q, neighbor, cos) triples, never embeddings.
+    *
+    * Round 14 (r13 verdict #2): the within-cell pair join rides the
+    * triangle sub-cell machinery ([[cellMFrame]] / [[cellReplicate]] /
+    * [[cellPairs]]) — √N sizing bounds the EXPECTED cell, not the
+    * hottest one, and a boilerplate cluster quantizing to one centroid
+    * previously owned a quadratic task. Sub-cells bound every task at
+    * ≈ (2·target)² with the pair set unchanged. The kNN join needs
+    * ORDERED pairs (every q sees all its neighbors): the unordered
+    * cell-pair output is mirrored into both directions, which is the
+    * same pair multiset the old a≠b join produced — and the same total
+    * dot-product count, split across two union branches. */
   def simKnnBatchIvf(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
-    val e = emb(s, d)
-    val nc = e.agg(greatest(lit(8L),
-      ceil(sqrt(count(lit(1)))).cast(LongType)).as("nc"))
-    val cents = broadcast(e.crossJoin(broadcast(nc))
-      .filter(col("vec_id") <= col("nc"))
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
-        col("nsq").as("cnsq")))
-    val assigned = e.crossJoin(cents)
-      .select(col("vec_id"), col("cid"),
-        (col("nsq") + col("cnsq") - lit(2.0) * dot(col("embedding"), col("cemb")))
-          .as("d2"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cell"))
     val full = PipelineCache.getOrPersist(s"sim:knnBatchCells:$d")(
-      e.join(assigned, "vec_id")
-        .select(col("vec_id"), col("cell"), col("embedding"), col("nsq")))
-    val pairs = full.as("a").join(full.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("nbr_id"),
-        (dot(col("a.embedding"), col("b.embedding")) /
-          sqrt(col("a.nsq") * col("b.nsq"))).as("cos"))
+      coarseAssigned(s, d, 8L))
+    val rep = cellReplicate(full.join(broadcast(cellMFrame(full)), "cell"))
+    val und = cellPairs(rep)
+    val pairs = und
+      .select(col("a_id").as("q_id"), col("b_id").as("nbr_id"), col("cos"))
+      .unionAll(und
+        .select(col("b_id").as("q_id"), col("a_id").as("nbr_id"), col("cos")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id"))
     pairs.withColumn("rk", row_number().over(w))

@@ -41,16 +41,19 @@ object ScaleUp {
     val src = args(0)
     val dst = args(1)
     val rep = if (args.length > 2) args(2).toInt else 10
-    // The embedding decorrelation below composes a 64-period cyclic
-    // shift with a sign flip per 64-replica wrap — a 128-replica period
-    // total: replicas r and r+128 get identical shift AND sign, i.e.
-    // byte-duplicate vectors past rep=128 (same bound class as the
-    // documents rotation's period 105). Refuse rather than silently
-    // reintroduce clones.
-    require(rep <= 128,
-      s"rep=$rep exceeds the 128-replica embedding decorrelation period " +
-        "(shift period 64 x sign period 2); add a third norm-preserving " +
-        "transform before scaling further")
+    // Decorrelation periods (round 14, r13 verdict #5 — the old 128
+    // cap blocked the sf30+ scaling evidence): the documents transform
+    // is vowel-rot(5) × consonant-rot(21) × case-swap(2) × reversal(2)
+    // = period 420; the embeddings transform is cyclic-shift(64) ×
+    // sign-flip(2) × out-shuffle-permutation(order 6 on 64 elements)
+    // = period 768. Replicas r and r+420 would get byte-identical
+    // TEXT transforms — exact cross-replica clones that inflate
+    // dedup/LSH candidates for data reasons, not plan reasons (the
+    // round-6 lesson). Refuse rather than silently reintroduce them.
+    require(rep <= 420,
+      s"rep=$rep exceeds the 420-replica documents decorrelation period " +
+        "(vowel 5 x consonant 21 x case 2 x reversal 2); add another " +
+        "structure-preserving transform before scaling further")
     val spark = SparkSession.builder()
       .appName("graft-scaleup")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -97,6 +100,16 @@ object ScaleUp {
     // produced byte-identical text and every doc gained one exact
     // cross-replica clone, inflating LSH candidate structure for data
     // reasons (round-6 advice).
+    // Round-14 extension for rep > 105 (r13 verdict #5): compose a
+    // CASE SWAP at each 105-replica wrap and a STRING REVERSAL at each
+    // 210-replica wrap — both length-preserving bijections on the doc,
+    // so within-replica near-dup structure (pairwise shingle Jaccard)
+    // is exactly preserved while cross-replica shingle sets stay
+    // disjoint out to 420 replicas. (The corpus text has no digits —
+    // measured — so a digit rotation would be a no-op, not a period
+    // extension.) The case swap folds into the same single translate
+    // (swap the case of the rotation target); the reversal is one
+    // `reverse(text)` on top.
     val lower = "aeiou"; val upper = "AEIOU"
     val consL = "bcdfghjklmnpqrstvwxyz"; val consU = consL.toUpperCase
     val alphabet = lower + upper + consL + consU
@@ -104,9 +117,13 @@ object ScaleUp {
     replicate("documents", Seq("doc_id"), (d, r) => {
       val kv = r % 5
       val kc = (r / 5) % consL.length
-      val rot = rotated(lower, kv) + rotated(upper, kv) +
+      val rot0 = rotated(lower, kv) + rotated(upper, kv) +
         rotated(consL, kc) + rotated(consU, kc)
-      d.withColumn("text", translate(col("text"), alphabet, rot))
+      val rot = if ((r / 105) % 2 == 0) rot0
+        else rot0.map(c => if (c.isUpper) c.toLower else c.toUpper)
+      val translated = d.withColumn("text", translate(col("text"), alphabet, rot))
+      if ((r / 210) % 2 == 0) translated
+      else translated.withColumn("text", reverse(col("text")))
     })
 
     // Cyclic element shift per replica: preserves norms, decorrelates
@@ -117,17 +134,37 @@ object ScaleUp {
     // each 64-replica wrap therefore also flips the sign (norm-
     // preserving; cosine(x, −x) = −1, so wrapped replicas are maximally
     // far from their shift-twins, not clones). rep ≤ 64 is unchanged.
-    // The composition's period is 128 (shift 64 × sign 2) — enforced by
-    // the require() in main; r and r+128 would be byte-identical.
+    // Round 14, each 128-replica wrap additionally applies the k-th
+    // power of the OUT-SHUFFLE permutation (perfect riffle: new[2i] =
+    // old[i], new[2i+1] = old[32+i]) — a norm-preserving permutation of
+    // multiplicative order 6 on 64 elements (2⁶ ≡ 1 mod 63), extending
+    // the composed period to shift 64 × sign 2 × shuffle 6 = 768 —
+    // r = 128k + 64s + j is bijective onto (shift j, sign s, shuffle k),
+    // so no two replicas under 768 share a transform. Enforced by the
+    // (tighter, documents-side) require() in main.
+    val outShuffle: Vector[Int] =
+      Vector.tabulate(64)(j => if (j % 2 == 0) j / 2 else 32 + j / 2)
+    def shufflePow(k: Int): Vector[Int] =
+      (0 until k).foldLeft(Vector.tabulate(64)(identity)) { (p, _) =>
+        Vector.tabulate(64)(j => p(outShuffle(j)))
+      }
     replicate("embeddings", Seq("vec_id"), (d, r) => {
       val shifted =
-        if (r == 0) d
+        if (r % 64 == 0) d
         else d.withColumn("embedding",
           expr(s"concat(slice(embedding, ${r % 64 + 1}, size(embedding)), " +
                s"slice(embedding, 1, ${r % 64}))"))
-      if ((r / 64) % 2 == 0) shifted
-      else shifted.withColumn("embedding",
-        expr("transform(embedding, x -> -x)"))
+      val signed =
+        if ((r / 64) % 2 == 0) shifted
+        else shifted.withColumn("embedding",
+          expr("transform(embedding, x -> -x)"))
+      val k = (r / 128) % 6
+      if (k == 0) signed
+      else {
+        val perm = shufflePow(k)
+        signed.withColumn("embedding",
+          array(perm.map(p => element_at(col("embedding"), p + 1)): _*))
+      }
     })
 
     spark.stop()

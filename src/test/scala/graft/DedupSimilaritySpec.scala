@@ -196,6 +196,63 @@ class DedupSimilaritySpec extends SparkTestBase {
       "per-label m must not change the pair set")
   }
 
+  test("semantic-cell pair set is invariant in the sub-cell count m") {
+    // r13 verdict #2: the per-label triangle-cell machinery composed
+    // into the quantizer-cell join. The cover proof is per coarse cell
+    // (both rows of a pair share a cell, hence an m), so any m ≥ 1 —
+    // uniform or per-cell skewed — must produce the naive within-cell
+    // self-join's exact pair set; only task bounds move.
+    import org.apache.spark.sql.functions.{col, lit, pmod, when}
+    val assigned = SimilarityQueries.coarseAssigned(spark, sfDir, 64L)
+    def pairsOf(mCol: org.apache.spark.sql.Column): Set[(Long, Long)] =
+      SimilarityQueries.cellPairs(
+        SimilarityQueries.cellReplicate(assigned.withColumn("m", mCol)))
+        .filter(col("cos") >= SimilarityQueries.SemTau)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pairsOf(lit(1L)) // m=1: no replication, plain cell join
+    assert(naive.nonEmpty)
+    assert(pairsOf(lit(4L)) == naive)
+    assert(pairsOf(lit(7L)) == naive) // non-divisor of the cell sizes
+    val skewed = when(pmod(col("cell"), lit(2L)) === 0L, lit(3L))
+      .otherwise(lit(7L))
+    assert(pairsOf(skewed) == naive,
+      "per-cell m must not change the pair set")
+    // the SHIPPED query (runtime-derived per-cell m) matches
+    assert(pairs("dedup_semantic_cells") == naive,
+      "shipped runtime-m query must equal the naive baseline")
+  }
+
+  test("ivf batch-kNN top-3 is invariant in the sub-cell count m") {
+    // same composition for the ordered-pair (kNN) consumer: unordered
+    // sub-cell pairs mirrored into both directions must reproduce the
+    // old a≠b within-cell join's ranking for any m.
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val assigned = SimilarityQueries.coarseAssigned(spark, sfDir, 8L)
+    def top3(mCol: org.apache.spark.sql.Column): Seq[(Long, Int, Long)] = {
+      val und = SimilarityQueries.cellPairs(
+        SimilarityQueries.cellReplicate(assigned.withColumn("m", mCol)))
+      val prs = und
+        .select(col("a_id").as("q_id"), col("b_id").as("nbr_id"), col("cos"))
+        .unionAll(und
+          .select(col("b_id").as("q_id"), col("a_id").as("nbr_id"), col("cos")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id"))
+      prs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("q_id", "rk", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    }
+    val naive = top3(lit(1L))
+    assert(naive.nonEmpty)
+    assert(top3(lit(5L)) == naive)
+    val shipped = SparkEntry.queries("sim_knn_batch_ivf")(spark, sfDir)
+      .select("q_id", "rk", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    graft.ops.PipelineCache.releaseAll()
+    assert(shipped == naive,
+      "shipped runtime-m kNN must equal the naive baseline")
+  }
+
   test("full-probe IVF (nProbe = nCells) equals exact brute-force top-k") {
     val brute = SparkEntry.queries("sim_cosine_topk")(spark, sfDir)
       .select("vec_id").collect().map(_.getLong(0)).toSeq.take(5) // brute is top-10

@@ -130,6 +130,19 @@ class PlanShapeSpec extends SparkTestBase {
     graft.ops.PipelineCache.releaseAll()
   }
 
+  test("per-cell sub-cell counts attach by broadcast hash join in the IVF pair joins") {
+    // r13 verdict #2: the (cell, m) frame is one row per coarse cell
+    // (≈√N rows — broadcast-sized at any corpus scale); the replication
+    // step must learn m through a broadcast, never by shuffling the
+    // embedding side against the count frame
+    Seq("dedup_semantic_cells", "sim_knn_batch_ivf").foreach { q =>
+      graft.ops.PipelineCache.releaseAll()
+      val p = plan(q)
+      assert(ops(p).exists(_.isInstanceOf[BroadcastHashJoinExec]), s"$q:\n$p")
+    }
+    graft.ops.PipelineCache.releaseAll()
+  }
+
   test("bucketed co-located join reads buckets with no exchange or sort on either side") {
     val df = graft.ops.JoinQueries.joinBucketedColocated(spark, sfDir)
     val p = df.queryExecution.executedPlan
