@@ -577,11 +577,12 @@ object DedupQueries {
   private[graft] val PassageMinShared = 10L
 
   def dedupSharedPassage(s: SparkSession, d: String): DataFrame = {
-    val grams = PipelineCache.getOrPersist(s"dedup:passageGrams:$d")(
-      shingled(s, d).select(col("doc_id"), explode(col("sh")).as("g")))
-    val dfg = grams.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= PassageDfCap)
-    val kept = grams.join(dfg, "g")
+    // one shared df-banded gram frame with [[dedupShingleContainment]]
+    // (round 14): both queries band identically (2 ≤ df ≤ cap) and
+    // neither reads the df column after the band filter, so the
+    // gram→df join is built once per session instead of once per
+    // query — same plan below the persist, pair sets untouched.
+    val kept = bandedGrams(s, d)
     kept.as("a")
       .join(kept.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -612,13 +613,23 @@ object DedupQueries {
     * undirected pair set). The denominator join probes per-doc counts —
     * one extra partial-aggregated shuffle over the kept grams, shared
     * with the pair branch through the persisted gram frame. */
-  def dedupShingleContainment(s: SparkSession, d: String): DataFrame = {
+  /** df-banded (2 ≤ df ≤ [[PassageDfCap]]) gram occurrences, persisted
+    * once per session — the shared pair-join base of
+    * [[dedupSharedPassage]] and [[dedupShingleContainment]] (round 14:
+    * the two queries built byte-identical frames under different
+    * names; one persist means the second consumer starts at the cached
+    * blocks). */
+  private def bandedGrams(s: SparkSession, d: String): DataFrame = {
     val grams = PipelineCache.getOrPersist(s"dedup:passageGrams:$d")(
       shingled(s, d).select(col("doc_id"), explode(col("sh")).as("g")))
     val dfg = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= PassageDfCap)
-    val kept = PipelineCache.getOrPersist(s"dedup:containKept:$d")(
+    PipelineCache.getOrPersist(s"dedup:containKept:$d")(
       grams.join(dfg.select("g"), "g"))
+  }
+
+  def dedupShingleContainment(s: SparkSession, d: String): DataFrame = {
+    val kept = bandedGrams(s, d)
     val na = kept.groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
     kept.as("a")
       .join(kept.as("b"),

@@ -76,54 +76,82 @@ object FrontierQueriesP {
           .otherwise(raise_error(concat(
             lit("ESD encode domain violated: cents="),
             col("c").cast(StringType))).cast("boolean"))))
+    // Round-14 shape (guide §2.4 — remove exchanges the algebra says
+    // are unnecessary): the former per-round grid⋈moments joins made a
+    // 300-node plan with ~12 exchanges of tiny frames, serialized by
+    // AQE stage barriers — barrier count, not data, was the measured
+    // cost (~2.6 s at sf0.1 for KB-scale stages). Each round's argmax
+    // |n·c − sc| is LINEAR in c on either side of the mean, so over
+    // any eligible value set it is attained at the eligible MIN or MAX
+    // value; a round removes ONE instance of its suspect (an extreme),
+    // so after k < 3 removals every eligible extreme lies in the
+    // per-type top-3 ∪ bottom-3 VALUES of the full grid. The rounds
+    // therefore run as pure column expressions over one collapsed row
+    // per type: (moments, ≤6-element extremes array) — two grid
+    // rollups and a window on the value grid, zero per-round joins.
+    // Same argmax encode, same integer downdates, same G tree —
+    // EsdExtremesSpec pins the rewrite against a full-grid brute-force
+    // recomputation, and the DuckDB oracle (which still states the
+    // full-grid per-round form) is unchanged. Measured 2.6 s → ~0.9 s
+    // at sf0.1; at 100 TB the rounds now touch 6 rows per type instead
+    // of re-scanning the value grid three times.
     val m0 = grid.groupBy("event_type").agg(
       sum(col("cnt")).as("n"), sum(col("c") * col("cnt")).as("sc"),
       sum(col("c") * col("c") * col("cnt")).as("scc"))
+    val byType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val ext = grid
+      .withColumn("rhi", row_number().over(byType.orderBy(col("c").desc)))
+      .withColumn("rlo", row_number().over(byType.orderBy(col("c").asc)))
+      .filter(col("rhi") <= EsdRounds || col("rlo") <= EsdRounds)
+      .groupBy("event_type")
+      .agg(collect_list(struct(col("c"), col("cnt"))).as("vals"))
     def hop(x: Column): Column = x.cast(StringType).cast(DoubleType)
     val dec = (c: Column) => c.cast(DecimalType(38, 0))
-    // one ESD round: given moments (n, sc, scc) and the multiset of
-    // already-removed values r1/r2 (null when unused), return the
-    // round's suspect and G, plus the downdated moments
-    def round1(m: DataFrame, removed: Seq[String]): DataFrame = {
-      val rem = removed.foldLeft(lit(0L)) { (acc, r) =>
-        acc + when(col("c") === col(r), 1L).otherwise(0L)
-      }
-      val elig = grid.join(broadcast(m), Seq("event_type"))
-        .filter(col("cnt") > rem)
-      elig.groupBy("event_type")
-        .agg(max(abs(col("n") * col("c") - col("sc")) * lit(EsdEncode) +
-          col("c")).as("mx"))
-        .join(m, Seq("event_type"))
-        .select(col("event_type"), col("n"), col("sc"), col("scc"),
-          (col("mx") % EsdEncode).as("suspect"),
-          expr(s"mx DIV $EsdEncode").as("maxdev"))
+    // argmax over the eligible extremes: same encode (dev·2²⁰ + c,
+    // plain MAX) as the full-grid form, eligibility = cnt minus the
+    // instances already removed at this value
+    def mx(n: Column, sc: Column, removed: Seq[Column]): Column =
+      array_max(transform(
+        filter(col("vals"), v => v.getField("cnt") >
+          removed.foldLeft(lit(0L)) { (acc, r) =>
+            acc + when(v.getField("c") === r, 1L).otherwise(0L)
+          }),
+        v => abs(n * v.getField("c") - sc) * lit(EsdEncode) +
+          v.getField("c")))
+    def gOf(n: Column, sc: Column, scc: Column, maxdev: Column): Column = {
+      val varN = hop(dec(n) * dec(scc) - dec(sc) * dec(sc))
+      round((maxdev.cast(DoubleType) / n.cast(DoubleType)) /
+        sqrt(varN / (n.cast(DoubleType) * (n - 1L).cast(DoubleType))), 9)
     }
-    def gOf(df: DataFrame): DataFrame = df.select(col("event_type"),
-      col("n"), col("sc"), col("scc"), col("suspect"), {
-        val varN = hop(dec(col("n")) * dec(col("scc")) -
-          dec(col("sc")) * dec(col("sc")))
-        round((col("maxdev").cast(DoubleType) / col("n").cast(DoubleType)) /
-          sqrt(varN / (col("n").cast(DoubleType) *
-            (col("n") - 1L).cast(DoubleType))), 9).as("g_stat")
-      })
-    def downdate(df: DataFrame): DataFrame = df.select(col("event_type"),
-      (col("n") - 1L).as("n"), (col("sc") - col("suspect")).as("sc"),
-      (col("scc") - col("suspect") * col("suspect")).as("scc"),
-      col("suspect"))
-    val r1 = gOf(round1(m0, Seq.empty))
-    val m1 = downdate(r1).withColumnRenamed("suspect", "r1")
-    val r2 = gOf(round1(m1.select(col("event_type"), col("n"), col("sc"),
-      col("scc"), col("r1")), Seq("r1")))
-    val m2 = downdate(r2).withColumnRenamed("suspect", "r2")
-      .join(m1.select(col("event_type"), col("r1")), Seq("event_type"))
-    val r3 = gOf(round1(m2.select(col("event_type"), col("n"), col("sc"),
-      col("scc"), col("r1"), col("r2")), Seq("r1", "r2")))
-    def out(df: DataFrame, k: Int) = df.select(col("event_type"),
-      lit(k.toLong).as("esd_round"),
-      round(col("suspect").cast(DoubleType) / lit(100.0), 9)
-        .as("suspect_value"),
-      col("g_stat"))
-    out(r1, 1).unionAll(out(r2, 2)).unionAll(out(r3, 3))
+    val rounds = ext.join(m0, Seq("event_type"))
+      .withColumn("mx1", mx(col("n"), col("sc"), Seq.empty))
+      .withColumn("s1", pmod(col("mx1"), lit(EsdEncode)))
+      .withColumn("g1", gOf(col("n"), col("sc"), col("scc"),
+        expr(s"mx1 DIV $EsdEncode")))
+      .withColumn("n1", col("n") - 1L)
+      .withColumn("sc1", col("sc") - col("s1"))
+      .withColumn("scc1", col("scc") - col("s1") * col("s1"))
+      .withColumn("mx2", mx(col("n1"), col("sc1"), Seq(col("s1"))))
+      .withColumn("s2", pmod(col("mx2"), lit(EsdEncode)))
+      .withColumn("g2", gOf(col("n1"), col("sc1"), col("scc1"),
+        expr(s"mx2 DIV $EsdEncode")))
+      .withColumn("n2", col("n1") - 1L)
+      .withColumn("sc2", col("sc1") - col("s2"))
+      .withColumn("scc2", col("scc1") - col("s2") * col("s2"))
+      .withColumn("mx3", mx(col("n2"), col("sc2"), Seq(col("s1"), col("s2"))))
+      .withColumn("s3", pmod(col("mx3"), lit(EsdEncode)))
+      .withColumn("g3", gOf(col("n2"), col("sc2"), col("scc2"),
+        expr(s"mx3 DIV $EsdEncode")))
+    rounds
+      .select(col("event_type"), explode(array(
+        struct(lit(1L).as("esd_round"), col("s1").as("suspect"), col("g1").as("g")),
+        struct(lit(2L).as("esd_round"), col("s2").as("suspect"), col("g2").as("g")),
+        struct(lit(3L).as("esd_round"), col("s3").as("suspect"), col("g3").as("g"))))
+        .as("r"))
+      .select(col("event_type"), col("r.esd_round").as("esd_round"),
+        round(col("r.suspect").cast(DoubleType) / lit(100.0), 9)
+          .as("suspect_value"),
+        col("r.g").as("g_stat"))
       .orderBy("event_type", "esd_round")
   }
 
@@ -157,22 +185,17 @@ object FrontierQueriesP {
     * 32-byte key — the chunk-dedup argument); constant-width final
     * rollup. */
   def dedupCdcChunks(s: SparkSession, d: String): DataFrame = {
-    val codes = transform(split(col("text"), ""), ch => ascii(ch))
-    val n = size(col("codes")).cast(LongType)
-    // candidate positions: a cut AFTER char i needs a full 8-char
-    // window ending at i; the mask rule is a pure filter
-    val winHash = (i: Column) =>
-      aggregate(slice(col("codes"), (i - (CdcW - 1)).cast("int"), lit(CdcW)),
-        lit(0L), (a, c) => (a * 31L + c.cast(LongType)) % CdcMod)
-    val positions = when(n >= CdcW,
-      sequence(lit(CdcW.toLong), n)).otherwise(array().cast("array<bigint>"))
-    val cuts = concat(array(lit(0L)),
-      filter(positions, i => winHash(i) % CdcMask === 0L && i < n),
-      array(n))
+    // cut positions via the native [[graft.functions.CdcCuts]]
+    // expression (round 14): one compiled char loop per row instead of
+    // the interpreted split→transform(ascii)→per-position
+    // aggregate(slice(…)) chain — O(len·w) lambda walks and O(len)
+    // single-char string allocations per document gone; same fold,
+    // same cut set (differential-pinned against [[cdcCutsHof]] below
+    // and the unchanged DuckDB oracle).
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
-      .withColumn("codes", codes)
-      .withColumn("cuts", cuts)
+      .withColumn("cuts",
+        graft.functions.CdcCuts.cdcCuts(col("text"), CdcW, CdcMask, CdcMod))
     val chunks = docs.select(col("doc_id"), col("text"),
       explode(zip_with(slice(col("cuts"), lit(1), size(col("cuts")) - 1),
         slice(col("cuts"), lit(2), size(col("cuts")) - 1),
@@ -195,6 +218,25 @@ object FrontierQueriesP {
         col("n_dup_instances"),
         round(col("n_dup_instances").cast(DoubleType) /
           col("n_chunks").cast(DoubleType), 9).as("dup_chunk_rate"))
+  }
+
+  /** The original built-ins-only cut computation, retained as the
+    * differential-test double for [[graft.functions.CdcCuts]] (the
+    * DedupExprs pattern): given a `text` column, returns the cut-
+    * positions array the interpreted HOF chain produces. Test-only
+    * consumer (`CdcCutsSpec`); the shipped query uses the compiled
+    * expression. */
+  private[graft] def cdcCutsHof(text: Column): Column = {
+    val codes = transform(split(text, ""), ch => ascii(ch))
+    val n = size(codes).cast(LongType)
+    val winHash = (i: Column) =>
+      aggregate(slice(codes, (i - (CdcW - 1)).cast("int"), lit(CdcW)),
+        lit(0L), (a, c) => (a * 31L + c.cast(LongType)) % CdcMod)
+    val positions = when(n >= CdcW,
+      sequence(lit(CdcW.toLong), n)).otherwise(array().cast("array<bigint>"))
+    concat(array(lit(0L)),
+      filter(positions, i => winHash(i) % CdcMask === 0L && i < n),
+      array(n))
   }
 
   // -------------------------------------------------------------- volatility

@@ -228,7 +228,20 @@ object JoinQueries {
     * in-block pairs). A production linker unions several complementary
     * block keys (prefix, suffix, phonetic) to cover unconstrained edit
     * positions; one suffix block suffices here because the corruption
-    * provably preserves it. */
+    * provably preserves it.
+    *
+    * Round 14 (expression-duplication fix, guide §4.4's lesson applied
+    * to built-ins): the block key is wrapped in `coalesce(·, "")` so
+    * its nullability is FALSE — without it Catalyst injects an
+    * `isnotnull(bk)` join-key null-filter below the projections, and
+    * FilterExec does no subexpression elimination, so that one check
+    * re-evaluated the whole md5-fold `pos`/`pert` tree several times
+    * per row (the ROUND_NOTES md5-in-Filter lesson; measured ~2× this
+    * query). The coalesce never fires (pert is a substring of a
+    * non-null name), so the pair set is unchanged. The verify also
+    * passes the threshold to `levenshtein(·,·,1)`: the banded DP costs
+    * O(len·k) instead of O(len²) and returns −1 past the threshold, so
+    * `between(0, 1)` is exactly the old `<= 1`. */
   def joinFuzzyBlocked(s: SparkSession, d: String): DataFrame = {
     import graft.dedup.Dedup.hexFold32
     val c = Tables.customer(s, d).filter(length(col("c_name")) >= 8)
@@ -237,13 +250,19 @@ object JoinQueries {
           md5(concat(lit("del:"), col("c_custkey").cast(StringType)))),
           (length(col("c_name")) - 6).cast(LongType)) + 3L).cast(IntegerType))
       .select(col("c_custkey").as("probe_key"),
-        expr("concat(substring(c_name, 1, pos - 1), substring(c_name, pos + 1))")
-          .as("pert"))
-      .withColumn("bk", expr("right(pert, 4)"))
+        // the coalesce never fires (substrings of a non-null name); it
+        // makes pert NON-NULLABLE so InferFiltersFromConstraints can't
+        // inject an isnotnull(pert) below the join either — the second
+        // site that re-evaluated the md5 tree inside a Filter
+        coalesce(
+          expr("concat(substring(c_name, 1, pos - 1), substring(c_name, pos + 1))"),
+          lit("")).as("pert"))
+      .withColumn("bk", coalesce(expr("right(pert, 4)"), lit("")))
     val names = c.select(col("c_custkey").as("cand_key"),
-      col("c_name").as("cand_name"), expr("right(c_name, 4)").as("bk"))
+      col("c_name").as("cand_name"),
+      coalesce(expr("right(c_name, 4)"), lit("")).as("bk"))
     probes.join(names, Seq("bk"))
-      .filter(levenshtein(col("pert"), col("cand_name")) <= 1)
+      .filter(levenshtein(col("pert"), col("cand_name"), 1).between(0, 1))
       .groupBy("probe_key").agg(count(lit(1)).as("n_matches"))
       .groupBy("n_matches").agg(count(lit(1)).as("n_probes"))
       .orderBy("n_matches")

@@ -509,8 +509,19 @@ object SimilarityQueries {
     * (spec-pinned, same as the per-label form). */
   private[graft] def cellMFrame(assigned: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType}
+    // Floor 1, not the per-label form's 4 (round 14, measured): coarse
+    // cells are already ≈√N-sized by the quantizer, so at small scale
+    // every cell sits far under [[DedupQueries.EmbedCellTargetRows]]
+    // and a floor-4 m only REPLICATES each row 4× through the pair
+    // join for zero skew protection it doesn't already have — m still
+    // grows with ceil(cell/target), so a hot cell keeps the
+    // (2·target)² task bound. Pair set is m-invariant for any m ≥ 1
+    // (DedupSimilaritySpec pins m ∈ {1, 4, 5, 7, skewed} identical);
+    // measured 1.27 s → ~0.6 s (dedup_semantic_cells) and 2.2 →
+    // ~1.3 s (sim_knn_batch_ivf) at sf0.1 with oracle hashes
+    // unchanged.
     assigned.groupBy(col("cell")).count()
-      .select(col("cell"), greatest(lit(DedupQueries.EmbedCellsFloor),
+      .select(col("cell"), greatest(lit(1L),
         ceil(col("count").cast(DoubleType) /
           lit(DedupQueries.EmbedCellTargetRows.toDouble)).cast(LongType)).as("m"))
   }

@@ -1142,6 +1142,15 @@ object StatQueries {
     // per fold32 nibble after CollapseProject inlining (the
     // sketch_countmin_error lesson: 64×8 digests/row — measured 57 s at
     // sf0.1 vs ~2 s for this form).
+    //
+    // Round-14 disposition (measured, kept as-is): a "wide aggregate"
+    // variant — 128 agg columns (Σw_b·x, Σw_b per b) over the
+    // un-exploded scan, zero row fan-out, zero keyed exchange — was
+    // built and REVERTED: 2.9 s → 4.2 s at sf0.1. 128 aggregate fields
+    // blow past codegen's buffer-width sweet spot, so the whole
+    // aggregate drops out of whole-stage codegen and the interpreted
+    // per-row update costs more than the explode it saved. The explode
+    // + hash-partial-agg below stays inside codegen end to end.
     import graft.dedup.Dedup.MinhashP
     val b = col("b")
     val h = pmod(

@@ -129,4 +129,38 @@ class NativeExprsSpec extends SparkTestBase with TableDrivenPropertyChecks {
     }
     assert(e.getMessage.contains("4096"))
   }
+
+  test("cdc_cuts equals the HOF formulation on the documents corpus") {
+    val both = ops.Tables.documents(spark, sfDir).select(
+      graft.functions.CdcCuts.cdcCuts(col("text"), 8, 64L, 1048576L)
+        .as("native"),
+      ops.FrontierQueriesP.cdcCutsHof(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("cdc_cuts edge cases: empty, sub-window, exact-window, boundary-at-end") {
+    import spark.implicits._
+    // lengths 0..w and w+1, plus a 12-space run whose window hash
+    // exercises the mask filter on a repetitive string
+    val cases = Seq("a", "abcdefg", "abcdefgh", "abcdefghi",
+      " " * 12, "same same same same same", "x" * 200)
+    val rows = cases.toDF("text").select(col("text"),
+      graft.functions.CdcCuts.cdcCuts(col("text"), 8, 64L, 1048576L)
+        .as("native"),
+      ops.FrontierQueriesP.cdcCutsHof(col("text")).as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2), r.getString(0)))
+    // sub-window strings carry only the [0, n] sentinels
+    assert(rows.find(_.getString(0) == "a").get.getSeq[Long](1) == Seq(0L, 1L))
+    // EMPTY input is the one deliberate HOF divergence: split("", "")
+    // yields [""] so the HOF reports n = 1 ([0, 1] — a phantom length-1
+    // chunk over zero characters), while the native form and the DuckDB
+    // oracle (strlen = 0) agree on [0, 0], which the e > s chunk filter
+    // then drops. No empty documents exist in any corpus (oracle-
+    // checked); the native/oracle semantics are the correct ones.
+    val empty = Seq("").toDF("text").select(
+      graft.functions.CdcCuts.cdcCuts(col("text"), 8, 64L, 1048576L)).collect()
+    assert(empty.head.getSeq[Long](0) == Seq(0L, 0L))
+  }
+
 }
