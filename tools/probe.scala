@@ -37,13 +37,15 @@ for (q <- qs) {
     val txt = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/${q}_$suffix.txt"), txt)
   }
-  // warm rep (compile)
-  val t0 = System.nanoTime(); consume(fn(spark, d))
-  val warm = (System.nanoTime() - t0) / 1e9
-  val times = (1 to reps).map { _ =>
-    val t = System.nanoTime(); consume(fn(spark, d)); (System.nanoTime() - t) / 1e9
-  }
-  println(f"PROBE $q%-34s warm=$warm%7.3f  reps=${times.map(t => f"$t%.3f").mkString(",")}")
+  if (reps > 0) {
+    // warm rep (compile)
+    val t0 = System.nanoTime(); consume(fn(spark, d))
+    val warm = (System.nanoTime() - t0) / 1e9
+    val times = (1 to reps).map { _ =>
+      val t = System.nanoTime(); consume(fn(spark, d)); (System.nanoTime() - t) / 1e9
+    }
+    println(f"PROBE $q%-34s warm=$warm%7.3f  reps=${times.map(t => f"$t%.3f").mkString(",")}")
+  } else println(s"PROBE $q plan-only")
 }
 graft.ops.PipelineCache.releaseAll()
 System.exit(0)
